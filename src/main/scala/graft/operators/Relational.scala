@@ -1,0 +1,304 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch relational core (SURVEY §2.2–§2.7, M1): scans, filters,
+  * aggregations, joins, sorts/top-k, set ops — all stock Catalyst
+  * operators. Each QueryDef carries its DuckDB oracle.
+  *
+  * Scale notes (100 TB):
+  *  - dims (part/supplier/nation/region, and customer at these SFs)
+  *    are broadcast — no shuffle on the fact side for enrichment;
+  *  - every groupBy keys on a stable, well-distributed column
+  *    (partkey/custkey/date) → hash partial+final aggregation with
+  *    map-side combine; no driver-side collection anywhere;
+  *  - top-k goes through TakeOrderedAndProject (no global sort);
+  *  - filters/projections are plain Column exprs → pushed to the
+  *    parquet scan (PushedFilters/ReadSchema verified in RelationalSpec).
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1/P1/P10: filtered+projected scan, pushdown-friendly
+    // (reference dags/daily_pipeline.py:54-66).
+    QueryDef("s1_filtered_scan",
+      (s, d) => ord(s, d)
+        .filter(col("o_orderstatus").isin("O", "P") &&
+          col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("order_date")),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |CAST(o_orderdate AS DATE) AS order_date FROM orders
+             |WHERE o_orderstatus IN ('O','P')
+             |AND o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin)),
+
+    // P2–P6: silver cleaning over the fact (reference
+    // dags/daily_pipeline.py:108-118). total recomputed, never trusted.
+    QueryDef("p_clean_silver",
+      (s, d) => {
+        val f = li(s, d).select(
+          col("l_orderkey").as("order_id"), col("l_linenumber").as("line"),
+          col("l_extendedprice").as("price"), col("l_quantity").as("quantity"),
+          col("l_returnflag").as("status"))
+        Cleaning.cleanOrders(f)
+          .select(col("order_id"), col("line"), col("price"),
+            col("quantity"), col("total"), col("status"))
+      },
+      Some("""SELECT l_orderkey AS order_id, l_linenumber AS line,
+             |ABS(l_extendedprice) AS price, l_quantity AS quantity,
+             |ABS(l_extendedprice)*l_quantity AS total, l_returnflag AS status
+             |FROM lineitem WHERE l_orderkey IS NOT NULL AND l_quantity > 0
+             |AND l_returnflag IS NOT NULL AND l_returnflag <> ''""".stripMargin)),
+
+    // A1: global daily summary (dags/daily_pipeline.py:149-156).
+    QueryDef("a1_daily_summary",
+      (s, d) => li(s, d).agg(
+        count(lit(1)).as("total_rows"),
+        dsum(col("l_extendedprice")).as("total_revenue"),
+        countDistinct(col("l_partkey")).as("unique_parts"),
+        countDistinct(col("l_suppkey")).as("unique_suppliers")),
+      Some("""SELECT COUNT(*) AS total_rows,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+             |COUNT(DISTINCT l_partkey) AS unique_parts,
+             |COUNT(DISTINCT l_suppkey) AS unique_suppliers FROM lineitem""".stripMargin)),
+
+    // A2: per-category gold rollup (dags/daily_pipeline.py:158-163) —
+    // category comes from the part dim (J3 broadcast enrichment).
+    QueryDef("a2_category_agg",
+      (s, d) => li(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type").as("category"))
+        .agg(count(lit(1)).as("order_count"),
+          dsum(col("l_extendedprice")).as("revenue")),
+      Some("""SELECT p_type AS category, COUNT(*) AS order_count,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_type""".stripMargin)),
+
+    // A3: dashboard overall metrics incl. mean
+    // (dags/micro_batch_dashboard.py:95-101). avg = exact-sum/count so
+    // both engines divide identical operands.
+    QueryDef("a3_dashboard_metrics",
+      (s, d) => ord(s, d).agg(
+        count(lit(1)).as("total_orders"),
+        dsum(col("o_totalprice")).as("total_revenue"),
+        countDistinct(col("o_custkey")).as("unique_customers"))
+        .withColumn("avg_order_value",
+          col("total_revenue") / col("total_orders")),
+      Some("""SELECT COUNT(*) AS total_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+             |COUNT(DISTINCT o_custkey) AS unique_customers,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_order_value
+             |FROM orders""".stripMargin)),
+
+    // A4/O2: grouped top-k by revenue (micro_batch_dashboard.py:104-110)
+    // → TakeOrderedAndProject, deterministic tie-break on key.
+    QueryDef("a4_top_products",
+      (s, d) => li(s, d).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("order_count"),
+          dsum(col("l_quantity")).as("total_quantity"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+        .limit(10),
+      Some("""SELECT l_partkey, COUNT(*) AS order_count,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem GROUP BY l_partkey
+             |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin)),
+
+    // A5: category stats (micro_batch_dashboard.py:113-118) over the
+    // brand dim.
+    QueryDef("a5_brand_stats",
+      (s, d) => li(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("order_count"),
+          dsum(col("l_extendedprice")).as("revenue"),
+          dsum(col("l_quantity")).as("total_quantity")),
+      Some("""SELECT p_brand, COUNT(*) AS order_count,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin)),
+
+    // A6: regional stats (micro_batch_dashboard.py:121-125) —
+    // customer→nation→region chain, dims broadcast.
+    QueryDef("a6_regional_stats",
+      (s, d) => ord(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(count(lit(1)).as("order_count"),
+          dsum(col("o_totalprice")).as("revenue")),
+      Some("""SELECT r_name AS region, COUNT(*) AS order_count,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin)),
+
+    // A7/P10: hourly stats (micro_batch_dashboard.py:127-133).
+    QueryDef("a7_hourly_stats",
+      (s, d) => Tables.events(s, d)
+        .groupBy(hour(col("ts")).cast("long").as("hour"))
+        .agg(count(lit(1)).as("event_count"),
+          dsum(col("value")).as("total_value")),
+      Some("""SELECT CAST(HOUR(ts) AS BIGINT) AS hour, COUNT(*) AS event_count,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // A8/A12: distinct user–item interactions (daily_pipeline.py:202)
+    // — the CF input. orders⋈lineitem on orderkey (both sides large →
+    // shuffle hash join on the join key; at 100 TB both sides would be
+    // bucketed by orderkey to make this co-located).
+    QueryDef("a8_interactions",
+      (s, d) => li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+        .distinct(),
+      Some("""SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin)),
+
+    // A9: dedup keep-latest (daily_pipeline.py:267-270) — pandas
+    // keep='last' made deterministic via (ts desc, event_id desc).
+    QueryDef("a9_dedup_keep_latest",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+      },
+      Some("""SELECT user_id, event_type, event_id, value,
+             |epoch_us(ts) AS ts_us FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1""".stripMargin)),
+
+    // A10: exact count-distinct per group (daily_pipeline.py:205-206).
+    QueryDef("a10_count_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("unique_users"),
+          count(lit(1)).as("n")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS unique_users,
+             |COUNT(*) AS n FROM events GROUP BY event_type""".stripMargin)),
+
+    // A10': HLL++ approximate variant — the 100 TB path where an exact
+    // distinct would force a full shuffle of user ids. Sketch params
+    // differ across engines → rows-only check (no oracle).
+    QueryDef("a10_approx_count_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
+      None),
+
+    // A11: daily rollup, ordered + limited (setup_source_db.py:290-299).
+    QueryDef("a11_daily_rollup",
+      (s, d) => ord(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("order_date"))
+        .limit(10),
+      Some("""SELECT CAST(o_orderdate AS DATE) AS order_date,
+             |COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY 1 ORDER BY order_date LIMIT 10""".stripMargin)),
+
+    // J1: left-semi (daily_pipeline.py:483-484 membership restrict).
+    QueryDef("j1_semi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // J2: left-anti (daily_pipeline.py:519-520 purchased-mask).
+    QueryDef("j2_anti_join",
+      (s, d) => Tables.part(s, d)
+        .join(li(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name")),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin)),
+
+    // J3: multi-dim star enrichment (TPC-H Q5 shape) — the join
+    // capability the reference only holds via Trino/denormalization.
+    // Fact⋈orders shuffles on orderkey; every dim is broadcast.
+    QueryDef("j3_star_join",
+      (s, d) => li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT n_name AS nation,
+             |CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
+    // O2: plain top-k scan → TakeOrderedAndProject.
+    QueryDef("o2_top_events",
+      (s, d) => Tables.events(s, d)
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(10)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY value DESC, event_id LIMIT 10""".stripMargin)),
+
+    // U1: union-all accumulation + dedup (daily_pipeline.py:260-270).
+    QueryDef("u1_union_dedup",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.filter(col("event_type") === "purchase")
+          .unionByName(e.filter(col("value") > 400))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .distinct()
+      },
+      Some("""SELECT DISTINCT event_id, user_id, event_type FROM (
+             |  SELECT * FROM events WHERE event_type = 'purchase'
+             |  UNION ALL SELECT * FROM events WHERE value > 400)""".stripMargin)),
+
+    // U4: seeded stratified 80/20 split (daily_pipeline.py:217-224).
+    // numpy RNG can't be replayed cross-engine, so the seed becomes a
+    // stable integer-arithmetic bucket of the row key — same split on
+    // any engine, any partitioning, any day (SURVEY §7 risk 2 analog).
+    QueryDef("u4_train_test_split",
+      (s, d) => li(s, d)
+        .withColumn("split",
+          when(bucket10(col("l_orderkey"), col("l_linenumber").cast("long")) < 8,
+            lit("train")).otherwise(lit("eval")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders")),
+      Some("""SELECT CASE WHEN ((l_orderkey % 100003) * 31 + l_linenumber * 97) % 10 < 8
+             |THEN 'train' ELSE 'eval' END AS split,
+             |COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem GROUP BY 1""".stripMargin))
+  )
+}

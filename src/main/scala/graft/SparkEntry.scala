@@ -15,7 +15,8 @@ object SparkEntry {
     * dedup, similarity, streaming-as-batch, multimodal.
     */
   val all: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++
+      operators.Recommend.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Collaborative-filtering pipeline (SURVEY §2.4 A8/A9/A12–A17, §7 M2)
+  * — the Spark-native re-expression of the reference's numpy CF
+  * (reference dags/daily_pipeline.py:361-533 and
+  * recommendation/main.py:145-191).
+  *
+  * The reference builds a dense user×item matrix and an O(I²) cosine
+  * matrix — its scaling wall (SURVEY §4 "Spill"). Here everything
+  * stays long-form and sparse:
+  *
+  *   interactions(user,item)  — distinct purchases
+  *   sim(i,j,co,cos)          — co-occurrence self-join; for binary
+  *                              interactions cos(i,j) = co/√(nᵢ·nⱼ)
+  *   recs(user,rank,item)     — score = Σ_{p∈P(u)} cos(p,·), purchased
+  *                              items anti-joined out, top-N per user
+  *
+  * Scale notes (100 TB):
+  *  - the self-join shuffles on user_id; power users (huge P(u))
+  *    produce |P(u)|² pairs — the mitigation at scale is a per-user
+  *    item cap / salting, and `RowMatrix.columnSimilarities(threshold)`
+  *    (DIMSUM sampling) as the very-large-item-count fallback;
+  *  - `minCo`/`minCos` thresholds keep the model sparse — the exact
+  *    analog of DIMSUM's similarity threshold, and what makes the
+  *    scoring join tractable (24.5k vs 950k pairs at sf0.01);
+  *  - top-N is a rank window partitioned by user — no global sort,
+  *    no driver-side argsort loop.
+  *
+  * Determinism (SURVEY §7 risks 1-2): numpy argsort tie order is
+  * replaced by (round(score,6) DESC, item_id ASC); the seeded numpy
+  * split is replaced by a stable integer-arithmetic bucket of
+  * (user,item) so any engine reproduces it.
+  */
+object Recommend {
+
+  val MinCo = 2
+  val MinCos = 0.1
+  val TopN = 10
+
+  /** A8/A12: distinct user–item interactions from the fact tables. */
+  def interactions(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .distinct()
+
+  /** U4 analog: deterministic 80/20 split of interactions. */
+  def withSplit(inter: DataFrame): DataFrame =
+    inter.withColumn("bucket", bucket10(col("user_id"), col("item_id")))
+
+  def trainSet(inter: DataFrame): DataFrame =
+    withSplit(inter).filter(col("bucket") < 8).drop("bucket")
+
+  def evalSet(inter: DataFrame): DataFrame =
+    withSplit(inter).filter(col("bucket") >= 8).drop("bucket")
+
+  /** A13: sparse item–item cosine similarity (i < j).
+    * cos is a single division of exact integer counts → bitwise equal
+    * across engines, no rounding needed.
+    */
+  def itemSimilarity(inter: DataFrame,
+                     minCo: Int = MinCo, minCos: Double = MinCos): DataFrame = {
+    val cnt = inter.groupBy(col("item_id")).agg(count(lit(1)).as("n"))
+    val co = inter.as("a")
+      .join(inter.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("i"), col("b.item_id").as("j"))
+      .agg(count(lit(1)).as("co"))
+    co.join(broadcast(cnt).as("ca"), col("i") === col("ca.item_id"))
+      .join(broadcast(cnt).as("cb"), col("j") === col("cb.item_id"))
+      .select(col("i"), col("j"), col("co"),
+        (col("co") / sqrt((col("ca.n") * col("cb.n")).cast("double"))).as("cos"))
+      .filter(col("co") >= minCo && col("cos") >= minCos)
+  }
+
+  /** A14: top-N recommendations. score sums doubles (order-dependent
+    * ULPs) → ranked and emitted at 6-decimal precision.
+    */
+  def recommend(inter: DataFrame, sim: DataFrame, topN: Int = TopN): DataFrame = {
+    val sim2 = sim.select(col("i"), col("j"), col("cos"))
+      .unionByName(sim.select(col("j").as("i"), col("i").as("j"), col("cos")))
+    val scored = inter.as("p")
+      .join(sim2.as("s"), col("p.item_id") === col("s.i"))
+      .groupBy(col("p.user_id").as("user_id"), col("s.j").as("item_id"))
+      .agg(sum(col("s.cos")).as("score"))
+    val cand = scored
+      .join(inter, Seq("user_id", "item_id"), "left_anti")   // J2 mask
+      .filter(col("score") > 0)
+      .withColumn("score_r", round(col("score"), 6))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("score_r").desc, col("item_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("user_id"), col("rank").cast("long").as("rank"),
+        col("item_id"), col("score_r"))
+  }
+
+  /** A15: eval coverage — fraction of eval rows whose user / item was
+    * seen in training; avg of 0/1 flags keeps the division exact.
+    */
+  def coverage(train: DataFrame, evalDf: DataFrame): DataFrame = {
+    val tu = train.select(col("user_id")).distinct().withColumn("u_in", lit(1))
+    val ti = train.select(col("item_id")).distinct().withColumn("p_in", lit(1))
+    evalDf
+      .join(broadcast(tu), Seq("user_id"), "left")
+      .join(broadcast(ti), Seq("item_id"), "left")
+      .agg(
+        avg(coalesce(col("u_in"), lit(0))).as("user_coverage"),
+        avg(coalesce(col("p_in"), lit(0))).as("product_coverage"))
+      .withColumn("overall_coverage",
+        (col("user_coverage") + col("product_coverage")) / 2)
+  }
+
+  /** A16: precision@k of train-built recommendations against the eval
+    * purchases; per-user precision = hits / #recs(u) (the reference
+    * divides by len(top_10), daily_pipeline.py:528). No user sampling:
+    * all users with recs are scored, which is deterministic where the
+    * reference's np.random.choice is not.
+    */
+  def precisionAtK(recs: DataFrame, evalDf: DataFrame): DataFrame = {
+    val hits = recs.as("r")
+      .join(evalDf.as("e"),
+        col("r.user_id") === col("e.user_id") &&
+          col("r.item_id") === col("e.item_id"), "left")
+      .groupBy(col("r.user_id"))
+      .agg(count(col("e.user_id")).as("hits"), count(lit(1)).as("n_recs"))
+    hits.agg(
+      round(avg(col("hits").cast("double") / col("n_recs")), 6)
+        .as("avg_precision"),
+      count(lit(1)).as("n_users"))
+  }
+
+  // ---- driver-contract registry ----
+
+  private val interSql =
+    """SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  private def simSql(src: String) =
+    s"""cnt AS (SELECT item_id, COUNT(*) n FROM $src GROUP BY 1),
+       |co AS (SELECT a.item_id i, b.item_id j, COUNT(*) co FROM $src a
+       |  JOIN $src b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2),
+       |sim AS (SELECT i, j, co, co/SQRT(CAST(ca.n*cb.n AS DOUBLE)) cos
+       |  FROM co JOIN cnt ca ON i = ca.item_id JOIN cnt cb ON j = cb.item_id
+       |  WHERE co >= $MinCo AND co/SQRT(CAST(ca.n*cb.n AS DOUBLE)) >= $MinCos)""".stripMargin
+
+  private def recsSql(interSrc: String) =
+    s"""${simSql(interSrc)},
+       |sim2 AS (SELECT i, j, cos FROM sim
+       |  UNION ALL SELECT j, i, cos FROM sim),
+       |scored AS (SELECT p.user_id, s.j AS item_id, SUM(s.cos) score
+       |  FROM $interSrc p JOIN sim2 s ON p.item_id = s.i GROUP BY 1, 2),
+       |cand AS (SELECT sc.user_id, sc.item_id, ROUND(sc.score, 6) score_r
+       |  FROM scored sc WHERE sc.score > 0 AND NOT EXISTS (
+       |    SELECT 1 FROM $interSrc pu
+       |    WHERE pu.user_id = sc.user_id AND pu.item_id = sc.item_id)),
+       |recs AS (SELECT user_id, CAST(rk AS BIGINT) AS rank, item_id, score_r
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY score_r DESC, item_id) rk FROM cand)
+       |  WHERE rk <= $TopN)""".stripMargin
+
+  private val splitCond = "((user_id % 100003) * 31 + item_id * 97) % 10"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("ml_item_similarity",
+      (s, d) => itemSimilarity(interactions(s, d)),
+      Some(s"""WITH inter AS ($interSql),
+              |${simSql("inter")}
+              |SELECT i, j, co, cos FROM sim""".stripMargin)),
+
+    QueryDef("ml_recommendations",
+      (s, d) => {
+        val inter = interactions(s, d)
+        recommend(inter, itemSimilarity(inter))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |${recsSql("inter")}
+              |SELECT * FROM recs""".stripMargin)),
+
+    QueryDef("ml_coverage",
+      (s, d) => {
+        val inter = interactions(s, d)
+        coverage(trainSet(inter), evalSet(inter))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |tr AS (SELECT * FROM inter WHERE $splitCond < 8),
+              |ev AS (SELECT * FROM inter WHERE $splitCond >= 8),
+              |tu AS (SELECT DISTINCT user_id FROM tr),
+              |ti AS (SELECT DISTINCT item_id FROM tr),
+              |cov AS (SELECT
+              |  AVG(CASE WHEN tu.user_id IS NOT NULL THEN 1 ELSE 0 END) AS user_coverage,
+              |  AVG(CASE WHEN ti.item_id IS NOT NULL THEN 1 ELSE 0 END) AS product_coverage
+              |  FROM ev LEFT JOIN tu ON ev.user_id = tu.user_id
+              |  LEFT JOIN ti ON ev.item_id = ti.item_id)
+              |SELECT user_coverage, product_coverage,
+              |(user_coverage + product_coverage)/2 AS overall_coverage FROM cov""".stripMargin)),
+
+    QueryDef("ml_precision_at_10",
+      (s, d) => {
+        val inter = interactions(s, d)
+        val train = trainSet(inter)
+        val recs = recommend(train, itemSimilarity(train))
+        precisionAtK(recs, evalSet(inter))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |tr AS (SELECT user_id, item_id FROM inter WHERE $splitCond < 8),
+              |ev AS (SELECT user_id, item_id FROM inter WHERE $splitCond >= 8),
+              |${recsSql("tr")},
+              |per_user AS (SELECT r.user_id,
+              |    COUNT(e.user_id) AS hits, COUNT(*) AS n_recs
+              |  FROM recs r LEFT JOIN ev e
+              |    ON r.user_id = e.user_id AND r.item_id = e.item_id
+              |  GROUP BY r.user_id)
+              |SELECT ROUND(AVG(CAST(hits AS DOUBLE)/n_recs), 6) AS avg_precision,
+              |COUNT(*) AS n_users FROM per_user""".stripMargin))
+  )
+}

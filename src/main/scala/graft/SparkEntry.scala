@@ -16,7 +16,10 @@ object SparkEntry {
     */
   val all: Seq[QueryDef] =
     operators.Relational.defs ++
-      operators.Recommend.defs
+      operators.Recommend.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

@@ -57,4 +57,49 @@ object Functions {
     */
   def bucket10(key: Column, salt: Column): Column =
     ((key % 100003L) * 31L + salt * 97L) % 10L
+
+  // ---- cross-engine deterministic hashing (dedup / LSH family) ----
+  //
+  // Spark's murmur3 `hash()` and DuckDB's `hash()` are different
+  // functions, so every content hash goes through md5 hex — identical
+  // on both engines — and re-enters integer space via a 60-bit prefix
+  // (15 hex chars < 2^63, so the BIGINT cast never overflows/signs).
+  // Oracle: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT).
+
+  /** 60-bit integer content hash of a string column. */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Largest 32-bit prime — the modulus of the minhash permutation
+    * family. Reducing hex60 below 2^32 first keeps a_k*h + b_k within
+    * int64 for all 32 permutations.
+    */
+  val P32 = 4294967291L
+
+  /** 32-bit-range content hash (hex60 mod P32). */
+  def h32(c: Column): Column = hex60(c) % P32
+
+  /** Distinct word n-gram shingles of a token array (1-based slice,
+    * space-joined) — the unit of MinHash/Jaccard dedup. Oracle:
+    * list_distinct(list_transform(generate_series(1, greatest(len(t)-n+1,0)),
+    *   i -> array_to_string(t[i:i+n-1], ' '))).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** k-th minhash permutation of a 32-bit-range hash: (a_k*h + b_k)
+    * mod P32 with a_k = 2k+3 (odd, nonzero), b_k = k²+7. All int64.
+    */
+  def minhashPerm(h: Column, k: Column): Column =
+    ((k * 2L + 3L) * h + (k * k + 7L)) % P32
+
+  /** 32-slot minhash signature computed entirely inside one row
+    * (no shuffle): for each permutation k, the min permuted hash over
+    * the document's shingle-hash array.
+    */
+  def minhashSig(shingleHashes: Column): Column =
+    transform(sequence(lit(0L), lit(31L)),
+      k => array_min(transform(shingleHashes, h => minhashPerm(h, k))))
 }

@@ -1,0 +1,294 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the LLM-training-data pipeline over
+  * `documents` / `embeddings`: exact (fingerprint groupBy), n-gram
+  * Jaccard, MinHash+LSH banding, SimHash with chunk banding, and
+  * embedding-cosine near-dup. Beyond-reference operators (builder
+  * brief, "deduplication"); the reference's only dedup is
+  * drop_duplicates (SURVEY §2.4 A8/A9).
+  *
+  * Scale design (100 TB):
+  *  - signatures (minhash, simhash) are computed entirely inside one
+  *    row's expression tree — no shuffle, no UDF; the corpus is
+  *    signed at scan bandwidth;
+  *  - candidate generation shuffles on the *bucket key* (LSH band
+  *    signature / simhash chunk), never on doc pairs — the O(n²)
+  *    pair space is only entered inside a bucket, and buckets are
+  *    balanced by construction (hash keys);
+  *  - verification (exact Jaccard / hamming) touches candidate pairs
+  *    only. The shingle co-count join shuffles on the shingle hash —
+  *    a well-distributed 60-bit key, AQE handles stragglers.
+  *
+  * Cross-engine determinism: all hashes derive from md5 hex (see
+  * Functions.hex60); Jaccard/cosine are divisions of exact integer
+  * counts / bit-exact double folds, rounded at emission.
+  */
+object Dedup {
+
+  val ShingleN = 3
+  val JaccardT = 0.5
+  val Bands = 8
+  val Rows = 4 // Bands*Rows == 32 minhash permutations
+  val HammingT = 6
+  val CosineT = 0.4
+
+  /** doc_id + distinct word-3-gram shingles, long form. */
+  def docShingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("s"))
+
+  /** Exact dedup: group by canonical-text fingerprint; the group's
+    * canonical doc is min(doc_id) — a pure groupBy on a 128-bit key.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5Hex(normText(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_docs"))
+
+  /** Pairwise n-gram Jaccard ≥ t via shingle co-count self-join:
+    * |A∩B| from the join, |A∪B| = nA + nB − |A∩B|.
+    */
+  def ngramJaccard(docs: DataFrame, t: Double = JaccardT): DataFrame = {
+    val sh = docShingles(docs)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    co.join(n.as("na"), col("i") === col("na.doc_id"))
+      .join(n.as("nb"), col("j") === col("nb.doc_id"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na.n") + col("nb.n") - col("common")), 6))
+      .filter(col("jaccard") >= t)
+      .select(col("i"), col("j"), col("common"), col("jaccard"))
+  }
+
+  /** Per-doc 32-slot minhash signature (no shuffle — see scaladoc). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      transform(shingles(tokens(col("text")), ShingleN),
+        s => hex60Str(s) % P32).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashSig(col("hs")).as("sig"))
+
+  /** MinHash+LSH near-dup: band the signature (Bands×Rows), bucket-join
+    * on (band, band-signature), then verify candidates with exact
+    * Jaccard ≥ t. Candidate recall < 1 by construction — that is the
+    * LSH trade — but verification makes precision exact.
+    */
+  def minhashLsh(docs: DataFrame, t: Double = JaccardT): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => struct(b.as("band"),
+          concat_ws(",", slice(col("sig"), b * Rows + 1, lit(Rows))
+            .cast("array<string>")).as("bsig")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bsig"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    // verify: exact Jaccard on the candidate pairs only
+    val sh = docShingles(docs)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("a"), col("i") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("j") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(n.as("na"), col("i") === col("na.doc_id"))
+      .join(n.as("nb"), col("j") === col("nb.doc_id"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na.n") + col("nb.n") - col("common")), 6))
+      .filter(col("jaccard") >= t)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash per doc from token-occurrence hashes: bit i is set
+    * iff Σ_tokens (2·bit_i(h32(token)) − 1) > 0. Long-form explode over
+    * (token, bit) — sums are exact ints.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", h32(col("tok")))
+    tok.select(col("doc_id"), col("h"),
+      explode(sequence(lit(0L), lit(31L))).as("bit"))
+      .withColumn("v",
+        when(expr("shiftright(h, cast(bit as int)) % 2") === 1, 1L)
+          .otherwise(-1L))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("v")).as("bal"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("bal") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs, hamming ≤ HammingT, candidates via 8-bit
+    * chunk banding (pigeonhole: ≤6 differing bits over 4 chunks ⇒ at
+    * least one chunk equal) — never an all-pairs scan.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sh = simhash(docs)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk",
+        expr("shiftright(simhash, c * 8) % 256"))
+    val cand = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("x.simhash").as("hi"),
+        col("y.doc_id").as("j"), col("y.simhash").as("hj"))
+      .distinct()
+    cand.withColumn("hamming",
+      expr("cast(bit_count(hi ^ hj) as bigint)"))
+      .filter(col("hamming") <= HammingT)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+
+  /** Embedding near-dup: all pairs with cosine ≥ t. Brute self-join
+    * here; the LSH-bucketed scale path is Similarity.knnLsh — same
+    * verification expression, candidate set from hyperplane buckets.
+    */
+  def embeddingNearDup(emb: DataFrame, t: Double = CosineT): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= t)
+  }
+
+  /** hex60 over a plain string column inside a lambda (md5 of utf8). */
+  private def hex60Str(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  // ---- driver-contract registry ----
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Shared oracle CTEs: tokenized docs → distinct 3-gram shingles. */
+  private val shSql =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(t)-2, 0)),
+      |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+      |  FROM toks),
+      |n AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1)""".stripMargin
+
+  private val jacSql =
+    s"""co AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT i, j, common,
+       |    ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
+       |  FROM co JOIN n na ON i = na.doc_id JOIN n nb ON j = nb.doc_id)""".stripMargin
+
+  private val h32Sql =
+    "CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) % 4294967291"
+
+  private val sigSql =
+    s"""hs AS (SELECT doc_id, list($h32Sql) AS hl FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+       |    k -> list_min(list_transform(hl,
+       |      h -> ((2*k+3)*h + (k*k+7)) % 4294967291))) AS sg
+       |  FROM hs WHERE len(hl) > 0)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("dedup_exact",
+      (s, d) => exact(docs(s, d)),
+      Some("""SELECT md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp,
+             |MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    QueryDef("dedup_ngram_jaccard",
+      (s, d) => ngramJaccard(docs(s, d)),
+      Some(s"""WITH $shSql,
+              |$jacSql
+              |SELECT i, j, common, jaccard FROM jac
+              |WHERE jaccard >= $JaccardT""".stripMargin)),
+
+    QueryDef("dedup_minhash_lsh",
+      (s, d) => minhashLsh(docs(s, d)),
+      Some(s"""WITH $shSql,
+              |$sigSql,
+              |bands AS (SELECT doc_id, b.band,
+              |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
+              |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
+              |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
+              |  FROM bands x JOIN bands y ON x.band = y.band
+              |    AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+              |common AS (SELECT c.i, c.j, COUNT(*) common
+              |  FROM cand c JOIN sh a ON c.i = a.doc_id
+              |  JOIN sh b ON c.j = b.doc_id AND a.s = b.s
+              |  GROUP BY 1, 2)
+              |SELECT c.i, c.j, ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
+              |FROM common c JOIN n na ON c.i = na.doc_id JOIN n nb ON c.j = nb.doc_id
+              |WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) >= $JaccardT""".stripMargin)),
+
+    QueryDef("dedup_simhash",
+      (s, d) => simhash(docs(s, d)),
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(text),'\s+')) AS tk
+             |  FROM documents),
+             |th AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) % 4294967291 AS h
+             |  FROM tok),
+             |bits AS (SELECT doc_id, b.bt,
+             |    SUM(CASE WHEN (h >> b.bt) % 2 = 1 THEN 1 ELSE -1 END) AS bal
+             |  FROM th, (SELECT unnest(generate_series(0, 31)) bt) b
+             |  GROUP BY 1, 2)
+             |SELECT doc_id, SUM(CASE WHEN bal > 0
+             |  THEN CAST(1 AS BIGINT) << bt ELSE 0 END) AS simhash
+             |FROM bits GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("dedup_simhash_pairs",
+      (s, d) => simhashPairs(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |    unnest(string_split_regex(trim(text),'\\s+')) AS tk
+              |  FROM documents),
+              |th AS (SELECT doc_id,
+              |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) % 4294967291 AS h
+              |  FROM tok),
+              |bits AS (SELECT doc_id, b.bt,
+              |    SUM(CASE WHEN (h >> b.bt) % 2 = 1 THEN 1 ELSE -1 END) AS bal
+              |  FROM th, (SELECT unnest(generate_series(0, 31)) bt) b
+              |  GROUP BY 1, 2),
+              |sh2 AS (SELECT doc_id, SUM(CASE WHEN bal > 0
+              |    THEN CAST(1 AS BIGINT) << bt ELSE 0 END) AS simhash
+              |  FROM bits GROUP BY doc_id),
+              |chunks AS (SELECT doc_id, simhash, c.c,
+              |    (simhash >> (c.c*8)) % 256 AS chunk
+              |  FROM sh2, (SELECT unnest(generate_series(0, 3)) c) c),
+              |cand AS (SELECT DISTINCT x.doc_id i, x.simhash hi,
+              |    y.doc_id j, y.simhash hj
+              |  FROM chunks x JOIN chunks y ON x.c = y.c
+              |    AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+              |SELECT i, j, CAST(bit_count(xor(hi, hj)) AS BIGINT) AS hamming
+              |FROM cand WHERE bit_count(xor(hi, hj)) <= $HammingT""".stripMargin)),
+
+    QueryDef("dedup_embedding",
+      (s, d) => embeddingNearDup(Tables.embeddings(s, d)),
+      Some(s"""SELECT a.vec_id AS i, b.vec_id AS j,
+              |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              |  CAST(b.embedding AS DOUBLE[])), 6) AS cos
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              |  CAST(b.embedding AS DOUBLE[])), 6) >= $CosineT""".stripMargin))
+  )
+}

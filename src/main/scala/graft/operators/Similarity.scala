@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (builder brief, "similarity search"): brute-force cosine top-k as
+  * the exact baseline, and a random-hyperplane LSH-bucketed variant as
+  * the scale path.
+  *
+  * Scale design (100 TB):
+  *  - brute force is quadratic — kept as the correctness baseline and
+  *    bounded to a query subset (every 50th vector), the shape of a
+  *    "score this batch of queries against the corpus" job: broadcast
+  *    the small query side, stream the corpus, per-partition top-k
+  *    via the rank window;
+  *  - the LSH path buckets every vector by the sign pattern of 8
+  *    fixed hyperplanes (2^8 buckets) and searches only within a
+  *    bucket: candidate volume drops ~256×, and the shuffle key is
+  *    the bucket id, never a vector pair. More planes / multiprobe
+  *    are parameter changes, not new plumbing.
+  *
+  * Determinism: hyperplane weights are integers in [-1000, 1000]
+  * derived from md5("hp<p>_<d>") — identical in any engine (no RNG,
+  * no float trig); cosine is the bit-exact double fold established in
+  * Functions.dot (left-to-right, matching DuckDB list_dot_product).
+  */
+object Similarity {
+
+  val K = 5
+  val Planes = 8
+  val Dim = 64
+  val QueryStride = 50
+
+  /** Fixed hyperplane weights via the cross-engine md5 hash:
+    * w[p][d] = hex60(md5("hp<p>_<d>")) % 2001 − 1000.
+    */
+  lazy val planeWeights: Seq[Seq[Double]] =
+    (0 until Planes).map { p =>
+      (0 until Dim).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp${p}_$d".getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble
+      }
+    }
+
+  private def vecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** LSH bucket id: bit p set iff v·w_p > 0. Pure per-row expression
+    * — bucketing is a scan-speed pass, the only shuffle is the
+    * bucket-keyed candidate join.
+    */
+  def bucketCol(v: Column): Column =
+    planeWeights.zipWithIndex.map { case (w, p) =>
+      when(dot(v, typedLit(w)) > 0d, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _).cast("long")
+
+  /** Exact top-k cosine neighbors for the strided query subset. */
+  def knnBrute(emb: DataFrame, k: Int = K): DataFrame = {
+    val e = vecs(emb)
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val scored = broadcast(q.as("q"))
+      .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("nbr_id"),
+        round(cosine(col("q.v"), col("c.v")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+  }
+
+  /** LSH-bucketed ANN: all vectors, neighbors searched only within
+    * the same hyperplane bucket.
+    */
+  def knnLsh(emb: DataFrame, k: Int = K): DataFrame = {
+    val e = vecs(emb).withColumn("bucket", bucketCol(col("v")))
+    val scored = e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("nbr_id"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+  }
+
+  /** Bucket histogram — the operational check that LSH buckets stay
+    * balanced (skew here is what would break the candidate join at
+    * scale).
+    */
+  def bucketStats(emb: DataFrame): DataFrame =
+    vecs(emb).withColumn("bucket", bucketCol(col("v")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+
+  // ---- driver-contract registry ----
+
+  private val planesSql =
+    """planes AS (SELECT p.p, list_transform(generate_series(0, 63),
+      |    d -> CAST(concat('0x', substr(md5('hp' || p.p || '_' || d),1,15)) AS BIGINT)
+      |         % 2001 - 1000) AS w
+      |  FROM (SELECT unnest(generate_series(0, 7)) p) p),
+      |buckets AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+      |    CAST(SUM(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(w AS DOUBLE[])) > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings, planes GROUP BY vec_id, CAST(embedding AS DOUBLE[]))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("sim_knn_brute",
+      (s, d) => knnBrute(Tables.embeddings(s, d)),
+      Some(s"""WITH scored AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM scored)
+              |WHERE rk <= $K""".stripMargin)),
+
+    QueryDef("sim_knn_lsh",
+      (s, d) => knnLsh(Tables.embeddings(s, d)),
+      Some(s"""WITH $planesSql,
+              |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM buckets a JOIN buckets b
+              |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM scored)
+              |WHERE rk <= $K""".stripMargin)),
+
+    QueryDef("sim_bucket_stats",
+      (s, d) => bucketStats(Tables.embeddings(s, d)),
+      Some(s"""WITH $planesSql
+              |SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket""".stripMargin))
+  )
+}

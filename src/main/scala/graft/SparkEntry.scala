@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Recommend.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
-      operators.Similarity.defs
+      operators.Similarity.defs ++
+      operators.StreamingBatch.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

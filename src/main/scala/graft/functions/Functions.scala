@@ -80,14 +80,18 @@ object Functions {
   def h32(c: Column): Column = hex60(c) % P32
 
   /** Distinct word n-gram shingles of a token array (1-based slice,
-    * space-joined) — the unit of MinHash/Jaccard dedup. Oracle:
+    * space-joined) — the unit of MinHash/Jaccard dedup. Guarded for
+    * short docs: Spark's sequence(1, 0) counts DOWN ([1,0]), unlike
+    * DuckDB's empty generate_series, so size < n must short-circuit
+    * to an empty array on both engines. Oracle:
     * list_distinct(list_transform(generate_series(1, greatest(len(t)-n+1,0)),
     *   i -> array_to_string(t[i:i+n-1], ' '))).
     */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
 
   /** k-th minhash permutation of a 32-bit-range hash: (a_k*h + b_k)
     * mod P32 with a_k = 2k+3 (odd, nonzero), b_k = k²+7. All int64.

@@ -37,10 +37,12 @@ object Dedup {
   val HammingT = 6
   val CosineT = 0.4
 
-  /** doc_id + distinct word-3-gram shingles, long form. */
+  /** doc_id + distinct word-3-gram shingles over case-normalized text
+    * (near-dup means near-dup up to case/whitespace), long form.
+    */
   def docShingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
     docs.select(col("doc_id"),
-      explode(shingles(tokens(col("text")), n)).as("s"))
+      explode(shingles(tokens(lower(col("text"))), n)).as("s"))
 
   /** Exact dedup: group by canonical-text fingerprint; the group's
     * canonical doc is min(doc_id) — a pure groupBy on a 128-bit key.
@@ -73,7 +75,7 @@ object Dedup {
   /** Per-doc 32-slot minhash signature (no shuffle — see scaladoc). */
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      transform(shingles(tokens(col("text")), ShingleN),
+      transform(shingles(tokens(lower(col("text"))), ShingleN),
         s => hex60Str(s) % P32).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), minhashSig(col("hs")).as("sig"))
@@ -121,7 +123,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("tok"))
+      explode(tokens(lower(col("text")))).as("tok"))
       .withColumn("h", h32(col("tok")))
     tok.select(col("doc_id"), col("h"),
       explode(sequence(lit(0L), lit(31L))).as("bit"))
@@ -182,7 +184,7 @@ object Dedup {
 
   /** Shared oracle CTEs: tokenized docs → distinct 3-gram shingles. */
   private val shSql =
-    """toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') t
+    """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') t
       |  FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, greatest(len(t)-2, 0)),
@@ -244,7 +246,7 @@ object Dedup {
     QueryDef("dedup_simhash",
       (s, d) => simhash(docs(s, d)),
       Some("""WITH tok AS (SELECT doc_id,
-             |    unnest(string_split_regex(trim(text),'\s+')) AS tk
+             |    unnest(string_split_regex(trim(lower(text)),'\s+')) AS tk
              |  FROM documents),
              |th AS (SELECT doc_id,
              |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) % 4294967291 AS h
@@ -260,7 +262,7 @@ object Dedup {
     QueryDef("dedup_simhash_pairs",
       (s, d) => simhashPairs(docs(s, d)),
       Some(s"""WITH tok AS (SELECT doc_id,
-              |    unnest(string_split_regex(trim(text),'\\s+')) AS tk
+              |    unnest(string_split_regex(trim(lower(text)),'\\s+')) AS tk
               |  FROM documents),
               |th AS (SELECT doc_id,
               |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) % 4294967291 AS h

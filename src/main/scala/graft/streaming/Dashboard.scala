@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+
+/** The five dashboard metric tables (SURVEY §2.4 A3–A7; reference
+  * dags/micro_batch_dashboard.py:95-133) as pure transforms over an
+  * order-shaped frame (order_id, customer_id, product_name, category,
+  * region, order_date, total, quantity, status). Consumed per
+  * micro-batch by Alerts.dashboardRefresh and directly by batch
+  * queries — one codepath for both cadences.
+  */
+object Dashboard {
+
+  val ValidStatuses = Seq("completed", "processing", "pending")
+
+  def validOrders(orders: DataFrame): DataFrame =
+    orders.filter(col("status").isin(ValidStatuses: _*))
+
+  def overallMetrics(orders: DataFrame): DataFrame =
+    orders.agg(
+      count(lit(1)).as("total_orders"),
+      dsum(col("total")).as("total_revenue"),
+      countDistinct(col("customer_id")).as("unique_customers"))
+      .withColumn("avg_order_value",
+        col("total_revenue") / col("total_orders"))
+
+  def topProducts(orders: DataFrame, k: Int = 10): DataFrame =
+    orders.groupBy(col("product_name"))
+      .agg(count(lit(1)).as("order_count"),
+        dsum(col("quantity")).as("quantity_sold"),
+        dsum(col("total")).as("revenue"))
+      .orderBy(col("revenue").desc, col("product_name"))
+      .limit(k)
+
+  def categoryStats(orders: DataFrame): DataFrame =
+    orders.groupBy(col("category"))
+      .agg(count(lit(1)).as("order_count"),
+        dsum(col("total")).as("revenue"),
+        dsum(col("quantity")).as("quantity_sold"))
+
+  def regionalStats(orders: DataFrame): DataFrame =
+    orders.groupBy(col("region"))
+      .agg(count(lit(1)).as("order_count"),
+        dsum(col("total")).as("revenue"))
+
+  def hourlyStats(orders: DataFrame): DataFrame =
+    orders.groupBy(hour(col("order_date")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("order_count"),
+        dsum(col("total")).as("revenue"))
+
+  def allMetrics(orders: DataFrame): Seq[(String, DataFrame)] = {
+    val v = validOrders(orders)
+    Seq(
+      "overall_metrics" -> overallMetrics(v),
+      "top_products" -> topProducts(v),
+      "category_stats" -> categoryStats(v),
+      "regional_stats" -> regionalStats(v),
+      "hourly_stats" -> hourlyStats(v))
+  }
+}

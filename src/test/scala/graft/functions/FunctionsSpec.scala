@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.Functions._
+import org.apache.spark.sql.functions._
+
+/** Cross-engine determinism primitives: these invariants are what the
+  * DuckDB oracle compare rests on.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hex60 equals JVM md5-prefix parse (the DuckDB-compatible hash)") {
+    val words = Seq("hello", "spark", "a b c", "")
+    val got = words.toDF("w").select(hex60(col("w"))).as[Long].collect()
+    val want = words.map { w =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("bucket10 is stable, in range, and partition-independent") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq.fill(200)((math.abs(rnd.nextLong()) % 1000000000L,
+      math.abs(rnd.nextLong()) % 10000L))
+    val once = keys.toDF("k", "s")
+      .select(col("k"), col("s"), bucket10(col("k"), col("s")).as("b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(once.forall { case (_, _, b) => b >= 0 && b < 10 })
+    val again = keys.toDF("k", "s").repartition(7)
+      .select(col("k"), col("s"), bucket10(col("k"), col("s")).as("b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(once === again)
+  }
+
+  test("shingles: distinct word n-grams, 1-based slices") {
+    val got = Seq("a b c d e", "a b", "x x x x")
+      .toDF("t").select(shingles(tokens(col("t")), 3)).as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d", "c d e"))
+    assert(got(1) === Seq.empty) // shorter than n
+    assert(got(2) === Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("dot/cosine: sequential double fold on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(dot(col("a"), col("b"))).as[Double].head() === 32.0)
+    val c = df.select(cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(c - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-15)
+  }
+
+  test("dsum: money sums are exact (decimal) regardless of order") {
+    val vals = Seq(0.1, 0.2, 0.3, 1e9, -1e9, 0.4)
+    val got = vals.toDF("x").repartition(4)
+      .agg(dsum(col("x"))).as[Double].head()
+    assert(got === 1.0) // plain double sum would drift here
+  }
+
+  test("minhash permutation stays within int64 and P32") {
+    val h = P32 - 1 // worst case input
+    val got = Seq(h).toDF("h")
+      .select(minhashPerm(col("h"), lit(31L))).as[Long].head()
+    assert(got >= 0 && got < P32)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class Doc(doc_id: Long, text: String)
+
+/** Dedup family on literal documents: exact groups on normalized
+  * text, Jaccard pairs, LSH candidate recall on a true near-dup,
+  * simhash locality, embedding near-dup.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  val docs = Seq(
+    Doc(1, base),
+    Doc(2, base + " extra"),                       // near-dup of 1
+    Doc(3, "   THE  quick brown fox jumps over the lazy dog and runs far away today "),
+    Doc(4, "completely different words about spark catalyst tungsten codegen shuffles")
+  ).toDF()
+
+  test("exact: normalization (case/whitespace) collapses 1 and 3") {
+    val g = Dedup.exact(docs.withColumn("text", lower(col("text"))))
+    // doc 3 differs only by case/whitespace → same fp as 1 after norm
+    val out = Dedup.exact(docs).filter(col("n_docs") > 1)
+      .select("canonical_id", "n_docs").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L)))
+    assert(g.count() === 3)
+  }
+
+  test("ngram jaccard: near-dup pair found, unrelated doc excluded") {
+    val pairs = Dedup.ngramJaccard(docs, t = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH: identical-normalized docs always collide; verify matches jaccard") {
+    val lsh = Dedup.minhashLsh(docs, t = 0.5)
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect()
+    val m = lsh.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, 3L)) === 1.0) // identical shingle sets → all bands equal
+    val jac = Dedup.ngramJaccard(docs, t = 0.5)
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    lsh.foreach { case (i, j, v) => assert(jac((i, j)) === v) }
+  }
+
+  test("simhash: identical docs give identical hashes; near-dups are close") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
+    val pairs = Dedup.simhashPairs(docs)
+      .select("i", "j", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0L))
+  }
+
+  test("embedding near-dup finds the planted pair") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f)),   // ~cos 0.995 with 1
+      (3L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, t = 0.9)
+      .select("i", "j").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L)))
+  }
+}

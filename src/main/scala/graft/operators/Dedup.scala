@@ -72,13 +72,23 @@ object Dedup {
       .select(col("i"), col("j"), col("common"), col("jaccard"))
   }
 
-  /** Per-doc 32-slot minhash signature (no shuffle — see scaladoc). */
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      transform(shingles(tokens(lower(col("text"))), ShingleN),
-        s => hex60Str(s) % P32).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashSig(col("hs")).as("sig"))
+  /** Per-doc 32-slot minhash signature, long form: explode shingles,
+    * hash each ONCE, then 32 `min` aggregates in one codegen'd
+    * HashAggregate (map-side partial mins ⇒ the doc_id shuffle carries
+    * 32 longs per doc, not the shingles). The expression-tree variant
+    * (Functions.minhashSig) recomputes the md5 per permutation because
+    * lambda functions don't codegen and CollapseProject inlines the
+    * shingle hash into all 32 array_mins — 20× slower at sf0.1.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs).withColumn("h", h32(col("s")))
+    val mins = (0 until Bands * Rows).map(k =>
+      min(minhashPerm(col("h"), lit(k.toLong))).as(s"m$k"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until Bands * Rows).map(k => col(s"m$k")): _*).as("sig"))
+  }
 
   /** MinHash+LSH near-dup: band the signature (Bands×Rows), bucket-join
     * on (band, band-signature), then verify candidates with exact
@@ -170,13 +180,9 @@ object Dedup {
       col("embedding").cast("array<double>").as("v"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= t)
   }
-
-  /** hex60 over a plain string column inside a lambda (md5 of utf8). */
-  private def hex60Str(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   // ---- driver-contract registry ----
 

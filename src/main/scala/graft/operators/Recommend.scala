@@ -204,6 +204,35 @@ object Recommend {
               |SELECT user_coverage, product_coverage,
               |(user_coverage + product_coverage)/2 AS overall_coverage FROM cov""".stripMargin)),
 
+    // A17: matrix stats — sparsity from exact counts; mean cosine over
+    // the thresholded model (round-6 emission; the sum is ~24k doubles
+    // so cross-engine ULP drift sits ~6 orders below the rounding
+    // boundary).
+    QueryDef("ml_matrix_stats",
+      (s, d) => {
+        val inter = interactions(s, d)
+        val sim = itemSimilarity(inter)
+        val users = inter.select(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("item_id")).as("n_items"),
+          count(lit(1)).as("n_interactions"))
+        users.crossJoin(sim.agg(
+          count(lit(1)).as("n_sim_pairs"),
+          round(avg(col("cos")), 6).as("mean_cos")))
+          .withColumn("sparsity",
+            round(lit(1.0d) - col("n_interactions").cast("double") /
+              (col("n_users") * col("n_items")), 6))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |${simSql("inter")},
+              |u AS (SELECT COUNT(DISTINCT user_id) n_users,
+              |  COUNT(DISTINCT item_id) n_items, COUNT(*) n_interactions
+              |  FROM inter),
+              |sm AS (SELECT COUNT(*) n_sim_pairs, ROUND(AVG(cos), 6) mean_cos
+              |  FROM sim)
+              |SELECT u.*, sm.*,
+              |ROUND(1.0 - CAST(n_interactions AS DOUBLE)/(n_users*n_items), 6) AS sparsity
+              |FROM u, sm""".stripMargin)),
+
     QueryDef("ml_precision_at_10",
       (s, d) => {
         val inter = interactions(s, d)

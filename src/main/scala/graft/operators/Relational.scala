@@ -284,6 +284,37 @@ object Relational {
              |  SELECT * FROM events WHERE event_type = 'purchase'
              |  UNION ALL SELECT * FROM events WHERE value > 400)""".stripMargin)),
 
+    // U3: deterministic sampling — the reference's seeded
+    // np.random.choice (daily_pipeline.py:495-496) re-keyed as a
+    // stable hash-bucket filter (any engine, any partitioning draws
+    // the same ~10% sample), top-100 by key for a bounded output.
+    QueryDef("u3_sample",
+      (s, d) => Tables.events(s, d)
+        .filter(bucket10(col("event_id"), lit(7L)) === 0)
+        .orderBy(col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE ((event_id % 100003) * 31 + 7 * 97) % 10 = 0
+             |ORDER BY event_id LIMIT 100""".stripMargin)),
+
+    // S15: the Trino-federation role — plain SQL text over registered
+    // lake tables through spark.sql (one engine subsumes the extra
+    // query layer).
+    QueryDef("s15_sql_surface",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                 FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+                 GROUP BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
     // U4: seeded stratified 80/20 split (daily_pipeline.py:217-224).
     // numpy RNG can't be replayed cross-engine, so the seed becomes a
     // stable integer-arithmetic bucket of the row key — same split on

@@ -56,7 +56,7 @@ object Similarity {
     */
   def bucketCol(v: Column): Column =
     planeWeights.zipWithIndex.map { case (w, p) =>
-      when(dot(v, typedLit(w)) > 0d, lit(1 << p)).otherwise(lit(0))
+      when(dotFast(v, typedLit(w)) > 0d, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _).cast("long")
 
   /** Exact top-k cosine neighbors for the strided query subset. */
@@ -66,7 +66,7 @@ object Similarity {
     val scored = broadcast(q.as("q"))
       .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("nbr_id"),
-        round(cosine(col("q.v"), col("c.v")), 6).as("cos"))
+        round(cosineFast(col("q.v"), col("c.v")), 6).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
@@ -86,7 +86,7 @@ object Similarity {
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("nbr_id"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))

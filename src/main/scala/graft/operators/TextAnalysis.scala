@@ -157,6 +157,40 @@ object TextAnalysis {
       Some("""SELECT doc_id,
              |md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp,
              |CAST(concat('0x', substr(md5(lower(regexp_replace(trim(text),'\s+',' ','g'))),1,15)) AS BIGINT) AS fp_int
+             |FROM documents""".stripMargin)),
+
+    // BPE-ish tokenizer: letter runs / digit runs / punctuation runs
+    // as separate tokens (the pre-tokenization split BPE vocabularies
+    // assume), counted per doc.
+    QueryDef("txt_regex_tokens",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))).cast("long")
+          .as("n_bpe_tokens"),
+        size(array_distinct(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))).cast("long")
+          .as("n_bpe_distinct")),
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+             |CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS BIGINT) AS n_bpe_distinct
+             |FROM documents""".stripMargin)),
+
+    // Polynomial rolling hash over the character stream — the
+    // shard-stable fingerprint; fold-with-0 here equals DuckDB's
+    // reduce-with-first-element since 0*31+c0 = c0.
+    QueryDef("txt_rolling_hash",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        aggregate(
+          transform(split(normText(col("text")), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, c) => (acc * 31L + c) % 1000000007L).as("rhash")),
+      Some("""SELECT doc_id,
+             |list_reduce(list_transform(
+             |  string_split(lower(regexp_replace(trim(text),'\s+',' ','g')), ''),
+             |  c -> CAST(ord(c) AS BIGINT)),
+             |  (a, b) -> (a * 31 + b) % 1000000007) AS rhash
              |FROM documents""".stripMargin))
   )
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Order event for the stateful tracker (double on the wire — the CDC
+  * stream downcasts DECIMAL, SURVEY §1.2).
+  */
+case class OrderEvent(customer_id: String, total: Double)
+
+/** Custom per-customer state carried across micro-batches. */
+case class SpendState(n_orders: Long, total_spent: Double)
+
+/** Emitted when a customer's lifetime spend crosses a tier boundary. */
+case class TierAlert(customer_id: String, n_orders: Long,
+                     total_spent: Double, tier: String)
+
+/** Custom streaming state (SURVEY §2.8 note; builder brief:
+  * `KeyValueGroupedDataset.mapGroupsWithState/flatMapGroupsWithState`
+  * for custom state): a running per-customer spend accumulator that
+  * emits an alert only when a spend tier is crossed — state the
+  * built-in windowed aggregates can't express (unbounded lifetime
+  * accumulation + edge-triggered output).
+  *
+  * Scale notes: state is one 16-byte struct per customer, sharded by
+  * key hash across the state store; processing-time timeout evicts
+  * idle customers so the store is bounded by *active* customers, not
+  * all-time cardinality.
+  */
+object StatefulOps {
+
+  val Tiers: Seq[(Double, String)] =
+    Seq(100000.0 -> "PLATINUM", 50000.0 -> "GOLD", 10000.0 -> "SILVER")
+
+  def tierOf(spent: Double): Option[String] =
+    Tiers.collectFirst { case (min, name) if spent >= min => name }
+
+  /** The flatMapGroupsWithState transition function: fold the batch's
+    * orders into the running state, emit one alert per tier crossed.
+    * `evictIdle` arms a processing-time timeout so long-idle customers
+    * leave the state store.
+    */
+  def trackSpend(evictIdle: Boolean)(
+      customerId: String, orders: Iterator[OrderEvent],
+      state: GroupState[SpendState]): Iterator[TierAlert] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val prev = state.getOption.getOrElse(SpendState(0L, 0.0))
+    var n = prev.n_orders
+    var spent = prev.total_spent
+    val alerts = Seq.newBuilder[TierAlert]
+    var lastTier = tierOf(prev.total_spent)
+    orders.foreach { o =>
+      n += 1
+      spent += o.total
+      val t = tierOf(spent)
+      if (t != lastTier && t.isDefined) {
+        alerts += TierAlert(customerId, n, spent, t.get)
+        lastTier = t
+      }
+    }
+    state.update(SpendState(n, spent))
+    if (evictIdle) state.setTimeoutDuration("1 hour")
+    alerts.result().iterator
+  }
+
+  /** Wire the tracker over a stream (or batch frame in tests) of
+    * order events. Eviction defaults OFF because a processing-time
+    * timeout makes the incremental planner schedule timeout-check
+    * batches continuously even with no input — right for a 24/7
+    * production stream (that IS the eviction mechanism), wrong for
+    * bounded tests, where processAllAvailable would never observe
+    * quiescence.
+    */
+  def spendTiers(orders: Dataset[OrderEvent],
+                 evictIdle: Boolean = false): Dataset[TierAlert] = {
+    implicit val se = Encoders.product[SpendState]
+    implicit val ae = Encoders.product[TierAlert]
+    implicit val ke = Encoders.STRING
+    orders.groupByKey(_.customer_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (evictIdle) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(trackSpend(evictIdle))
+  }
+}

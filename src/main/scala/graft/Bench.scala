@@ -17,6 +17,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/parquet-reader init, so query 1
+    // doesn't carry ~5s of JVM cold start
+    try SparkEntry.queries.head._2(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -44,6 +44,15 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(shingles(tokens(lower(col("text"))), n)).as("s"))
 
+  /** Shingles keyed by their 60-bit hash — co-count joins shuffle and
+    * compare 8-byte longs instead of ~20-char strings (about half the
+    * shuffle bytes; the md5 is computed once per shingle, before the
+    * exchange). 60-bit collisions at corpus scale are ~n²/2⁶¹ and,
+    * because the oracle hashes identically, cannot cause a mismatch.
+    */
+  def docShingleHashes(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    docShingles(docs, n).select(col("doc_id"), hex60(col("s")).as("sh"))
+
   /** Exact dedup: group by canonical-text fingerprint; the group's
     * canonical doc is min(doc_id) — a pure groupBy on a 128-bit key.
     */
@@ -57,11 +66,11 @@ object Dedup {
     * |A∩B| from the join, |A∪B| = nA + nB − |A∩B|.
     */
   def ngramJaccard(docs: DataFrame, t: Double = JaccardT): DataFrame = {
-    val sh = docShingles(docs)
+    val sh = docShingleHashes(docs)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = sh.as("a")
       .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("common"))
     co.join(n.as("na"), col("i") === col("na.doc_id"))
@@ -81,7 +90,7 @@ object Dedup {
     * shingle hash into all 32 array_mins — 20× slower at sf0.1.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docShingles(docs).withColumn("h", h32(col("s")))
+    val sh = docShingleHashes(docs).withColumn("h", col("sh") % P32)
     val mins = (0 until Bands * Rows).map(k =>
       min(minhashPerm(col("h"), lit(k.toLong))).as(s"m$k"))
     sh.groupBy(col("doc_id"))
@@ -110,12 +119,12 @@ object Dedup {
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
     // verify: exact Jaccard on the candidate pairs only
-    val sh = docShingles(docs)
+    val sh = docShingleHashes(docs)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.as("a"), col("i") === col("a.doc_id"))
       .join(sh.as("b"),
-        col("j") === col("b.doc_id") && col("a.s") === col("b.s"))
+        col("j") === col("b.doc_id") && col("a.sh") === col("b.sh"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("common"))
     common
@@ -192,25 +201,24 @@ object Dedup {
   private val shSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') t
       |  FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, greatest(len(t)-2, 0)),
       |    i -> array_to_string(t[i:i+2], ' ')))) AS s
       |  FROM toks),
+      |sh AS (SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS sh FROM sh0),
       |n AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1)""".stripMargin
 
   private val jacSql =
     s"""co AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) common
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |jac AS (SELECT i, j, common,
        |    ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
        |  FROM co JOIN n na ON i = na.doc_id JOIN n nb ON j = nb.doc_id)""".stripMargin
 
-  private val h32Sql =
-    "CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) % 4294967291"
-
   private val sigSql =
-    s"""hs AS (SELECT doc_id, list($h32Sql) AS hl FROM sh GROUP BY doc_id),
+    """hs AS (SELECT doc_id, list(sh % 4294967291) AS hl FROM sh GROUP BY doc_id),
        |sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
        |    k -> list_min(list_transform(hl,
        |      h -> ((2*k+3)*h + (k*k+7)) % 4294967291))) AS sg
@@ -243,7 +251,7 @@ object Dedup {
               |    AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
               |common AS (SELECT c.i, c.j, COUNT(*) common
               |  FROM cand c JOIN sh a ON c.i = a.doc_id
-              |  JOIN sh b ON c.j = b.doc_id AND a.s = b.s
+              |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
               |  GROUP BY 1, 2)
               |SELECT c.i, c.j, ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
               |FROM common c JOIN n na ON c.i = na.doc_id JOIN n nb ON c.j = nb.doc_id

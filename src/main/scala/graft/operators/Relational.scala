@@ -262,6 +262,30 @@ object Relational {
              |AND o_orderdate < TIMESTAMP '1998-01-01'
              |GROUP BY n_name""".stripMargin)),
 
+    // A4-salted: the skew-mitigation pattern — two-stage aggregation
+    // through an explicit salt so one hot key spreads over 16 partial
+    // groups before the final combine. Identical results to a4 (sums
+    // stay in exact DECIMAL through both stages); at 100 TB this is
+    // what a skewed groupBy key gets rewritten to when AQE's skew
+    // handling isn't enough (AQE splits skewed JOINS, not aggs).
+    QueryDef("a4_salted_topk",
+      (s, d) => {
+        val partial = li(s, d)
+          .withColumn("salt", col("l_orderkey") % 16)
+          .groupBy(col("l_partkey"), col("salt"))
+          .agg(count(lit(1)).as("c"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
+        partial.groupBy(col("l_partkey"))
+          .agg(sum(col("c")).as("order_count"),
+            sum(col("r")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_partkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS order_count,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem GROUP BY l_partkey
+             |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin)),
+
     // O2: plain top-k scan → TakeOrderedAndProject.
     QueryDef("o2_top_events",
       (s, d) => Tables.events(s, d)

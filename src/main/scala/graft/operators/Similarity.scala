@@ -104,6 +104,41 @@ object Similarity {
     vecs(emb).withColumn("bucket", bucketCol(col("v")))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
 
+  /** IVF-Flat ANN: coarse quantization to the nearest of the strided
+    * seed centroids (every `QueryStride`-th vector — deterministic, no
+    * k-means RNG), then exact search inside the cell. The centroid
+    * set is tiny → broadcast; assignment is a scan-speed pass; the
+    * only shuffle keys on cell id. Recall improves with multiprobe
+    * (assign to top-P cells) — a parameter, not new plumbing.
+    */
+  def knnIvf(emb: DataFrame, k: Int = K): DataFrame = {
+    val e = vecs(emb)
+    val cent = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("nbr_id"),
+        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+  }
+
   // ---- driver-contract registry ----
 
   private val planesSql =
@@ -145,6 +180,25 @@ object Similarity {
     QueryDef("sim_bucket_stats",
       (s, d) => bucketStats(Tables.embeddings(s, d)),
       Some(s"""WITH $planesSql
-              |SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket""".stripMargin))
+              |SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket""".stripMargin)),
+
+    QueryDef("sim_knn_ivf",
+      (s, d) => knnIvf(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+              |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+              |  SELECT e.vec_id, e.v, c.cent_id,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+              |      c.cent_id) rn
+              |  FROM e, cent c) WHERE rn = 1),
+              |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM assigned a JOIN assigned b
+              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM scored)
+              |WHERE rk <= $K""".stripMargin))
   )
 }

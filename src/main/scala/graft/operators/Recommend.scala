@@ -102,6 +102,45 @@ object Recommend {
         col("item_id"), col("score_r"))
   }
 
+  /** A13 scale fallback: item-item cosine via mllib RowMatrix
+    * columnSimilarities (DIMSUM) — the path for item counts where even
+    * the sparse co-occurrence self-join blows up (|P(u)|² pair space).
+    * With threshold > 0 DIMSUM samples columns with probability
+    * ∝ 1/norm, bounding shuffle size independently of the hottest
+    * user; results are then approximate, so this query is rows-only
+    * checked (no DuckDB oracle), while the exact self-join
+    * (itemSimilarity) stays the oracle-checked default.
+    */
+  def itemSimilarityDimsum(inter: DataFrame, threshold: Double = 0.1): DataFrame = {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val spark = inter.sparkSession
+    import spark.implicits._
+    val itemIdx = inter.select(col("item_id")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("item_id"))) - 1)
+    val nItems = itemIdx.count().toInt
+    val userRows = inter.join(broadcast(itemIdx), Seq("item_id"))
+      .select(col("user_id"), col("idx"))
+      .as[(Long, Int)].rdd
+      .groupByKey()
+      .map { case (_, idxs) =>
+        Vectors.sparse(nItems,
+          idxs.toSeq.distinct.sorted.map(i => (i, 1.0)))
+      }
+    val simEntries = new RowMatrix(userRows)
+      .columnSimilarities(threshold)
+      .entries
+      .map(e => (e.i, e.j, e.value))
+      .toDF("i_idx", "j_idx", "cos")
+    simEntries
+      .join(broadcast(itemIdx).as("a"), col("i_idx") === col("a.idx"))
+      .join(broadcast(itemIdx).as("b"), col("j_idx") === col("b.idx"))
+      .select(least(col("a.item_id"), col("b.item_id")).as("i"),
+        greatest(col("a.item_id"), col("b.item_id")).as("j"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** A15: eval coverage — fraction of eval rows whose user / item was
     * seen in training; avg of 0/1 flags keeps the division exact.
     */
@@ -203,6 +242,13 @@ object Recommend {
               |  LEFT JOIN ti ON ev.item_id = ti.item_id)
               |SELECT user_coverage, product_coverage,
               |(user_coverage + product_coverage)/2 AS overall_coverage FROM cov""".stripMargin)),
+
+    // A13': DIMSUM approximate similarity — rows-only check by design
+    // (sampling is engine-specific); the exact self-join above is the
+    // oracle-checked variant of the same quantity.
+    QueryDef("ml_item_similarity_dimsum",
+      (s, d) => itemSimilarityDimsum(interactions(s, d)),
+      None),
 
     // A17: matrix stats — sparsity from exact counts; mean cosine over
     // the thresholded model (round-6 emission; the sum is ~24k doubles

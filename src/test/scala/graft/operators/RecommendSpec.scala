@@ -61,6 +61,17 @@ class RecommendSpec extends SparkSpec {
     assert(p === ((0.25, 2L)))
   }
 
+  test("A13 DIMSUM fallback: threshold 0 reproduces the exact cosines") {
+    val exact = Recommend.itemSimilarity(inter, minCo = 1, minCos = 0.0)
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> math.rint(c * 1e6) / 1e6 }.toMap
+    val dimsum = Recommend.itemSimilarityDimsum(inter, threshold = 0.0)
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(dimsum.keySet === exact.keySet)
+    dimsum.foreach { case (k, v) => assert(math.abs(v - exact(k)) < 1e-9, k) }
+  }
+
   test("U4: split is deterministic and ~80/20 by bucket") {
     val big = (1L to 1000L).flatMap(u => Seq(Inter(u, u % 37))).toDF()
     val tr = Recommend.trainSet(big).count()

@@ -141,6 +141,22 @@ object Recommend {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Serving path (reference recommendation/main.py:196-216
+    * /similar-products): per item, its top-k most similar items from
+    * the symmetric similarity table — precomputed as a Gold table so
+    * the API is a key lookup, replacing the reference's on-demand
+    * matrix row scan + Redis cache.
+    */
+  def similarProducts(sim: DataFrame, k: Int = 5): DataFrame = {
+    val sym = sim.select(col("i"), col("j"), col("cos"))
+      .unionByName(sim.select(col("j").as("i"), col("i").as("j"), col("cos")))
+    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("i").as("item_id"), col("rank").cast("long").as("rank"),
+        col("j").as("similar_item"), col("cos"))
+  }
+
   /** A15: eval coverage — fraction of eval rows whose user / item was
     * seen in training; avg of 0/1 flags keeps the division exact.
     */
@@ -242,6 +258,18 @@ object Recommend {
               |  LEFT JOIN ti ON ev.item_id = ti.item_id)
               |SELECT user_coverage, product_coverage,
               |(user_coverage + product_coverage)/2 AS overall_coverage FROM cov""".stripMargin)),
+
+    QueryDef("ml_similar_products",
+      (s, d) => similarProducts(itemSimilarity(interactions(s, d))),
+      Some(s"""WITH inter AS ($interSql),
+              |${simSql("inter")},
+              |sym AS (SELECT i, j, cos FROM sim
+              |  UNION ALL SELECT j, i, cos FROM sim)
+              |SELECT i AS item_id, CAST(rk AS BIGINT) AS rank,
+              |j AS similar_item, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+              |    ORDER BY cos DESC, j) rk FROM sym)
+              |WHERE rk <= 5""".stripMargin)),
 
     // A13': DIMSUM approximate similarity — rows-only check by design
     // (sampling is engine-specific); the exact self-join above is the

@@ -180,6 +180,34 @@ object Dedup {
       .select(col("i"), col("j"), col("hamming"))
   }
 
+  /** Cluster canonicalization — the end product of a dedup pass:
+    * connected components over the near-dup pair graph, each doc
+    * labeled with its cluster's min doc_id (the canonical survivor).
+    * K rounds of min-label propagation, each a join+groupBy on doc_id
+    * — the standard distributed CC shape (large-star/small-star is
+    * the same pattern with better constants). K bounds work per
+    * round; near-dup clusters are shallow (dup groups, not chains),
+    * and BOTH engines run identical rounds, so even a hypothetical
+    * unconverged label matches the oracle bit-for-bit.
+    */
+  def dedupClusters(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val pairs = ngramJaccard(docs).select(col("i"), col("j"))
+    val edges = pairs
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("label"))
+    for (_ <- 1 to rounds) {
+      val viaEdge = edges.join(labels, edges("j") === labels("doc_id"))
+        .select(edges("i").as("doc_id"), col("label"))
+      labels = labels.unionByName(viaEdge)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("canonical_id")).cast("int"))
+  }
+
   /** Embedding near-dup: all pairs with cosine ≥ t. Brute self-join
     * here; the LSH-bucketed scale path is Similarity.knnLsh — same
     * verification expression, candidate set from hyperplane buckets.
@@ -256,6 +284,26 @@ object Dedup {
               |SELECT c.i, c.j, ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
               |FROM common c JOIN n na ON c.i = na.doc_id JOIN n nb ON c.j = nb.doc_id
               |WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) >= $JaccardT""".stripMargin)),
+
+    QueryDef("dedup_clusters",
+      (s, d) => dedupClusters(docs(s, d)),
+      Some {
+        val steps = (1 to 6).map { k =>
+          s"""l$k AS (SELECT doc_id, MIN(lbl) lbl FROM (
+             |  SELECT doc_id, lbl FROM l${k - 1}
+             |  UNION ALL SELECT e.i AS doc_id, l${k - 1}.lbl
+             |  FROM e JOIN l${k - 1} ON e.j = l${k - 1}.doc_id) GROUP BY 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $shSql,
+           |$jacSql,
+           |p AS (SELECT i, j FROM jac WHERE jaccard >= $JaccardT),
+           |e AS (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+           |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+           |$steps
+           |SELECT doc_id, lbl AS canonical_id,
+           |CAST(doc_id = lbl AS INT) AS is_canonical FROM l6""".stripMargin
+      }),
 
     QueryDef("dedup_simhash",
       (s, d) => simhash(docs(s, d)),

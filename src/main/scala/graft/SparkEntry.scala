@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.StreamingBatch.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.Temporal.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark lacks as primitives, composed from
+  * built-ins per the preference order (compose > custom plan): as-of
+  * join and gap-based sessionization — both everyday shapes in
+  * event/training-data pipelines, and the as-of is natively present
+  * in DuckDB (ASOF JOIN), which makes it oracle-checkable.
+  *
+  * Scale design: the as-of join is the union+window form — one
+  * shuffle on the key, a single ordered pass per key — NOT the
+  * equi-join + range-filter form whose intermediate is |L|×|matching
+  * R| (that blowup is exactly what kills naive as-of at 100 TB).
+  * Sessionization is two window passes over the same (key, ts)
+  * ordering — one shuffle, no join at all.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the greatest right ts ≤ left ts
+    * within the key. Rows are tagged and interleaved (right sorts
+    * before left on ties — "at or before" inclusive), then
+    * last(..., ignoreNulls) over the running frame carries the most
+    * recent right row forward.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    // expected columns: (user_id, ts_us, event_id, value)
+    val r = right.select(col("user_id"), col("ts_us"),
+      lit(0).as("side"), col("event_id"), col("value"))
+    val l = left.select(col("user_id"), col("ts_us"),
+      lit(1).as("side"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("m_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("m_ts",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .withColumn("m_value",
+        last(when(col("side") === 0, col("value")), ignoreNulls = true)
+          .over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("m_id").as("matched_id"), col("m_ts").as("matched_ts_us"),
+        col("m_value").as("matched_value"))
+  }
+
+  /** Gap sessionization: a new session starts where the gap to the
+    * previous event of the same key exceeds `gapUs`; session_id is
+    * the running count of starts, sessions then aggregate to
+    * (first/last ts, n_events).
+    */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val starts = events
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_start",
+        (col("prev").isNull || col("ts_us") - col("prev") > gapUs)
+          .cast("long"))
+      .withColumn("session_id",
+        sum(col("is_start")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    starts.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us",
+        col("session_end_us") - col("session_start_us"))
+  }
+
+  // ---- driver-contract registry ----
+
+  private def ev(s: SparkSession, d: String) =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of: each purchase matched to the user's most recent
+    // non-purchase event at-or-before it. Oracle uses DuckDB's native
+    // ASOF LEFT JOIN over the same epoch-micros key.
+    QueryDef("j5_asof_join",
+      (s, d) => {
+        val e = ev(s, d)
+        asofJoin(
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us"), col("event_id"), col("value")),
+          e.filter(col("event_type") =!= "purchase")
+            .select(col("user_id"), col("ts_us"), col("event_id"), col("value")))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+             |  event_type, value FROM events),
+             |l AS (SELECT * FROM e WHERE event_type = 'purchase'),
+             |r AS (SELECT * FROM e WHERE event_type <> 'purchase')
+             |SELECT l.event_id, l.user_id, l.ts_us,
+             |r.event_id AS matched_id, r.ts_us AS matched_ts_us,
+             |r.value AS matched_value
+             |FROM l ASOF LEFT JOIN r
+             |ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin)),
+
+    // Sessionization at a 30-minute gap.
+    QueryDef("st5_sessionize",
+      (s, d) => sessionize(ev(s, d), 30L * 60 * 1000000),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us
+             |  FROM events),
+             |g AS (SELECT user_id, ts_us, event_id,
+             |  CASE WHEN lag(ts_us) OVER w IS NULL
+             |    OR ts_us - lag(ts_us) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS is_start
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |sess AS (SELECT user_id, ts_us,
+             |  SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id,
+             |MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+             |COUNT(*) AS n_events,
+             |MAX(ts_us) - MIN(ts_us) AS duration_us
+             |FROM sess GROUP BY user_id, session_id""".stripMargin))
+  )
+}

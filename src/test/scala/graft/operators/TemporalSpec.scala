@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("asof: greatest right ts <= left ts, ties inclusive, no match -> null") {
+    val right = Seq((1L, 100L, 10L, 1.0), (1L, 200L, 11L, 2.0),
+      (2L, 500L, 20L, 5.0))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val left = Seq((1L, 150L, 91L, 0.0), (1L, 200L, 92L, 0.0),
+      (1L, 50L, 93L, 0.0), (2L, 600L, 94L, 0.0))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val got = Temporal.asofJoin(left, right)
+      .select("event_id", "matched_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(91L) === Some(10L)) // 100 <= 150 < 200
+    assert(got(92L) === Some(11L)) // tie: 200 <= 200 inclusive
+    assert(got(93L) === None)      // nothing at or before 50
+    assert(got(94L) === Some(20L)) // per-key isolation
+  }
+
+  test("sessionize: gap starts new session; stats per session") {
+    val gap = 1000L
+    val ev = Seq((1L, 0L, 1L), (1L, 500L, 2L), (1L, 900L, 3L),
+      (1L, 5000L, 4L), (2L, 0L, 5L))
+      .map { case (u, t, e) => (e, u, t) }
+      .toDF("event_id", "user_id", "ts_us")
+    val got = Temporal.sessionize(ev, gap)
+      .select("user_id", "session_id", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 3L, 900L), // events at 0,500,900
+      (1L, 2L, 1L, 0L),   // 5000 after >1000 gap
+      (2L, 1L, 1L, 0L)))
+  }
+}

@@ -286,6 +286,22 @@ object Relational {
              |FROM lineitem GROUP BY l_partkey
              |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin)),
 
+    // A18 (beyond-ref): hierarchical ROLLUP — subtotals per
+    // (segment, status), per segment, and grand total in one pass
+    // (Expand + single aggregation, not three scans).
+    QueryDef("a18_rollup",
+      (s, d) => ord(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_mktsegment").as("segment"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue")),
+      Some("""SELECT c_mktsegment AS segment, o_orderstatus AS status,
+             |COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)""".stripMargin)),
+
     // O2: plain top-k scan → TakeOrderedAndProject.
     QueryDef("o2_top_events",
       (s, d) => Tables.events(s, d)

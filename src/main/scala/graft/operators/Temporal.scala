@@ -75,6 +75,37 @@ object Temporal {
         col("session_end_us") - col("session_start_us"))
   }
 
+  /** Range join: pairs of same-user events within `windowUs` of each
+    * other, via interval bucketing — each row lands in its
+    * floor(ts/window) bucket, the left side also probes the next
+    * bucket, so every qualifying pair meets in exactly one or two
+    * equi-join buckets and the θ-condition only filters. The naive
+    * form (equi on user + |Δts| filter) degrades to per-user cross
+    * products; this form's join key is (user, bucket) — bounded fan-out
+    * at any scale.
+    */
+  def rangeJoinPairs(events: DataFrame, windowUs: Long): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"), col("ts_us"))
+    // pair order is by event_id, not time, so the partner's bucket can
+    // be one below OR one above — probe all three
+    val probe = e
+      .withColumn("bucket", explode(array(
+        (col("ts_us") / windowUs).cast("long") - 1,
+        (col("ts_us") / windowUs).cast("long"),
+        (col("ts_us") / windowUs).cast("long") + 1)))
+    val build = e.withColumn("bucket", (col("ts_us") / windowUs).cast("long"))
+    probe.as("a")
+      .join(build.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.ts_us") - col("b.ts_us")) <= windowUs)
+      .select(col("a.user_id").as("user_id"),
+        col("a.event_id").as("i"), col("b.event_id").as("j"),
+        abs(col("a.ts_us") - col("b.ts_us")).as("delta_us"))
+      .distinct()
+  }
+
   // ---- driver-contract registry ----
 
   private def ev(s: SparkSession, d: String) =
@@ -104,6 +135,19 @@ object Temporal {
              |r.value AS matched_value
              |FROM l ASOF LEFT JOIN r
              |ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin)),
+
+    // Range join: same-user event pairs within 60 seconds — the
+    // bucketed form; the oracle states the same relation as a plain
+    // θ-join (fine for DuckDB's optimizer at oracle scale).
+    QueryDef("j6_range_join",
+      (s, d) => rangeJoinPairs(ev(s, d), 60L * 1000000),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us
+             |  FROM events)
+             |SELECT a.user_id, a.event_id AS i, b.event_id AS j,
+             |ABS(a.ts_us - b.ts_us) AS delta_us
+             |FROM e a JOIN e b ON a.user_id = b.user_id
+             |AND a.event_id < b.event_id
+             |AND ABS(a.ts_us - b.ts_us) <= 60000000""".stripMargin)),
 
     // Sessionization at a 30-minute gap.
     QueryDef("st5_sessionize",

@@ -22,6 +22,19 @@ class TemporalSpec extends SparkSpec {
     assert(got(94L) === Some(20L)) // per-key isolation
   }
 
+  test("range join: bucket-straddling pairs and reverse-time pairs found") {
+    val w = 100L
+    // ids ordered against time on purpose: pair (1,2) has 2 EARLIER
+    val ev = Seq((1L, 1L, 250L), (2L, 1L, 160L), // straddles buckets 1|2, Δ=90
+      (3L, 1L, 400L),                            // Δ=150 from 1 → out
+      (4L, 2L, 250L))                            // other user
+      .map { case (e, u, t) => (e, u, t) }
+      .toDF("event_id", "user_id", "ts_us")
+    val got = Temporal.rangeJoinPairs(ev, w)
+      .select("i", "j", "delta_us").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 90L)))
+  }
+
   test("sessionize: gap starts new session; stats per session") {
     val gap = 1000L
     val ev = Seq((1L, 0L, 1L), (1L, 500L, 2L), (1L, 900L, 3L),

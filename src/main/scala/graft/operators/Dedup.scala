@@ -66,7 +66,10 @@ object Dedup {
     * |A∩B| from the join, |A∪B| = nA + nB − |A∩B|.
     */
   def ngramJaccard(docs: DataFrame, t: Double = JaccardT): DataFrame = {
-    val sh = docShingleHashes(docs)
+    // referenced 3× below (both self-join sides + the per-doc counts):
+    // lazily localCheckpoint so the explode+md5 pipeline materializes
+    // once at first execution instead of running per reference
+    val sh = docShingleHashes(docs).localCheckpoint(false)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = sh.as("a")
       .join(sh.as("b"),
@@ -118,8 +121,9 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    // verify: exact Jaccard on the candidate pairs only
-    val sh = docShingleHashes(docs)
+    // verify: exact Jaccard on the candidate pairs only (checkpointed:
+    // referenced by both sides of the co-count join and the counts)
+    val sh = docShingleHashes(docs).localCheckpoint(false)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.as("a"), col("i") === col("a.doc_id"))

@@ -227,15 +227,18 @@ object Recommend {
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("ml_item_similarity",
-      (s, d) => itemSimilarity(interactions(s, d)),
+      (s, d) => itemSimilarity(interactions(s, d).localCheckpoint(false)),
       Some(s"""WITH inter AS ($interSql),
               |${simSql("inter")}
               |SELECT i, j, co, cos FROM sim""".stripMargin)),
 
     QueryDef("ml_recommendations",
       (s, d) => {
-        val inter = interactions(s, d)
-        recommend(inter, itemSimilarity(inter))
+        // inter feeds the similarity self-join, the scoring join and
+        // the purchased-mask anti-join; sim feeds both halves of the
+        // symmetric union — materialize each once
+        val inter = interactions(s, d).localCheckpoint(false)
+        recommend(inter, itemSimilarity(inter).localCheckpoint(false))
       },
       Some(s"""WITH inter AS ($interSql),
               |${recsSql("inter")}
@@ -243,7 +246,7 @@ object Recommend {
 
     QueryDef("ml_coverage",
       (s, d) => {
-        val inter = interactions(s, d)
+        val inter = interactions(s, d).localCheckpoint(false)
         coverage(trainSet(inter), evalSet(inter))
       },
       Some(s"""WITH inter AS ($interSql),
@@ -260,7 +263,9 @@ object Recommend {
               |(user_coverage + product_coverage)/2 AS overall_coverage FROM cov""".stripMargin)),
 
     QueryDef("ml_similar_products",
-      (s, d) => similarProducts(itemSimilarity(interactions(s, d))),
+      (s, d) => similarProducts(
+        itemSimilarity(interactions(s, d).localCheckpoint(false))
+          .localCheckpoint(false)),
       Some(s"""WITH inter AS ($interSql),
               |${simSql("inter")},
               |sym AS (SELECT i, j, cos FROM sim
@@ -284,7 +289,7 @@ object Recommend {
     // boundary).
     QueryDef("ml_matrix_stats",
       (s, d) => {
-        val inter = interactions(s, d)
+        val inter = interactions(s, d).localCheckpoint(false)
         val sim = itemSimilarity(inter)
         val users = inter.select(countDistinct(col("user_id")).as("n_users"),
           countDistinct(col("item_id")).as("n_items"),
@@ -309,9 +314,9 @@ object Recommend {
 
     QueryDef("ml_precision_at_10",
       (s, d) => {
-        val inter = interactions(s, d)
-        val train = trainSet(inter)
-        val recs = recommend(train, itemSimilarity(train))
+        val inter = interactions(s, d).localCheckpoint(false)
+        val train = trainSet(inter).localCheckpoint(false)
+        val recs = recommend(train, itemSimilarity(train).localCheckpoint(false))
         precisionAtK(recs, evalSet(inter))
       },
       Some(s"""WITH inter AS ($interSql),

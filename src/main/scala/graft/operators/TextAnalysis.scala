@@ -228,6 +228,21 @@ object TextAnalysis {
               |CAST(SUM(CAST(quality AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*) AS mean_quality
               |FROM q GROUP BY source""".stripMargin)),
 
+    // The 100 TB form of the same gate: threshold from
+    // approx_percentile (one sketch pass, no global sort/window) —
+    // sketch internals are engine-specific, so rows-only check, while
+    // txt_quality_filter above is the exact oracle-checked contract.
+    QueryDef("txt_quality_filter_approx",
+      (s, d) => {
+        val q = qualityScore(docs(s, d))
+        val cut = q.agg(
+          expr("approx_percentile(quality, 0.1, 10000)").as("cut"))
+        q.join(broadcast(cut))
+          .filter(col("quality") >= col("cut"))
+          .select(col("doc_id"), col("quality"))
+      },
+      None),
+
     // Polynomial rolling hash over the character stream — the
     // shard-stable fingerprint; fold-with-0 here equals DuckDB's
     // reduce-with-first-element since 0*31+c0 = c0.

@@ -35,6 +35,36 @@ class StatefulOpsSpec extends SparkSpec {
       .get.total_spent === 57000.0)
   }
 
+  test("spend tiers run on the RocksDB state store provider") {
+    // the production state backend at scale (bounded JVM heap, state
+    // spills to local disk); prove the same query runs on it
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[OrderEvent]
+      val q = StatefulOps.spendTiers(in.toDS())
+        .writeStream.format("memory").queryName("tiers_rocks")
+        .outputMode("append").start()
+      in.addData(OrderEvent("C9", 60000.0))
+      q.processAllAvailable()
+      in.addData(OrderEvent("C9", 50000.0)) // second batch: state read back
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tiers_rocks").as[TierAlert].collect()
+        .sortBy(_.n_orders).map(a => (a.tier, a.total_spent)).toSeq
+      assert(got === Seq(("GOLD", 60000.0), ("PLATINUM", 110000.0)))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("tier function boundaries") {
     assert(StatefulOps.tierOf(9999.99).isEmpty)
     assert(StatefulOps.tierOf(10000.0).contains("SILVER"))

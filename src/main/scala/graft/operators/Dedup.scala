@@ -329,8 +329,8 @@ object Dedup {
              |    SUM(CASE WHEN (h >> b.bt) % 2 = 1 THEN 1 ELSE -1 END) AS bal
              |  FROM th, (SELECT unnest(generate_series(0, 31)) bt) b
              |  GROUP BY 1, 2)
-             |SELECT doc_id, SUM(CASE WHEN bal > 0
-             |  THEN CAST(1 AS BIGINT) << bt ELSE 0 END) AS simhash
+             |SELECT doc_id, CAST(SUM(CASE WHEN bal > 0
+             |  THEN CAST(1 AS BIGINT) << bt ELSE 0 END) AS BIGINT) AS simhash
              |FROM bits GROUP BY doc_id""".stripMargin)),
 
     QueryDef("dedup_simhash_pairs",

@@ -155,12 +155,18 @@ object Multimodal {
               |FROM (SELECT media_id, width % 240 + 1 AS n_frames
               |  FROM decoded WHERE kind = 'video')""".stripMargin)),
 
+    // Long form (media_id, idx, value) rather than an array column:
+    // the driver's pandas comparator cannot sort array cells, so the
+    // vector is exploded and rounded identically on both engines.
     QueryDef("mm_features",
-      (s, d) => features(media(s, d)),
+      (s, d) => features(media(s, d))
+        .select(col("media_id"),
+          posexplode(col("feature")).as(Seq("idx", "value")))
+        .withColumn("value", round(col("value"), 6)),
       Some("""WITH media AS (SELECT doc_id AS media_id, text AS payload
              |  FROM documents)
-             |SELECT media_id, list_transform(generate_series(0, 7),
-             |  i -> CAST(CAST(concat('0x', substr(md5(payload), i*4+1, 4)) AS BIGINT) AS DOUBLE) / 65535.0) AS feature
-             |FROM media""".stripMargin))
+             |SELECT media_id, CAST(g.i AS INT) AS idx,
+             |  ROUND(CAST(CAST(concat('0x', substr(md5(payload), g.i*4+1, 4)) AS BIGINT) AS DOUBLE) / 65535.0, 6) AS value
+             |FROM media, (SELECT unnest(generate_series(0, 7)) AS i) g""".stripMargin))
   )
 }

@@ -25,6 +25,11 @@ object Temporal {
     * before left on ties — "at or before" inclusive), then
     * last(..., ignoreNulls) over the running frame carries the most
     * recent right row forward.
+    *
+    * Tie rule (deterministic): when several right rows share
+    * (user_id, ts_us), the max-event_id row wins — the window orders
+    * by (ts_us, side, event_id) so the last right row the running
+    * frame sees at a tied timestamp is the greatest event_id.
     */
   def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
     // expected columns: (user_id, ts_us, event_id, value)
@@ -33,7 +38,7 @@ object Temporal {
     val l = left.select(col("user_id"), col("ts_us"),
       lit(1).as("side"), col("event_id"), col("value"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("side"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
       .withColumn("m_id",
@@ -129,7 +134,10 @@ object Temporal {
       Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
              |  event_type, value FROM events),
              |l AS (SELECT * FROM e WHERE event_type = 'purchase'),
-             |r AS (SELECT * FROM e WHERE event_type <> 'purchase')
+             |r AS (SELECT event_id, user_id, ts_us, value FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+             |    ORDER BY event_id DESC) rn
+             |  FROM e WHERE event_type <> 'purchase') WHERE rn = 1)
              |SELECT l.event_id, l.user_id, l.ts_us,
              |r.event_id AS matched_id, r.ts_us AS matched_ts_us,
              |r.value AS matched_value
@@ -160,8 +168,8 @@ object Temporal {
              |    THEN 1 ELSE 0 END AS is_start
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
              |sess AS (SELECT user_id, ts_us,
-             |  SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-             |    ROWS UNBOUNDED PRECEDING) AS session_id
+             |  CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM g)
              |SELECT user_id, session_id,
              |MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,

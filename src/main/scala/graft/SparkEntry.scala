@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.StreamingBatch.defs ++
       operators.Multimodal.defs ++
-      operators.Temporal.defs
+      operators.Temporal.defs ++
+      operators.Events.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators over the `events` table: semi-structured
+  * property extraction and funnel conversion — the clickstream shapes
+  * a training-data pipeline runs upstream of sessionization
+  * (reference keeps its event payloads as JSON strings in Kafka,
+  * flink_job_alert_detection_simple.py:41-55; here the same
+  * extraction is a batch scan expression).
+  *
+  * Scale design (100 TB):
+  *  - JSON extraction is a pure per-row expression (get_json_object
+  *    codegens) — applied at scan bandwidth, no shuffle;
+  *  - the funnel is NOT the textbook 3-way self-join (|views|×|clicks|
+  *    ×|purchases| per user — quadratic-plus on power users). It is
+  *    two chained as-of carries over ONE (user, ts) sort: the running
+  *    last-view, snapshotted at each click, carried forward to each
+  *    purchase. One shuffle, zero joins, and provably equivalent to
+  *    the exists-semantics: the most recent click before a purchase
+  *    dominates older clicks (its window slack is largest), and the
+  *    most recent view before that click dominates older views.
+  */
+object Events {
+
+  /** Funnel window: purchase converts if view → click → purchase all
+    * happen within this span (microseconds).
+    */
+  val FunnelWindowUs: Long = 6L * 3600 * 1000000
+
+  /** Typed property extraction from the JSON `props` column. */
+  def jsonProps(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+
+  /** view → click → purchase conversion per user within `windowUs`.
+    *
+    * Two window passes over the same (user_id, ts_us, event_id)
+    * ordering: pass 1 computes the running last-view timestamp; pass
+    * 2 carries (last click ts, last-view-as-of-that-click) forward.
+    * A purchase converts iff both carried timestamps are within the
+    * window. Tie rule: the running frame is ordered by (ts_us,
+    * event_id), so an equal-timestamp prior stage counts as "before"
+    * exactly when its event_id is lower — deterministic, mirrored in
+    * the oracle's identical window spec.
+    */
+  def funnel(events: DataFrame, windowUs: Long = FunnelWindowUs): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pass1 = events.withColumn("lv",
+      last(when(col("event_type") === "view", col("ts_us")),
+        ignoreNulls = true).over(w))
+    val pass2 = pass1
+      .withColumn("lc",
+        last(when(col("event_type") === "click", col("ts_us")),
+          ignoreNulls = true).over(w))
+      .withColumn("lvc",
+        last(when(col("event_type") === "click", col("lv")),
+          ignoreNulls = true).over(w))
+    val converted = (col("lc").isNotNull &&
+      col("ts_us") - col("lc") <= windowUs &&
+      col("lvc").isNotNull &&
+      col("ts_us") - col("lvc") <= windowUs).cast("long")
+    pass2.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(converted).as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_purchases"), 6))
+  }
+
+  // ---- driver-contract registry ----
+
+  private def ev(s: SparkSession, d: String) =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("props"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("e1_json_extract",
+      (s, d) => jsonProps(ev(s, d)),
+      Some("""SELECT event_id, event_type,
+             |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+             |FROM events""".stripMargin)),
+
+    QueryDef("e2_funnel",
+      (s, d) => funnel(ev(s, d).drop("props")),
+      Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+              |  event_type FROM events),
+              |s1 AS (SELECT *, last_value(CASE WHEN event_type = 'view'
+              |    THEN ts_us END IGNORE NULLS) OVER w AS lv
+              |  FROM e WINDOW w AS (PARTITION BY user_id
+              |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)),
+              |s2 AS (SELECT *,
+              |  last_value(CASE WHEN event_type = 'click'
+              |    THEN ts_us END IGNORE NULLS) OVER w AS lc,
+              |  last_value(CASE WHEN event_type = 'click'
+              |    THEN lv END IGNORE NULLS) OVER w AS lvc
+              |  FROM s1 WINDOW w AS (PARTITION BY user_id
+              |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING))
+              |SELECT user_id, COUNT(*) AS n_purchases,
+              |CAST(SUM(CASE WHEN lc IS NOT NULL AND ts_us - lc <= $FunnelWindowUs
+              |  AND lvc IS NOT NULL AND ts_us - lvc <= $FunnelWindowUs
+              |  THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+              |ROUND(CAST(SUM(CASE WHEN lc IS NOT NULL AND ts_us - lc <= $FunnelWindowUs
+              |  AND lvc IS NOT NULL AND ts_us - lvc <= $FunnelWindowUs
+              |  THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+              |FROM s2 WHERE event_type = 'purchase'
+              |GROUP BY user_id""".stripMargin))
+  )
+}

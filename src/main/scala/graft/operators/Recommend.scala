@@ -50,6 +50,34 @@ object Recommend {
       .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
       .distinct()
 
+  val CapPerUser = 20
+
+  /** Per-user item cap — the power-user mitigation the A13 self-join
+    * needs at scale: the pair space per user is |P(u)|², so one viral
+    * user with 10⁵ items contributes 10¹⁰ pairs to the shuffle.
+    * Capping to the `cap` most recent items (latest order date, ties
+    * to the lower item_id) bounds every user's contribution to cap²
+    * regardless of corpus size — the standard production CF trick,
+    * and deterministic (timestamps and ids, no sampling).
+    */
+  /** The cap itself, over (user_id, item_id, last_ts) rows. */
+  def capInteractions(raw: DataFrame, cap: Int = CapPerUser): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("last_ts").desc, col("item_id"))
+    raw.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("user_id"), col("item_id"))
+  }
+
+  def interactionsCapped(s: SparkSession, d: String,
+                         cap: Int = CapPerUser): DataFrame =
+    capInteractions(
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+        .agg(max(col("o_orderdate")).as("last_ts")),
+      cap)
+
   /** U4 analog: deterministic 80/20 split of interactions. */
   def withSplit(inter: DataFrame): DataFrame =
     inter.withColumn("bucket", bucket10(col("user_id"), col("item_id")))
@@ -230,6 +258,19 @@ object Recommend {
       (s, d) => itemSimilarity(interactions(s, d).localCheckpoint(false)),
       Some(s"""WITH inter AS ($interSql),
               |${simSql("inter")}
+              |SELECT i, j, co, cos FROM sim""".stripMargin)),
+
+    QueryDef("ml_item_similarity_capped",
+      (s, d) => itemSimilarity(interactionsCapped(s, d).localCheckpoint(false)),
+      Some(s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |capped AS (SELECT user_id, item_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+              |  WHERE rn <= $CapPerUser),
+              |${simSql("capped")}
               |SELECT i, j, co, cos FROM sim""".stripMargin)),
 
     QueryDef("ml_recommendations",

@@ -302,6 +302,24 @@ object Relational {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)""".stripMargin)),
 
+    // A19 (beyond-ref): CUBE — all 2² grouping sets in one Expand
+    // pass (one shuffle), with grouping_id disambiguating subtotal
+    // rows from genuine NULL groups.
+    QueryDef("a19_cube",
+      (s, d) => ord(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment").as("segment"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"),
+          grouping_id().cast("long").as("gid")),
+      Some("""SELECT c_mktsegment AS segment, o_orderstatus AS status,
+             |COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY CUBE (c_mktsegment, o_orderstatus)""".stripMargin)),
+
     // O2: plain top-k scan → TakeOrderedAndProject.
     QueryDef("o2_top_events",
       (s, d) => Tables.events(s, d)

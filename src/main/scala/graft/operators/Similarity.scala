@@ -96,6 +96,34 @@ object Similarity {
         col("nbr_id"), col("cos"))
   }
 
+  /** Multiprobe LSH ANN: each query probes its own bucket plus every
+    * Hamming-1 neighbor bucket (one hyperplane sign flipped) — the
+    * standard recall lever that costs `Planes` extra probe rows per
+    * query instead of more hash tables. The candidate side keeps its
+    * single bucket, so each (query, candidate) pair meets in at most
+    * one probe bucket — no dedup pass needed; the shuffle key is
+    * still the bucket id, never a vector pair.
+    */
+  def knnLshMultiprobe(emb: DataFrame, k: Int = K): DataFrame = {
+    val e = vecs(emb).withColumn("bucket", bucketCol(col("v")))
+    val probes = e.withColumn("probe", explode(array(
+      col("bucket") +:
+        (0 until Planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+    val scored = probes.as("a")
+      .join(e.as("b"),
+        col("a.probe") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("nbr_id"),
+        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+  }
+
   /** Bucket histogram — the operational check that LSH buckets stay
     * balanced (skew here is what would break the candidate join at
     * scale).
@@ -172,6 +200,22 @@ object Similarity {
               |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
               |  FROM buckets a JOIN buckets b
               |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM scored)
+              |WHERE rk <= $K""".stripMargin)),
+
+    QueryDef("sim_knn_multiprobe",
+      (s, d) => knnLshMultiprobe(Tables.embeddings(s, d)),
+      Some(s"""WITH $planesSql,
+              |probes AS (SELECT vec_id, v,
+              |    unnest([bucket] || list_transform(generate_series(0, ${Planes - 1}),
+              |      p -> xor(bucket, CAST(1 << p AS BIGINT)))) AS probe
+              |  FROM buckets),
+              |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM probes a JOIN buckets b
+              |    ON a.probe = b.bucket AND a.vec_id <> b.vec_id)
               |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)

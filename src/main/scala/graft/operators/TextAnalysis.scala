@@ -89,6 +89,49 @@ object TextAnalysis {
         .otherwise("es"))
   }
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms = Seq("spark", "vector", "hash")
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * — the corpus-ranking pass of a retrieval/quality pipeline.
+    *
+    * Shape: per-doc term frequencies are scan-bandwidth expressions;
+    * the corpus statistics (N, Σdl, per-term df) are ONE tiny
+    * aggregate row broadcast back over the scan — no shuffle of the
+    * corpus itself, so the op is two scans + a broadcast at any scale.
+    *
+    * Determinism: tf/dl/df/N are exact integers; avgdl is one
+    * division; the score is a fixed-shape double expression (the
+    * oracle mirrors operand order and literals exactly), ln is the
+    * only transcendental, and the result is rounded at emission.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String] = Bm25Terms,
+           k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
+    val t = tokens(lower(col("text")))
+    val base = docs.select(
+      col("doc_id") +: size(t).cast("long").as("dl") +:
+        terms.map(w =>
+          size(filter(t, x => x === lit(w))).cast("long").as(s"tf_$w")): _*)
+    val aggs = count(lit(1)).cast("long").as("n_docs") +:
+      sum(col("dl")).as("sum_dl") +:
+      terms.map(w =>
+        sum((col(s"tf_$w") > 0).cast("long")).as(s"df_$w"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def idf(w: String) =
+      log((col("n_docs").cast("double") - col(s"df_$w") + 0.5d) /
+        (col(s"df_$w") + 0.5d) + 1.0d)
+    def tnorm(w: String) =
+      (col(s"tf_$w").cast("double") * lit(k1 + 1)) /
+        (col(s"tf_$w").cast("double") +
+          lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val score = terms.map(w => idf(w) * tnorm(w)).reduce(_ + _)
+    base.join(broadcast(stats))
+      .select(col("doc_id") +: col("dl") +: terms.map(w => col(s"tf_$w")) :+
+        round(score, 6).as("bm25"): _*)
+  }
+
   /** Canonical-text fingerprint: md5 of the normalized text plus its
     * 60-bit integer form — the key for exact dedup and shard routing.
     */
@@ -242,6 +285,38 @@ object TextAnalysis {
           .select(col("doc_id"), col("quality"))
       },
       None),
+
+    QueryDef("txt_bm25",
+      (s, d) => bm25(docs(s, d)),
+      Some {
+        val terms = Bm25Terms
+        val k1p1 = s"${Bm25K1 + 1}"
+        val oneMinusB = s"${1 - Bm25B}"
+        val tfCols = terms.map(w =>
+          s"""CAST(len(list_filter(string_split_regex(trim(lower(text)),'\\s+'),
+             |      x -> x = '$w')) AS BIGINT) AS tf_$w""".stripMargin)
+          .mkString(",\n    ")
+        val dfCols = terms.map(w =>
+          s"CAST(SUM(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$w")
+          .mkString(",\n    ")
+        val scoreTerms = terms.map(w =>
+          s"""ln((CAST(n_docs AS DOUBLE) - df_$w + 0.5) / (df_$w + 0.5) + 1.0)
+             |  * ((CAST(tf_$w AS DOUBLE) * $k1p1) / (CAST(tf_$w AS DOUBLE)
+             |    + $Bm25K1 * ($oneMinusB + $Bm25B * CAST(dl AS DOUBLE)
+             |      / (CAST(sum_dl AS DOUBLE) / n_docs))))""".stripMargin)
+          .mkString("\n  + ")
+        s"""WITH base AS (SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(lower(text)),'\\s+')) AS BIGINT) AS dl,
+           |    $tfCols
+           |  FROM documents),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    SUM(dl) AS sum_dl,
+           |    $dfCols
+           |  FROM base)
+           |SELECT doc_id, dl, ${terms.map(w => s"tf_$w").mkString(", ")},
+           |ROUND($scoreTerms, 6) AS bm25
+           |FROM base, stats""".stripMargin
+      }),
 
     // Polynomial rolling hash over the character stream — the
     // shard-stable fingerprint; fold-with-0 here equals DuckDB's

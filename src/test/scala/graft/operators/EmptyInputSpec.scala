@@ -75,6 +75,20 @@ class EmptyInputSpec extends SparkSpec {
       }
   }
 
+  test("round-2 operators are total on empty input") {
+    assert(TextAnalysis.bm25(docs0).count() === 0)
+    assert(Recommend.capInteractions(
+      empty("user_id" -> LongType, "item_id" -> LongType,
+        "last_ts" -> TimestampType)).count() === 0)
+    assert(Similarity.knnLshMultiprobe(emb0).count() === 0)
+    val ev0 = empty("event_id" -> LongType, "user_id" -> LongType,
+      "ts_us" -> LongType, "event_type" -> StringType)
+    assert(Events.funnel(ev0).count() === 0)
+    assert(Events.jsonProps(ev0
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}")))
+      .count() === 0)
+  }
+
   test("multimodal plumbing is total on an empty media table") {
     val m = Multimodal.mediaTable(docs0)
     assert(Multimodal.decode(m).count() === 0)

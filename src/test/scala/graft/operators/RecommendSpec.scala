@@ -72,6 +72,17 @@ class RecommendSpec extends SparkSpec {
     dimsum.foreach { case (k, v) => assert(math.abs(v - exact(k)) < 1e-9, k) }
   }
 
+  test("A13 cap: keeps the `cap` most recent items, ties to lower item_id") {
+    val raw = Seq(
+      (1L, 101L, 300L), (1L, 102L, 200L), (1L, 103L, 200L), (1L, 104L, 100L),
+      (2L, 201L, 50L))
+      .toDF("user_id", "item_id", "last_ts")
+    val got = Recommend.capInteractions(raw, cap = 2)
+      .as[(Long, Long)].collect().toSet
+    // user 1: ts 300 first, then the ts-200 tie resolves to item 102
+    assert(got === Set((1L, 101L), (1L, 102L), (2L, 201L)))
+  }
+
   test("U4: split is deterministic and ~80/20 by bucket") {
     val big = (1L to 1000L).flatMap(u => Seq(Inter(u, u % 37))).toDF()
     val tr = Recommend.trainSet(big).count()

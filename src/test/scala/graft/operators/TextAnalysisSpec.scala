@@ -41,4 +41,16 @@ class TextAnalysisSpec extends SparkSpec {
     val fp = TextAnalysis.fingerprint(two).select("fp").as[String].collect()
     assert(fp(0) === fp(1))
   }
+
+  test("bm25: zero without query terms, tf-monotone at equal length") {
+    val corpus = Seq(
+      TDoc(1, "spark spark spark aaa", "en"),
+      TDoc(2, "spark bbb ccc ddd", "en"),
+      TDoc(3, "eee fff ggg hhh", "en")).toDF()
+    val out = TextAnalysis.bm25(corpus)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(out(3L) === 0.0)          // no query term at all
+    assert(out(1L) > out(2L))        // tf=3 beats tf=1 at the same dl
+    assert(out(2L) > 0.0)
+  }
 }

@@ -24,9 +24,15 @@ object Bench {
     try SparkEntry.queries("a1_daily_summary")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => }
+    // Optional comma-separated name filter for local iteration; the
+    // driver leaves it unset and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // A failed query is recorded as a NEGATIVE duration and listed in
     // "failed", so the perf artifact can't pass off a crash as speed.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

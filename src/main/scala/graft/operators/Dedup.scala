@@ -92,8 +92,14 @@ object Dedup {
     * lambda functions don't codegen and CollapseProject inlines the
     * shingle hash into all 32 array_mins — 20× slower at sf0.1.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docShingleHashes(docs).withColumn("h", col("sh") % P32)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(docShingleHashes(docs))
+
+  /** Same, over an already-materialized (doc_id, sh) table — lets
+    * minhashLsh sign and verify from ONE shingle-hash pass.
+    */
+  def minhashSignaturesFrom(shingleHashes: DataFrame): DataFrame = {
+    val sh = shingleHashes.withColumn("h", col("sh") % P32)
     val mins = (0 until Bands * Rows).map(k =>
       min(minhashPerm(col("h"), lit(k.toLong))).as(s"m$k"))
     sh.groupBy(col("doc_id"))
@@ -108,7 +114,10 @@ object Dedup {
     * LSH trade — but verification makes precision exact.
     */
   def minhashLsh(docs: DataFrame, t: Double = JaccardT): DataFrame = {
-    val sig = minhashSignatures(docs)
+    // ONE shingle-hash pass feeds both the signature path and the
+    // exact-Jaccard verification below
+    val sh = docShingleHashes(docs).localCheckpoint(false)
+    val sig = minhashSignaturesFrom(sh)
     val bands = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),
@@ -121,9 +130,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    // verify: exact Jaccard on the candidate pairs only (checkpointed:
-    // referenced by both sides of the co-count join and the counts)
-    val sh = docShingleHashes(docs).localCheckpoint(false)
+    // verify: exact Jaccard on the candidate pairs only, off the same
+    // checkpointed shingle-hash table as the signatures
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.as("a"), col("i") === col("a.doc_id"))
@@ -205,17 +213,31 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("label"))
+    // Only vertices incident to a near-dup edge can ever move off
+    // their own label — iterate on that (much smaller) subgraph and
+    // left-join the result back over the corpus, instead of dragging
+    // every isolated doc through `rounds` shuffles. At 100 TB the
+    // corpus is the scan; the edge subgraph is the near-dup fraction.
+    // Lazy checkpoints: each round's table still materializes exactly
+    // once (it is referenced twice — union + next join), but all
+    // rounds execute under ONE action instead of one scheduled job
+    // per round — the per-round driver round-trips were costing more
+    // than the per-round compute on the tiny subgraph.
+    var labels = edges.select(col("i").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val viaEdge = edges.join(labels, edges("j") === labels("doc_id"))
         .select(edges("i").as("doc_id"), col("label"))
       labels = labels.unionByName(viaEdge)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
-    labels.select(col("doc_id"), col("label").as("canonical_id"))
+    docs.select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_id"))
       .withColumn("is_canonical",
         (col("doc_id") === col("canonical_id")).cast("int"))
   }

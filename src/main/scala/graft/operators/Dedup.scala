@@ -84,6 +84,32 @@ object Dedup {
       .select(col("i"), col("j"), col("common"), col("jaccard"))
   }
 
+  val ContainT = 0.6
+
+  /** Asymmetric containment near-dup: |A∩B|/|A| and |A∩B|/|B| from
+    * the same shingle co-count join as Jaccard — catches the
+    * sub/superset relation Jaccard misses (a doc embedded verbatim in
+    * a longer one scores low Jaccard but containment ≈ 1), which is
+    * exactly the quote/concatenation shape in web training corpora.
+    * Pairs kept when either direction ≥ t; the keep flag compares the
+    * ROUNDED value (cross-engine rule).
+    */
+  def containment(docs: DataFrame, t: Double = ContainT): DataFrame = {
+    val sh = docShingleHashes(docs).localCheckpoint(false)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    co.join(n.as("na"), col("i") === col("na.doc_id"))
+      .join(n.as("nb"), col("j") === col("nb.doc_id"))
+      .withColumn("cont_i", round(col("common").cast("double") / col("na.n"), 6))
+      .withColumn("cont_j", round(col("common").cast("double") / col("nb.n"), 6))
+      .filter(greatest(col("cont_i"), col("cont_j")) >= t)
+      .select(col("i"), col("j"), col("common"), col("cont_i"), col("cont_j"))
+  }
+
   /** Per-doc 32-slot minhash signature, long form: explode shingles,
     * hash each ONCE, then 32 `min` aggregates in one codegen'd
     * HashAggregate (map-side partial mins ⇒ the doc_id shuffle carries
@@ -300,6 +326,19 @@ object Dedup {
               |$jacSql
               |SELECT i, j, common, jaccard FROM jac
               |WHERE jaccard >= $JaccardT""".stripMargin)),
+
+    QueryDef("dedup_containment",
+      (s, d) => containment(docs(s, d)),
+      Some(s"""WITH $shSql,
+              |co AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) common
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |cont AS (SELECT i, j, common,
+              |    ROUND(CAST(common AS DOUBLE) / na.n, 6) AS cont_i,
+              |    ROUND(CAST(common AS DOUBLE) / nb.n, 6) AS cont_j
+              |  FROM co JOIN n na ON i = na.doc_id JOIN n nb ON j = nb.doc_id)
+              |SELECT i, j, common, cont_i, cont_j FROM cont
+              |WHERE GREATEST(cont_i, cont_j) >= $ContainT""".stripMargin)),
 
     QueryDef("dedup_minhash_lsh",
       (s, d) => minhashLsh(docs(s, d)),

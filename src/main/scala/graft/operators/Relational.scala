@@ -320,6 +320,41 @@ object Relational {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY CUBE (c_mktsegment, o_orderstatus)""".stripMargin)),
 
+    // A20 (beyond-ref): 7-day moving average over the daily rollup —
+    // a RANGE window frame keyed on the day ordinal, so gap days
+    // genuinely shrink the frame (a ROWS frame would be wrong).
+    // Cross-engine exactness: the frame SUM runs on DECIMAL(18,2)
+    // (exact at any summation order — window aggregation order is
+    // engine-internal), cast to double only at the final division.
+    // Scale: the window input is day-grain (3 orders of magnitude
+    // smaller than the fact table), so the unpartitioned sort is a
+    // few KB at any corpus size.
+    QueryDef("a20_moving_avg",
+      (s, d) => {
+        val daily = ord(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("order_date"))
+          .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("rev_dec"))
+        val w = Window.orderBy(col("day_ord")).rangeBetween(-6, 0)
+        daily
+          .withColumn("day_ord",
+            datediff(col("order_date"), to_date(lit("1970-01-01"))))
+          .withColumn("revenue", col("rev_dec").cast("double"))
+          .withColumn("ma7",
+            round(sum(col("rev_dec")).over(w).cast("double") /
+              count(lit(1)).over(w), 6))
+          .select(col("order_date"), col("revenue"), col("ma7"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS order_date,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+             |  FROM orders GROUP BY 1)
+             |SELECT order_date, CAST(rev_dec AS DOUBLE) AS revenue,
+             |ROUND(CAST(SUM(rev_dec) OVER w AS DOUBLE) / (COUNT(*) OVER w), 6) AS ma7
+             |FROM daily WINDOW w AS (
+             |  ORDER BY CAST(order_date - DATE '1970-01-01' AS BIGINT)
+             |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // O2: plain top-k scan → TakeOrderedAndProject.
     QueryDef("o2_top_events",
       (s, d) => Tables.events(s, d)
@@ -355,6 +390,21 @@ object Relational {
       Some("""SELECT event_id, user_id, event_type FROM events
              |WHERE ((event_id % 100003) * 31 + 7 * 97) % 10 = 0
              |ORDER BY event_id LIMIT 100""".stripMargin)),
+
+    // U5 (beyond-ref): stratified sampling — per-stratum rates (20%
+    // of 'en' docs, 10% otherwise) from the same integer-arithmetic
+    // bucket as U3/U4; a pure scan filter, no shuffle, any engine
+    // reproduces the exact row set.
+    QueryDef("u5_stratified_sample",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("b", bucket10(col("doc_id"), lit(3L)))
+        .filter(when(col("lang") === "en", col("b") < 2)
+          .otherwise(col("b") < 1))
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE CASE WHEN lang = 'en'
+             |  THEN ((doc_id % 100003) * 31 + 3 * 97) % 10 < 2
+             |  ELSE ((doc_id % 100003) * 31 + 3 * 97) % 10 < 1 END""".stripMargin)),
 
     // S15: the Trino-federation role — plain SQL text over registered
     // lake tables through spark.sql (one engine subsumes the extra

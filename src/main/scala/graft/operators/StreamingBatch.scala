@@ -104,6 +104,39 @@ object StreamingBatch {
               |COUNT(*) AS order_count
               |FROM orders_s
               |GROUP BY customer_id, time_bucket(INTERVAL '5 minutes', ts)
-              |HAVING COUNT(*) >= ${Alerts.RapidCount}""".stripMargin))
+              |HAVING COUNT(*) >= ${Alerts.RapidCount}""".stripMargin)),
+
+    // ST10: Spark's NATIVE gap-session operator (session_window) —
+    // the same semantics st5_sessionize composes from two window
+    // passes, but as the built-in merging-session aggregate that also
+    // runs under Structured Streaming with a watermark (st5's window
+    // functions do not). Sessions merge while the next event starts
+    // strictly inside [ts, ts+gap); window end = last event + gap.
+    // The oracle mirrors that boundary rule exactly (>= gap starts a
+    // new session, end = max ts + gap).
+    QueryDef("st6_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events")),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us
+             |  FROM events),
+             |g AS (SELECT user_id, ts_us, event_id,
+             |  CASE WHEN lag(ts_us) OVER w IS NULL
+             |    OR ts_us - lag(ts_us) OVER w >= 1800000000
+             |    THEN 1 ELSE 0 END AS is_start
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |sess AS (SELECT user_id, ts_us,
+             |  CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM g)
+             |SELECT user_id, MIN(ts_us) AS session_start_us,
+             |MAX(ts_us) + 1800000000 AS session_end_us,
+             |COUNT(*) AS n_events
+             |FROM sess GROUP BY user_id, sid""".stripMargin))
   )
 }

@@ -318,6 +318,35 @@ object TextAnalysis {
            |FROM base, stats""".stripMargin
       }),
 
+    // Corpus n-gram document frequency, top 20 — the boilerplate /
+    // contamination detector (an n-gram in half the corpus is
+    // template text). Scale shape: groupBy on the shingle string
+    // (map-side partial counts), then a distributed
+    // TakeOrderedAndProject for the top-k — NO single-partition sort
+    // of the full n-gram table; the rank window runs over 20 rows.
+    QueryDef("txt_ngram_freq",
+      (s, d) => {
+        val df = Dedup.docShingles(docs(s, d))
+          .groupBy(col("s").as("ngram"))
+          .agg(count(lit(1)).as("n_docs"))
+        val top = df.orderBy(col("n_docs").desc, col("ngram")).limit(20)
+        top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_docs").desc, col("ngram"))))
+          .select(col("rank").cast("long").as("rank"),
+            col("ngram"), col("n_docs"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)),'\s+') t FROM documents),
+             |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, greatest(len(t)-2, 0)),
+             |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+             |  FROM toks),
+             |df AS (SELECT s AS ngram, COUNT(*) AS n_docs FROM sh0 GROUP BY 1)
+             |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, ngram) AS BIGINT) AS rank,
+             |ngram, n_docs FROM df
+             |ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin)),
+
     // Polynomial rolling hash over the character stream — the
     // shard-stable fingerprint; fold-with-0 here equals DuckDB's
     // reduce-with-first-element since 0*31+c0 = c0.

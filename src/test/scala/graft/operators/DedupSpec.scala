@@ -49,6 +49,18 @@ class DedupSpec extends SparkSpec {
     lsh.foreach { case (i, j, v) => assert(jac((i, j)) === v) }
   }
 
+  test("containment: embedded doc scores 1.0 in its direction") {
+    // doc 2 = doc 1 + " extra": every shingle of 1 appears in 2
+    val got = Dedup.containment(docs, t = 0.9)
+      .select("i", "j", "cont_i", "cont_j")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, 2L))._1 === 1.0) // all of 1's shingles ⊂ 2
+    assert(got((1L, 2L))._2 < 1.0)   // 2 has shingles 1 lacks
+    assert(got((1L, 3L)) === ((1.0, 1.0))) // same normalized text
+    assert(!got.keySet.exists { case (i, j) => i == 4L || j == 4L })
+  }
+
   test("simhash: identical docs give identical hashes; near-dups are close") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(sh(1L) === sh(3L))

@@ -77,6 +77,7 @@ class EmptyInputSpec extends SparkSpec {
 
   test("round-2 operators are total on empty input") {
     assert(TextAnalysis.bm25(docs0).count() === 0)
+    assert(Dedup.containment(docs0).count() === 0)
     assert(Recommend.capInteractions(
       empty("user_id" -> LongType, "item_id" -> LongType,
         "last_ts" -> TimestampType)).count() === 0)

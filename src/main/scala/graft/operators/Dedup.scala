@@ -84,6 +84,26 @@ object Dedup {
       .select(col("i"), col("j"), col("common"), col("jaccard"))
   }
 
+  /** Stop-shingle cap — the 100 TB guard for every co-count
+    * self-join here: a boilerplate shingle present in f docs ("click
+    * to subscribe…") contributes f² rows to the join; at corpus
+    * scale f reaches 10⁸ and one key melts the stage. Dropping
+    * shingles with document frequency > maxDf bounds every join
+    * group at maxDf² while barely touching Jaccard scores (a shingle
+    * in >maxDf docs carries no dedup signal — it IS template text).
+    * The hot set is tiny by construction (few shingles exceed the
+    * cap) → broadcast anti-join, no extra shuffle of the corpus.
+    * Not wired into the oracle queries: the synthetic corpus's max
+    * df is single-digit (txt_ngram_freq), so the cap would never
+    * fire there; DedupSpec proves it on planted boilerplate.
+    */
+  def docShingleHashesCapped(docs: DataFrame, maxDf: Long): DataFrame = {
+    val sh = docShingleHashes(docs)
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
   val ContainT = 0.6
 
   /** Asymmetric containment near-dup: |A∩B|/|A| and |A∩B|/|B| from

@@ -62,4 +62,33 @@ class PlanSpec extends SparkSpec {
     val p = planOf("dedup_minhash_lsh")
     assert(p.contains("partial_min") || "HashAggregate".r.findAllIn(p).length >= 2)
   }
+
+  test("BM25: the one-row stats table broadcasts; corpus never shuffles") {
+    val p = planOf("txt_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "stats row should broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join!")
+  }
+
+  test("u5/e1: sampling and JSON extraction stay shuffle-free scans") {
+    assert(!planOf("u5_stratified_sample").contains("Exchange"),
+      "stratified sample introduced a shuffle")
+    assert(!planOf("e1_json_extract").contains("Exchange"),
+      "JSON extraction introduced a shuffle")
+  }
+
+  test("ngram top-k plans as TakeOrderedAndProject over the aggregate") {
+    val p = planOf("txt_ngram_freq")
+    assert(p.contains("TakeOrderedAndProject"),
+      "full-table sort instead of distributed top-k")
+  }
+
+  test("funnel: single sort order serves both window passes (one shuffle)") {
+    val p = planOf("e2_funnel")
+    // both chained window passes share the (user_id, ts, event_id)
+    // ordering: exactly one exchange for the window stack (plus the
+    // final partial/final agg pair), never one per pass
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"window passes re-shuffled: $exchanges exchanges\n${p.take(800)}")
+  }
 }

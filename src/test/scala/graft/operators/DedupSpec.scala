@@ -49,6 +49,27 @@ class DedupSpec extends SparkSpec {
     lsh.foreach { case (i, j, v) => assert(jac((i, j)) === v) }
   }
 
+  test("stop-shingle cap drops planted boilerplate, keeps rare shingles") {
+    // every doc carries the same boilerplate prefix; the cap must
+    // remove exactly those shingles and keep the per-doc tails
+    val boiler = "click here to subscribe to our newsletter today"
+    val many = (1L to 10L).map(i =>
+      Doc(i, s"$boiler unique${i}a unique${i}b unique${i}c")).toDF()
+    val uncapped = Dedup.docShingleHashes(many)
+    val capped = Dedup.docShingleHashesCapped(many, maxDf = 5)
+    val dropped = uncapped.count() - capped.count()
+    // boilerplate yields shingles with df=10 > 5; tail shingles df=1
+    assert(dropped > 0)
+    val maxDfLeft = capped.groupBy("sh").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxDfLeft <= 5)
+    // candidate pair space collapses: no shared shingles remain
+    val pairs = capped.as("a").join(capped.as("b"),
+      col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id")).count()
+    assert(pairs === 0)
+  }
+
   test("containment: embedded doc scores 1.0 in its direction") {
     // doc 2 = doc 1 + " extra": every shingle of 1 appears in 2
     val got = Dedup.containment(docs, t = 0.9)

@@ -80,6 +80,34 @@ class AlertsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("C1", 3L)))
   }
 
+  test("ST10: session_window aggregates incrementally under a watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("customer_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("customer_id"), col("sw.start").as("s"),
+        col("sw.end").as("e"), col("n_events"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    in.addData(
+      // C1: two events 10 min apart -> one merged session
+      Ev("C1", t("2024-01-01 10:00:00")), Ev("C1", t("2024-01-01 10:10:00")),
+      // C1: 31+ min later -> second session
+      Ev("C1", t("2024-01-01 10:41:01")))
+    q.processAllAvailable()
+    // late-arriving event lands inside session 1 and merges into it
+    in.addData(Ev("C1", t("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out")
+      .select("customer_id", "n_events").as[(String, Long)].collect()
+      .sortBy(_._2)
+    assert(got.toSeq === Seq(("C1", 1L), ("C1", 3L)))
+  }
+
   test("ST8: foreachBatch dashboard refresh writes the 5 metric tables") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("dash").toString

@@ -167,6 +167,29 @@ object Similarity {
         col("nbr_id"), col("cos"))
   }
 
+  /** Per-label centroids, long form (label, idx, centroid) — the
+    * k-means/IVF training pass shape: explode to (label, idx, value),
+    * one groupBy on (label, idx) with map-side partial sums.
+    *
+    * Determinism device: distributed double-summation order is
+    * engine-internal, so components are quantized to micro-units
+    * (round(v·10⁶) as int64) BEFORE the sum — exact integer
+    * arithmetic in any order on any engine — and the mean leaves
+    * integer space only at emission. At float32 input precision the
+    * quantization error (≤5e-7 per element) is below the precision
+    * the embeddings carry anyway.
+    */
+  def centroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "value")))
+      .groupBy(col("label"), col("idx"))
+      .agg(sum(round(col("value") * 1000000.0d).cast("long")).as("q_sum"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label").cast("long").as("label"), col("idx"),
+        col("n_vecs"),
+        round(col("q_sum").cast("double") / col("n_vecs") / 1000000.0d, 6)
+          .as("centroid"))
+
   // ---- driver-contract registry ----
 
   private val planesSql =
@@ -225,6 +248,15 @@ object Similarity {
       (s, d) => bucketStats(Tables.embeddings(s, d)),
       Some(s"""WITH $planesSql
               |SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket""".stripMargin)),
+
+    QueryDef("sim_centroids",
+      (s, d) => centroids(Tables.embeddings(s, d)),
+      Some(s"""SELECT CAST(label AS BIGINT) AS label, CAST(g.i AS INT) AS idx,
+              |COUNT(*) AS n_vecs,
+              |ROUND(CAST(SUM(CAST(ROUND(CAST(embedding AS DOUBLE[])[g.i + 1] * 1000000.0) AS BIGINT)) AS DOUBLE)
+              |  / COUNT(*) / 1000000.0, 6) AS centroid
+              |FROM embeddings, (SELECT unnest(generate_series(0, ${Dim - 1})) i) g
+              |GROUP BY 1, 2""".stripMargin)),
 
     QueryDef("sim_knn_ivf",
       (s, d) => knnIvf(Tables.embeddings(s, d)),

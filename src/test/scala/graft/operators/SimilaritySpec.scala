@@ -32,6 +32,23 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.length >= lsh.length)
   }
 
+  test("centroids: element-wise mean per label, exact on known vectors") {
+    val e = Seq(
+      (1L, Array.fill(Similarity.Dim)(1.0f), 0),
+      (2L, Array.fill(Similarity.Dim)(3.0f), 0),
+      (3L, Array.fill(Similarity.Dim)(5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroids(e)
+      .select("label", "idx", "n_vecs", "centroid")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.length === 2 * Similarity.Dim)
+    got.foreach {
+      case (0L, _, n, c) => assert(n === 2L && c === 2.0) // (1+3)/2
+      case (1L, _, n, c) => assert(n === 1L && c === 5.0)
+      case other => fail(s"unexpected row $other")
+    }
+  }
+
   test("multiprobe: no duplicate (query, nbr) pairs from the probe fan-out") {
     val got = Similarity.knnLshMultiprobe(emb(40))
       .select("query_id", "nbr_id").as[(Long, Long)].collect()

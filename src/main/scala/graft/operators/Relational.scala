@@ -391,6 +391,49 @@ object Relational {
              |WHERE ((event_id % 100003) * 31 + 7 * 97) % 10 = 0
              |ORDER BY event_id LIMIT 100""".stripMargin)),
 
+    // A21 (beyond-ref): exact per-group median — rank-based (avg of
+    // the middle one/two DECIMAL(18,2) values), NOT an interpolated
+    // quantile_cont/percentile call whose float interpolation is
+    // engine-internal. One window pass per group + one aggregate;
+    // group cardinality is status-grain so the sort is per-group.
+    // The 100 TB form of arbitrary quantiles is the sketch
+    // (approx_percentile, cf. txt_quality_filter_approx); this is the
+    // exact contract.
+    QueryDef("a21_group_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("price_dec"), col("o_orderkey"))
+        val ranked = ord(s, d)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("price_dec"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("o_orderstatus"))))
+        ranked
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("(n + 2) div 2"))
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(max(col("n")).as("n_orders"),
+            // exact decimal sum of the 1–2 middle values, ONE double
+            // division (AVG's decimal return type differs per engine)
+            (sum(col("price_dec")).cast("double") / count(lit(1)))
+              .as("median_price"))
+      },
+      Some("""WITH ranked AS (SELECT o_orderstatus, o_orderkey,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+             |  FROM orders)
+             |SELECT o_orderstatus AS status,
+             |CAST(MAX(n) AS BIGINT) AS n_orders,
+             |CAST(SUM(price_dec) AS DOUBLE) / COUNT(*) AS median_price
+             |FROM ranked
+             |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+             |GROUP BY 1""".stripMargin)),
+
     // U5 (beyond-ref): stratified sampling — per-stratum rates (20%
     // of 'en' docs, 10% otherwise) from the same integer-arithmetic
     // bucket as U3/U4; a pure scan filter, no shuffle, any engine

@@ -238,6 +238,40 @@ object Dedup {
       .select(col("i"), col("j"), col("hamming"))
   }
 
+  val ContamT = 0.8
+
+  /** Eval decontamination — the train/eval hygiene pass every LLM
+    * pipeline runs: for each eval-split document, the fraction of its
+    * shingles that appear anywhere in the train split; docs above `t`
+    * are flagged (their eval loss would be memorization, not
+    * generalization). Split is the same deterministic integer bucket
+    * as U4.
+    *
+    * Scale shape: the train side collapses to DISTINCT shingle hashes
+    * (8-byte keys, one shuffle), the eval side left-semi-joins on
+    * that key — never a doc×doc comparison; both sides shuffle on the
+    * well-distributed 60-bit hash. Docs with <n tokens have no
+    * shingles and drop out (same on both engines).
+    */
+  def evalContamination(docs: DataFrame, t: Double = ContamT): DataFrame = {
+    val withB = docs.withColumn("b", bucket10(col("doc_id"), lit(5L)))
+    val trainSh = docShingleHashes(withB.filter(col("b") < 8).drop("b"))
+      .select(col("sh")).distinct()
+    val evalSh = docShingleHashes(withB.filter(col("b") >= 8).drop("b"))
+      .localCheckpoint(false)
+    val n = evalSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hit = evalSh.join(trainSh, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    n.join(hit, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated", (col("overlap_ratio") >= t).cast("int"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("overlap_ratio"), col("contaminated"))
+  }
+
   /** Cluster canonicalization — the end product of a dedup pass:
     * connected components over the near-dup pair graph, each doc
     * labeled with its cluster's min doc_id (the canonical survivor).
@@ -359,6 +393,22 @@ object Dedup {
               |  FROM co JOIN n na ON i = na.doc_id JOIN n nb ON j = nb.doc_id)
               |SELECT i, j, common, cont_i, cont_j FROM cont
               |WHERE GREATEST(cont_i, cont_j) >= $ContainT""".stripMargin)),
+
+    QueryDef("dedup_eval_contamination",
+      (s, d) => evalContamination(docs(s, d)),
+      Some(s"""WITH $shSql,
+              |tr AS (SELECT DISTINCT s2.sh FROM sh s2
+              |  WHERE ((s2.doc_id % 100003) * 31 + 5 * 97) % 10 < 8),
+              |ev AS (SELECT s3.doc_id, s3.sh FROM sh s3
+              |  WHERE ((s3.doc_id % 100003) * 31 + 5 * 97) % 10 >= 8),
+              |nn AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
+              |hit AS (SELECT doc_id, COUNT(*) AS n_overlap FROM ev
+              |  WHERE sh IN (SELECT sh FROM tr) GROUP BY 1)
+              |SELECT nn.doc_id, nn.n_shingles,
+              |COALESCE(hit.n_overlap, 0) AS n_overlap,
+              |ROUND(CAST(COALESCE(hit.n_overlap, 0) AS DOUBLE) / nn.n_shingles, 6) AS overlap_ratio,
+              |CAST(ROUND(CAST(COALESCE(hit.n_overlap, 0) AS DOUBLE) / nn.n_shingles, 6) >= $ContamT AS INT) AS contaminated
+              |FROM nn LEFT JOIN hit ON nn.doc_id = hit.doc_id""".stripMargin)),
 
     QueryDef("dedup_minhash_lsh",
       (s, d) => minhashLsh(docs(s, d)),

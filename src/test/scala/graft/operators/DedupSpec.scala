@@ -70,6 +70,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs === 0)
   }
 
+  test("eval contamination flags eval docs copied from train") {
+    // bucket10(id, 5) = (id + 5) % 10 for small ids: ids ending in
+    // 3/4 land in the eval split, everything else in train
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val d = Seq(
+      Doc(1, shared),                                            // train
+      Doc(13, shared),                                           // eval, copied
+      Doc(23, "fresh words never appearing anywhere in training data")) // eval, clean
+      .toDF()
+    val got = Dedup.evalContamination(d)
+      .select("doc_id", "overlap_ratio", "contaminated")
+      .as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(13L) === ((1.0, 1)))
+    assert(got(23L) === ((0.0, 0)))
+    assert(!got.contains(1L)) // train docs are not scored
+  }
+
   test("containment: embedded doc scores 1.0 in its direction") {
     // doc 2 = doc 1 + " extra": every shingle of 1 appears in 2
     val got = Dedup.containment(docs, t = 0.9)

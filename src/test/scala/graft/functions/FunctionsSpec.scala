@@ -45,6 +45,22 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2) === Seq("x x x")) // distinct collapses repeats
   }
 
+  test("shinglesFast: regex form equals the HOF form on messy input") {
+    val fixtures = Seq("a b c d e", "a b", "x x x x", "", "   ",
+      "ONE  two\tthree\n four five", "solo", "p q r", "t.o-k3n$ we!rd ch@rs mixed")
+    val df = fixtures.toDF("t")
+    val slow = df.select(shingles(tokens(lower(col("t"))), 3))
+      .as[Seq[String]].collect()
+    val fast = df.select(shinglesFast(normText(col("t")), 3))
+      .as[Seq[String]].collect()
+    assert(fast.toSeq === slow.toSeq)
+    val slow2 = df.select(shingles(tokens(lower(col("t"))), 2))
+      .as[Seq[String]].collect()
+    val fast2 = df.select(shinglesFast(normText(col("t")), 2))
+      .as[Seq[String]].collect()
+    assert(fast2.toSeq === slow2.toSeq)
+  }
+
   test("dot/cosine: sequential double fold on known vectors") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     assert(df.select(dot(col("a"), col("b"))).as[Double].head() === 32.0)

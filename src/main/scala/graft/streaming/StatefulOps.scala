@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Order event for the stateful tracker (double on the wire — the CDC
   * stream downcasts DECIMAL, SURVEY §1.2).
@@ -83,5 +84,52 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append,
         if (evictIdle) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout)(trackSpend(evictIdle))
+  }
+
+  /** The same tracker on Spark 4's transformWithState API — typed
+    * named state handles (ValueState/ListState/MapState per key,
+    * vs flatMapGroupsWithState's single opaque blob), optional TTL
+    * per state variable, and RocksDB-only execution (the production
+    * backend). Kept alongside the classic API: same transition
+    * semantics, same fixtures, both spec-proven.
+    */
+  class SpendTierProcessor
+      extends StatefulProcessor[String, OrderEvent, TierAlert] {
+    @transient private var spend: ValueState[SpendState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      spend = getHandle.getValueState[SpendState]("spend",
+        Encoders.product[SpendState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[OrderEvent],
+        timerValues: TimerValues): Iterator[TierAlert] = {
+      val prev = if (spend.exists()) spend.get() else SpendState(0L, 0.0)
+      var n = prev.n_orders
+      var spent = prev.total_spent
+      val alerts = Seq.newBuilder[TierAlert]
+      var lastTier = tierOf(prev.total_spent)
+      rows.foreach { o =>
+        n += 1
+        spent += o.total
+        val t = tierOf(spent)
+        if (t != lastTier && t.isDefined) {
+          alerts += TierAlert(key, n, spent, t.get)
+          lastTier = t
+        }
+      }
+      spend.update(SpendState(n, spent))
+      alerts.result().iterator
+    }
+  }
+
+  /** transformWithState wiring (requires the RocksDB state store
+    * provider — enforced by Spark, not a choice here).
+    */
+  def spendTiersTws(orders: Dataset[OrderEvent]): Dataset[TierAlert] = {
+    implicit val ae = Encoders.product[TierAlert]
+    implicit val ke = Encoders.STRING
+    orders.groupByKey(_.customer_id)
+      .transformWithState(new SpendTierProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -65,6 +65,38 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: same tier semantics on the new typed-state API") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState runs only on RocksDB (enforced by Spark)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[OrderEvent]
+      val q = StatefulOps.spendTiersTws(in.toDS())
+        .writeStream.format("memory").queryName("tiers_tws")
+        .outputMode("append").start()
+      in.addData(OrderEvent("C1", 8000.0), OrderEvent("C1", 4000.0),
+        OrderEvent("C2", 4000.0))
+      q.processAllAvailable()
+      in.addData(OrderEvent("C1", 45000.0), OrderEvent("C2", 7000.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tiers_tws")
+        .as[TierAlert].collect().sortBy(a => (a.customer_id, a.n_orders))
+      // identical output to the flatMapGroupsWithState path
+      assert(got.map(a => (a.customer_id, a.tier, a.n_orders)).toSeq === Seq(
+        ("C1", "SILVER", 2L), ("C1", "GOLD", 3L), ("C2", "SILVER", 2L)))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("tier function boundaries") {
     assert(StatefulOps.tierOf(9999.99).isEmpty)
     assert(StatefulOps.tierOf(10000.0).contains("SILVER"))

@@ -132,6 +132,37 @@ object TextAnalysis {
         round(score, 6).as("bm25"): _*)
   }
 
+  /** Per-doc cross-entropy under the corpus unigram LM — the
+    * perplexity-style quality filter (high score = tokens the corpus
+    * finds surprising = gibberish or off-distribution text; the
+    * production form swaps the unigram model for a KenLM/ngram model,
+    * same dataflow).
+    *
+    * Shape at scale: vocabulary aggregate (one groupBy on token),
+    * token stream re-joins the vocab on the token key, per-doc
+    * aggregate. Determinism: each token's negative-log-prob is
+    * quantized to micro-units BEFORE the per-doc sum (distributed
+    * double-sum order is engine-internal; quantized sums are exact
+    * integer arithmetic — same device as sim_centroids).
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("tk"))
+    val vocab = tok.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val scored = tok
+      .join(vocab, Seq("tk"))
+      .join(broadcast(total))
+      .withColumn("q_nll",
+        round(log(col("cnt").cast("double") / col("total")) * -1000000.0d)
+          .cast("long"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("q_nll")).as("q_sum"))
+      .withColumn("avg_nll",
+        round(col("q_sum").cast("double") / 1000000.0d / col("n_tokens"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
+  }
+
   /** Canonical-text fingerprint: md5 of the normalized text plus its
     * 60-bit integer form — the key for exact dedup and shard routing.
     */
@@ -285,6 +316,20 @@ object TextAnalysis {
           .select(col("doc_id"), col("quality"))
       },
       None),
+
+    QueryDef("txt_unigram_logprob",
+      (s, d) => unigramLogprob(docs(s, d)),
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(lower(text)),'\s+')) AS tk
+             |  FROM documents),
+             |vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY 1),
+             |tot AS (SELECT SUM(cnt) AS total FROM vocab),
+             |scored AS (SELECT doc_id,
+             |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total) * -1000000.0) AS BIGINT) AS q_nll
+             |  FROM tok JOIN vocab USING (tk), tot)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |ROUND(CAST(SUM(q_nll) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_nll
+             |FROM scored GROUP BY doc_id""".stripMargin)),
 
     QueryDef("txt_bm25",
       (s, d) => bm25(docs(s, d)),

@@ -42,6 +42,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0) === fp(1))
   }
 
+  test("unigram logprob: rare-token docs score as more surprising") {
+    val corpus = Seq(
+      TDoc(1, "common common common common", "en"),
+      TDoc(2, "common common common rare", "en")).toDF()
+    val out = TextAnalysis.unigramLogprob(corpus)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(out(2L) > out(1L)) // 'rare' (p=1/8) beats 'common' (p=7/8)
+    assert(out(1L) > 0.0)
+  }
+
   test("bm25: zero without query terms, tf-monotone at equal length") {
     val corpus = Seq(
       TDoc(1, "spark spark spark aaa", "en"),

@@ -34,4 +34,26 @@ object Cleaning {
   def withAudit(df: DataFrame, executionDate: String): DataFrame =
     df.withColumn("_ingestion_timestamp", current_timestamp())
       .withColumn("_execution_date", lit(executionDate))
+
+  /** Data-quality audit: per-rule violation counts over the raw fact
+    * — the observability face of the P2–P6 cleaner (the reference
+    * logs dropped-row counts, dags/daily_pipeline.py:120-126; here
+    * it is one conditional-sum aggregate, a single scan at any
+    * scale). A row can violate several rules; n_clean counts rows
+    * violating none (matches what cleanOrders keeps modulo the P4
+    * abs repair, which drops nothing).
+    */
+  def qualityAudit(df: DataFrame): DataFrame = {
+    def viol(c: org.apache.spark.sql.Column) = sum(c.cast("long"))
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      viol(col("order_id").isNull).as("n_null_key"),
+      viol(col("quantity") <= 0).as("n_nonpos_qty"),
+      viol(col("price") < 0).as("n_neg_price"),
+      viol(col("status").isNull || col("status") === "").as("n_bad_status"),
+      viol(col("order_id").isNotNull && col("quantity") > 0 &&
+        col("status").isNotNull && col("status") =!= "").as("n_clean"))
+      .withColumn("clean_ratio",
+        round(col("n_clean").cast("double") / col("n_rows"), 6))
+  }
 }

@@ -434,6 +434,43 @@ object Relational {
              |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
              |GROUP BY 1""".stripMargin)),
 
+    // P18 (beyond-ref): the quality audit behind the P2-P6 cleaner —
+    // per-rule violation counts in one conditional-sum scan.
+    QueryDef("p18_quality_audit",
+      (s, d) => Cleaning.qualityAudit(li(s, d).select(
+        col("l_orderkey").as("order_id"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").as("quantity"),
+        col("l_returnflag").as("status"))),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+             |CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_qty,
+             |CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_price,
+             |CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+             |CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND l_quantity > 0
+             |  AND l_returnflag IS NOT NULL AND l_returnflag <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+             |ROUND(CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND l_quantity > 0
+             |  AND l_returnflag IS NOT NULL AND l_returnflag <> '' THEN 1 ELSE 0 END) AS DOUBLE)
+             |  / COUNT(*), 6) AS clean_ratio
+             |FROM lineitem""".stripMargin)),
+
+    // A22 (beyond-ref): collect_set with deterministic emission — the
+    // set aggregate is order-free, the sorted string encoding makes
+    // it engine-comparable (array cells crash the driver comparator).
+    QueryDef("a22_status_sets",
+      (s, d) => ord(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses")),
+      Some("""SELECT c_mktsegment AS segment,
+             |array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+             |CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin)),
+
     // U5 (beyond-ref): stratified sampling — per-stratum rates (20%
     // of 'en' docs, 10% otherwise) from the same integer-arithmetic
     // bucket as U3/U4; a pure scan filter, no shuffle, any engine

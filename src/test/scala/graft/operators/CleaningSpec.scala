@@ -46,4 +46,15 @@ class CleaningSpec extends SparkSpec {
     assert(out.select("_execution_date").as[String].head() === "2024-01-01")
     assert(out.schema("_ingestion_timestamp").dataType.typeName === "timestamp")
   }
+
+  test("P18: quality audit counts each defect class once per rule") {
+    val a = Cleaning.qualityAudit(rows.toDF())
+      .select("n_rows", "n_null_key", "n_nonpos_qty", "n_neg_price",
+        "n_bad_status", "n_clean", "clean_ratio")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    // 7 rows: 1 null key, 1 zero qty, 1 neg price, 2 bad status.
+    // n_clean counts P2/P3/P5 passers — O1, O4 (neg price is
+    // repaired by abs, not dropped, so it stays clean-keepable), O7.
+    assert(a === ((7L, 1L, 1L, 1L, 2L, 3L, 0.428571)))
+  }
 }

@@ -83,6 +83,23 @@ class PlanSpec extends SparkSpec {
       "full-table sort instead of distributed top-k")
   }
 
+  test("LSH candidate join is keyed on the bucket, never a pair scan") {
+    val p = planOf("sim_knn_lsh")
+    // equi-join on the bucket id — as a broadcast at toy scale or a
+    // bucket-partitioned exchange at corpus scale; never a nested-loop
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[bucket".r
+      .findFirstIn(p).isDefined || p.contains("hashpartitioning(bucket"),
+      s"candidate join not keyed on the LSH bucket:\n${p.take(600)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair-scan fallback!")
+  }
+
+  test("as-of join: union + window costs exactly one exchange") {
+    val p = planOf("j5_asof_join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"as-of should shuffle once on the key, got $exchanges\n${p.take(600)}")
+  }
+
   test("funnel: single sort order serves both window passes (one shuffle)") {
     val p = planOf("e2_funnel")
     // both chained window passes share the (user_id, ts, event_id)

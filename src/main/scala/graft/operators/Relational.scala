@@ -471,6 +471,47 @@ object Relational {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1""".stripMargin)),
 
+    // A23 (beyond-ref): pivot with an EXPLICIT value list — the
+    // dynamic-values form needs a driver-side distinct pass AND makes
+    // the output schema data-dependent (both wrong at scale); pinned
+    // values keep it one aggregate with an Expand-free plan.
+    QueryDef("a23_pivot",
+      (s, d) => li(s, d)
+        .groupBy(col("l_linestatus").as("linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_extendedprice"))),
+      Some("""SELECT l_linestatus AS linestatus,
+             |CAST(SUM(CASE WHEN l_returnflag = 'A'
+             |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+             |CAST(SUM(CASE WHEN l_returnflag = 'N'
+             |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+             |CAST(SUM(CASE WHEN l_returnflag = 'R'
+             |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // A24 (beyond-ref): unpivot/melt to measure long form — the shape
+    // feature stores and metric pipelines consume; a zero-shuffle
+    // per-row Expand.
+    QueryDef("a24_unpivot",
+      (s, d) => li(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"),
+            col("discount"), col("tax")),
+          "measure", "value"),
+      Some("""SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+             |  CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+             |UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+             |  CAST(l_extendedprice AS DOUBLE) FROM lineitem
+             |UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
+             |  CAST(l_discount AS DOUBLE) FROM lineitem
+             |UNION ALL SELECT l_orderkey, l_linenumber, 'tax',
+             |  CAST(l_tax AS DOUBLE) FROM lineitem""".stripMargin)),
+
     // U5 (beyond-ref): stratified sampling — per-stratum rates (20%
     // of 'en' docs, 10% otherwise) from the same integer-arithmetic
     // bucket as U3/U4; a pure scan filter, no shuffle, any engine

@@ -285,6 +285,26 @@ object Recommend {
               |${recsSql("inter")}
               |SELECT * FROM recs""".stripMargin)),
 
+    // The full serving pipeline on the capped interaction set — the
+    // configuration that actually runs at corpus scale (cap bounds
+    // the similarity self-join AND the scoring join's per-user
+    // fan-out; recommendations still range over every user).
+    QueryDef("ml_recommendations_capped",
+      (s, d) => {
+        val inter = interactionsCapped(s, d).localCheckpoint(false)
+        recommend(inter, itemSimilarity(inter).localCheckpoint(false))
+      },
+      Some(s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |capped AS (SELECT user_id, item_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+              |  WHERE rn <= $CapPerUser),
+              |${recsSql("capped")}
+              |SELECT * FROM recs""".stripMargin)),
+
     QueryDef("ml_coverage",
       (s, d) => {
         val inter = interactions(s, d).localCheckpoint(false)

@@ -130,6 +130,37 @@ object Recommend {
         col("item_id"), col("score_r"))
   }
 
+  /** A13 weighted variant: interaction strength = number of orders
+    * containing the item (the rating proxy the reference's binary
+    * matrix throws away). Weighted cosine stays engine-exact because
+    * every term is integer arithmetic until the final division:
+    * cos = Σ wᵢwⱼ / √(Σwᵢ² · Σwⱼ²), all sums over exact int64.
+    */
+  def interactionsWeighted(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(countDistinct(col("o_orderkey")).as("w"))
+
+  def itemSimilarityWeighted(inter: DataFrame,
+                             minCo: Int = MinCo,
+                             minCos: Double = MinCos): DataFrame = {
+    val norms = inter.groupBy(col("item_id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val co = inter.as("a")
+      .join(inter.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("i"), col("b.item_id").as("j"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"), count(lit(1)).as("co"))
+    co.join(broadcast(norms).as("na"), col("i") === col("na.item_id"))
+      .join(broadcast(norms).as("nb"), col("j") === col("nb.item_id"))
+      .select(col("i"), col("j"), col("co"),
+        round(col("dot").cast("double") /
+          sqrt((col("na.n2") * col("nb.n2")).cast("double")), 6).as("cos"))
+      .filter(col("co") >= minCo && col("cos") >= minCos)
+  }
+
   /** A13 scale fallback: item-item cosine via mllib RowMatrix
     * columnSimilarities (DIMSUM) — the path for item counts where even
     * the sparse co-occurrence self-join blows up (|P(u)|² pair space).
@@ -284,6 +315,26 @@ object Recommend {
       Some(s"""WITH inter AS ($interSql),
               |${recsSql("inter")}
               |SELECT * FROM recs""".stripMargin)),
+
+    QueryDef("ml_item_similarity_weighted",
+      (s, d) => itemSimilarityWeighted(
+        interactionsWeighted(s, d).localCheckpoint(false)),
+      Some(s"""WITH interw AS (SELECT o_custkey AS user_id,
+              |    l_partkey AS item_id, COUNT(DISTINCT o_orderkey) AS w
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |norms AS (SELECT item_id, SUM(w*w) AS n2 FROM interw GROUP BY 1),
+              |cow AS (SELECT a.item_id i, b.item_id j,
+              |    SUM(a.w*b.w) AS dot, COUNT(*) AS co
+              |  FROM interw a JOIN interw b
+              |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+              |  GROUP BY 1, 2)
+              |SELECT i, j, CAST(co AS BIGINT) AS co,
+              |ROUND(CAST(dot AS DOUBLE)/SQRT(CAST(na.n2*nb.n2 AS DOUBLE)), 6) AS cos
+              |FROM cow JOIN norms na ON i = na.item_id
+              |JOIN norms nb ON j = nb.item_id
+              |WHERE co >= $MinCo
+              |AND ROUND(CAST(dot AS DOUBLE)/SQRT(CAST(na.n2*nb.n2 AS DOUBLE)), 6) >= $MinCos""".stripMargin)),
 
     // The full serving pipeline on the capped interaction set — the
     // configuration that actually runs at corpus scale (cap bounds

@@ -320,6 +320,26 @@ object Relational {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY CUBE (c_mktsegment, o_orderstatus)""".stripMargin)),
 
+    // A25 (beyond-ref): arbitrary GROUPING SETS — the two 1-D margins
+    // without the (segment, status) cross cells CUBE would also
+    // compute; still one Expand pass.
+    QueryDef("a25_grouping_sets",
+      (s, d) => ord(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_orderstatus").as("status"), col("o_totalprice"))
+        .groupingSets(Seq(Seq(col("segment")), Seq(col("status"))),
+          col("segment"), col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"),
+          grouping_id().cast("long").as("gid")),
+      Some("""SELECT c_mktsegment AS segment, o_orderstatus AS status,
+             |COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))""".stripMargin)),
+
     // A20 (beyond-ref): 7-day moving average over the daily rollup —
     // a RANGE window frame keyed on the day ordinal, so gap days
     // genuinely shrink the frame (a ROWS frame would be wrong).

@@ -100,6 +100,17 @@ class PlanSpec extends SparkSpec {
       s"as-of should shuffle once on the key, got $exchanges\n${p.take(600)}")
   }
 
+  test("pivot with explicit values is one aggregate; unpivot is one Expand") {
+    val pivot = planOf("a23_pivot")
+    // explicit value list → no second distinct-collection aggregate
+    // pass and no Expand; just partial+final HashAggregate
+    assert(!pivot.contains("Expand"), "pivot should not Expand")
+    assert("HashAggregate".r.findAllIn(pivot).length >= 2)
+    val unpivot = planOf("a24_unpivot")
+    assert(unpivot.contains("Expand"), "unpivot should be a per-row Expand")
+    assert(!unpivot.contains("Exchange"), "unpivot must not shuffle")
+  }
+
   test("funnel: single sort order serves both window passes (one shuffle)") {
     val p = planOf("e2_funnel")
     // both chained window passes share the (user_id, ts, event_id)

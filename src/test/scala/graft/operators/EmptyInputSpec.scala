@@ -88,6 +88,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(Events.jsonProps(ev0
       .withColumn("props", org.apache.spark.sql.functions.lit("{}")))
       .count() === 0)
+    assert(Dedup.evalContamination(docs0).count() === 0)
+    assert(TextAnalysis.unigramLogprob(docs0).count() === 0)
+    assert(Similarity.centroids(emb0
+      .withColumn("label", org.apache.spark.sql.functions.lit(0)))
+      .count() === 0)
+    assert(Recommend.itemSimilarityWeighted(
+      empty("user_id" -> LongType, "item_id" -> LongType,
+        "w" -> LongType)).count() === 0)
   }
 
   test("multimodal plumbing is total on an empty media table") {

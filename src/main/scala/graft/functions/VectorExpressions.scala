@@ -52,13 +52,17 @@ case class DotProductExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // accumulator must be fresh-named: with non-nullable children
+      // nullSafeCodeGen emits this block UNWRAPPED (no enclosing
+      // braces), so two instances in one codegen scope would collide
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += $a.getDouble($i) * $b.getDouble($i);
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -90,13 +94,14 @@ case class L2NormExpr(child: Expression)
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
+      val acc = ctx.freshName("acc")
       s"""
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  double $v = $a.getDouble($i);
-         |  acc += $v * $v;
+         |  $acc += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt(acc);
+         |${ev.value} = java.lang.Math.sqrt($acc);
        """.stripMargin
     })
 
@@ -138,21 +143,28 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val v = ctx.freshName("v")
+      // fresh-named accumulators: with non-nullable children this block
+      // is emitted unwrapped, so fixed names would collide across two
+      // instances in one codegen scope (and silently drop the stage to
+      // interpreted execution)
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0;
+         |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  dot += $a.getDouble($i) * $b.getDouble($i);
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |double na = 0.0;
+         |double $na = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double $v = $a.getDouble($i); na += $v * $v;
+         |  double $v = $a.getDouble($i); $na += $v * $v;
          |}
-         |double nb = 0.0;
+         |double $nb = 0.0;
          |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double $v = $b.getDouble($i); nb += $v * $v;
+         |  double $v = $b.getDouble($i); $nb += $v * $v;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

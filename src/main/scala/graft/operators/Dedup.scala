@@ -194,25 +194,27 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
-  /** 32-bit SimHash per doc from token-occurrence hashes: bit i is set
-    * iff Σ_tokens (2·bit_i(h32(token)) − 1) > 0. Long-form explode over
-    * (token, bit) — sums are exact ints.
+  /** 32-bit SimHash per doc from token-occurrence hashes: bit k is set
+    * iff Σ_tokens (2·bit_k(h32(token)) − 1) > 0. The 32 bit balances
+    * are 32 conditional-sum aggregates in ONE HashAggregate keyed by
+    * doc_id (the minhashSignaturesFrom shape): each token row is
+    * hashed once and consumed in place — no (doc_id, bit) explode, so
+    * the doc_id shuffle carries 32 longs per doc instead of 32× the
+    * token volume. All sums are exact ints.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("tok"))
       .withColumn("h", h32(col("tok")))
-    tok.select(col("doc_id"), col("h"),
-      explode(sequence(lit(0L), lit(31L))).as("bit"))
-      .withColumn("v",
-        when(expr("shiftright(h, cast(bit as int)) % 2") === 1, 1L)
-          .otherwise(-1L))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("v")).as("bal"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("bal") > 0,
-        expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
-        .otherwise(0L)).as("simhash"))
+    val bals = (0 until 32).map(k =>
+      sum(when(expr(s"shiftright(h, $k) % 2") === 1, 1L).otherwise(-1L))
+        .as(s"b$k"))
+    tok.groupBy(col("doc_id"))
+      .agg(bals.head, bals.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(k =>
+          when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs, hamming ≤ HammingT, candidates via 8-bit
@@ -282,8 +284,25 @@ object Dedup {
     * and BOTH engines run identical rounds, so even a hypothetical
     * unconverged label matches the oracle bit-for-bit.
     */
-  def dedupClusters(docs: DataFrame, rounds: Int = 6): DataFrame = {
-    val pairs = ngramJaccard(docs).select(col("i"), col("j"))
+  val ClusterRounds = 7
+
+  def dedupClusters(docs: DataFrame, rounds: Int = ClusterRounds): DataFrame =
+    labelComponents(ngramJaccard(docs).select(col("i"), col("j")),
+      docs.select(col("doc_id")), rounds)
+
+  /** Min-label CC over an undirected pair list, every vertex of
+    * `universe` labeled (isolated docs keep their own id). Each round
+    * combines edge relaxation (min over neighbors' labels) with
+    * POINTER JUMPING (label ← label-of-label), doubling the hop
+    * distance a min label covers each round: coverage after round r is
+    * 2^(r−1) hops, so `ClusterRounds`=7 converges any component of
+    * diameter ≤ 64 — vs 7 hops for plain propagation (DedupSpec proves
+    * a planted 64-doc chain). Both engines run the identical rounds,
+    * so even a hypothetically unconverged state matches the oracle
+    * bit-for-bit.
+    */
+  def labelComponents(pairs: DataFrame, universe: DataFrame,
+                      rounds: Int = ClusterRounds): DataFrame = {
     // Iterative algorithm: materialize the loop-carried tables, or the
     // lineage doubles per round and round k recomputes the whole
     // Jaccard pipeline k times (36s → 4s at sf0.1). localCheckpoint
@@ -299,22 +318,27 @@ object Dedup {
     // every isolated doc through `rounds` shuffles. At 100 TB the
     // corpus is the scan; the edge subgraph is the near-dup fraction.
     // Lazy checkpoints: each round's table still materializes exactly
-    // once (it is referenced twice — union + next join), but all
-    // rounds execute under ONE action instead of one scheduled job
-    // per round — the per-round driver round-trips were costing more
-    // than the per-round compute on the tiny subgraph.
+    // once (it is referenced thrice — union + edge join + jump join),
+    // but all rounds execute under ONE action instead of one scheduled
+    // job per round — the per-round driver round-trips were costing
+    // more than the per-round compute on the tiny subgraph.
     var labels = edges.select(col("i").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val viaEdge = edges.join(labels, edges("j") === labels("doc_id"))
         .select(edges("i").as("doc_id"), col("label"))
-      labels = labels.unionByName(viaEdge)
+      // label values are always ids of edge-incident vertices, so the
+      // label-of-label lookup stays inside the subgraph
+      val viaJump = labels.as("l")
+        .join(labels.as("p"), col("l.label") === col("p.doc_id"))
+        .select(col("l.doc_id").as("doc_id"), col("p.label").as("label"))
+      labels = labels.unionByName(viaEdge).unionByName(viaJump)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint(false)
     }
-    docs.select(col("doc_id"))
+    universe
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("canonical_id"))
@@ -322,11 +346,44 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).cast("int"))
   }
 
-  /** Embedding near-dup: all pairs with cosine ≥ t. Brute self-join
-    * here; the LSH-bucketed scale path is Similarity.knnLsh — same
-    * verification expression, candidate set from hyperplane buckets.
+  /** Embedding near-dup, the bucketed scale path: candidates come from
+    * the same hyperplane LSH buckets as Similarity.knnLsh — each vector
+    * probes its own bucket plus every Hamming-≤2 neighbor (one or two
+    * planes flipped, `Similarity.probeMasks2`, the multiprobe recall
+    * lever) — then the exact `cosineFast ≥ t` verify runs on candidate
+    * pairs only. The shuffle key is the bucket id, never a vector
+    * pair: candidate volume is bounded by bucket occupancy (monitored
+    * by sim_bucket_stats), so the plan survives a 100× corpus where
+    * the brute self-join (embeddingNearDupBrute) is O(n²). A (x,y)
+    * pair meets in at most one probe bucket (probe masks are distinct
+    * and only the x<y orientation probes), so no dedup pass is needed.
+    * Recall < 1 by construction — the LSH trade, mirrored exactly in
+    * the oracle; DedupSpec measures it against the brute reference.
     */
   def embeddingNearDup(emb: DataFrame, t: Double = CosineT): DataFrame = {
+    // referenced twice (probe side + candidate side): materialize the
+    // bucket pass once
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.bucketCol(col("v")))
+      .localCheckpoint(false)
+    val probes = e.withColumn("probe", explode(array(
+      col("bucket") +: Similarity.probeMasks2
+        .map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+    probes.as("a")
+      .join(e.as("b"),
+        col("a.probe") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= t)
+  }
+
+  /** All-pairs exact reference for the bucketed operator above — spec
+    * only (recall measurement); never registered, its self-join is a
+    * cartesian.
+    */
+  def embeddingNearDupBrute(emb: DataFrame, t: Double = CosineT): DataFrame = {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -358,6 +415,17 @@ object Dedup {
        |jac AS (SELECT i, j, common,
        |    ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
        |  FROM co JOIN n na ON i = na.doc_id JOIN n nb ON j = nb.doc_id)""".stripMargin
+
+  /** Oracle mirror of the collapsed simhash shape: 32 conditional-sum
+    * bit balances in one GROUP BY doc_id, then the bit assembly as a
+    * projection.
+    */
+  private val simhashBalsSql = (0 until 32).map(k =>
+    s"SUM(CASE WHEN (h >> $k) % 2 = 1 THEN 1 ELSE -1 END) AS b$k")
+    .mkString(",\n|    ").stripMargin
+  private val simhashBitsSql = (0 until 32).map(k =>
+    s"(CASE WHEN b$k > 0 THEN CAST(1 AS BIGINT) << $k ELSE 0 END)")
+    .mkString(" + ")
 
   private val sigSql =
     """hs AS (SELECT doc_id, list(sh % 4294967291) AS hl FROM sh GROUP BY doc_id),
@@ -431,38 +499,42 @@ object Dedup {
     QueryDef("dedup_clusters",
       (s, d) => dedupClusters(docs(s, d)),
       Some {
-        val steps = (1 to 6).map { k =>
-          s"""l$k AS (SELECT doc_id, MIN(lbl) lbl FROM (
+        // mirror of labelComponents: per round, min over (own label,
+        // neighbors' labels, label-of-label) — identical rounds on
+        // both engines. MATERIALIZED: each round references the
+        // previous THRICE; DuckDB inlines CTEs by default, which would
+        // expand l7 into 3^7 scans of the parquet file.
+        val steps = (1 to ClusterRounds).map { k =>
+          s"""l$k AS MATERIALIZED (SELECT doc_id, MIN(lbl) lbl FROM (
              |  SELECT doc_id, lbl FROM l${k - 1}
              |  UNION ALL SELECT e.i AS doc_id, l${k - 1}.lbl
-             |  FROM e JOIN l${k - 1} ON e.j = l${k - 1}.doc_id) GROUP BY 1)"""
+             |  FROM e JOIN l${k - 1} ON e.j = l${k - 1}.doc_id
+             |  UNION ALL SELECT a.doc_id, b.lbl
+             |  FROM l${k - 1} a JOIN l${k - 1} b ON a.lbl = b.doc_id) GROUP BY 1)"""
             .stripMargin
         }.mkString(",\n")
         s"""WITH $shSql,
            |$jacSql,
            |p AS (SELECT i, j FROM jac WHERE jaccard >= $JaccardT),
-           |e AS (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
-           |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+           |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+           |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
            |$steps
            |SELECT doc_id, lbl AS canonical_id,
-           |CAST(doc_id = lbl AS INT) AS is_canonical FROM l6""".stripMargin
+           |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin
       }),
 
     QueryDef("dedup_simhash",
       (s, d) => simhash(docs(s, d)),
-      Some("""WITH tok AS (SELECT doc_id,
-             |    unnest(string_split_regex(trim(lower(text)),'\s+')) AS tk
-             |  FROM documents),
-             |th AS (SELECT doc_id,
-             |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) % 4294967291 AS h
-             |  FROM tok),
-             |bits AS (SELECT doc_id, b.bt,
-             |    SUM(CASE WHEN (h >> b.bt) % 2 = 1 THEN 1 ELSE -1 END) AS bal
-             |  FROM th, (SELECT unnest(generate_series(0, 31)) bt) b
-             |  GROUP BY 1, 2)
-             |SELECT doc_id, CAST(SUM(CASE WHEN bal > 0
-             |  THEN CAST(1 AS BIGINT) << bt ELSE 0 END) AS BIGINT) AS simhash
-             |FROM bits GROUP BY doc_id""".stripMargin)),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |    unnest(string_split_regex(trim(lower(text)),'\\s+')) AS tk
+              |  FROM documents),
+              |th AS (SELECT doc_id,
+              |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) % 4294967291 AS h
+              |  FROM tok),
+              |bits AS (SELECT doc_id, $simhashBalsSql
+              |  FROM th GROUP BY doc_id)
+              |SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
+              |FROM bits""".stripMargin)),
 
     QueryDef("dedup_simhash_pairs",
       (s, d) => simhashPairs(docs(s, d)),
@@ -472,13 +544,10 @@ object Dedup {
               |th AS (SELECT doc_id,
               |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) % 4294967291 AS h
               |  FROM tok),
-              |bits AS (SELECT doc_id, b.bt,
-              |    SUM(CASE WHEN (h >> b.bt) % 2 = 1 THEN 1 ELSE -1 END) AS bal
-              |  FROM th, (SELECT unnest(generate_series(0, 31)) bt) b
-              |  GROUP BY 1, 2),
-              |sh2 AS (SELECT doc_id, SUM(CASE WHEN bal > 0
-              |    THEN CAST(1 AS BIGINT) << bt ELSE 0 END) AS simhash
-              |  FROM bits GROUP BY doc_id),
+              |bits AS (SELECT doc_id, $simhashBalsSql
+              |  FROM th GROUP BY doc_id),
+              |sh2 AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
+              |  FROM bits),
               |chunks AS (SELECT doc_id, simhash, c.c,
               |    (simhash >> (c.c*8)) % 256 AS chunk
               |  FROM sh2, (SELECT unnest(generate_series(0, 3)) c) c),
@@ -491,11 +560,16 @@ object Dedup {
 
     QueryDef("dedup_embedding",
       (s, d) => embeddingNearDup(Tables.embeddings(s, d)),
-      Some(s"""SELECT a.vec_id AS i, b.vec_id AS j,
-              |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-              |  CAST(b.embedding AS DOUBLE[])), 6) AS cos
-              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-              |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-              |  CAST(b.embedding AS DOUBLE[])), 6) >= $CosineT""".stripMargin))
+      Some(s"""WITH ${Similarity.planesSql},
+              |probes AS (SELECT vec_id, v,
+              |    unnest([bucket] || list_transform([${Similarity.probeMasks2.mkString(", ")}],
+              |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
+              |  FROM buckets)
+              |SELECT i, j, cos FROM (
+              |  SELECT a.vec_id AS i, b.vec_id AS j,
+              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM probes a JOIN buckets b
+              |    ON a.probe = b.bucket AND a.vec_id < b.vec_id)
+              |WHERE cos >= $CosineT""".stripMargin))
   )
 }

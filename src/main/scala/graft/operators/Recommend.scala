@@ -142,6 +142,26 @@ object Recommend {
       .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
       .agg(countDistinct(col("o_orderkey")).as("w"))
 
+  /** Weighted interactions with the per-user recency cap applied — the
+    * configuration that closes the last uncapped pairwise self-join:
+    * per (user, item) the order-count weight and last order date, then
+    * the same top-`cap`-by-recency window as capInteractions, keeping
+    * the weight through the cap.
+    */
+  def interactionsWeightedCapped(s: SparkSession, d: String,
+                                 cap: Int = CapPerUser): DataFrame = {
+    val raw = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(countDistinct(col("o_orderkey")).as("w"),
+        max(col("o_orderdate")).as("last_ts"))
+    val win = Window.partitionBy(col("user_id"))
+      .orderBy(col("last_ts").desc, col("item_id"))
+    raw.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= cap)
+      .select(col("user_id"), col("item_id"), col("w"))
+  }
+
   def itemSimilarityWeighted(inter: DataFrame,
                              minCo: Int = MinCo,
                              minCos: Double = MinCos): DataFrame = {
@@ -323,6 +343,31 @@ object Recommend {
               |    l_partkey AS item_id, COUNT(DISTINCT o_orderkey) AS w
               |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |  GROUP BY 1, 2),
+              |norms AS (SELECT item_id, SUM(w*w) AS n2 FROM interw GROUP BY 1),
+              |cow AS (SELECT a.item_id i, b.item_id j,
+              |    SUM(a.w*b.w) AS dot, COUNT(*) AS co
+              |  FROM interw a JOIN interw b
+              |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+              |  GROUP BY 1, 2)
+              |SELECT i, j, CAST(co AS BIGINT) AS co,
+              |ROUND(CAST(dot AS DOUBLE)/SQRT(CAST(na.n2*nb.n2 AS DOUBLE)), 6) AS cos
+              |FROM cow JOIN norms na ON i = na.item_id
+              |JOIN norms nb ON j = nb.item_id
+              |WHERE co >= $MinCo
+              |AND ROUND(CAST(dot AS DOUBLE)/SQRT(CAST(na.n2*nb.n2 AS DOUBLE)), 6) >= $MinCos""".stripMargin)),
+
+    QueryDef("ml_item_similarity_weighted_capped",
+      (s, d) => itemSimilarityWeighted(
+        interactionsWeightedCapped(s, d).localCheckpoint(false)),
+      Some(s"""WITH raww AS (SELECT o_custkey AS user_id,
+              |    l_partkey AS item_id, COUNT(DISTINCT o_orderkey) AS w,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |interw AS (SELECT user_id, item_id, w FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY last_ts DESC, item_id) rn FROM raww)
+              |  WHERE rn <= $CapPerUser),
               |norms AS (SELECT item_id, SUM(w*w) AS n2 FROM interw GROUP BY 1),
               |cow AS (SELECT a.item_id i, b.item_id j,
               |    SUM(a.w*b.w) AS dot, COUNT(*) AS co

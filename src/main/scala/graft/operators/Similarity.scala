@@ -50,6 +50,18 @@ object Similarity {
   private def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** XOR masks for Hamming-≤2 multiprobe: all single-plane and
+    * two-plane sign flips (8 + 28 = 36 probes beyond the home bucket).
+    * Dedup's embedding near-dup probes this wider set — at its low
+    * cosine threshold the angle is wide, so Hamming-1 alone recalls
+    * poorly; masks are distinct, so a pair still meets in at most one
+    * probe bucket.
+    */
+  val probeMasks2: Seq[Long] =
+    (0 until Planes).map(p => 1L << p) ++
+      (for { p <- 0 until Planes; q <- p + 1 until Planes }
+        yield (1L << p) | (1L << q))
+
   /** LSH bucket id: bit p set iff v·w_p > 0. Pure per-row expression
     * — bucketing is a scan-speed pass, the only shuffle is the
     * bucket-keyed candidate join.
@@ -192,7 +204,10 @@ object Similarity {
 
   // ---- driver-contract registry ----
 
-  private val planesSql =
+  /** Shared with Dedup's embedding near-dup oracle, which reuses the
+    * same hyperplane buckets for candidate generation.
+    */
+  private[operators] val planesSql =
     """planes AS (SELECT p.p, list_transform(generate_series(0, 63),
       |    d -> CAST(concat('0x', substr(md5('hp' || p.p || '_' || d),1,15)) AS BIGINT)
       |         % 2001 - 1000) AS w

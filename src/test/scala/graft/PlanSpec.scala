@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     // codegen correctness is covered by the bit-exact oracle match)
   }
 
+  test("dedup_embedding candidates are bucket-keyed — never a cartesian") {
+    val p = planOf("dedup_embedding")
+    assert(!p.contains("CartesianProduct"), "all-pairs cartesian!")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop pair scan:\n${p.take(600)}")
+    // the candidate join must carry the probe=bucket equi-condition
+    assert(p.contains("probe"), "probe column missing — not the LSH path")
+  }
+
   test("A4 top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = planOf("a4_top_products")
     assert(p.contains("TakeOrderedAndProject"))

@@ -75,6 +75,35 @@ class FunctionsSpec extends SparkSpec {
     assert(got === 1.0) // plain double sum would drift here
   }
 
+  test("vector expressions coexist in one codegen scope (fresh-named accumulators)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // with non-nullable children nullSafeCodeGen emits each body
+    // UNWRAPPED into the shared scope; fixed accumulator identifiers
+    // would collide and fail Janino compilation here (direct generate
+    // has no interpreted fallback — exactly the regression this guards)
+    val at = ArrayType(DoubleType, containsNull = false)
+    val a = BoundReference(0, at, nullable = false)
+    val b = BoundReference(1, at, nullable = false)
+    val proj = GenerateMutableProjection.generate(Seq(
+      CosineSimExpr(a, b), CosineSimExpr(b, a),
+      DotProductExpr(a, b), DotProductExpr(b, a),
+      L2NormExpr(a), L2NormExpr(b)))
+    val out = proj(InternalRow(
+      ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+      ArrayData.toArrayData(Array(4.0, 5.0, 6.0))))
+    val want = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(out.getDouble(0) - want) < 1e-15)
+    assert(math.abs(out.getDouble(1) - want) < 1e-15)
+    assert(out.getDouble(2) === 32.0)
+    assert(out.getDouble(3) === 32.0)
+    assert(out.getDouble(4) === math.sqrt(14.0))
+    assert(out.getDouble(5) === math.sqrt(77.0))
+  }
+
   test("minhash permutation stays within int64 and P32") {
     val h = P32 - 1 // worst case input
     val got = Seq(h).toDF("h")

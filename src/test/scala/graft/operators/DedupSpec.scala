@@ -111,13 +111,43 @@ class DedupSpec extends SparkSpec {
   }
 
   test("embedding near-dup finds the planted pair") {
+    // vec 2 ≈ vec 1 (cos ≈ 1): identical hyperplane signs up to at
+    // most one flip, so the Hamming-1 multiprobe always surfaces the
+    // candidate; vec 3 is orthogonal and must be filtered
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
-      (2L, Seq(0.99f, 0.1f, 0.0f)),   // ~cos 0.995 with 1
+      (2L, Seq(1.0f, 0.001f, 0.0f)),
       (3L, Seq(0.0f, 1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val out = Dedup.embeddingNearDup(emb, t = 0.9)
       .select("i", "j").as[(Long, Long)].collect()
     assert(out.toSeq === Seq((1L, 2L)))
+  }
+
+  test("bucketed embedding near-dup ⊆ brute; measurable recall on real vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bucketed = Dedup.embeddingNearDup(emb)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val brute = Dedup.embeddingNearDupBrute(emb)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // precision is exact (same cosine verify), recall is the LSH trade
+    assert(bucketed.subsetOf(brute),
+      s"bucketed pairs not in brute: ${bucketed.diff(brute).take(5)}")
+    if (brute.nonEmpty)
+      info(s"multiprobe recall: ${bucketed.size}/${brute.size} = " +
+        f"${bucketed.size.toDouble / brute.size}%.3f")
+  }
+
+  test("labelComponents converges a 64-doc chain (pointer jumping)") {
+    // path graph 1-2-…-64: diameter 63. Plain 7-round propagation
+    // moves the min label only 7 hops; the jump term doubles coverage
+    // per round (2^(7−1) = 64 hops), so every vertex must land on 1.
+    val chain = (1L until 64L).map(k => (k, k + 1)).toDF("i", "j")
+    val universe = (1L to 64L).toDF("doc_id")
+    val labels = Dedup.labelComponents(chain, universe)
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(labels.size === 64)
+    assert(labels.values.forall(_ == 1L),
+      s"unconverged labels: ${labels.filter(_._2 != 1L).take(5)}")
   }
 }

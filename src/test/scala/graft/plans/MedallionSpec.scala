@@ -39,6 +39,42 @@ class MedallionSpec extends SparkSpec {
     assert(gold.toSeq === Seq(("2024-01-01", 2L, 25.0), ("2024-01-02", 1L, 20.0)))
   }
 
+  test("C1 catchup: re-running one day leaves sibling partitions byte-identical") {
+    // the reference's catchup=True backfill contract
+    // (dags/daily_pipeline.py:736-751): a day's re-run — even with
+    // changed input — must replace exactly that day's partitions
+    val lake = java.nio.file.Files.createTempDirectory("lake").toString
+    val threeDays = source :+
+      SrcOrder("O5", t("2024-01-03 09:00:00"), "C9", "P9", "Games", 7.0, 3, "completed")
+    Seq("2024-01-01", "2024-01-02", "2024-01-03")
+      .foreach(Medallion.runDay(threeDays.toDF(), lake, _))
+
+    // fingerprint every parquet file outside the re-run day
+    def fingerprint(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(lake)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("date=2024-01-02"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          p.toString -> md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = fingerprint()
+
+    // mutate day 2's input (price change) and replay just that day
+    val mutated = threeDays.map(o =>
+      if (o.order_id == "O4") o.copy(price = 99.0) else o)
+    Medallion.runDay(mutated.toDF(), lake, "2024-01-02")
+
+    assert(fingerprint() === before, "sibling day partitions were rewritten")
+    val gold = spark.read.parquet(s"$lake/gold/daily_summary")
+      .select("date", "total_revenue").as[(String, Double)].collect().toMap
+    assert(gold("2024-01-02") === 99.0) // re-run day reflects the mutation
+    assert(gold("2024-01-01") === 25.0 && gold("2024-01-03") === 21.0)
+  }
+
   test("C5: empty day is a no-op, not a crash") {
     val lake = java.nio.file.Files.createTempDirectory("lake").toString
     val r = Medallion.runDay(source.toDF(), lake, "2030-12-31")

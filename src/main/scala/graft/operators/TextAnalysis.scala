@@ -163,6 +163,140 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
   }
 
+  /** Per-row bigram array over the token stream (duplicates kept —
+    * unlike shingles this feeds frequency counts, not set overlap).
+    * The sequence guard matters: Spark's `sequence(1, 0)` counts DOWN
+    * where DuckDB's generate_series is empty.
+    */
+  private val bigramArr =
+    """CASE WHEN size(t) >= 2
+      |  THEN transform(sequence(1, size(t) - 1),
+      |    i -> concat(t[i-1], ' ', t[i]))
+      |  ELSE CAST(array() AS array<string>) END""".stripMargin
+
+  /** Per-doc cross-entropy under the corpus BIGRAM LM — the next rung
+    * of the KenLM-style quality ladder above unigramLogprob:
+    * P(w2|w1) = c(w1 w2) / c(w1 ·), both counts taken over the corpus
+    * bigram stream, NLL averaged per document. Docs with fewer than 2
+    * tokens have no bigrams and drop out (identically on both
+    * engines).
+    *
+    * Shape at scale: two vocabulary aggregates (bigram, left-context),
+    * stream re-joins on those keys, per-doc aggregate — the exact
+    * dataflow a sharded KenLM scoring pass has. Same micro-unit
+    * quantization as unigramLogprob so distributed sum order can't
+    * move the result.
+    */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .withColumn("t", tokens(lower(col("text"))))
+      .select(col("doc_id"), explode(expr(bigramArr)).as("bg"))
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("bg")).join(c1, Seq("w1"))
+      .withColumn("q_nll",
+        round(log(col("c2").cast("double") / col("c1")) * -1000000.0d)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q_nll")).as("q_sum"))
+      .withColumn("avg_nll",
+        round(col("q_sum").cast("double") / 1000000.0d / col("n_bigrams"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
+  }
+
+  val RepTopTokenMax = 0.2
+  val RepDupBigramMax = 0.5
+
+  /** Gopher-style repetition filter: top-token fraction and duplicate
+    * -bigram fraction per document, with the keep gate on the ROUNDED
+    * values (cross-engine rule). Pure per-row expressions — the
+    * distinct-token count is bounded by doc length, so the inner
+    * quadratic stays cache-resident at any corpus size.
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", tokens(lower(col("text"))))
+      .withColumn("bg", expr(bigramArr))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
+          .cast("long").as("top_tok"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bg"))
+      .withColumn("top_ratio",
+        round(col("top_tok").cast("double") / col("n_tokens"), 6))
+      .withColumn("dup_bg_ratio",
+        round(lit(1.0d) - col("n_distinct_bg").cast("double") / col("n_bigrams"), 6))
+      .withColumn("keep",
+        (col("top_ratio") <= RepTopTokenMax &&
+          col("dup_bg_ratio") <= RepDupBigramMax).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("top_ratio"),
+        col("dup_bg_ratio"), col("keep"))
+
+  /** Token budget per (source, lang) — the "how many tokens do I
+    * actually have" report every pretraining data plan starts from.
+    * One groupBy + a broadcast 1-row total; share is a division of
+    * exact integer sums.
+    */
+  def tokenBudget(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.join(broadcast(total))
+      .withColumn("share",
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("share"))
+  }
+
+  val MixRates: Seq[(String, Double)] =
+    Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+  val MixDefaultRate = 0.1
+
+  /** Deterministic domain mixing: per-source keep rates applied via a
+    * stable integer hash bucket of doc_id (no RNG — any engine, any
+    * partitioning, any re-run draws the same sample; the same device
+    * as the U4 split). The 100 TB form of "2 parts web, 1 part
+    * books": a scan-bandwidth filter, no shuffle.
+    */
+  def mixDomains(docs: DataFrame,
+                 rates: Seq[(String, Double)] = MixRates,
+                 defaultRate: Double = MixDefaultRate): DataFrame = {
+    val bucket = expr("((doc_id % 100003) * 31 + 17) % 10000")
+    val thresh = rates.foldRight(lit((defaultRate * 10000).toLong)) {
+      case ((src, r), els) =>
+        when(col("source") === src, lit((r * 10000).toLong)).otherwise(els)
+    }
+    docs.withColumn("bucket", bucket.cast("long"))
+      .filter(col("bucket") < thresh)
+      .select(col("doc_id"), col("source"), col("bucket"))
+  }
+
+  val PackSeqLen = 2048L
+
+  /** Sequence packing: assign each document to a fixed-token-budget
+    * training sequence by its cumulative start offset within its
+    * source shard (docs may straddle a boundary — the standard
+    * offset-bin approximation of greedy packing). Window is
+    * partitioned by source: no global sort, each shard packs
+    * independently — exactly how a 1000-executor packing job runs.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long = PackSeqLen): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        expr(s"(cum_tokens - n_tokens) div $seqLen"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("seq_id"))
+  }
+
   /** Canonical-text fingerprint: md5 of the normalized text plus its
     * 60-bit integer form — the key for exact dedup and shard routing.
     */
@@ -407,6 +541,81 @@ object TextAnalysis {
              |  string_split(lower(regexp_replace(trim(text),'\s+',' ','g')), ''),
              |  c -> CAST(ord(c) AS BIGINT)),
              |  (a, b) -> (a * 31 + b) % 1000000007) AS rhash
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    QueryDef("txt_bigram_logprob",
+      (s, d) => bigramLogprob(docs(s, d)),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)),'\s+') AS t FROM documents),
+             |b2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, greatest(len(t)-1, 0)),
+             |    i -> t[i] || ' ' || t[i+1])) AS bg FROM tk)),
+             |c2 AS (SELECT bg, COUNT(*) AS c2 FROM b2 GROUP BY 1),
+             |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b2 GROUP BY 1),
+             |scored AS (SELECT doc_id,
+             |    CAST(ROUND(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * -1000000.0) AS BIGINT) AS q_nll
+             |  FROM b2 JOIN c2 USING (bg) JOIN c1 USING (w1))
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |ROUND(CAST(SUM(q_nll) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_nll
+             |FROM scored GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("txt_repetition",
+      (s, d) => repetition(docs(s, d)),
+      Some(s"""WITH tk AS (SELECT doc_id,
+              |    string_split_regex(trim(lower(text)),'\\s+') AS t FROM documents),
+              |b AS (SELECT doc_id, t, list_transform(
+              |    generate_series(1, greatest(len(t)-1, 0)),
+              |    i -> t[i] || ' ' || t[i+1]) AS bg FROM tk),
+              |m AS (SELECT doc_id,
+              |  CAST(len(t) AS BIGINT) AS n_tokens,
+              |  CAST(list_max(list_transform(list_distinct(t),
+              |    x -> len(list_filter(t, y -> y = x)))) AS BIGINT) AS top_tok,
+              |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+              |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bg
+              |  FROM b)
+              |SELECT doc_id, n_tokens,
+              |ROUND(CAST(top_tok AS DOUBLE)/n_tokens, 6) AS top_ratio,
+              |ROUND(1.0 - CAST(n_distinct_bg AS DOUBLE)/n_bigrams, 6) AS dup_bg_ratio,
+              |CAST(ROUND(CAST(top_tok AS DOUBLE)/n_tokens, 6) <= $RepTopTokenMax
+              |  AND ROUND(1.0 - CAST(n_distinct_bg AS DOUBLE)/n_bigrams, 6) <= $RepDupBigramMax
+              |  AS INT) AS keep
+              |FROM m""".stripMargin)),
+
+    QueryDef("txt_token_budget",
+      (s, d) => tokenBudget(docs(s, d)),
+      Some("""WITH per AS (SELECT source, lang, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per)
+             |SELECT source, lang, n_docs, n_tokens,
+             |ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS share
+             |FROM per, tot""".stripMargin)),
+
+    QueryDef("mix_domains",
+      (s, d) => mixDomains(docs(s, d)),
+      Some {
+        val cases = MixRates.map { case (src, r) =>
+          s"WHEN source = '$src' THEN ${(r * 10000).toLong}"
+        }.mkString(" ")
+        s"""SELECT doc_id, source,
+           |((doc_id % 100003) * 31 + 17) % 10000 AS bucket
+           |FROM documents
+           |WHERE ((doc_id % 100003) * 31 + 17) % 10000 <
+           |CASE $cases ELSE ${(MixDefaultRate * 10000).toLong} END""".stripMargin
+      }),
+
+    QueryDef("txt_pack_sequences",
+      (s, d) => packSequences(docs(s, d)),
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              |    CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |c AS (SELECT doc_id, source, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+              |  FROM b)
+              |SELECT doc_id, source, n_tokens, cum_tokens,
+              |(cum_tokens - n_tokens) // $PackSeqLen AS seq_id
+              |FROM c""".stripMargin))
   )
 }

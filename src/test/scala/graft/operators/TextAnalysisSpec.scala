@@ -52,6 +52,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) > 0.0)
   }
 
+  test("bigram logprob: surprising bigrams score higher; 1-token docs drop") {
+    val corpus = Seq(
+      TDoc(1, "x y x y x y", "en"),
+      TDoc(2, "x y x q", "en"),   // 'x q' appears once in the corpus
+      TDoc(3, "solo", "en")).toDF()
+    val out = TextAnalysis.bigramLogprob(corpus)
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(3L))          // no bigrams → drops out
+    assert(out(1L)._2 === 5L && out(2L)._2 === 3L)
+    assert(out(2L)._3 > out(1L)._3)    // rare 'x q' is surprising
+  }
+
+  test("repetition: degenerate doc gated out, diverse doc kept") {
+    val corpus = Seq(
+      TDoc(1, "spam spam spam spam spam spam", "en"),
+      TDoc(2, "every token here is fully distinct wording", "en")).toDF()
+    val out = TextAnalysis.repetition(corpus)
+      .select("doc_id", "top_ratio", "dup_bg_ratio", "keep")
+      .as[(Long, Double, Double, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 1.0 && out(1L)._4 === 0)
+    assert(out(1L)._3 === 0.8)         // 5 bigrams, 1 distinct
+    assert(out(2L)._2 < 0.2 && out(2L)._4 === 1)
+  }
+
+  test("mix_domains: deterministic, rate-ordered, partition-independent") {
+    val docs = (1L to 400L).map(i => (i, s"src${i % 4}", "w"))
+      .toDF("doc_id", "source", "text")
+    val once = TextAnalysis.mixDomains(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val again = TextAnalysis.mixDomains(docs.repartition(7))
+      .select("doc_id").as[Long].collect().toSet
+    assert(once === again)
+    val bySrc = TextAnalysis.mixDomains(docs).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("src0") === 100L)                   // rate 1.0 keeps all
+    assert(bySrc("src0") > bySrc.getOrElse("src1", 0L))
+    assert(bySrc.getOrElse("src1", 0L) > bySrc.getOrElse("src3", 0L))
+  }
+
+  test("pack_sequences: offset binning packs per source shard") {
+    val docs = Seq(
+      (1L, "s", "a b c"), (2L, "s", "a b c"), (3L, "s", "a b c"),
+      (10L, "t", "a b c d e f")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(docs, seqLen = 5L)
+      .select("doc_id", "cum_tokens", "seq_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // source s: cum 3/6/9, start offsets 0/3/6 → seqs 0,0,1
+    assert(out(1L) === ((1L, 3L, 0L)))
+    assert(out(2L) === ((2L, 6L, 0L)))
+    assert(out(3L) === ((3L, 9L, 1L)))
+    assert(out(10L) === ((10L, 6L, 0L))) // t shard packs independently
+  }
+
   test("bm25: zero without query terms, tf-monotone at equal length") {
     val corpus = Seq(
       TDoc(1, "spark spark spark aaa", "en"),

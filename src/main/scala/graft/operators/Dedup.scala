@@ -379,6 +379,19 @@ object Dedup {
       .filter(col("cos") >= t)
   }
 
+  /** End product of the embedding dedup pass: connected components
+    * over the bucketed near-dup pair graph (same labelComponents
+    * machinery as the shingle path), each vector labeled with its
+    * cluster's canonical survivor. Composition of two scale-safe
+    * pieces — bucketed candidates, edge-subgraph pointer-jump CC.
+    */
+  def embeddingClusters(emb: DataFrame, t: Double = CosineT): DataFrame =
+    labelComponents(
+      embeddingNearDup(emb, t).select(col("i"), col("j")),
+      emb.select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"),
+        col("is_canonical"))
+
   /** All-pairs exact reference for the bucketed operator above — spec
     * only (recall measurement); never registered, its self-join is a
     * cartesian.
@@ -426,6 +439,38 @@ object Dedup {
   private val simhashBitsSql = (0 until 32).map(k =>
     s"(CASE WHEN b$k > 0 THEN CAST(1 AS BIGINT) << $k ELSE 0 END)")
     .mkString(" + ")
+
+  /** Oracle CTEs for the bucketed embedding candidates: hyperplane
+    * buckets (shared with Similarity), Hamming-≤2 probes, candidate
+    * pairs with exact cosine — `ecand(i, j, cos)`.
+    */
+  private val embCandSql =
+    s"""${Similarity.planesSql},
+       |probes AS (SELECT vec_id, v,
+       |    unnest([bucket] || list_transform([${Similarity.probeMasks2.mkString(", ")}],
+       |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
+       |  FROM buckets),
+       |ecand AS (SELECT a.vec_id AS i, b.vec_id AS j,
+       |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |  FROM probes a JOIN buckets b
+       |    ON a.probe = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Oracle mirror of labelComponents' rounds: per round, min over
+    * (own label, neighbors' labels, label-of-label) — identical rounds
+    * on both engines. Expects CTEs `e` (symmetric edges) and `l0`
+    * (initial labels). MATERIALIZED: each round references the
+    * previous THRICE; DuckDB inlines CTEs by default, which would
+    * expand l$ClusterRounds into 3^$ClusterRounds input scans.
+    */
+  private val ccStepsSql = (1 to ClusterRounds).map { k =>
+    s"""l$k AS MATERIALIZED (SELECT doc_id, MIN(lbl) lbl FROM (
+       |  SELECT doc_id, lbl FROM l${k - 1}
+       |  UNION ALL SELECT e.i AS doc_id, l${k - 1}.lbl
+       |  FROM e JOIN l${k - 1} ON e.j = l${k - 1}.doc_id
+       |  UNION ALL SELECT a.doc_id, b.lbl
+       |  FROM l${k - 1} a JOIN l${k - 1} b ON a.lbl = b.doc_id) GROUP BY 1)"""
+      .stripMargin
+  }.mkString(",\n")
 
   private val sigSql =
     """hs AS (SELECT doc_id, list(sh % 4294967291) AS hl FROM sh GROUP BY doc_id),
@@ -498,30 +543,15 @@ object Dedup {
 
     QueryDef("dedup_clusters",
       (s, d) => dedupClusters(docs(s, d)),
-      Some {
-        // mirror of labelComponents: per round, min over (own label,
-        // neighbors' labels, label-of-label) — identical rounds on
-        // both engines. MATERIALIZED: each round references the
-        // previous THRICE; DuckDB inlines CTEs by default, which would
-        // expand l7 into 3^7 scans of the parquet file.
-        val steps = (1 to ClusterRounds).map { k =>
-          s"""l$k AS MATERIALIZED (SELECT doc_id, MIN(lbl) lbl FROM (
-             |  SELECT doc_id, lbl FROM l${k - 1}
-             |  UNION ALL SELECT e.i AS doc_id, l${k - 1}.lbl
-             |  FROM e JOIN l${k - 1} ON e.j = l${k - 1}.doc_id
-             |  UNION ALL SELECT a.doc_id, b.lbl
-             |  FROM l${k - 1} a JOIN l${k - 1} b ON a.lbl = b.doc_id) GROUP BY 1)"""
-            .stripMargin
-        }.mkString(",\n")
+      Some(
         s"""WITH $shSql,
            |$jacSql,
            |p AS (SELECT i, j FROM jac WHERE jaccard >= $JaccardT),
            |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
            |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
-           |$steps
+           |$ccStepsSql
            |SELECT doc_id, lbl AS canonical_id,
-           |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin
-      }),
+           |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
 
     QueryDef("dedup_simhash",
       (s, d) => simhash(docs(s, d)),
@@ -560,16 +590,18 @@ object Dedup {
 
     QueryDef("dedup_embedding",
       (s, d) => embeddingNearDup(Tables.embeddings(s, d)),
-      Some(s"""WITH ${Similarity.planesSql},
-              |probes AS (SELECT vec_id, v,
-              |    unnest([bucket] || list_transform([${Similarity.probeMasks2.mkString(", ")}],
-              |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
-              |  FROM buckets)
-              |SELECT i, j, cos FROM (
-              |  SELECT a.vec_id AS i, b.vec_id AS j,
-              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-              |  FROM probes a JOIN buckets b
-              |    ON a.probe = b.bucket AND a.vec_id < b.vec_id)
-              |WHERE cos >= $CosineT""".stripMargin))
+      Some(s"""WITH $embCandSql
+              |SELECT i, j, cos FROM ecand
+              |WHERE cos >= $CosineT""".stripMargin)),
+
+    QueryDef("dedup_embedding_clusters",
+      (s, d) => embeddingClusters(Tables.embeddings(s, d)),
+      Some(s"""WITH $embCandSql,
+              |p AS (SELECT i, j FROM ecand WHERE cos >= $CosineT),
+              |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+              |l0 AS MATERIALIZED (SELECT vec_id AS doc_id, vec_id AS lbl FROM embeddings),
+              |$ccStepsSql
+              |SELECT doc_id AS vec_id, lbl AS canonical_id,
+              |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin))
   )
 }

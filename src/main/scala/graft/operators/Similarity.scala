@@ -202,6 +202,26 @@ object Similarity {
         round(col("q_sum").cast("double") / col("n_vecs") / 1000000.0d, 6)
           .as("centroid"))
 
+  /** Int8 quantization of the embedding column — the storage/serving
+    * compression pass every vector store applies before ANN at scale:
+    * per-vector min/max range, code = round((v−mn)·255/(mx−mn)),
+    * long form (vec_id, idx, code) + the rounded range for
+    * dequantization. Pure per-row expressions at scan bandwidth; the
+    * fixed-shape double arithmetic is mirrored operand-for-operand by
+    * the oracle, so codes are bit-identical.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    vecs(emb)
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("idx", "value")),
+        col("mn"), col("mx"))
+      .select(col("vec_id"), col("idx"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(round((col("value") - col("mn")) * 255.0d /
+            (col("mx") - col("mn"))).cast("long")).as("code"),
+        round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"))
+
   // ---- driver-contract registry ----
 
   /** Shared with Dedup's embedding near-dup oracle, which reuses the
@@ -272,6 +292,18 @@ object Similarity {
               |  / COUNT(*) / 1000000.0, 6) AS centroid
               |FROM embeddings, (SELECT unnest(generate_series(0, ${Dim - 1})) i) g
               |GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("sim_quantize_int8",
+      (s, d) => quantizeInt8(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |b AS (SELECT vec_id, v, list_min(v) mn, list_max(v) mx FROM e),
+              |x AS (SELECT vec_id, g.i AS idx, v[g.i + 1] AS value, mn, mx
+              |  FROM b, (SELECT unnest(generate_series(0, ${Dim - 1})) i) g)
+              |SELECT vec_id, CAST(idx AS INT) AS idx,
+              |CAST(CASE WHEN mx = mn THEN 0
+              |  ELSE ROUND((value - mn) * 255.0 / (mx - mn)) END AS BIGINT) AS code,
+              |ROUND(mn, 6) AS mn, ROUND(mx, 6) AS mx
+              |FROM x""".stripMargin)),
 
     QueryDef("sim_knn_ivf",
       (s, d) => knnIvf(Tables.embeddings(s, d)),

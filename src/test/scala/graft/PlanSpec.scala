@@ -120,6 +120,19 @@ class PlanSpec extends SparkSpec {
     assert(!unpivot.contains("Exchange"), "unpivot must not shuffle")
   }
 
+  test("curation ops stay scan-shaped (no gratuitous shuffles)") {
+    // domain mixing is a pure filter; quantization a pure generator —
+    // zero exchanges at any corpus size
+    assert(!planOf("mix_domains").contains("Exchange"),
+      "mix_domains introduced a shuffle")
+    assert(!planOf("sim_quantize_int8").contains("Exchange"),
+      "quantization introduced a shuffle")
+    // packing windows per source shard: exactly one exchange
+    val pack = planOf("txt_pack_sequences")
+    assert("Exchange hashpartitioning".r.findAllIn(pack).length === 1,
+      s"packing should shuffle once on source:\n${pack.take(600)}")
+  }
+
   test("funnel: single sort order serves both window passes (one shuffle)") {
     val p = planOf("e2_funnel")
     // both chained window passes share the (user_id, ts, event_id)

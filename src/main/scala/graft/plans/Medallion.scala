@@ -58,6 +58,33 @@ object Medallion {
       .agg(count(lit(1)).as("order_count"), dsum(col("total")).as("revenue"))
       .withColumn("date", lit(ds))
 
+  /** Copy-on-write MERGE (upsert) over a date-partitioned parquet
+    * table — the Delta/Hudi upsert shape without a table format:
+    * rewrite ONLY the partitions the updates touch. Existing rows in
+    * touched partitions are anti-joined out by key and replaced by /
+    * unioned with the update rows; untouched partitions are never
+    * read or written (partition pruning bounds the rewrite, which is
+    * what makes late-arriving corrections affordable on a 100 TB
+    * table).
+    *
+    * `updates` must carry the partition column `date` and the merge
+    * key. The merged frame is localCheckpoint-ed before the write:
+    * it materializes off the source files, so the dynamic-partition
+    * overwrite isn't rejected as a read-write cycle on `dir`.
+    */
+  def upsertPartitioned(spark: SparkSession, dir: String,
+                        updates: DataFrame, key: String): Unit = {
+    val days = updates.select(col("date")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (days.isEmpty) return
+    val existing = spark.read.parquet(dir)
+      .filter(col("date").isin(days: _*))
+    val merged = existing.join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+      .localCheckpoint()
+    write(merged, dir)
+  }
+
   /** One day end-to-end, bronze→silver→gold on disk. Idempotent per
     * partition; total on empty days.
     */

@@ -75,6 +75,36 @@ class MedallionSpec extends SparkSpec {
     assert(gold("2024-01-01") === 25.0 && gold("2024-01-03") === 21.0)
   }
 
+  test("upsert rewrites only touched partitions (copy-on-write MERGE)") {
+    val dir = java.nio.file.Files.createTempDirectory("cow").toString + "/t"
+    val base = Seq(
+      ("K1", 10.0, "2024-01-01"), ("K2", 20.0, "2024-01-01"),
+      ("K3", 30.0, "2024-01-02"), ("K4", 40.0, "2024-01-02"))
+      .toDF("k", "v", "date")
+    base.write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date").parquet(dir)
+
+    def filesOf(day: String) =
+      new java.io.File(s"$dir/date=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    val day1Before = filesOf("2024-01-01")
+
+    // update K3, insert K5 — both land in day 2 only
+    val updates = Seq(("K3", 99.0, "2024-01-02"), ("K5", 50.0, "2024-01-02"))
+      .toDF("k", "v", "date")
+    Medallion.upsertPartitioned(spark, dir, updates, "k")
+
+    assert(filesOf("2024-01-01") === day1Before,
+      "untouched partition was rewritten")
+    val got = spark.read.parquet(dir).select("k", "v", "date")
+      .as[(String, Double, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("K1", 10.0, "2024-01-01"), ("K2", 20.0, "2024-01-01"),
+      ("K3", 99.0, "2024-01-02"), ("K4", 40.0, "2024-01-02"),
+      ("K5", 50.0, "2024-01-02")))
+  }
+
   test("C5: empty day is a no-op, not a crash") {
     val lake = java.nio.file.Files.createTempDirectory("lake").toString
     val r = Medallion.runDay(source.toDF(), lake, "2030-12-31")

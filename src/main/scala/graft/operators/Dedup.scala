@@ -274,6 +274,42 @@ object Dedup {
         col("overlap_ratio"), col("contaminated"))
   }
 
+  /** The 100 TB form of evalContamination: the train side collapses
+    * to a BLOOM FILTER built in one aggregate pass and broadcast to
+    * every executor — the eval scan probes it locally, so the
+    * train-side shuffle/join disappears entirely (at fpp false-positive
+    * cost; the filter can only OVER-count overlap, never under-count).
+    * The probe is a plain long-hash lookup wrapped in a UDF — the one
+    * place a UDF is warranted here, since BloomFilter has no Column
+    * algebra; the per-row cost is a few hash multiplies.
+    * Sketch contents are engine-specific → spec-checked against the
+    * exact operator (superset property), not oracle-registered.
+    */
+  def evalContaminationBloom(docs: DataFrame, t: Double = ContamT,
+                             fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val withB = docs.withColumn("b", bucket10(col("doc_id"), lit(5L)))
+    val trainSh = docShingleHashes(withB.filter(col("b") < 8).drop("b"))
+      .select(col("sh")).distinct()
+    val expected = math.max(trainSh.count(), 1L)
+    val bf = trainSh.stat.bloomFilter("sh", expected, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val evalSh = docShingleHashes(withB.filter(col("b") >= 8).drop("b"))
+      .localCheckpoint(false)
+    val n = evalSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hit = evalSh.filter(mightContain(col("sh")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    n.join(hit, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated", (col("overlap_ratio") >= t).cast("int"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("overlap_ratio"), col("contaminated"))
+  }
+
   /** Cluster canonicalization — the end product of a dedup pass:
     * connected components over the near-dup pair graph, each doc
     * labeled with its cluster's min doc_id (the canonical survivor).

@@ -138,6 +138,26 @@ class DedupSpec extends SparkSpec {
         f"${bucketed.size.toDouble / brute.size}%.3f")
   }
 
+  test("bloom decontamination never under-counts the exact overlap") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.evalContamination(real)
+      .select("doc_id", "n_overlap", "contaminated")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // fpp tight enough that most docs see zero false-positive probes
+    // (a doc makes ~100 probes; at 1e-3 P(all exact) ≈ 0.9)
+    val bloom = Dedup.evalContaminationBloom(real, fpp = 0.001)
+      .select("doc_id", "n_overlap", "contaminated")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(bloom.keySet === exact.keySet)
+    // a bloom filter has no false negatives: overlap can only grow
+    exact.foreach { case (id, (_, nOv, flag)) =>
+      assert(bloom(id)._2 >= nOv, s"bloom under-counted doc $id")
+      assert(bloom(id)._3 >= flag, s"bloom cleared an exact flag on $id")
+    }
+    val agree = exact.count { case (id, (_, nOv, _)) => bloom(id)._2 == nOv }
+    assert(agree >= (exact.size * 0.8).toInt, s"only $agree/${exact.size} exact")
+  }
+
   test("labelComponents converges a 64-doc chain (pointer jumping)") {
     // path graph 1-2-…-64: diameter 63. Plain 7-round propagation
     // moves the min label only 7 hops; the jump term doubles coverage

@@ -291,15 +291,21 @@ object Dedup {
     val withB = docs.withColumn("b", bucket10(col("doc_id"), lit(5L)))
     val trainSh = docShingleHashes(withB.filter(col("b") < 8).drop("b"))
       .select(col("sh")).distinct()
-    val expected = math.max(trainSh.count(), 1L)
-    val bf = trainSh.stat.bloomFilter("sh", expected, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val nTrain = trainSh.count()
     val evalSh = docShingleHashes(withB.filter(col("b") >= 8).drop("b"))
       .localCheckpoint(false)
     val n = evalSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
-    val hit = evalSh.filter(mightContain(col("sh")))
+    // Spark's stat.bloomFilter NPEs on an empty frame; an empty train
+    // split trivially means zero overlap
+    val probe =
+      if (nTrain == 0) lit(false)
+      else {
+        val bf = trainSh.stat.bloomFilter("sh", nTrain, fpp)
+        val bc = spark.sparkContext.broadcast(bf)
+        udf((h: Long) => bc.value.mightContainLong(h)).apply(col("sh"))
+      }
+    val hit = evalSh.filter(probe)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
     n.join(hit, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))

@@ -98,6 +98,20 @@ class EmptyInputSpec extends SparkSpec {
         "w" -> LongType)).count() === 0)
   }
 
+  test("round-3 operators are total on empty input") {
+    assert(TextAnalysis.bigramLogprob(docs0).count() === 0)
+    assert(TextAnalysis.repetition(docs0).count() === 0)
+    assert(TextAnalysis.tokenBudget(docs0).count() === 0)
+    assert(TextAnalysis.mixDomains(docs0).count() === 0)
+    assert(TextAnalysis.packSequences(docs0).count() === 0)
+    assert(Dedup.embeddingClusters(emb0).count() === 0)
+    assert(Dedup.evalContaminationBloom(docs0).count() === 0)
+    assert(Similarity.quantizeInt8(emb0).count() === 0)
+    val w0 = empty("user_id" -> LongType, "item_id" -> LongType,
+      "w" -> LongType)
+    assert(Recommend.itemSimilarityWeighted(w0).count() === 0)
+  }
+
   test("multimodal plumbing is total on an empty media table") {
     val m = Multimodal.mediaTable(docs0)
     assert(Multimodal.decode(m).count() === 0)

@@ -166,9 +166,7 @@ object Alerts {
           m.foreach { case (name, df) =>
             df.write.mode("overwrite").parquet(s"$outDir/$name")
           }
-          import spark.implicits._
-          Seq((batchId, System.currentTimeMillis()))
-            .toDF("batch_id", "updated_at_ms")
+          Dashboard.stampMarker(spark, batchId, System.currentTimeMillis())
             .write.mode("append").parquet(s"$outDir/notifications")
         }
       }

@@ -15,6 +15,36 @@ object Dashboard {
 
   val ValidStatuses = Seq("completed", "processing", "pending")
 
+  /** Freshness-marker TTL semantics (reference
+    * dags/micro_batch_dashboard.py:182-186: Redis markers written
+    * with an expiry so consumers can tell a live dashboard from a
+    * stalled one). The parquet analog: markers carry `expires_at_ms`;
+    * readers filter to live rows, and a compaction pass physically
+    * drops expired rows — Redis's eviction, run as maintenance
+    * instead of per-key timers.
+    */
+  val MarkerTtlMs: Long = 120000L
+
+  def stampMarker(spark: org.apache.spark.sql.SparkSession, batchId: Long,
+                  nowMs: Long, ttlMs: Long = MarkerTtlMs): DataFrame = {
+    import spark.implicits._
+    Seq((batchId, nowMs, nowMs + ttlMs))
+      .toDF("batch_id", "updated_at_ms", "expires_at_ms")
+  }
+
+  /** Read-side TTL: only markers whose expiry is in the future. */
+  def liveMarkers(markers: DataFrame, nowMs: Long): DataFrame =
+    markers.filter(col("expires_at_ms") > nowMs)
+
+  /** Eviction: rewrite the marker table without expired rows
+    * (localCheckpoint breaks the read-write cycle on the path).
+    */
+  def compactMarkers(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, nowMs: Long): Unit =
+    liveMarkers(spark.read.parquet(dir), nowMs)
+      .localCheckpoint()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+
   def validOrders(orders: DataFrame): DataFrame =
     orders.filter(col("status").isin(ValidStatuses: _*))
 

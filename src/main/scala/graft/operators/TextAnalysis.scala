@@ -302,6 +302,62 @@ object TextAnalysis {
         col("cum_tokens"), col("seq_id"))
   }
 
+  val ChunkW = 50
+  val ChunkStride = 40
+
+  /** Overlapping token-window chunking — the RAG / context-window
+    * split: chunks start every `stride` tokens and span `w` tokens
+    * (clamped at the end), so consecutive chunks overlap by
+    * `w − stride`. Pure per-row generator (explode of an expression-
+    * built array): runs at scan bandwidth, no shuffle.
+    */
+  def chunk(docs: DataFrame, w: Int = ChunkW,
+            stride: Int = ChunkStride): DataFrame =
+    docs
+      // empty text still "tokenizes" to one empty string — gate on
+      // the trimmed raw text instead (mirrored in the oracle)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), expr(
+        s"""explode(transform(sequence(0, size(t) - 1, $stride),
+           |  s -> struct(s AS start_tok,
+           |    size(slice(t, s + 1, $w)) AS n_chunk_tokens,
+           |    concat_ws(' ', slice(t, s + 1, $w)) AS chunk)))""".stripMargin)
+        .as("c"))
+      .select(col("doc_id"),
+        expr(s"c.start_tok div $stride").as("chunk_id"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        col("c.n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+        col("c.chunk"))
+
+  /** The composed curation gate — the one-query form of the full
+    * text-side filter pipeline: quality score, repetition gate,
+    * language ID, and exact-dup canonicalization joined into a single
+    * keep decision per document. This is the query a corpus curator
+    * actually ships; each flag is also emitted so drop reasons are
+    * auditable. All component semantics identical to their standalone
+    * operators.
+    */
+  def corpusGate(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs)
+      .select(col("doc_id"), col("quality"), col("keep").as("q_keep"))
+    val r = repetition(docs)
+      .select(col("doc_id"), col("keep").as("r_keep"))
+    val l = langId(docs)
+      .withColumn("l_keep", (col("pred_lang") === "en").cast("int"))
+      .select(col("doc_id"), col("pred_lang"), col("l_keep"))
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5Hex(normText(col("text"))))
+    val canon = docs
+      .withColumn("is_canonical",
+        (col("doc_id") === min(col("doc_id")).over(wFp)).cast("int"))
+      .select(col("doc_id"), col("is_canonical"))
+    q.join(r, Seq("doc_id")).join(l, Seq("doc_id")).join(canon, Seq("doc_id"))
+      .withColumn("keep",
+        (col("q_keep") === 1 && col("r_keep") === 1 &&
+          col("l_keep") === 1 && col("is_canonical") === 1).cast("int"))
+  }
+
   /** Canonical-text fingerprint: md5 of the normalized text plus its
     * 60-bit integer form — the key for exact dedup and shard routing.
     */
@@ -611,6 +667,68 @@ object TextAnalysis {
            |FROM documents
            |WHERE ((doc_id % 100003) * 31 + 17) % 10000 <
            |CASE $cases ELSE ${(MixDefaultRate * 10000).toLong} END""".stripMargin
+      }),
+
+    QueryDef("txt_chunk",
+      (s, d) => chunk(docs(s, d)),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS t
+              |  FROM documents WHERE len(trim(text)) > 0),
+              |c AS (SELECT doc_id, t,
+              |    unnest(generate_series(0, len(t) - 1, $ChunkStride)) AS s
+              |  FROM tk)
+              |SELECT doc_id, s // $ChunkStride AS chunk_id,
+              |CAST(s AS BIGINT) AS start_tok,
+              |CAST(len(t[s+1 : s+$ChunkW]) AS BIGINT) AS n_chunk_tokens,
+              |array_to_string(t[s+1 : s+$ChunkW], ' ') AS chunk
+              |FROM c""".stripMargin)),
+
+    QueryDef("txt_corpus_gate",
+      (s, d) => corpusGate(docs(s, d)),
+      Some {
+        val toks = "string_split_regex(trim(text),'\\s+')"
+        val toksL = "string_split_regex(trim(lower(text)),'\\s+')"
+        val g = "GREATEST(en_hits,de_hits,fr_hits,es_hits)"
+        s"""WITH q AS (SELECT doc_id,
+           |  ROUND(CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) * 0.5
+           |    + LEAST(CAST(len($toks) AS DOUBLE)/100.0, 1.0) * 0.3
+           |    + CAST(${sqlHits(StopEn)} AS DOUBLE) / len($toks) * 0.2, 6) AS quality
+           |  FROM documents),
+           |qq AS (SELECT doc_id, quality,
+           |  CAST(quality >= 0.4 AS INT) AS q_keep FROM q),
+           |rb AS (SELECT doc_id, $toksL AS t,
+           |    list_transform(generate_series(1, greatest(len($toksL)-1, 0)),
+           |      i -> $toksL[i] || ' ' || $toksL[i+1]) AS bg
+           |  FROM documents),
+           |rm AS (SELECT doc_id,
+           |  ROUND(CAST(list_max(list_transform(list_distinct(t),
+           |    x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t), 6) AS top_ratio,
+           |  ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) AS dup_bg_ratio
+           |  FROM rb),
+           |rr AS (SELECT doc_id, CAST(top_ratio <= $RepTopTokenMax
+           |  AND dup_bg_ratio <= $RepDupBigramMax AS INT) AS r_keep FROM rm),
+           |lh AS (SELECT doc_id,
+           |  CAST(${sqlHits(StopEn)} AS BIGINT) AS en_hits,
+           |  CAST(${sqlHits(StopDe)} AS BIGINT) AS de_hits,
+           |  CAST(${sqlHits(StopFr)} AS BIGINT) AS fr_hits,
+           |  CAST(${sqlHits(StopEs)} AS BIGINT) AS es_hits
+           |  FROM documents),
+           |ll AS (SELECT doc_id, CASE
+           |  WHEN $g = 0 THEN 'und'
+           |  WHEN en_hits = $g THEN 'en'
+           |  WHEN de_hits = $g THEN 'de'
+           |  WHEN fr_hits = $g THEN 'fr'
+           |  ELSE 'es' END AS pred_lang FROM lh),
+           |l2 AS (SELECT doc_id, pred_lang,
+           |  CAST(pred_lang = 'en' AS INT) AS l_keep FROM ll),
+           |canon AS (SELECT doc_id, CAST(doc_id = MIN(doc_id) OVER (
+           |    PARTITION BY md5(lower(regexp_replace(trim(text),'\\s+',' ','g'))))
+           |  AS INT) AS is_canonical FROM documents)
+           |SELECT qq.doc_id, qq.quality, qq.q_keep, rr.r_keep,
+           |l2.pred_lang, l2.l_keep, canon.is_canonical,
+           |CAST(qq.q_keep = 1 AND rr.r_keep = 1 AND l2.l_keep = 1
+           |  AND canon.is_canonical = 1 AS INT) AS keep
+           |FROM qq JOIN rr USING (doc_id) JOIN l2 USING (doc_id)
+           |JOIN canon USING (doc_id)""".stripMargin
       }),
 
     QueryDef("txt_pack_sequences",

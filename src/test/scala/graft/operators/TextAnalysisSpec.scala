@@ -106,6 +106,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10L) === ((10L, 6L, 0L))) // t shard packs independently
   }
 
+  test("chunking: overlapping windows, clamped tail, empty doc drops") {
+    val docs = Seq(
+      TDoc(1, (1 to 95).map(i => s"w$i").mkString(" "), "en"),
+      TDoc(2, "", "en")).toDF()
+    val out = TextAnalysis.chunk(docs, w = 50, stride = 40)
+      .select("doc_id", "chunk_id", "start_tok", "n_chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    // starts at 0, 40, 80; tail clamped to 15 tokens; doc 2 has none
+    assert(out.toSeq === Seq((1L, 0L, 0L, 50L), (1L, 1L, 40L, 50L),
+      (1L, 2L, 80L, 15L)))
+    val c0 = TextAnalysis.chunk(docs, 50, 40)
+      .filter(org.apache.spark.sql.functions.col("chunk_id") === 0)
+      .select("chunk").as[String].head()
+    assert(c0.startsWith("w1 w2 ") && c0.endsWith(" w50"))
+  }
+
+  test("corpus gate: any failing component flips the final keep") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it ran away to find some other interesting things in a forest"
+    val docs = Seq(
+      TDoc(1, good, "en"),                       // passes everything
+      TDoc(2, good, "en"),                       // exact dup of 1 → dropped
+      TDoc(3, "spam spam spam spam spam spam the of and to in is a", "en"),
+      TDoc(4, "der hund und die katze ist ein der und die das ist ein tier heute", "de"))
+      .toDF()
+    val out = TextAnalysis.corpusGate(docs)
+      .select("doc_id", "q_keep", "r_keep", "l_keep", "is_canonical", "keep")
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._6 === 1, s"doc 1 should pass: ${out(1L)}")
+    assert(out(2L)._5 === 0 && out(2L)._6 === 0)  // dup loses canonicality
+    assert(out(3L)._2 === 0 || out(3L)._3 === 0)  // degenerate text gated
+    assert(out(3L)._6 === 0)
+    assert(out(4L)._4 === 0 && out(4L)._6 === 0)  // non-English gated
+  }
+
   test("bm25: zero without query terms, tf-monotone at equal length") {
     val corpus = Seq(
       TDoc(1, "spark spark spark aaa", "en"),

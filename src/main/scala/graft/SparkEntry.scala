@@ -23,7 +23,8 @@ object SparkEntry {
       operators.StreamingBatch.defs ++
       operators.Multimodal.defs ++
       operators.Temporal.defs ++
-      operators.Events.defs
+      operators.Events.defs ++
+      operators.Graph.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

@@ -579,6 +579,100 @@ object Relational {
       Some("""SELECT CASE WHEN ((l_orderkey % 100003) * 31 + l_linenumber * 97) % 10 < 8
              |THEN 'train' ELSE 'eval' END AS split,
              |COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders
-             |FROM lineitem GROUP BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // A26 (beyond-ref): the navigation/distribution window-function
+    // suite over each customer's order history — lag (days since the
+    // previous order), ntile quartiles, and the rank ratios. One
+    // shuffle on o_custkey serves every window (identical
+    // partition+order spec), so the whole row is produced in a single
+    // Window operator pass. percent_rank/cume_dist are re-derived
+    // from (rn, n) as exact integer ratios rounded once — engine
+    // round-off conventions for the built-ins (0/0 at n=1) never
+    // enter the compare.
+    QueryDef("a26_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("o_orderdate"), col("order_id"))
+        val wAll = Window.partitionBy(col("user_id"))
+        ord(s, d)
+          .select(col("o_custkey").as("user_id"),
+            col("o_orderkey").as("order_id"), col("o_orderdate"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("prev_order_id", lag(col("order_id"), 1).over(w))
+          .withColumn("gap_days",
+            datediff(to_date(col("o_orderdate")),
+              to_date(lag(col("o_orderdate"), 1).over(w))).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank",
+            when(col("n") === 1, lit(0.0d)).otherwise(
+              round((col("rn") - 1).cast("double") / (col("n") - 1), 6)))
+          .withColumn("cume",
+            round(col("rn").cast("double") / col("n"), 6))
+          .select(col("user_id"), col("order_id"), col("rn"),
+            col("prev_order_id"), col("gap_days"), col("quartile"),
+            col("pct_rank"), col("cume"))
+      },
+      Some("""WITH w AS (SELECT o_custkey AS user_id, o_orderkey AS order_id,
+             |    CAST(ROW_NUMBER() OVER win AS BIGINT) AS rn,
+             |    CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+             |    LAG(o_orderkey, 1) OVER win AS prev_order_id,
+             |    CAST(CAST(o_orderdate AS DATE)
+             |      - CAST(LAG(o_orderdate, 1) OVER win AS DATE) AS BIGINT) AS gap_days,
+             |    CAST(NTILE(4) OVER win AS BIGINT) AS quartile
+             |  FROM orders
+             |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+             |SELECT user_id, order_id, rn, prev_order_id, gap_days, quartile,
+             |CASE WHEN n = 1 THEN 0.0
+             |  ELSE ROUND(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) END AS pct_rank,
+             |ROUND(CAST(rn AS DOUBLE) / n, 6) AS cume
+             |FROM w""".stripMargin)),
+
+    // A27 (beyond-ref): exact covariance/correlation between quantity
+    // and discount per return flag. Built-in covar_pop/corr aggregate
+    // doubles in engine-internal order, so instead the five moment
+    // sums are accumulated as exact integers (quantity is integral;
+    // discount re-enters integer space as whole percent points) and
+    // the statistics are one fixed-shape double expression at
+    // emission — sqrt is IEEE-correctly-rounded, so both engines
+    // produce the same bits. Scale: a single map-side-combined
+    // aggregate to status grain; the moment products stay < 2^63 up
+    // to ~10⁹ rows per group.
+    QueryDef("a27_corr",
+      (s, d) => {
+        val m = li(s, d)
+          .select(col("l_returnflag").as("status"),
+            col("l_quantity").cast("long").as("x"),
+            round(col("l_discount") * 100, 0).cast("long").as("y"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        m.select(col("status"), col("n"),
+          round((col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+            / col("n"), 6).as("covar_pop"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6).as("corr"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag AS status,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             |    CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS sy,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS sxy,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             |    CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT) * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS syy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT status, n,
+             |ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n, 6) AS covar_pop,
+             |ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             |  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             |    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+             |FROM m""".stripMargin))
   )
 }

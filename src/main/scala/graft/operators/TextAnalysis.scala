@@ -210,6 +210,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
   }
 
+  /** PII span patterns — the RE2 ∩ Java-regex common subset (char
+    * classes, bounded repeats, \b; no lookaround) so Spark and DuckDB
+    * match identical spans.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Redact PII spans in (user_id, text) rows: per-span counts plus
+    * the scrubbed text. Pure per-row work at scan bandwidth.
+    */
+  def piiRedact(contacts: DataFrame): DataFrame =
+    contacts.select(col("user_id"),
+      regexp_count(col("text"), lit(PiiEmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PiiPhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(col("text"), PiiEmailRe, "[EMAIL]"),
+        PiiPhoneRe, "[PHONE]").as("clean_text"))
+
   val RepTopTokenMax = 0.2
   val RepDupBigramMax = 0.5
 
@@ -742,6 +760,36 @@ object TextAnalysis {
               |  FROM b)
               |SELECT doc_id, source, n_tokens, cum_tokens,
               |(cum_tokens - n_tokens) // $PackSeqLen AS seq_id
-              |FROM c""".stripMargin))
+              |FROM c""".stripMargin)),
+
+    // PII scrubbing (beyond-ref): the redaction pass every
+    // training-data pipeline runs before packing. The synthetic
+    // documents carry no PII-shaped spans, so the query derives a
+    // deterministic contact card per customer (name, e-mail, phone)
+    // and redacts it — the regex machinery, counts, and replacement
+    // plumbing are what's under test. Patterns are RE2∩Java-regex
+    // compatible (char classes + \b only, no lookaround) so both
+    // engines match identical spans; replacement is per-row at scan
+    // bandwidth — no shuffle at any corpus size.
+    QueryDef("pii_redact",
+      (s, d) => {
+        val text = concat(col("c_name"), lit(" <"),
+          lower(regexp_replace(col("c_name"), "#", ".")),
+          lit("@example.com> ph 555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+        piiRedact(graft.Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), text.as("text")))
+      },
+      Some(s"""WITH t AS (SELECT c_custkey AS user_id,
+              |    c_name || ' <' || lower(replace(c_name, '#', '.'))
+              |      || '@example.com> ph 555-'
+              |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS text
+              |  FROM customer)
+              |SELECT user_id,
+              |CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+              |CAST(len(regexp_extract_all(text, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+              |regexp_replace(regexp_replace(text, '$PiiEmailRe', '[EMAIL]', 'g'),
+              |  '$PiiPhoneRe', '[PHONE]', 'g') AS clean_text
+              |FROM t""".stripMargin))
   )
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Star: user 1 interacts with items 10,11,12; users 2,3 with item 10.
+  private def starInter = Seq(
+    (1L, 10L), (1L, 11L), (1L, 12L),
+    (2L, 10L), (3L, 10L)
+  ).toDF("user_id", "item_id")
+
+  test("pagerank conserves total mass up to integer-division loss") {
+    val r = Graph.pagerankFrom(starInter, iters = 3)
+    val total = r.agg(sum("rank")).as[Long].head()
+    val n = r.count()
+    // each node loses < deg units per round to integer division, and
+    // the teleport base floor loses < 100*N units per round
+    assert(n == 6) // users 1-3 + items 10-12
+    assert(total <= Graph.Scale)
+    assert(total > GraphSpecUtil.massLowerBound(Graph.Scale, n, rounds = 3))
+  }
+
+  test("hub nodes outrank leaves, symmetric leaves tie exactly") {
+    val r = Graph.pagerankFrom(starInter, iters = 5)
+      .select(col("node_type"), col("id"), col("rank"))
+      .as[(String, Long, Long)].collect().toSeq
+    val rank = r.map { case (t, i, v) => (t, i) -> v }.toMap
+    // item 10 (deg 3) and user 1 (deg 3) are the two hubs
+    assert(rank(("item", 10L)) > rank(("item", 11L)))
+    assert(rank(("user", 1L)) > rank(("user", 2L)))
+    // symmetric positions get bit-identical ranks
+    assert(rank(("item", 11L)) == rank(("item", 12L)))
+    assert(rank(("user", 2L)) == rank(("user", 3L)))
+  }
+
+  test("iteration is a fixpoint map: rank vector is deterministic") {
+    val a = Graph.pagerankFrom(starInter, iters = 4)
+      .orderBy("node_type", "id").as[(String, Long, Long)].collect().toSeq
+    val b = Graph.pagerankFrom(starInter.repartition(3), iters = 4)
+      .orderBy("node_type", "id").as[(String, Long, Long)].collect().toSeq
+    assert(a == b) // partitioning must not change a single unit
+  }
+}
+
+private object GraphSpecUtil {
+  /** Loose lower bound on conserved mass: per round each of n nodes
+    * floors twice (contribution div, damping div) plus the teleport
+    * floor — bound the loss generously at 200 units per node-round.
+    */
+  def massLowerBound(scale: Long, n: Long, rounds: Int): Long =
+    scale - 200L * n * rounds - n
+}

@@ -142,6 +142,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L)._4 === 0 && out(4L)._6 === 0)  // non-English gated
   }
 
+  test("pii redact: counts every span, scrubbed text has no residue") {
+    val df = Seq(
+      (1L, "mail a.b-c_d@sub.example.org and x@y.io call 555-1234 ok"),
+      (2L, "no pii here, 555-12 is too short and a@b is not a mail"),
+      (3L, "555-0000 555-9999")).toDF("user_id", "text")
+    val out = TextAnalysis.piiRedact(df)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 2 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "mail [EMAIL] and [EMAIL] call [PHONE] ok")
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0 &&
+      out(2L)._4 == "no pii here, 555-12 is too short and a@b is not a mail")
+    assert(out(3L)._4 == "[PHONE] [PHONE]")
+  }
+
   test("bm25: zero without query terms, tf-monotone at equal length") {
     val corpus = Seq(
       TDoc(1, "spark spark spark aaa", "en"),

@@ -110,6 +110,71 @@ object Events {
               |  AND lvc IS NOT NULL AND ts_us - lvc <= $FunnelWindowUs
               |  THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS conv_rate
               |FROM s2 WHERE event_type = 'purchase'
-              |GROUP BY user_id""".stripMargin))
+              |GROUP BY user_id""".stripMargin)),
+
+    // E3 (beyond-ref): first-order Markov transition matrix over each
+    // user's event sequence — the user-journey model behind funnel
+    // design. One (user, ts) window pass for the lag, then a
+    // type²-grain aggregate; transition probabilities are exact
+    // integer count ratios rounded once. The |types|² output is
+    // constant-size at any corpus scale.
+    QueryDef("e3_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val wSrc = Window.partitionBy(col("prev_type"))
+        ev(s, d).drop("props")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p_next",
+            round(col("n").cast("double") / sum(col("n")).over(wSrc), 6))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             |    event_type FROM events),
+             |seq AS (SELECT event_type,
+             |    LAG(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id) AS prev_type FROM e),
+             |t AS (SELECT prev_type, event_type AS next_type,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, next_type, n,
+             |ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
+             |  AS p_next
+             |FROM t""".stripMargin)),
+
+    // E4 (beyond-ref): cohort retention triangle — users grouped by
+    // first-activity day, counted per day offset. Two aggregates
+    // (user grain, then cohort×offset grain), both map-side
+    // combinable; the output is |days|²/2 rows regardless of user
+    // count. The classic growth-dashboard query.
+    QueryDef("e4_retention",
+      (s, d) => {
+        val days = ev(s, d)
+          .select(col("user_id"),
+            to_date(timestamp_micros(col("ts_us"))).as("day"))
+          .distinct()
+        val cohort = days.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        // `days` is distinct on (user, day) and offset is a function
+        // of day for a fixed user, so each user hits a (cohort,
+        // offset) cell at most once: COUNT(*) == COUNT(DISTINCT user)
+        // without the distinct-aggregate's extra exchange.
+        days.join(cohort, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long")
+              .as("offset_days"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |cohort AS (SELECT user_id, MIN(day) AS cohort_day
+             |  FROM days GROUP BY 1)
+             |SELECT cohort_day,
+             |CAST(day - cohort_day AS BIGINT) AS offset_days,
+             |COUNT(*) AS n_users
+             |FROM days JOIN cohort USING (user_id)
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -51,18 +51,26 @@ object Graph {
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint(false)
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // Decorate each edge with its DESTINATION's degree once, so the
+    // rank vector can carry (pr, deg) and each iteration costs exactly
+    // one equi-join + one aggregate — no per-round join against deg.
+    val edgesD = edges
+      .join(deg.select(col("node").as("dst"), col("deg").as("dst_deg")), "dst")
+      .localCheckpoint(false)
     var r = deg.crossJoin(nNodes) // 1-row build side: broadcast-nl, not a real cross
-      .select(col("node"), expr(s"$Scale div n_nodes").as("pr"), col("n_nodes"))
+      .select(col("node"), expr(s"$Scale div n_nodes").as("pr"),
+        col("deg"), col("n_nodes"))
     for (_ <- 1 to iters) {
-      val contrib = r.join(deg, "node")
-        .select(col("node"), expr("pr div deg").as("c"), col("n_nodes"))
-      r = edges.join(contrib, edges("src") === contrib("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("in_mass"), max(col("n_nodes")).as("n_nodes"))
-        .select(col("node"),
+      val contrib = r.select(col("node"),
+        expr("pr div deg").as("c"), col("n_nodes"))
+      r = edgesD.join(contrib, edgesD("src") === contrib("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_mass"), max(col("dst_deg")).as("deg"),
+          max(col("n_nodes")).as("n_nodes"))
+        .select(col("dst").as("node"),
           expr(s"(15 * $Scale) div (100 * n_nodes) + ($DampPct * in_mass) div 100")
             .as("pr"),
-          col("n_nodes"))
+          col("deg"), col("n_nodes"))
     }
     r.select(
       when(col("node") % 2 === 0, lit("user")).otherwise(lit("item"))

@@ -192,14 +192,23 @@ object TextAnalysis {
     // left context, not the strings: the three shuffles carry 8-byte
     // longs (hashing happens once, at scan; the oracle hashes
     // identically, so collisions — ~n²/2⁶¹ — cannot cause a mismatch)
+    // One tokenize+hash pass, checkpointed: c2, c1 and the final scoring
+    // join all reuse it instead of re-running explode+md5 three times.
     val bg = docs
       .withColumn("t", tokens(lower(col("text"))))
       .select(col("doc_id"), explode(expr(bigramArr)).as("bg"))
       .select(col("doc_id"), hex60(col("bg")).as("bh"),
         hex60(expr("split_part(bg, ' ', 1)")).as("w1h"))
-    val c2 = bg.groupBy(col("bh")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
-    bg.join(c2, Seq("bh")).join(c1, Seq("w1h"))
+      .localCheckpoint(false)
+    // Vocabulary-grain model: count distinct bigrams once, then derive
+    // the left-context counts from THAT table (w1h is functionally
+    // determined by bh) — the second aggregate runs over |vocab| rows,
+    // not the corpus stream, and the scoring join collapses to one
+    // (AQE broadcasts it when the vocabulary fits).
+    val c2 = bg.groupBy(col("bh"))
+      .agg(max(col("w1h")).as("w1h"), count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1h")).agg(sum(col("c2")).as("c1"))
+    bg.join(c2.join(c1, Seq("w1h")).select("bh", "c2", "c1"), Seq("bh"))
       .withColumn("q_nll",
         round(log(col("c2").cast("double") / col("c1")) * -1000000.0d)
           .cast("long"))
@@ -216,6 +225,29 @@ object TextAnalysis {
     */
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiPhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Shannon entropy of each document's token distribution (nats) —
+    * the Gopher-family "natural language" signal: template/spam text
+    * has low entropy, mixed natural prose is high. Identity used:
+    * H = ln(n) − (Σ c·ln c)/n over per-token counts c, so ln runs on
+    * exact integers only; each c·ln c is micro-unit-quantized before
+    * the order-free integer sum (the txt_unigram_logprob pattern).
+    * Scale: explode + two map-side-combinable aggregates keyed by
+    * (doc_id, token) then doc_id — no joins, bounded by token volume.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        expr("CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("q")).as("sq"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(expr("ln(n_tokens)")
+          - (col("sq").cast("double") / 1000000.0d) / col("n_tokens"), 6)
+          .as("entropy"))
 
   /** Redact PII spans in (user_id, text) rows: per-span counts plus
     * the scrubbed text. Pure per-row work at scan bandwidth.
@@ -244,7 +276,16 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
-        expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
+        // mode count via longest run in the sorted array — O(n log n)
+        // per row vs the O(distinct·n) transform+filter scan; same
+        // value (count of the most frequent token), oracle unchanged
+        expr("""aggregate(array_sort(t),
+            named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+            (acc, x) -> named_struct(
+              'prev', x,
+              'run', if(acc.prev <=> x, acc.run + 1, 1),
+              'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1, 1))),
+            acc -> acc.best)""")
           .cast("long").as("top_tok"),
         size(col("bg")).cast("long").as("n_bigrams"),
         size(array_distinct(col("bg"))).cast("long").as("n_distinct_bg"))
@@ -790,6 +831,22 @@ object TextAnalysis {
               |CAST(len(regexp_extract_all(text, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
               |regexp_replace(regexp_replace(text, '$PiiEmailRe', '[EMAIL]', 'g'),
               |  '$PiiPhoneRe', '[PHONE]', 'g') AS clean_text
-              |FROM t""".stripMargin))
+              |FROM t""".stripMargin)),
+
+    QueryDef("txt_entropy",
+      (s, d) => tokenEntropy(docs(s, d)),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok
+             |  FROM documents),
+             |c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM tk GROUP BY 1, 2),
+             |q AS (SELECT doc_id, c,
+             |    CAST(ROUND(c * ln(c) * 1000000) AS BIGINT) AS q FROM c),
+             |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(q) AS BIGINT) AS sq FROM q GROUP BY 1)
+             |SELECT doc_id, n_tokens,
+             |ROUND(ln(n_tokens) - (CAST(sq AS DOUBLE) / 1000000.0) / n_tokens, 6)
+             |  AS entropy
+             |FROM a""".stripMargin))
   )
 }

@@ -141,4 +141,33 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"window passes re-shuffled: $exchanges exchanges\n${p.take(800)}")
   }
+
+  test("a26: one user_id shuffle serves the whole window suite") {
+    val p = planOf("a26_window_funcs")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"window specs split across shuffles: $exchanges\n${p.take(800)}")
+    assert(!p.contains("Exchange rangepartitioning"), "global sort crept in")
+  }
+
+  test("pagerank: edge joins are hash equi-joins, only the 1-row " +
+    "node-count is nested-loop") {
+    val p = planOf("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), "cartesian in the rank loop!")
+    // the deliberate 1-row crossJoin(nNodes) broadcasts; every
+    // edge/rank join must be an equi-join on the node key
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"nested-loop beyond the 1-row count join: $bnl")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).nonEmpty, "no equi-join found for the edge step")
+  }
+
+  test("e3/e4: sequence + retention stay at two shuffles or fewer") {
+    for (name <- Seq("e3_transitions", "e4_retention")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 3, s"$name: $exchanges exchanges\n${p.take(600)}")
+    }
+  }
 }

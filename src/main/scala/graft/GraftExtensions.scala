@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, DotProductExpr, L2NormExpr}
+import graft.functions.{CosineSimExpr, DotProductExpr, IntDotExpr, L2NormExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity"),
       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_doti"),
+      info("graft_doti", "graft_doti(a, b) - exact integer dot product"),
+      (args: Seq[Expression]) => IntDotExpr(args(0), args(1))))
   }
 }

@@ -59,6 +59,12 @@ object Functions {
   def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def cosineFast(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
+  /** Exact integer dot product over array<bigint> quantization codes
+    * (SQ8 coarse scoring) — codegen'd, engine-identical by
+    * construction (64-bit integer arithmetic, no float compare rules).
+    */
+  def dotiFast(a: Column, b: Column): Column = call_function("graft_doti", a, b)
+
   /** Deterministic cross-engine "hash" for seeded splits/sampling:
     * pure integer arithmetic, safe from bigint overflow on both
     * engines for keys < ~1e12 (SURVEY §2.7 U4 — numpy seeds cannot be

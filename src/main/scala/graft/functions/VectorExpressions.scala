@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 private object VectorExpressions {
   def checkArrays(prettyName: String, types: Seq[DataType]): TypeCheckResult =
@@ -107,6 +107,56 @@ case class L2NormExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): L2NormExpr =
     copy(child = newChild)
+}
+
+/** Integer dot product over array<bigint> quantization codes — the
+  * coarse-scoring primitive for SQ8 two-stage retrieval. Exact 64-bit
+  * integer arithmetic, so the score is engine-identical by
+  * construction (no float compare rules needed); wraps on overflow
+  * like any BIGINT product, irrelevant for 8-bit codes (max element
+  * product 255² ≈ 2^16, room for 2^46 dimensions).
+  */
+case class IntDotExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left.dataType, right.dataType).forall {
+      case ArrayType(LongType, _) => true; case _ => false
+    }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> arguments, got " +
+        Seq(left.dataType, right.dataType).map(_.simpleString).mkString(", "))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_doti"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** cosine(a,b) = dot/(|a|·|b|) — one fused pass, one codegen region. */

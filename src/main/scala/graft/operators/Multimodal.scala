@@ -167,6 +167,31 @@ object Multimodal {
              |  FROM documents)
              |SELECT media_id, CAST(g.i AS INT) AS idx,
              |  ROUND(CAST(CAST(concat('0x', substr(md5(payload), g.i*4+1, 4)) AS BIGINT) AS DOUBLE) / 65535.0, 6) AS value
-             |FROM media, (SELECT unnest(generate_series(0, 7)) AS i) g""".stripMargin))
+             |FROM media, (SELECT unnest(generate_series(0, 7)) AS i) g""".stripMargin)),
+
+    // Exact binary dedup over the opaque payload column — the asset-
+    // level dedup a multimodal corpus runs before any decode (bytes
+    // are hashed once at scan; the only shuffle key is the 16-byte
+    // digest, never the payload). Keep-lowest-id canonical mirrors
+    // dedup_exact's rule.
+    QueryDef("mm_dedup",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))
+        media(s, d)
+          .select(col("media_id"), col("kind"),
+            md5(col("payload")).as("fp"))
+          .withColumn("is_canonical",
+            (col("media_id") === min(col("media_id")).over(w)).cast("int"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |    WHEN doc_id % 3 = 1 THEN 'audio'
+             |    ELSE 'video' END AS kind,
+             |  md5(text) AS fp FROM documents)
+             |SELECT media_id, kind, fp,
+             |CAST(media_id = MIN(media_id) OVER (PARTITION BY fp) AS INT)
+             |  AS is_canonical
+             |FROM m""".stripMargin))
   )
 }

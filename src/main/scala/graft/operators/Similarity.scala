@@ -234,6 +234,54 @@ object Similarity {
     * fixed-shape double arithmetic is mirrored operand-for-operand by
     * the oracle, so codes are bit-identical.
     */
+  val RerankCand = 20
+
+  /** Two-stage SQ8 retrieval — the production vector-store shape:
+    * score EVERY candidate with the cheap exact-integer dot product
+    * over 8-bit quantization codes (graft_doti: a 64-long codegen'd
+    * loop, ~4 bytes of math per dimension vs the double cosine), keep
+    * the top `cand` per query, then rerank only those with the exact
+    * float cosine. At scale the coarse stage reads the (4×-smaller)
+    * code column and the float vectors are fetched for `cand` rows
+    * per query — the bandwidth win IS the operator.
+    *
+    * Determinism: the coarse score is 64-bit integer arithmetic
+    * (engine-identical by construction, no rounding rules), ties
+    * break on nbr_id, and the rerank is the established round-6
+    * cosine — so the whole two-stage result is oracle-exact.
+    */
+  def knnSq8Rerank(emb: DataFrame, k: Int = K,
+                   cand: Int = RerankCand): DataFrame = {
+    val e = vecs(emb)
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("codes", expr(
+        """transform(v, x -> CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+          |ELSE CAST(round((x - mn) * 255.0D / (mx - mn)) AS BIGINT)
+          |END)""".stripMargin))
+      .select(col("vec_id"), col("v"), col("codes"))
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val coarse = broadcast(q.as("q"))
+      .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("nbr_id"),
+        dotiFast(col("q.codes"), col("c.codes")).as("iscore"),
+        col("q.v").as("qv"), col("c.v").as("cv"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("nbr_id"))
+    val reranked = coarse.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= cand)
+      .select(col("query_id"), col("nbr_id"),
+        round(cosineFast(col("qv"), col("cv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+  }
+
   def quantizeInt8(emb: DataFrame): DataFrame =
     vecs(emb)
       .withColumn("mn", array_min(col("v")))
@@ -359,6 +407,31 @@ object Similarity {
               |  ELSE ROUND((value - mn) * 255.0 / (mx - mn)) END AS BIGINT) AS code,
               |ROUND(mn, 6) AS mn, ROUND(mx, 6) AS mx
               |FROM x""".stripMargin)),
+
+    QueryDef("sim_knn_sq8_rerank",
+      (s, d) => knnSq8Rerank(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |b AS (SELECT vec_id, v, list_min(v) mn, list_max(v) mx FROM e),
+              |c AS (SELECT vec_id, v, list_transform(v,
+              |    x -> CASE WHEN mx = mn THEN 0
+              |      ELSE CAST(ROUND((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
+              |    END) AS codes FROM b),
+              |p AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
+              |    CAST(list_dot_product(CAST(q.codes AS DOUBLE[]),
+              |      CAST(t.codes AS DOUBLE[])) AS BIGINT) AS iscore,
+              |    q.v qv, t.v cv
+              |  FROM c q JOIN c t ON q.vec_id <> t.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0),
+              |cand AS (SELECT query_id, nbr_id, qv, cv FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY iscore DESC, nbr_id) crk FROM p)
+              |  WHERE crk <= $RerankCand),
+              |r AS (SELECT query_id, nbr_id,
+              |    ROUND(list_cosine_similarity(qv, cv), 6) cos FROM cand)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM r)
+              |WHERE rk <= $K""".stripMargin)),
 
     QueryDef("sim_knn_ivf",
       (s, d) => knnIvf(Tables.embeddings(s, d)),

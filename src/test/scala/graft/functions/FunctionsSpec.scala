@@ -104,6 +104,29 @@ class FunctionsSpec extends SparkSpec {
     assert(out.getDouble(5) === math.sqrt(77.0))
   }
 
+  test("graft_doti: exact integer dot, fresh-named in shared codegen scope") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val at = ArrayType(LongType, containsNull = false)
+    val a = BoundReference(0, at, nullable = false)
+    val b = BoundReference(1, at, nullable = false)
+    val proj = GenerateMutableProjection.generate(Seq(
+      IntDotExpr(a, b), IntDotExpr(b, a)))
+    val out = proj(InternalRow(
+      ArrayData.toArrayData(Array(255L, 0L, 7L)),
+      ArrayData.toArrayData(Array(255L, 255L, 3L))))
+    assert(out.getLong(0) === 255L * 255L + 21L)
+    assert(out.getLong(1) === 255L * 255L + 21L)
+    // SQL surface through the extension registration
+    import spark.implicits._
+    val sql = Seq((Seq(1L, 2L), Seq(10L, -4L))).toDF("x", "y")
+      .selectExpr("graft_doti(x, y) AS d").as[Long].head()
+    assert(sql === 2L)
+  }
+
   test("minhash permutation stays within int64 and P32") {
     val h = P32 - 1 // worst case input
     val got = Seq(h).toDF("h")

@@ -112,6 +112,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(Recommend.itemSimilarityWeighted(w0).count() === 0)
   }
 
+  test("late round-3 operators are total on empty input") {
+    assert(Graph.pagerankFrom(inter0).count() === 0)
+    assert(TextAnalysis.tokenEntropy(docs0).count() === 0)
+    assert(TextAnalysis.piiRedact(
+      empty("user_id" -> LongType, "text" -> StringType)).count() === 0)
+    val ev0 = empty("event_id" -> LongType, "user_id" -> LongType,
+      "ts_us" -> LongType, "event_type" -> StringType)
+    // transitions/retention inline in their QueryDefs; cover the
+    // shared shapes: lag window + groupBy over an empty sequence
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    assert(ev0.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type")).count().count() === 0)
+  }
+
   test("multimodal plumbing is total on an empty media table") {
     val m = Multimodal.mediaTable(docs0)
     assert(Multimodal.decode(m).count() === 0)

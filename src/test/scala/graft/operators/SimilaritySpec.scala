@@ -49,6 +49,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sq8 rerank: finds the exact duplicate, reranks with true cosine") {
+    // vec 50 is a strided query; vec 51 is its exact duplicate, so it
+    // must surface at rank 1 with cos 1.0 after the coarse+rerank pass
+    val base = emb(60).as[(Long, Array[Float], Int)].collect()
+    val dup = base.map {
+      case (51L, _, l) => (51L, base.find(_._1 == 50L).get._2, l)
+      case row => row
+    }.toSeq.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnSq8Rerank(dup)
+      .select("query_id", "rank", "nbr_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    // emb() repeats with period 13 in vec_id, so 11/24/37 are also
+    // exact duplicates of 50 — all must lead the ranking at cos 1.0,
+    // with the planted 51 among them
+    val q50 = got.filter(_._1 == 50L).sortBy(_._2)
+    assert(q50.take(4).forall(_._4 === 1.0))
+    assert(q50.take(4).map(_._3).toSet === Set(11L, 24L, 37L, 51L))
+    // every query emits exactly K ranked rows, ranks contiguous
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to Similarity.K))
+    }
+  }
+
   test("multiprobe: no duplicate (query, nbr) pairs from the probe fan-out") {
     val got = Similarity.knnLshMultiprobe(emb(40))
       .select("query_id", "nbr_id").as[(Long, Long)].collect()

@@ -113,6 +113,59 @@ object Temporal {
 
   // ---- driver-contract registry ----
 
+  /** OHLC downsampling to fixed time buckets — the metrics-engine
+    * resample. One shuffle on (series, bucket) serves both window
+    * orderings and the aggregate; open/close are selected by
+    * deterministic (ts, event_id) rank, the value sum is
+    * micro-quantized to integers so bucket totals are order-free.
+    * Output is bucket-grain: constant per series per time range no
+    * matter the event volume.
+    */
+  def resampleOhlc(events: DataFrame, bucketUs: Long): DataFrame = {
+    val b = events.withColumn("bucket", expr(s"ts_us div $bucketUs"))
+    val w = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wd = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    b.withColumn("rna", row_number().over(w))
+      .withColumn("rnd", row_number().over(wd))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rna") === 1, col("value"))).as("open"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        sum(expr("CAST(ROUND(value * 1000000) AS BIGINT)")).as("vq"))
+      .select(col("event_type"),
+        (col("bucket") * bucketUs).as("bucket_start_us"),
+        col("n"), col("open"), col("close"), col("high"), col("low"),
+        round(col("vq").cast("double") / 1000000.0d, 6).as("vol"))
+  }
+
+  /** Dense time axis with zero-filled gaps: per-series hourly counts
+    * joined onto the generated [min, max] bucket range. The axis is
+    * |series| × |buckets| rows — independent of event volume — and
+    * the 1-row bounds aggregate broadcasts.
+    */
+  def gapFill(events: DataFrame, bucketUs: Long): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"), expr(s"ts_us div $bucketUs").as("hb"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(expr("CAST(ROUND(value * 1000000) AS BIGINT)")).as("vq"))
+    val bounds = events.agg(
+      min(expr(s"ts_us div $bucketUs")).as("b0"),
+      max(expr(s"ts_us div $bucketUs")).as("b1"))
+    val axis = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds)) // 1-row build side
+      .select(col("event_type"),
+        explode(sequence(col("b0"), col("b1"))).as("hb"))
+    axis.join(counts, Seq("event_type", "hb"), "left")
+      .select(col("event_type"), (col("hb") * bucketUs).as("bucket_start_us"),
+        coalesce(col("n_raw"), lit(0L)).as("n"),
+        round(coalesce(col("vq"), lit(0L)).cast("double") / 1000000.0d, 6)
+          .as("vol"))
+  }
+
   private def ev(s: SparkSession, d: String) =
     Tables.events(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
@@ -175,6 +228,47 @@ object Temporal {
              |MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
              |COUNT(*) AS n_events,
              |MAX(ts_us) - MIN(ts_us) AS duration_us
-             |FROM sess GROUP BY user_id, session_id""".stripMargin))
+             |FROM sess GROUP BY user_id, session_id""".stripMargin)),
+
+    QueryDef("ts_resample_ohlc",
+      (s, d) => resampleOhlc(ev(s, d), 300L * 1000000),
+      Some("""WITH e AS (SELECT event_id, event_type, epoch_us(ts) ts_us,
+             |    value FROM events),
+             |b AS (SELECT *, ts_us // 300000000 AS bucket FROM e),
+             |r AS (SELECT *,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+             |      ORDER BY ts_us, event_id) rna,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+             |      ORDER BY ts_us DESC, event_id DESC) rnd
+             |  FROM b)
+             |SELECT event_type,
+             |CAST(bucket * 300000000 AS BIGINT) AS bucket_start_us,
+             |CAST(COUNT(*) AS BIGINT) AS n,
+             |MAX(CASE WHEN rna = 1 THEN value END) AS open,
+             |MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+             |MAX(value) AS high, MIN(value) AS low,
+             |ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+             |  / 1000000.0, 6) AS vol
+             |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("ts_gap_fill",
+      (s, d) => gapFill(ev(s, d), 3600L * 1000000),
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) ts_us, value
+             |  FROM events),
+             |c AS (SELECT event_type, ts_us // 3600000000 AS hb,
+             |    CAST(COUNT(*) AS BIGINT) AS n_raw,
+             |    CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS vq
+             |  FROM e GROUP BY 1, 2),
+             |bounds AS (SELECT MIN(ts_us // 3600000000) b0,
+             |    MAX(ts_us // 3600000000) b1 FROM e),
+             |axis AS (SELECT t.event_type, g.hb FROM
+             |  (SELECT DISTINCT event_type FROM e) t,
+             |  (SELECT unnest(generate_series(b0, b1)) AS hb FROM bounds) g)
+             |SELECT axis.event_type,
+             |CAST(axis.hb * 3600000000 AS BIGINT) AS bucket_start_us,
+             |COALESCE(c.n_raw, 0) AS n,
+             |ROUND(CAST(COALESCE(c.vq, 0) AS DOUBLE) / 1000000.0, 6) AS vol
+             |FROM axis LEFT JOIN c
+             |  ON axis.event_type = c.event_type AND axis.hb = c.hb""".stripMargin))
   )
 }

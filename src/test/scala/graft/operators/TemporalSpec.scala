@@ -49,4 +49,32 @@ class TemporalSpec extends SparkSpec {
       (1L, 2L, 1L, 0L),   // 5000 after >1000 gap
       (2L, 1L, 1L, 0L)))
   }
+
+  test("resample: open/close by time order, micro-exact volume") {
+    val ev = Seq( // one series, bucket width 100: bucket 0 = ts 0-99
+      (1L, "view", 10L, 5.5), (2L, "view", 90L, 1.25),
+      (3L, "view", 50L, 9.0), (4L, "view", 150L, 2.0))
+      .toDF("event_id", "event_type", "ts_us", "value")
+    val got = Temporal.resampleOhlc(ev, 100L)
+      .select("bucket_start_us", "n", "open", "close", "high", "low", "vol")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 3L, 5.5, 1.25, 9.0, 1.25, 15.75), // open@10, close@90
+      (100L, 1L, 2.0, 2.0, 2.0, 2.0, 2.0)))
+  }
+
+  test("gap fill: dense axis with zero rows for empty buckets") {
+    val ev = Seq(
+      (1L, "a", 50L, 1.0), (2L, "a", 350L, 2.0), (3L, "b", 150L, 4.0))
+      .toDF("event_id", "event_type", "ts_us", "value")
+    val got = Temporal.gapFill(ev, 100L)
+      .select("event_type", "bucket_start_us", "n", "vol")
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // global bounds are buckets 0..3 for BOTH series
+    assert(got.length === 8)
+    assert(got.filter(_._1 == "a").map(_._3).toSeq === Seq(1L, 0L, 0L, 1L))
+    assert(got.filter(_._1 == "b").map(_._3).toSeq === Seq(0L, 1L, 0L, 0L))
+    assert(got.filter(r => r._3 == 0).forall(_._4 == 0.0))
+  }
 }

@@ -581,6 +581,34 @@ object Relational {
              |COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // J7 (beyond-ref): salted shuffle join — THE hot-key mitigation
+    // when AQE skew split isn't enough (or the key is hot by design).
+    // The probe side carries a stable salt (event_id % S — no RNG, so
+    // any engine/run salts identically); the build side replicates
+    // each row S times; the join key becomes (key, salt) and one hot
+    // key's rows spread over S reduce partitions. Result provably
+    // equals the unsalted join (oracle runs the plain form). The
+    // shuffle_hash hint keeps the demo honest: without it this dim
+    // would broadcast and no shuffle would exist to salt.
+    QueryDef("j7_salted_join",
+      (s, d) => {
+        val S = 8
+        val fact = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            (col("event_id") % S).as("salt"))
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("salt",
+            explode(array((0 until S).map(i => lit(i.toLong)): _*)))
+        fact.hint("shuffle_hash")
+          .join(dim, fact("user_id") === dim("c_custkey")
+            && fact("salt") === dim("salt"))
+          .select(col("event_id"), col("user_id"),
+            col("c_mktsegment").as("segment"))
+      },
+      Some("""SELECT event_id, user_id, c_mktsegment AS segment
+             |FROM events JOIN customer ON user_id = c_custkey""".stripMargin)),
+
     // A26 (beyond-ref): the navigation/distribution window-function
     // suite over each customer's order history — lag (days since the
     // previous order), ntile quartiles, and the rank ratios. One

@@ -162,6 +162,13 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p).nonEmpty, "no equi-join found for the edge step")
   }
 
+  test("j7: salted join really shuffles on (key, salt) — not broadcast") {
+    val p = planOf("j7_salted_join")
+    assert(p.contains("ShuffledHashJoin"), s"salt demo degenerated:\n${p.take(600)}")
+    assert(p.contains("salt"), "salt key missing from the join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("e3/e4: sequence + retention stay at two shuffles or fewer") {
     for (name <- Seq("e3_transitions", "e4_retention")) {
       val p = planOf(name)

@@ -29,4 +29,23 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).agg(sum("k")).as[Long].head() ===
       df.agg(sum("k")).as[Long].head())
   }
+
+  test("schema drift: widened day merges under mergeSchema, nulls backfill") {
+    // day 1 writes (id, price); day 2 adds a discount column — the
+    // normal life of a 100 TB lake. mergeSchema must union the
+    // schemas and old rows must read as null, not fail the scan.
+    val root = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+      .write.parquet(s"$root/day=2024-01-01")
+    Seq((3L, 30.0, 0.1)).toDF("id", "price", "discount")
+      .write.parquet(s"$root/day=2024-01-02")
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.sorted.toSeq === Seq("day", "discount", "id", "price"))
+    val rows = merged.select("id", "discount")
+      .as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, None), (2L, None), (3L, Some(0.1))))
+    // and the un-merged default still reads (first-file schema) — the
+    // cheap path stays available when the reader doesn't need drift
+    assert(spark.read.parquet(root).count() === 3)
+  }
 }

@@ -529,6 +529,27 @@ object Dedup {
              |MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // The dedup-health monitor a production corpus pipeline charts per
+    // ingestion source: exact-dup ratio from fingerprint cardinality.
+    // Source-grain output regardless of corpus size; the distinct
+    // count is per-group exact (the sketch form is A10's HLL).
+    QueryDef("dedup_rate_monitor",
+      (s, d) => docs(s, d)
+        .select(col("source"), md5Hex(normText(col("text"))).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .withColumn("dup_ratio",
+          round(lit(1.0d) - col("n_unique").cast("double") / col("n_docs"), 6)),
+      Some("""WITH f AS (SELECT source,
+             |    md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_docs,
+             |COUNT(DISTINCT fp) AS n_unique,
+             |ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+             |  AS dup_ratio
+             |FROM f GROUP BY 1""".stripMargin)),
+
     QueryDef("dedup_ngram_jaccard",
       (s, d) => ngramJaccard(docs(s, d)),
       Some(s"""WITH $shSql,

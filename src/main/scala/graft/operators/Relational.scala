@@ -564,6 +564,26 @@ object Relational {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment""".stripMargin)),
 
+    // O5' (beyond-ref): keyset pagination — the scale-correct "page
+    // N" shape. OFFSET pagination scans+discards every earlier row
+    // (O(page · depth) at 100 TB); a keyset cursor turns the page
+    // fetch into a pushed-down range filter + top-k
+    // (TakeOrderedAndProject), constant work per page. Cursor tuple
+    // compare is spelled out so both engines use identical semantics.
+    QueryDef("o5_keyset_page",
+      (s, d) => {
+        val (v0, id0) = (250.0d, 5000L) // cursor = last row of prior page
+        Tables.events(s, d)
+          .filter(col("value") > v0 ||
+            (col("value") === v0 && col("event_id") > id0))
+          .orderBy(col("value"), col("event_id"))
+          .limit(100)
+          .select(col("event_id"), col("user_id"), col("value"))
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE value > 250.0 OR (value = 250.0 AND event_id > 5000)
+             |ORDER BY value, event_id LIMIT 100""".stripMargin)),
+
     // U4: seeded stratified 80/20 split (daily_pipeline.py:217-224).
     // numpy RNG can't be replayed cross-engine, so the seed becomes a
     // stable integer-arithmetic bucket of the row key — same split on

@@ -604,6 +604,53 @@ object Dedup {
               |FROM common c JOIN n na ON c.i = na.doc_id JOIN n nb ON c.j = nb.doc_id
               |WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) >= $JaccardT""".stripMargin)),
 
+    // The dedup-index evaluation loop (sim_recall_at_k's analog for
+    // near-dup): measured recall of the banded-LSH candidate pipeline
+    // against the exact all-shingle Jaccard ground truth. LSH output
+    // is exact-verified, so it is a subset of the ground truth and
+    // the semi-join count IS the recall numerator. 1-row output; both
+    // sides are the registered operators' own pipelines, so this
+    // monitors exactly what production would run.
+    QueryDef("dedup_lsh_recall",
+      (s, d) => {
+        val exact = ngramJaccard(docs(s, d)).select(col("i"), col("j"))
+          .localCheckpoint(false)
+        val lsh = minhashLsh(docs(s, d)).select(col("i"), col("j"))
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin( // two 1-row sides
+            exact.join(lsh, Seq("i", "j"), "left_semi")
+              .agg(count(lit(1)).as("n_recalled")))
+          .select(col("n_exact"), col("n_recalled"),
+            round(col("n_recalled").cast("double") / col("n_exact"), 6)
+              .as("recall"))
+      },
+      Some(s"""WITH $shSql,
+              |$jacSql,
+              |exact AS MATERIALIZED (SELECT i, j FROM jac
+              |  WHERE jaccard >= $JaccardT),
+              |$sigSql,
+              |bands AS (SELECT doc_id, b.band,
+              |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
+              |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
+              |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
+              |  FROM bands x JOIN bands y ON x.band = y.band
+              |    AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+              |ccommon AS (SELECT c.i, c.j, COUNT(*) common
+              |  FROM cand c JOIN sh a ON c.i = a.doc_id
+              |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
+              |  GROUP BY 1, 2),
+              |lshv AS (SELECT c.i, c.j
+              |  FROM ccommon c JOIN n na ON c.i = na.doc_id
+              |  JOIN n nb ON c.j = nb.doc_id
+              |  WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6)
+              |    >= $JaccardT),
+              |ne AS (SELECT CAST(COUNT(*) AS BIGINT) n_exact FROM exact),
+              |nr AS (SELECT CAST(COUNT(*) AS BIGINT) n_recalled
+              |  FROM exact JOIN lshv USING (i, j))
+              |SELECT n_exact, n_recalled,
+              |ROUND(CAST(n_recalled AS DOUBLE) / n_exact, 6) AS recall
+              |FROM ne, nr""".stripMargin)),
+
     QueryDef("dedup_clusters",
       (s, d) => dedupClusters(docs(s, d)),
       Some(

@@ -286,9 +286,11 @@ object Recommend {
        |  FROM co JOIN cnt ca ON i = ca.item_id JOIN cnt cb ON j = cb.item_id
        |  WHERE co >= $MinCo AND co/SQRT(CAST(ca.n*cb.n AS DOUBLE)) >= $MinCos)""".stripMargin
 
-  private def recsSql(interSrc: String) =
-    s"""${simSql(interSrc)},
-       |sim2 AS (SELECT i, j, cos FROM sim
+  /** Scoring ladder over an existing `sim` CTE — shared by the plain,
+    * capped and weighted recommendation pipelines.
+    */
+  private def scoreSql(interSrc: String) =
+    s"""sim2 AS (SELECT i, j, cos FROM sim
        |  UNION ALL SELECT j, i, cos FROM sim),
        |scored AS (SELECT p.user_id, s.j AS item_id, SUM(s.cos) score
        |  FROM $interSrc p JOIN sim2 s ON p.item_id = s.i GROUP BY 1, 2),
@@ -300,6 +302,10 @@ object Recommend {
        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
        |    ORDER BY score_r DESC, item_id) rk FROM cand)
        |  WHERE rk <= $TopN)""".stripMargin
+
+  private def recsSql(interSrc: String) =
+    s"""${simSql(interSrc)},
+       |${scoreSql(interSrc)}""".stripMargin
 
   private val splitCond = "((user_id % 100003) * 31 + item_id * 97) % 10"
 
@@ -399,6 +405,39 @@ object Recommend {
               |    ORDER BY last_ts DESC, item_id) rn FROM raw)
               |  WHERE rn <= $CapPerUser),
               |${recsSql("capped")}
+              |SELECT * FROM recs""".stripMargin)),
+
+    // The weighted serving pipeline at its scale configuration:
+    // order-count interaction strength + per-user recency cap feeding
+    // the same scoring ladder — the production CF end to end.
+    QueryDef("ml_recommendations_weighted_capped",
+      (s, d) => {
+        val interw = interactionsWeightedCapped(s, d).localCheckpoint(false)
+        recommend(interw.select(col("user_id"), col("item_id")),
+          itemSimilarityWeighted(interw).localCheckpoint(false))
+      },
+      Some(s"""WITH raww AS (SELECT o_custkey AS user_id,
+              |    l_partkey AS item_id, COUNT(DISTINCT o_orderkey) AS w,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |interw AS (SELECT user_id, item_id, w FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY last_ts DESC, item_id) rn FROM raww)
+              |  WHERE rn <= $CapPerUser),
+              |norms AS (SELECT item_id, SUM(w*w) AS n2 FROM interw GROUP BY 1),
+              |cow AS (SELECT a.item_id i, b.item_id j,
+              |    SUM(a.w*b.w) AS dot, COUNT(*) AS co
+              |  FROM interw a JOIN interw b
+              |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+              |  GROUP BY 1, 2),
+              |sim AS (SELECT i, j, CAST(co AS BIGINT) AS co,
+              |    ROUND(CAST(dot AS DOUBLE)/SQRT(CAST(na.n2*nb.n2 AS DOUBLE)), 6) AS cos
+              |  FROM cow JOIN norms na ON i = na.item_id
+              |  JOIN norms nb ON j = nb.item_id
+              |  WHERE co >= $MinCo
+              |  AND ROUND(CAST(dot AS DOUBLE)/SQRT(CAST(na.n2*nb.n2 AS DOUBLE)), 6) >= $MinCos),
+              |${scoreSql("interw")}
               |SELECT * FROM recs""".stripMargin)),
 
     QueryDef("ml_coverage",

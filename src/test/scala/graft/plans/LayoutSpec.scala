@@ -30,6 +30,21 @@ class LayoutSpec extends SparkSpec {
       df.agg(sum("k")).as[Long].head())
   }
 
+  test("compaction: many small files → sized output, content identical") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (1L to 5000L).toDF("k")
+    df.repartition(64).write.parquet(dir) // the streaming-sink anti-pattern
+    val before = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    assert(before === 64)
+    val (nBefore, nAfter) = Layout.compact(spark, dir, targetBytes = 64 * 1024)
+    assert(nBefore === 64 && nAfter < 64 && nAfter >= 1)
+    val back = spark.read.parquet(dir)
+    assert(back.select(input_file_name()).distinct().count() === nAfter)
+    assert(back.agg(sum("k")).as[Long].head() === 5000L * 5001 / 2)
+    assert(back.count() === 5000)
+  }
+
   test("schema drift: widened day merges under mergeSchema, nulls backfill") {
     // day 1 writes (id, price); day 2 adds a discount column — the
     // normal life of a 100 TB lake. mergeSchema must union the

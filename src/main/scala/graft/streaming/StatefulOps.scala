@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Order event for the stateful tracker (double on the wire — the CDC
   * stream downcasts DECIMAL, SURVEY §1.2).
@@ -15,6 +16,16 @@ case class SpendState(n_orders: Long, total_spent: Double)
 /** Emitted when a customer's lifetime spend crosses a tier boundary. */
 case class TierAlert(customer_id: String, n_orders: Long,
                      total_spent: Double, tier: String)
+
+/** Event row for the streaming transition counter (top-level: test
+  * Encoders require it).
+  */
+case class TypedEvent(event_id: Long, user_id: Long, ts_us: Long,
+                      event_type: String)
+
+/** Running (prev→next) transition count for one user. */
+case class TransitionCount(user_id: Long, prev_type: String,
+                           next_type: String, n: Long)
 
 /** Custom streaming state (SURVEY §2.8 note; builder brief:
   * `KeyValueGroupedDataset.mapGroupsWithState/flatMapGroupsWithState`
@@ -130,6 +141,64 @@ object StatefulOps {
     implicit val ke = Encoders.STRING
     orders.groupByKey(_.customer_id)
       .transformWithState(new SpendTierProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Incremental Markov transition counts — the streaming form of the
+    * batch `e3_transitions` matrix. Needs TWO typed state handles per
+    * user (exactly what transformWithState adds over the classic
+    * single-blob API): a ValueState carrying the user's last event
+    * type so sequences CHAIN ACROSS micro-batches (the last event of
+    * batch N pairs with the first of batch N+1 — a per-batch window
+    * would silently drop those edges), and a MapState holding the
+    * running (prev→next) counters, updated in place instead of
+    * rewriting one big blob per event. Emits the updated running
+    * total for each pair touched in the batch.
+    *
+    * Scale: state is O(active users × observed type-pairs per user)
+    * in RocksDB; in-batch rows are sorted by (ts, event_id) so
+    * replayed/reordered micro-batch contents produce identical
+    * transitions.
+    */
+  class TransitionProcessor
+      extends StatefulProcessor[Long, TypedEvent, TransitionCount] {
+    @transient private var last: ValueState[String] = _
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      last = getHandle.getValueState[String]("last",
+        Encoders.STRING, TTLConfig.NONE)
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TransitionCount] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      var prev = if (last.exists()) Option(last.get()) else None
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      sorted.foreach { e =>
+        prev.foreach { p =>
+          val k = p + ">" + e.event_type
+          val n = if (counts.containsKey(k)) counts.getValue(k) else 0L
+          counts.updateValue(k, n + 1L)
+          touched += k
+        }
+        prev = Some(e.event_type)
+      }
+      prev.foreach(last.update)
+      touched.iterator.map { k =>
+        val Array(p, nx) = k.split(">", 2)
+        TransitionCount(key, p, nx, counts.getValue(k))
+      }
+    }
+  }
+
+  def transitionCounts(events: Dataset[TypedEvent]): Dataset[TransitionCount] = {
+    implicit val te = Encoders.product[TransitionCount]
+    implicit val ke = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -97,6 +97,51 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transition counts: MapState accumulates, sequences chain across batches") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TypedEvent]
+      val q = StatefulOps.transitionCounts(in.toDS())
+        .writeStream.format("memory").queryName("trans_out")
+        .outputMode("append").start()
+      // batch 1 (out of order on purpose — handler sorts by ts):
+      // u1 view@1 → click@2; u2 lone view (no transition yet)
+      in.addData(TypedEvent(2L, 1L, 2000L, "click"),
+        TypedEvent(1L, 1L, 1000L, "view"),
+        TypedEvent(3L, 2L, 1000L, "view"))
+      q.processAllAvailable()
+      // batch 2: u1's purchase chains to batch 1's last event (click);
+      // u2's click chains to its batch-1 view; u1 repeats view→click
+      in.addData(TypedEvent(4L, 1L, 3000L, "purchase"),
+        TypedEvent(5L, 2L, 2000L, "click"),
+        TypedEvent(6L, 1L, 4000L, "view"),
+        TypedEvent(7L, 1L, 5000L, "click"))
+      q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("trans_out").as[TransitionCount].collect()
+      val b1 = got.filter(t => t.user_id == 1L)
+      assert(b1.map(t => (t.prev_type, t.next_type, t.n)).toSet === Set(
+        ("view", "click", 1L),       // batch 1
+        ("click", "purchase", 1L),   // cross-batch chain
+        ("purchase", "view", 1L),
+        ("view", "click", 2L)))      // running count grew in batch 2
+      assert(got.filter(_.user_id == 2L)
+        .map(t => (t.prev_type, t.next_type, t.n)).toSeq ===
+        Seq(("view", "click", 1L)))  // cross-batch only
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("tier function boundaries") {
     assert(StatefulOps.tierOf(9999.99).isEmpty)
     assert(StatefulOps.tierOf(10000.0).contains("SILVER"))

@@ -63,6 +63,12 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = r.select(col("node"),
         expr("pr div deg").as("c"), col("n_nodes"))
+      // Deliberately NOT broadcast-hinted: the rank vector is |V| rows
+      // and AQE converts the join to broadcast at runtime when that
+      // measured size fits, while a hard hint would force a driver
+      // collect of the full rank vector every round — a regression the
+      // moment |V| outgrows driver memory. (A/B on this box: the hint
+      // is a wash inside run-to-run noise.)
       r = edgesD.join(contrib, edgesD("src") === contrib("node"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("in_mass"), max(col("dst_deg")).as("deg"),

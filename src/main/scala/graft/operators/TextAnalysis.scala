@@ -109,10 +109,14 @@ object TextAnalysis {
   def bm25(docs: DataFrame, terms: Seq[String] = Bm25Terms,
            k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     val t = tokens(lower(col("text")))
+    // checkpointed: the per-term HOF tf pass is the query's cost, and
+    // base feeds both the 1-row corpus-stats aggregate and the final
+    // scoring join — compute it once, not twice
     val base = docs.select(
       col("doc_id") +: size(t).cast("long").as("dl") +:
         terms.map(w =>
           size(filter(t, x => x === lit(w))).cast("long").as(s"tf_$w")): _*)
+      .localCheckpoint(false)
     val aggs = count(lit(1)).cast("long").as("n_docs") +:
       sum(col("dl")).as("sum_dl") +:
       terms.map(w =>

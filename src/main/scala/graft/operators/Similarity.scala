@@ -209,9 +209,11 @@ object Similarity {
     * Everything is counts of deterministic top-k sets, so the metric
     * is oracle-exact.
     */
-  def annRecallAtK(emb: DataFrame, k: Int = K): DataFrame = {
+  def annRecallAtK(emb: DataFrame, k: Int = K,
+                   index: (DataFrame, Int) => DataFrame =
+                     knnLshMultiprobe(_, _)): DataFrame = {
     val exact = knnBrute(emb, k)
-    val approx = knnLshMultiprobe(emb, k)
+    val approx = index(emb, k)
       .filter(col("query_id") % QueryStride === 0)
     val perQuery = exact.as("e")
       .join(approx.as("a"),
@@ -252,14 +254,24 @@ object Similarity {
     */
   def knnSq8Rerank(emb: DataFrame, k: Int = K,
                    cand: Int = RerankCand): DataFrame = {
-    val e = vecs(emb)
-      .withColumn("mn", array_min(col("v")))
-      .withColumn("mx", array_max(col("v")))
+    // GLOBAL symmetric int8 quantization (code = round(x·127/gmax),
+    // gmax = corpus max |x|): with one shared scale the integer dot is
+    // proportional to the true dot product up to quantization error,
+    // so coarse ranking tracks cosine well enough for a 20-candidate
+    // rerank. (Per-vector min/max codes — sim_quantize_int8's storage
+    // scheme — are NOT comparable across vectors and rank near-
+    // randomly; measured by sim_sq8_recall.) The 1-row gmax aggregate
+    // broadcasts.
+    val raw = vecs(emb)
+    val gm = raw.agg(max(greatest(array_max(col("v")),
+      -array_min(col("v")))).as("gmax"))
+    val e = raw.crossJoin(broadcast(gm))
       .withColumn("codes", expr(
-        """transform(v, x -> CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
-          |ELSE CAST(round((x - mn) * 255.0D / (mx - mn)) AS BIGINT)
+        """transform(v, x -> CASE WHEN gmax = 0.0D THEN CAST(0 AS BIGINT)
+          |ELSE CAST(round(x * 127.0D / gmax) AS BIGINT)
           |END)""".stripMargin))
       .select(col("vec_id"), col("v"), col("codes"))
+      .localCheckpoint(false)
     val q = e.filter(col("vec_id") % QueryStride === 0)
     val coarse = broadcast(q.as("q"))
       .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
@@ -411,11 +423,11 @@ object Similarity {
     QueryDef("sim_knn_sq8_rerank",
       (s, d) => knnSq8Rerank(Tables.embeddings(s, d)),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |b AS (SELECT vec_id, v, list_min(v) mn, list_max(v) mx FROM e),
+              |g AS (SELECT MAX(GREATEST(list_max(v), -list_min(v))) AS gmax FROM e),
               |c AS (SELECT vec_id, v, list_transform(v,
-              |    x -> CASE WHEN mx = mn THEN 0
-              |      ELSE CAST(ROUND((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
-              |    END) AS codes FROM b),
+              |    x -> CASE WHEN gmax = 0 THEN 0
+              |      ELSE CAST(ROUND(x * 127.0 / gmax) AS BIGINT)
+              |    END) AS codes FROM e, g),
               |p AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
               |    CAST(list_dot_product(CAST(q.codes AS DOUBLE[]),
               |      CAST(t.codes AS DOUBLE[])) AS BIGINT) AS iscore,
@@ -432,6 +444,48 @@ object Similarity {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM r)
               |WHERE rk <= $K""".stripMargin)),
+
+    // SQ8 recall against the exact baseline — the quantization-loss
+    // monitor: how much top-k does 8-bit coarse scoring + top-20
+    // rerank give up vs full-precision brute force.
+    QueryDef("sim_sq8_recall",
+      (s, d) => annRecallAtK(Tables.embeddings(s, d),
+        index = knnSq8Rerank(_, _)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |g AS (SELECT MAX(GREATEST(list_max(v), -list_min(v))) AS gmax FROM e),
+              |c AS (SELECT vec_id, v, list_transform(v,
+              |    x -> CASE WHEN gmax = 0 THEN 0
+              |      ELSE CAST(ROUND(x * 127.0 / gmax) AS BIGINT)
+              |    END) AS codes FROM e, g),
+              |p AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
+              |    CAST(list_dot_product(CAST(q.codes AS DOUBLE[]),
+              |      CAST(t.codes AS DOUBLE[])) AS BIGINT) AS iscore,
+              |    q.v qv, t.v cv
+              |  FROM c q JOIN c t ON q.vec_id <> t.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0),
+              |cand AS (SELECT query_id, nbr_id, qv, cv FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY iscore DESC, nbr_id) crk FROM p)
+              |  WHERE crk <= $RerankCand),
+              |rr AS (SELECT query_id, nbr_id,
+              |    ROUND(list_cosine_similarity(qv, cv), 6) cos FROM cand),
+              |ap AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM rr) WHERE rk <= $K),
+              |exsc AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
+              |  FROM e q JOIN e t ON q.vec_id <> t.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |hits AS (SELECT e2.query_id, COUNT(*) n_hit FROM ex e2
+              |  JOIN ap ON e2.query_id = ap.query_id AND e2.nbr_id = ap.nbr_id
+              |  GROUP BY 1),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1)
+              |SELECT COUNT(*) AS n_queries,
+              |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6) AS avg_recall
+              |FROM base LEFT JOIN hits USING (query_id)""".stripMargin)),
 
     QueryDef("sim_knn_ivf",
       (s, d) => knnIvf(Tables.embeddings(s, d)),

@@ -253,6 +253,32 @@ object TextAnalysis {
           - (col("sq").cast("double") / 1000000.0d) / col("n_tokens"), 6)
           .as("entropy"))
 
+  val SelectBudgetTokens = 4000L
+
+  /** Quality-aware selection under a per-source token budget — "spend
+    * my 10B-token budget on the best documents each source offers":
+    * rank every source's docs by quality, keep while the running token
+    * total fits. One window per source partition; ordering is
+    * (rounded quality desc, doc_id) so the cut line is deterministic
+    * on any engine. The budget is per-source, so a giant source can't
+    * crowd out a small high-quality one — mix_domains' rate-based
+    * sampling solves proportions, this solves rations.
+    */
+  def budgetSelect(docs: DataFrame,
+                   budget: Long = SelectBudgetTokens): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    qualityScore(docs).select(col("doc_id"), col("n_tokens"), col("quality"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("keep", (col("cum_tokens") <= budget).cast("int"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("n_tokens"), col("cum_tokens"), col("keep"))
+  }
+
   /** Redact PII spans in (user_id, text) rows: per-span counts plus
     * the scrubbed text. Pure per-row work at scan bandwidth.
     */
@@ -836,6 +862,27 @@ object TextAnalysis {
               |regexp_replace(regexp_replace(text, '$PiiEmailRe', '[EMAIL]', 'g'),
               |  '$PiiPhoneRe', '[PHONE]', 'g') AS clean_text
               |FROM t""".stripMargin)),
+
+    QueryDef("mix_budget_select",
+      (s, d) => budgetSelect(docs(s, d)),
+      Some {
+        val toks = "string_split_regex(trim(text),'\\s+')"
+        s"""WITH q AS (SELECT doc_id, source,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens,
+           |    ROUND(CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) * 0.5
+           |      + LEAST(CAST(len($toks) AS DOUBLE)/100.0, 1.0) * 0.3
+           |      + CAST(${sqlHits(StopEn)} AS DOUBLE) / len($toks) * 0.2, 6)
+           |      AS quality
+           |  FROM documents),
+           |c AS (SELECT doc_id, source, quality, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM q)
+           |SELECT doc_id, source, quality, n_tokens, cum_tokens,
+           |CAST(cum_tokens <= $SelectBudgetTokens AS INT) AS keep
+           |FROM c""".stripMargin
+      }),
 
     QueryDef("txt_entropy",
       (s, d) => tokenEntropy(docs(s, d)),

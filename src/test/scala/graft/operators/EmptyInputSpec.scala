@@ -115,6 +115,7 @@ class EmptyInputSpec extends SparkSpec {
   test("late round-3 operators are total on empty input") {
     assert(Graph.pagerankFrom(inter0).count() === 0)
     assert(TextAnalysis.tokenEntropy(docs0).count() === 0)
+    assert(TextAnalysis.budgetSelect(docs0).count() === 0)
     assert(TextAnalysis.piiRedact(
       empty("user_id" -> LongType, "text" -> StringType)).count() === 0)
     val ev0 = empty("event_id" -> LongType, "user_id" -> LongType,

@@ -279,6 +279,27 @@ object TextAnalysis {
         col("n_tokens"), col("cum_tokens"), col("keep"))
   }
 
+  /** Corpus-health dashboard at (source, lang) grain: document count,
+    * mean quality, gate keep-rate. The mean is a micro-quantized
+    * integer sum (quality is already round-6, so ×10⁶ is integral up
+    * to fp dust that one ROUND clears) — order-free, engine-exact.
+    */
+  def qualityBySource(docs: DataFrame): DataFrame =
+    qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+      .select(col("source"), col("lang"),
+        expr("CAST(ROUND(quality * 1000000) AS BIGINT)").as("q6"),
+        col("keep").cast("long").as("k"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q6")).as("sq"), sum(col("k")).as("n_keep"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        round((col("sq").cast("double") / 1000000.0d) / col("n_docs"), 6)
+          .as("avg_quality"),
+        col("n_keep"),
+        round(col("n_keep").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"))
+
   /** Redact PII spans in (user_id, text) rows: per-span counts plus
     * the scrubbed text. Pure per-row work at scan bandwidth.
     */
@@ -862,6 +883,27 @@ object TextAnalysis {
               |regexp_replace(regexp_replace(text, '$PiiEmailRe', '[EMAIL]', 'g'),
               |  '$PiiPhoneRe', '[PHONE]', 'g') AS clean_text
               |FROM t""".stripMargin)),
+
+    QueryDef("txt_quality_by_source",
+      (s, d) => qualityBySource(docs(s, d)),
+      Some {
+        val toks = "string_split_regex(trim(text),'\\s+')"
+        s"""WITH q AS (SELECT doc_id, source, lang,
+           |    ROUND(CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) * 0.5
+           |      + LEAST(CAST(len($toks) AS DOUBLE)/100.0, 1.0) * 0.3
+           |      + CAST(${sqlHits(StopEn)} AS DOUBLE) / len($toks) * 0.2, 6)
+           |      AS quality
+           |  FROM documents),
+           |g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(CAST(ROUND(quality * 1000000) AS BIGINT)) AS BIGINT) AS sq,
+           |    CAST(SUM(CAST(quality >= 0.4 AS INT)) AS BIGINT) AS n_keep
+           |  FROM q GROUP BY 1, 2)
+           |SELECT source, lang, n_docs,
+           |ROUND((CAST(sq AS DOUBLE) / 1000000.0) / n_docs, 6) AS avg_quality,
+           |n_keep,
+           |ROUND(CAST(n_keep AS DOUBLE) / n_docs, 6) AS keep_rate
+           |FROM g""".stripMargin
+      }),
 
     QueryDef("mix_budget_select",
       (s, d) => budgetSelect(docs(s, d)),

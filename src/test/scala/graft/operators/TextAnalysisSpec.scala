@@ -142,6 +142,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L)._4 === 0 && out(4L)._6 === 0)  // non-English gated
   }
 
+  test("budget select: best-quality docs kept until the ration runs out") {
+    // source A: three 10-token docs with descending quality (distinct
+    // token ratios); budget 25 tokens → top two kept, third cut
+    val rich = "the quick brown fox jumps over a lazy dog today"  // 10 distinct
+    val mid = "the the quick quick brown brown fox fox dog dog"   // 5 distinct
+    val poor = "spam spam spam spam spam spam spam spam spam spam" // 1 distinct
+    val docs = Seq(
+      TDoc(1, poor, "en"), TDoc(2, rich, "en"), TDoc(3, mid, "en"))
+      .toDF().withColumn("source", org.apache.spark.sql.functions.lit("A"))
+    val got = TextAnalysis.budgetSelect(docs, budget = 25L)
+      .select("doc_id", "cum_tokens", "keep")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(2L) === (10L, 1))  // best quality fills first
+    assert(got(3L) === (20L, 1))  // second still inside 25
+    assert(got(1L) === (30L, 0))  // worst lands past the ration
+  }
+
   test("pii redact: counts every span, scrubbed text has no residue") {
     val df = Seq(
       (1L, "mail a.b-c_d@sub.example.org and x@y.io call 555-1234 ok"),

@@ -179,6 +179,44 @@ object Similarity {
         col("nbr_id"), col("cos"))
   }
 
+  /** IVF with multi-cell probing: every vector still LIVES in its one
+    * home cell, but each QUERY searches its `probes` nearest cells —
+    * the IVF nprobe knob, the recall lever that costs probes× probe
+    * rows (not more index). A (query, candidate) pair meets at most
+    * once (the candidate has one home cell), so no dedup pass; the
+    * shuffle key stays the cell id.
+    */
+  def knnIvfProbe(emb: DataFrame, k: Int = K, probes: Int = 2): DataFrame = {
+    val e = vecs(emb)
+    val cent = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val ranked = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .localCheckpoint(false) // one assignment pass serves both roles
+    val home = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val probeSide = ranked.filter(col("rn") <= probes)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    probeSide.as("a")
+      .join(home.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("nbr_id"),
+        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+  }
+
   /** Per-label centroids, long form (label, idx, centroid) — the
     * k-means/IVF training pass shape: explode to (label, idx, value),
     * one groupBy on (label, idx) with map-side partial sums.
@@ -500,6 +538,26 @@ object Similarity {
               |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
               |  FROM assigned a JOIN assigned b
+              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM scored)
+              |WHERE rk <= $K""".stripMargin)),
+
+    QueryDef("sim_knn_ivf_probe2",
+      (s, d) => knnIvfProbe(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+              |ranked AS (SELECT e.vec_id, e.v, c.cent_id AS cell,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+              |      c.cent_id) rn
+              |  FROM e, cent c),
+              |home AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+              |probe AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= 2),
+              |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM probe a JOIN home b
               |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
               |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

@@ -49,6 +49,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf probe2: candidate superset of single-cell ivf, no pair dups") {
+    val e = emb(40)
+    val one = Similarity.knnIvf(e)
+      .select("query_id", "rank", "nbr_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    val two = Similarity.knnIvfProbe(e)
+      .select("query_id", "rank", "nbr_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    val oneBest = one.filter(_._2 == 1L).map(r => r._1 -> r._4).toMap
+    val twoBest = two.filter(_._2 == 1L).map(r => r._1 -> r._4).toMap
+    assert(oneBest.keySet.subsetOf(twoBest.keySet))
+    oneBest.foreach { case (q, c) => assert(twoBest(q) >= c) }
+    // a candidate's single home cell ⇒ each (query, nbr) pair is unique
+    val pairs = two.map(r => (r._1, r._3))
+    assert(pairs.distinct.length === pairs.length)
+  }
+
   test("sq8 rerank: finds the exact duplicate, reranks with true cosine") {
     // vec 50 is a strided query; vec 51 is its exact duplicate, so it
     // must surface at rank 1 with cos 1.0 after the coarse+rerank pass

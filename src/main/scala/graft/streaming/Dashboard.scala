@@ -45,6 +45,29 @@ object Dashboard {
       .localCheckpoint()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
 
+  /** Streaming OHLC — the event-time form of the batch
+    * `ts_resample_ohlc`: tumbling event-time windows under a
+    * watermark, open/close via min_by/max_by on the (ts, event_id)
+    * tuple (no row_number — rank windows don't stream; the ordered-
+    * tuple argmin/argmax is the streamable equivalent). Emits one
+    * final row per (window, series) in append mode once the watermark
+    * passes; state is bounded by live windows × series.
+    */
+  def streamOhlc(events: DataFrame, bucket: String = "5 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), bucket), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"),
+          struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"),
+          struct(col("ts"), col("event_id"))).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("open"), col("close"), col("high"), col("low"))
+
   def validOrders(orders: DataFrame): DataFrame =
     orders.filter(col("status").isin(ValidStatuses: _*))
 

@@ -12,6 +12,9 @@ case class Ev(customer_id: String, ts: Timestamp)
 
 case class CdcRow(order_id: String, ts: Timestamp)
 
+case class TickEv(event_id: Long, ts: Timestamp, event_type: String,
+                  value: Double)
+
 /** Streaming semantics against the reference's own CDC smoke fixture
   * (reference scripts/test_cdc_alerts.py:34-50; FIXTURES.md §3):
   * incremental execution via MemoryStream, exact alert typing and
@@ -80,6 +83,29 @@ class AlertsSpec extends SparkSpec {
     val got = spark.table("rapid_out")
       .select("customer_id", "order_count").as[(String, Long)].collect()
     assert(got.toSeq === Seq(("C1", 3L)))
+  }
+
+  test("ST15: streaming OHLC emits finalized buckets in append mode") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[TickEv]
+    val q = Dashboard.streamOhlc(in.toDF())
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    // bucket 10:00-10:05: open=5.0 (earliest ts), close=2.0 (latest),
+    // high=9.0, low=2.0 — arrival order deliberately scrambled
+    in.addData(
+      TickEv(2L, t("2024-01-01 10:03:00"), "view", 9.0),
+      TickEv(1L, t("2024-01-01 10:00:30"), "view", 5.0),
+      TickEv(3L, t("2024-01-01 10:04:50"), "view", 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past the first bucket → it finalizes
+    in.addData(TickEv(9L, t("2024-01-01 11:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ohlc_out")
+      .select("event_type", "n", "open", "close", "high", "low")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(got.toSeq === Seq(("view", 3L, 5.0, 2.0, 9.0, 2.0)))
   }
 
   test("ST10: session_window aggregates incrementally under a watermark") {

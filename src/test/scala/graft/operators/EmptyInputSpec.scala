@@ -116,6 +116,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graph.pagerankFrom(inter0).count() === 0)
     assert(TextAnalysis.tokenEntropy(docs0).count() === 0)
     assert(TextAnalysis.budgetSelect(docs0).count() === 0)
+    assert(TextAnalysis.qualityBySource(docs0).count() === 0)
+    assert(Similarity.knnIvfProbe(emb0).count() === 0)
     assert(TextAnalysis.piiRedact(
       empty("user_id" -> LongType, "text" -> StringType)).count() === 0)
     val ev0 = empty("event_id" -> LongType, "user_id" -> LongType,

@@ -440,6 +440,36 @@ object TextAnalysis {
         col("c.n_chunk_tokens").cast("long").as("n_chunk_tokens"),
         col("c.chunk"))
 
+  val SpanDupMax = 0.3
+
+  /** Span-level dedup (C4/RefinedWeb style): a document whose token
+    * windows largely re-appear in OTHER documents is boilerplate even
+    * when no single whole-doc duplicate exists. Chunks come from the
+    * same overlapping windows as txt_chunk; a span is "duplicated"
+    * when its fingerprint occurs in more than one distinct document.
+    * Shapes: chunk fingerprints at scan speed, one distinct + one
+    * count aggregate on the 60-bit fp key, a semi-join back — never a
+    * pairwise doc comparison.
+    */
+  def spanDedup(docs: DataFrame, maxDupFrac: Double = SpanDupMax): DataFrame = {
+    val ch = chunk(docs)
+      .select(col("doc_id"), md5Hex(normText(col("chunk"))).as("fp"))
+      .localCheckpoint(false)
+    val dupFp = ch.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select(col("fp"))
+    val tot = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val dup = ch.join(dupFp, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_chunks"), 6))
+      .withColumn("keep", (col("dup_frac") <= maxDupFrac).cast("int"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        col("dup_frac"), col("keep"))
+  }
+
   /** The composed curation gate — the one-query form of the full
     * text-side filter pipeline: quality score, repetition gate,
     * language ID, and exact-dup canonicalization joined into a single
@@ -883,6 +913,30 @@ object TextAnalysis {
               |regexp_replace(regexp_replace(text, '$PiiEmailRe', '[EMAIL]', 'g'),
               |  '$PiiPhoneRe', '[PHONE]', 'g') AS clean_text
               |FROM t""".stripMargin)),
+
+    QueryDef("dedup_span",
+      (s, d) => spanDedup(docs(s, d)),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS t
+              |  FROM documents WHERE len(trim(text)) > 0),
+              |cc AS (SELECT doc_id, t,
+              |    unnest(generate_series(0, len(t) - 1, $ChunkStride)) AS s
+              |  FROM tk),
+              |ch AS (SELECT doc_id, md5(lower(regexp_replace(trim(
+              |    array_to_string(t[s+1 : s+$ChunkW], ' ')),'\\s+',' ','g'))) AS fp
+              |  FROM cc),
+              |chd AS (SELECT DISTINCT doc_id, fp FROM ch),
+              |dupfp AS (SELECT fp FROM chd GROUP BY fp HAVING COUNT(*) > 1),
+              |agg AS (SELECT ch.doc_id,
+              |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              |    CAST(SUM(CASE WHEN dupfp.fp IS NOT NULL THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_dup
+              |  FROM ch LEFT JOIN dupfp ON ch.fp = dupfp.fp
+              |  GROUP BY 1)
+              |SELECT doc_id, n_chunks, n_dup,
+              |ROUND(CAST(n_dup AS DOUBLE) / n_chunks, 6) AS dup_frac,
+              |CAST(ROUND(CAST(n_dup AS DOUBLE) / n_chunks, 6) <= $SpanDupMax
+              |  AS INT) AS keep
+              |FROM agg""".stripMargin)),
 
     QueryDef("txt_quality_by_source",
       (s, d) => qualityBySource(docs(s, d)),

@@ -440,6 +440,51 @@ object TextAnalysis {
         col("c.n_chunk_tokens").cast("long").as("n_chunk_tokens"),
         col("c.chunk"))
 
+  val InterpLambda = 0.75
+
+  /** Jelinek-Mercer interpolated LM score: p = λ·p_bigram + (1−λ)·
+    * p_unigram — the smoothing rung above txt_bigram_logprob (an
+    * unseen-in-context bigram no longer scores −ln(small count) off a
+    * cliff; it backs off to the word's corpus frequency). All counts
+    * are exact integers; the mixed probability is one fixed-shape
+    * double expression, so ln sees identical bits on both engines and
+    * the per-token NLL micro-quantizes into order-free integer sums.
+    * Same shuffle shape as the bigram LM: vocabulary-grain aggregates
+    * + hash-keyed joins, one checkpointed tokenize pass.
+    */
+  def interpLogprob(docs: DataFrame,
+                    lambda: Double = InterpLambda): DataFrame = {
+    val bg = docs
+      .withColumn("t", tokens(lower(col("text"))))
+      .select(col("doc_id"), explode(expr(bigramArr)).as("bg"))
+      .select(col("doc_id"), hex60(col("bg")).as("bh"),
+        hex60(expr("split_part(bg, ' ', 1)")).as("w1h"),
+        hex60(expr("split_part(bg, ' ', 2)")).as("w2h"))
+      .localCheckpoint(false)
+    val tok = docs
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .select(hex60(col("w")).as("wh"))
+      .localCheckpoint(false)
+    val uni = tok.groupBy(col("wh")).agg(count(lit(1)).as("u"))
+    val nTot = tok.agg(count(lit(1)).as("n_total"))
+    val c2 = bg.groupBy(col("bh"))
+      .agg(max(col("w1h")).as("w1h"), count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1h")).agg(sum(col("c2")).as("c1"))
+    val vocab = c2.join(c1, Seq("w1h")).select("bh", "c2", "c1")
+    bg.join(vocab, Seq("bh"))
+      .join(uni.withColumnRenamed("wh", "w2h"), Seq("w2h"))
+      .crossJoin(broadcast(nTot)) // 1-row total
+      .withColumn("q_nll",
+        round(-log(lit(lambda) * (col("c2").cast("double") / col("c1"))
+          + lit(1.0d - lambda) * (col("u").cast("double") / col("n_total")))
+          * 1000000.0d).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q_nll")).as("q_sum"))
+      .withColumn("avg_nll",
+        round(col("q_sum").cast("double") / 1000000.0d / col("n_bigrams"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
+  }
+
   val SpanDupMax = 0.3
 
   /** Span-level dedup (C4/RefinedWeb style): a document whose token
@@ -763,6 +808,35 @@ object TextAnalysis {
              |SELECT doc_id, COUNT(*) AS n_bigrams,
              |ROUND(CAST(SUM(q_nll) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_nll
              |FROM scored GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("txt_interp_logprob",
+      (s, d) => interpLogprob(docs(s, d)),
+      Some(s"""WITH tk AS (SELECT doc_id,
+              |    string_split_regex(trim(lower(text)),'\\s+') AS t FROM documents),
+              |b2 AS (SELECT doc_id,
+              |    CAST(concat('0x', substr(md5(bg),1,15)) AS BIGINT) AS bh,
+              |    CAST(concat('0x', substr(md5(split_part(bg, ' ', 1)),1,15)) AS BIGINT) AS w1h,
+              |    CAST(concat('0x', substr(md5(split_part(bg, ' ', 2)),1,15)) AS BIGINT) AS w2h
+              |  FROM (
+              |  SELECT doc_id, unnest(list_transform(
+              |    generate_series(1, greatest(len(t)-1, 0)),
+              |    i -> t[i] || ' ' || t[i+1])) AS bg FROM tk)),
+              |toks AS (SELECT CAST(concat('0x', substr(md5(w),1,15)) AS BIGINT) AS wh
+              |  FROM (SELECT unnest(t) AS w FROM tk)),
+              |uni AS (SELECT wh, CAST(COUNT(*) AS BIGINT) AS u FROM toks GROUP BY 1),
+              |ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+              |c2 AS (SELECT bh, MAX(w1h) AS w1h, CAST(COUNT(*) AS BIGINT) AS c2
+              |  FROM b2 GROUP BY 1),
+              |c1 AS (SELECT w1h, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+              |scored AS (SELECT doc_id,
+              |    CAST(ROUND(-ln($InterpLambda * (CAST(c2.c2 AS DOUBLE) / c1.c1)
+              |      + ${1.0 - InterpLambda} * (CAST(uni.u AS DOUBLE) / ntot.n_total))
+              |      * 1000000.0) AS BIGINT) AS q_nll
+              |  FROM b2 JOIN c2 USING (bh) JOIN c1 ON c2.w1h = c1.w1h
+              |  JOIN uni ON b2.w2h = uni.wh, ntot)
+              |SELECT doc_id, COUNT(*) AS n_bigrams,
+              |ROUND(CAST(SUM(q_nll) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_nll
+              |FROM scored GROUP BY doc_id""".stripMargin)),
 
     QueryDef("txt_repetition",
       (s, d) => repetition(docs(s, d)),

@@ -144,6 +144,39 @@ object Events {
              |  AS p_next
              |FROM t""".stripMargin)),
 
+    // E5 (beyond-ref): DAU / rolling-7-day WAU — the activity chart
+    // every product dashboard leads with. The distinct (user, day)
+    // grid computes once (checkpointed); DAU is a count on it; WAU
+    // range-joins the day axis to the grid (|days| × active-users
+    // fan-out, bounded by the window width — never events × events)
+    // and distinct-counts per day.
+    QueryDef("e5_active_users",
+      (s, d) => {
+        val days = ev(s, d)
+          .select(col("user_id"),
+            to_date(timestamp_micros(col("ts_us"))).as("day"))
+          .distinct().localCheckpoint(false)
+        val dau = days.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = days.select(col("day")).distinct()
+          .join(days.select(col("user_id"), col("day").as("uday")),
+            col("uday").between(date_sub(col("day"), 6), col("day")))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+             |  FROM days GROUP BY 1),
+             |axis AS (SELECT DISTINCT day FROM days),
+             |wau AS (SELECT axis.day,
+             |    COUNT(DISTINCT d2.user_id) AS wau
+             |  FROM axis JOIN days d2
+             |    ON d2.day BETWEEN axis.day - 6 AND axis.day
+             |  GROUP BY 1)
+             |SELECT day, dau, wau FROM dau JOIN wau USING (day)""".stripMargin)),
+
     // E4 (beyond-ref): cohort retention triangle — users grouped by
     // first-activity day, counted per day offset. Two aggregates
     // (user grain, then cohort×offset grain), both map-side

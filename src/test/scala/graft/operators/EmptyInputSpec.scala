@@ -118,6 +118,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.budgetSelect(docs0).count() === 0)
     assert(TextAnalysis.qualityBySource(docs0).count() === 0)
     assert(Similarity.knnIvfProbe(emb0).count() === 0)
+    assert(TextAnalysis.spanDedup(docs0).count() === 0)
+    assert(TextAnalysis.interpLogprob(docs0).count() === 0)
     assert(TextAnalysis.piiRedact(
       empty("user_id" -> LongType, "text" -> StringType)).count() === 0)
     val ev0 = empty("event_id" -> LongType, "user_id" -> LongType,

@@ -237,8 +237,13 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
       .select(col("label").cast("long").as("label"), col("idx"),
         col("n_vecs"),
-        round(col("q_sum").cast("double") / col("n_vecs") / 1000000.0d, 6)
-          .as("centroid"))
+        // floor of the exact-double micro-unit mean: the rational
+        // q_sum/n can land EXACTLY on a round-6 half-tie, which Spark
+        // (BigDecimal HALF_UP on the double) and DuckDB (multiplicative)
+        // resolve differently; floor has no ties and both engines floor
+        // the identical double
+        round(floor(col("q_sum").cast("double") / col("n_vecs"))
+          / 1000000.0d, 6).as("centroid"))
 
   /** Recall@k of the multiprobe LSH index against the exact brute
     * baseline, over the strided query set — the evaluation loop a
@@ -410,8 +415,8 @@ object Similarity {
       (s, d) => centroids(Tables.embeddings(s, d)),
       Some(s"""SELECT CAST(label AS BIGINT) AS label, CAST(g.i AS INT) AS idx,
               |COUNT(*) AS n_vecs,
-              |ROUND(CAST(SUM(CAST(ROUND(CAST(embedding AS DOUBLE[])[g.i + 1] * 1000000.0) AS BIGINT)) AS DOUBLE)
-              |  / COUNT(*) / 1000000.0, 6) AS centroid
+              |ROUND(FLOOR(CAST(SUM(CAST(ROUND(CAST(embedding AS DOUBLE[])[g.i + 1] * 1000000.0) AS BIGINT)) AS DOUBLE)
+              |  / COUNT(*)) / 1000000.0, 6) AS centroid
               |FROM embeddings, (SELECT unnest(generate_series(0, ${Dim - 1})) i) g
               |GROUP BY 1, 2""".stripMargin)),
 

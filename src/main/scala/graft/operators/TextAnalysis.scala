@@ -163,7 +163,8 @@ object TextAnalysis {
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("q_nll")).as("q_sum"))
       .withColumn("avg_nll",
-        round(col("q_sum").cast("double") / 1000000.0d / col("n_tokens"), 6))
+        round(floor(col("q_sum").cast("double") / col("n_tokens"))
+          / 1000000.0d, 6))
       .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
   }
 
@@ -219,7 +220,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q_nll")).as("q_sum"))
       .withColumn("avg_nll",
-        round(col("q_sum").cast("double") / 1000000.0d / col("n_bigrams"), 6))
+        round(floor(col("q_sum").cast("double") / col("n_bigrams"))
+          / 1000000.0d, 6))
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
   }
 
@@ -294,7 +296,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("q6")).as("sq"), sum(col("k")).as("n_keep"))
       .select(col("source"), col("lang"), col("n_docs"),
-        round((col("sq").cast("double") / 1000000.0d) / col("n_docs"), 6)
+        round(floor(col("sq").cast("double") / col("n_docs")) / 1000000.0d, 6)
           .as("avg_quality"),
         col("n_keep"),
         round(col("n_keep").cast("double") / col("n_docs"), 6)
@@ -481,7 +483,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q_nll")).as("q_sum"))
       .withColumn("avg_nll",
-        round(col("q_sum").cast("double") / 1000000.0d / col("n_bigrams"), 6))
+        round(floor(col("q_sum").cast("double") / col("n_bigrams"))
+          / 1000000.0d, 6))
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
   }
 
@@ -708,7 +711,7 @@ object TextAnalysis {
              |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total) * -1000000.0) AS BIGINT) AS q_nll
              |  FROM tok JOIN vocab USING (tk), tot)
              |SELECT doc_id, COUNT(*) AS n_tokens,
-             |ROUND(CAST(SUM(q_nll) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_nll
+             |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
              |FROM scored GROUP BY doc_id""".stripMargin)),
 
     QueryDef("txt_bm25",
@@ -806,7 +809,7 @@ object TextAnalysis {
              |    CAST(ROUND(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * -1000000.0) AS BIGINT) AS q_nll
              |  FROM b2 JOIN c2 USING (bh) JOIN c1 USING (w1h))
              |SELECT doc_id, COUNT(*) AS n_bigrams,
-             |ROUND(CAST(SUM(q_nll) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_nll
+             |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
              |FROM scored GROUP BY doc_id""".stripMargin)),
 
     QueryDef("txt_interp_logprob",
@@ -835,7 +838,7 @@ object TextAnalysis {
               |  FROM b2 JOIN c2 USING (bh) JOIN c1 ON c2.w1h = c1.w1h
               |  JOIN uni ON b2.w2h = uni.wh, ntot)
               |SELECT doc_id, COUNT(*) AS n_bigrams,
-              |ROUND(CAST(SUM(q_nll) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_nll
+              |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
               |FROM scored GROUP BY doc_id""".stripMargin)),
 
     QueryDef("txt_repetition",
@@ -1027,7 +1030,7 @@ object TextAnalysis {
            |    CAST(SUM(CAST(quality >= 0.4 AS INT)) AS BIGINT) AS n_keep
            |  FROM q GROUP BY 1, 2)
            |SELECT source, lang, n_docs,
-           |ROUND((CAST(sq AS DOUBLE) / 1000000.0) / n_docs, 6) AS avg_quality,
+           |ROUND(FLOOR(CAST(sq AS DOUBLE) / n_docs) / 1000000.0, 6) AS avg_quality,
            |n_keep,
            |ROUND(CAST(n_keep AS DOUBLE) / n_docs, 6) AS keep_rate
            |FROM g""".stripMargin

@@ -454,6 +454,47 @@ object Relational {
              |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
              |GROUP BY 1""".stripMargin)),
 
+    // A28 (beyond-ref): exact discrete quartiles per group —
+    // PERCENTILE_DISC semantics (the smallest value whose cumulative
+    // rank reaches p·n), which returns an ACTUAL data value by rank,
+    // so no engine-internal interpolation arithmetic exists to
+    // diverge. One rank window per group + one conditional-max
+    // aggregate; same shape as the A21 median.
+    QueryDef("a28_quartiles",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("price_dec"), col("o_orderkey"))
+        val ranked = ord(s, d)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("price_dec"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("o_orderstatus"))))
+        def disc(p: Double, name: String) =
+          max(when(col("rn") === expr(s"CAST(ceil($p * n) AS BIGINT)"),
+            col("price_dec"))).cast("double").as(name)
+        ranked.groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            disc(0.25, "p25"), disc(0.50, "p50"), disc(0.75, "p75"))
+      },
+      Some("""WITH ranked AS (SELECT o_orderstatus,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+             |  FROM orders)
+             |SELECT o_orderstatus AS status,
+             |CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |CAST(MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+             |  THEN price_dec END) AS DOUBLE) AS p25,
+             |CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+             |  THEN price_dec END) AS DOUBLE) AS p50,
+             |CAST(MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+             |  THEN price_dec END) AS DOUBLE) AS p75
+             |FROM ranked GROUP BY 1""".stripMargin)),
+
     // P18 (beyond-ref): the quality audit behind the P2-P6 cleaner —
     // per-rule violation counts in one conditional-sum scan.
     QueryDef("p18_quality_audit",

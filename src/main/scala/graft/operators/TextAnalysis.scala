@@ -442,6 +442,37 @@ object TextAnalysis {
         col("c.n_chunk_tokens").cast("long").as("n_chunk_tokens"),
         col("c.chunk"))
 
+  val KeywordsK = 3
+
+  /** Per-document TF-IDF keyword extraction — the tagging/metadata
+    * pass of a corpus pipeline. tf and df are exact integer
+    * aggregates (token grain, then vocabulary grain); the score
+    * tf·ln((N+1)/(df+1)) is one fixed-shape double expression, ranked
+    * on its ROUNDED value with a token tie-break so the top-k cut is
+    * deterministic on any engine.
+    */
+  def keywords(docs: DataFrame, k: Int = KeywordsK): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("tk"))
+    val tf = tok.groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint(false)
+    val df = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tk"))
+    tf.join(df, Seq("tk"))
+      .crossJoin(broadcast(nDocs)) // 1-row corpus size
+      .withColumn("score",
+        round(col("tf").cast("double")
+          * log((col("n_docs").cast("double") + 1.0d) / (col("df") + 1.0d)),
+          6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tk").as("keyword"), col("tf"), col("df"), col("score"))
+  }
+
   val InterpLambda = 0.75
 
   /** Jelinek-Mercer interpolated LM score: p = λ·p_bigram + (1−λ)·
@@ -811,6 +842,27 @@ object TextAnalysis {
              |SELECT doc_id, COUNT(*) AS n_bigrams,
              |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
              |FROM scored GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("txt_keywords",
+      (s, d) => keywords(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |    unnest(string_split_regex(trim(lower(text)),'\\s+')) AS tk
+              |  FROM documents),
+              |tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf
+              |  FROM tok GROUP BY 1, 2),
+              |df AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df
+              |  FROM tf GROUP BY 1),
+              |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+              |scored AS (SELECT doc_id, tk, tf.tf, df.df,
+              |    ROUND(CAST(tf.tf AS DOUBLE)
+              |      * ln((CAST(n_docs AS DOUBLE) + 1.0) / (df.df + 1.0)), 6)
+              |      AS score
+              |  FROM tf JOIN df USING (tk), nd)
+              |SELECT doc_id, CAST(rk AS BIGINT) AS rank, tk AS keyword,
+              |tf, df, score FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, tk) rk FROM scored)
+              |WHERE rk <= $KeywordsK""".stripMargin)),
 
     QueryDef("txt_interp_logprob",
       (s, d) => interpLogprob(docs(s, d)),

@@ -108,6 +108,48 @@ object Recommend {
       .filter(col("co") >= minCo && col("cos") >= minCos)
   }
 
+  val CapPerItem = 20
+
+  /** Interactions capped per ITEM — the transpose of capInteractions:
+    * a viral item touched by 10⁶ users contributes 10¹² pairs to a
+    * user-user self-join; capping each item's audience to its `cap`
+    * most recent users bounds every item's contribution to cap².
+    */
+  def interactionsItemCapped(s: SparkSession, d: String,
+                             cap: Int = CapPerItem): DataFrame = {
+    val raw = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(max(col("o_orderdate")).as("last_ts"))
+    val win = Window.partitionBy(col("item_id"))
+      .orderBy(col("last_ts").desc, col("user_id"))
+    raw.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= cap)
+      .select(col("user_id"), col("item_id"))
+  }
+
+  /** User-user cosine over shared items — the item-item transpose
+    * (user-kNN CF, also the "customers like you" segmentation input).
+    * Identical algebra with the roles swapped; the self-join shuffles
+    * on item_id, so the per-item audience cap above is the scale
+    * guard, exactly as the per-user cap guards the item-item join.
+    */
+  def userSimilarity(inter: DataFrame,
+                     minCo: Int = MinCo, minCos: Double = MinCos): DataFrame = {
+    val cnt = inter.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val co = inter.as("a")
+      .join(inter.as("b"),
+        col("a.item_id") === col("b.item_id") &&
+          col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .agg(count(lit(1)).as("co"))
+    co.join(broadcast(cnt).as("ca"), col("u") === col("ca.user_id"))
+      .join(broadcast(cnt).as("cb"), col("v") === col("cb.user_id"))
+      .select(col("u"), col("v"), col("co"),
+        (col("co") / sqrt((col("ca.n") * col("cb.n")).cast("double"))).as("cos"))
+      .filter(col("co") >= minCo && col("cos") >= minCos)
+  }
+
   /** A14: top-N recommendations. score sums doubles (order-dependent
     * ULPs) → ranked and emitted at 6-decimal precision.
     */
@@ -439,6 +481,30 @@ object Recommend {
               |  AND ROUND(CAST(dot AS DOUBLE)/SQRT(CAST(na.n2*nb.n2 AS DOUBLE)), 6) >= $MinCos),
               |${scoreSql("interw")}
               |SELECT * FROM recs""".stripMargin)),
+
+    QueryDef("ml_user_similarity_capped",
+      (s, d) => userSimilarity(
+        interactionsItemCapped(s, d).localCheckpoint(false)),
+      Some(s"""WITH rawi AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |icap AS (SELECT user_id, item_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id
+              |    ORDER BY last_ts DESC, user_id) rn FROM rawi)
+              |  WHERE rn <= $CapPerItem),
+              |cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM icap GROUP BY 1),
+              |co AS (SELECT a.user_id u, b.user_id v, CAST(COUNT(*) AS BIGINT) AS co
+              |  FROM icap a JOIN icap b
+              |  ON a.item_id = b.item_id AND a.user_id < b.user_id
+              |  GROUP BY 1, 2)
+              |SELECT u, v, co,
+              |co/SQRT(CAST(ca.n*cb.n AS DOUBLE)) AS cos
+              |FROM co JOIN cnt ca ON u = ca.user_id
+              |JOIN cnt cb ON v = cb.user_id
+              |WHERE co >= $MinCo
+              |AND co/SQRT(CAST(ca.n*cb.n AS DOUBLE)) >= $MinCos""".stripMargin)),
 
     QueryDef("ml_coverage",
       (s, d) => {

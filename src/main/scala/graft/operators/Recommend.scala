@@ -150,6 +150,31 @@ object Recommend {
       .filter(col("co") >= minCo && col("cos") >= minCos)
   }
 
+  /** User-based top-N: score an item by the summed similarity of the
+    * neighbors who bought it (the user-kNN serving path consuming
+    * userSimilarity), own purchases anti-joined out. Same rank/tie
+    * discipline as the item-based recommender.
+    */
+  def recommendUserBased(inter: DataFrame, usim: DataFrame,
+                         topN: Int = TopN): DataFrame = {
+    val usim2 = usim.select(col("u"), col("v"), col("cos"))
+      .unionByName(usim.select(col("v").as("u"), col("u").as("v"), col("cos")))
+    val scored = usim2.as("s")
+      .join(inter.as("p"), col("s.v") === col("p.user_id"))
+      .groupBy(col("s.u").as("user_id"), col("p.item_id").as("item_id"))
+      .agg(sum(col("s.cos")).as("score"))
+    val cand = scored
+      .join(inter, Seq("user_id", "item_id"), "left_anti")
+      .filter(col("score") > 0)
+      .withColumn("score_r", round(col("score"), 6))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("score_r").desc, col("item_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("user_id"), col("rank").cast("long").as("rank"),
+        col("item_id"), col("score_r"))
+  }
+
   /** A14: top-N recommendations. score sums doubles (order-dependent
     * ULPs) → ranked and emitted at 6-decimal precision.
     */
@@ -505,6 +530,44 @@ object Recommend {
               |JOIN cnt cb ON v = cb.user_id
               |WHERE co >= $MinCo
               |AND co/SQRT(CAST(ca.n*cb.n AS DOUBLE)) >= $MinCos""".stripMargin)),
+
+    QueryDef("ml_recommendations_user_based",
+      (s, d) => {
+        val inter = interactionsItemCapped(s, d).localCheckpoint(false)
+        recommendUserBased(inter, userSimilarity(inter).localCheckpoint(false))
+      },
+      Some(s"""WITH rawi AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |icap AS (SELECT user_id, item_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id
+              |    ORDER BY last_ts DESC, user_id) rn FROM rawi)
+              |  WHERE rn <= $CapPerItem),
+              |cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM icap GROUP BY 1),
+              |co AS (SELECT a.user_id u, b.user_id v, CAST(COUNT(*) AS BIGINT) AS co
+              |  FROM icap a JOIN icap b
+              |  ON a.item_id = b.item_id AND a.user_id < b.user_id
+              |  GROUP BY 1, 2),
+              |usim AS (SELECT u, v, co,
+              |    co/SQRT(CAST(ca.n*cb.n AS DOUBLE)) AS cos
+              |  FROM co JOIN cnt ca ON u = ca.user_id
+              |  JOIN cnt cb ON v = cb.user_id
+              |  WHERE co >= $MinCo
+              |  AND co/SQRT(CAST(ca.n*cb.n AS DOUBLE)) >= $MinCos),
+              |usim2 AS (SELECT u, v, cos FROM usim
+              |  UNION ALL SELECT v, u, cos FROM usim),
+              |scored AS (SELECT s.u AS user_id, p.item_id, SUM(s.cos) AS score
+              |  FROM usim2 s JOIN icap p ON s.v = p.user_id GROUP BY 1, 2),
+              |cand AS (SELECT sc.user_id, sc.item_id, ROUND(sc.score, 6) score_r
+              |  FROM scored sc WHERE sc.score > 0 AND NOT EXISTS (
+              |    SELECT 1 FROM icap pu
+              |    WHERE pu.user_id = sc.user_id AND pu.item_id = sc.item_id))
+              |SELECT user_id, CAST(rk AS BIGINT) AS rank, item_id, score_r
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |  ORDER BY score_r DESC, item_id) rk FROM cand)
+              |WHERE rk <= $TopN""".stripMargin)),
 
     QueryDef("ml_coverage",
       (s, d) => {

@@ -120,6 +120,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.knnIvfProbe(emb0).count() === 0)
     assert(TextAnalysis.spanDedup(docs0).count() === 0)
     assert(TextAnalysis.interpLogprob(docs0).count() === 0)
+    assert(TextAnalysis.keywords(docs0).count() === 0)
+    assert(Recommend.userSimilarity(inter0).count() === 0)
+    assert(Recommend.recommendUserBased(inter0,
+      Recommend.userSimilarity(inter0)).count() === 0)
     assert(TextAnalysis.piiRedact(
       empty("user_id" -> LongType, "text" -> StringType)).count() === 0)
     val ev0 = empty("event_id" -> LongType, "user_id" -> LongType,

@@ -30,6 +30,27 @@ class RecommendSpec extends SparkSpec {
     assert(math.abs(sim(1)._4 - 1.0 / math.sqrt(3.0)) < 1e-15)
   }
 
+  test("A13''': user-user transpose mirrors the item-item algebra") {
+    val usim = Recommend.userSimilarity(inter, minCo = 1, minCos = 0.0)
+      .select("u", "v", "co", "cos")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // nu10=2, nu20=2, nu30=2; co(10,20)=2 (items 1,2), co(10,30)=1,
+    // co(20,30)=1 (item 1)
+    assert(usim.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)))
+    assert(math.abs(usim(0)._4 - 1.0) < 1e-15) // identical baskets
+    // user-based recs: user 10's neighbor 30 bought item 3 → candidate
+    val recs = Recommend.recommendUserBased(inter,
+      Recommend.userSimilarity(inter, minCo = 1, minCos = 0.0))
+      .select("user_id", "rank", "item_id")
+      .as[(Long, Long, Long)].collect()
+    assert(recs.contains((10L, 1L, 3L)))
+    // no own purchase ever recommended
+    val owned = Set((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L))
+    assert(recs.forall(r => !owned.contains((r._1, r._3))))
+  }
+
   test("A14: recommendations mask purchases and rank deterministically") {
     val sim = Recommend.itemSimilarity(inter, minCo = 1, minCos = 0.0)
     val recs = Recommend.recommend(inter, sim, topN = 10)

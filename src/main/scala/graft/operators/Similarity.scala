@@ -217,6 +217,26 @@ object Similarity {
         col("nbr_id"), col("cos"))
   }
 
+  /** IVF cell histogram — sim_bucket_stats' counterpart for the
+    * coarse-quantizer index: cell-size skew is what turns the
+    * in-cell search quadratic, so production monitors it per build.
+    */
+  def cellStats(emb: DataFrame): DataFrame = {
+    val e = vecs(emb)
+    val cent = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .groupBy(col("cent_id").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** Per-label centroids, long form (label, idx, centroid) — the
     * k-means/IVF training pass shape: explode to (label, idx, value),
     * one groupBy on (label, idx) with map-side partial sums.
@@ -548,6 +568,18 @@ object Similarity {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)
               |WHERE rk <= $K""".stripMargin)),
+
+    QueryDef("sim_cell_stats",
+      (s, d) => cellStats(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+              |assigned AS (SELECT vec_id, cent_id AS cell FROM (
+              |  SELECT e.vec_id, c.cent_id,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+              |      c.cent_id) rn
+              |  FROM e, cent c) WHERE rn = 1)
+              |SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY 1""".stripMargin)),
 
     QueryDef("sim_knn_ivf_probe2",
       (s, d) => knnIvfProbe(Tables.embeddings(s, d)),

@@ -177,4 +177,13 @@ class PlanSpec extends SparkSpec {
       assert(exchanges <= 3, s"$name: $exchanges exchanges\n${p.take(600)}")
     }
   }
+
+  test("span dedup / user CF: fp- and key-equi-joins, no pair scans") {
+    for (name <- Seq("dedup_span", "ml_user_similarity_capped",
+      "ml_recommendations_user_based")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: pair scan")
+    }
+  }
 }

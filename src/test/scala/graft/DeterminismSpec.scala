@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Whole-surface partition-invariance: the oracle compare proves
+  * Spark-vs-DuckDB agreement at ONE partitioning; this proves the
+  * Spark side cannot drift with the cluster layout — rerun under a
+  * different shuffle-partition count and a repartitioned input plan,
+  * results must be row-identical. Queries chosen to cover every
+  * nondeterminism-prone shape: rank windows, double aggregation,
+  * top-k, LSH candidate joins, iterative integer PageRank, float
+  * scoring joins, quantized averages.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private val probes = Seq(
+    "a4_top_products",        // top-k over double sums
+    "a26_window_funcs",       // rank/ntile windows
+    "ml_recommendations",     // float scoring join + rank
+    "dedup_minhash_lsh",      // banded candidates + verify
+    "graph_pagerank",         // 5 integer iterations
+    "txt_interp_logprob",     // quantized average
+    "sim_knn_sq8_rerank",     // two-stage retrieval
+    "e3_transitions",         // lag sequence + ratio
+    "u4_train_test_split",    // hash-bucket split
+    "a28_quartiles")          // rank-selected values
+
+  private def rows(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, d)
+    df.collect().map(_.toString).sorted.toSeq
+  }
+
+  test("results are identical under a different shuffle-partition count") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = probes.map(n => n -> rows(n)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      probes.foreach { n =>
+        assert(rows(n) == base(n), s"$n drifted with partition count")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}

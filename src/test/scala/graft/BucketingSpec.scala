@@ -49,4 +49,45 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("CF self-join over bucketed interactions shuffles nothing") {
+    // the hottest shuffle in the engine is the co-occurrence
+    // self-join on user_id (Recommend.itemSimilarity). Persist the
+    // interaction table bucketed on that key — the nightly-CF layout
+    // at 100 TB — and the pair-generation join needs ZERO exchanges.
+    val d = "/root/testdata/sf0.001"
+    graft.operators.Recommend.interactions(spark, d)
+      .write.mode("overwrite").bucketBy(8, "user_id")
+      .sortBy("user_id").saveAsTable("inter_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val inter = spark.table("inter_bucketed")
+      val pairs = inter.as("a")
+        .join(inter.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.item_id") < col("b.item_id"))
+        .groupBy(col("a.item_id").as("i"), col("b.item_id").as("j"))
+        .agg(count(lit(1)).as("co"))
+      val plan = pairs.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      // the self-join reads bucket-aligned sides; only the (i, j)
+      // aggregation exchanges
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges === 1,
+        s"self-join shuffled: $exchanges exchanges\n${plan.take(1200)}")
+      // co-occurrence counts equal the unbucketed operator's
+      val expected = graft.operators.Recommend
+        .itemSimilarity(graft.operators.Recommend.interactions(spark, d),
+          minCo = 1, minCos = 0.0)
+        .select("i", "j", "co")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS inter_bucketed")
+    }
+  }
 }

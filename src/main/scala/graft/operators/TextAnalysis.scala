@@ -225,6 +225,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
   }
 
+  /** Per-row trigram array (duplicates kept, like bigramArr). */
+  private val trigramArr =
+    """CASE WHEN size(t) >= 3
+      |  THEN transform(sequence(1, size(t) - 2),
+      |    i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))
+      |  ELSE CAST(array() AS array<string>) END""".stripMargin
+
+  /** Per-doc cross-entropy under the corpus TRIGRAM LM — the order-3
+    * rung of the quality ladder (unigram → bigram → interpolated →
+    * trigram): P(w3|w1 w2) = c(w1 w2 w3) / c(w1 w2 ·). Docs with
+    * fewer than 3 tokens have no trigrams and drop out (identically
+    * on both engines).
+    *
+    * Shape at scale: identical to bigramLogprob one order up — the
+    * context count is derived from the trigram vocabulary table
+    * (ctx hash is functionally determined by the trigram hash), so
+    * the second aggregate runs over |trigram vocab| rows, never the
+    * corpus stream, and all shuffles carry 8-byte hash keys.
+    */
+  def trigramLogprob(docs: DataFrame): DataFrame = {
+    val tg = docs
+      .withColumn("t", tokens(lower(col("text"))))
+      .select(col("doc_id"), explode(expr(trigramArr)).as("tg"))
+      .select(col("doc_id"), hex60(col("tg")).as("th"),
+        hex60(expr(
+          "concat(split_part(tg, ' ', 1), ' ', split_part(tg, ' ', 2))"))
+          .as("ctxh"))
+      .localCheckpoint(false)
+    val c3 = tg.groupBy(col("th"))
+      .agg(max(col("ctxh")).as("ctxh"), count(lit(1)).as("c3"))
+    val cc = c3.groupBy(col("ctxh")).agg(sum(col("c3")).as("cctx"))
+    tg.join(c3.join(cc, Seq("ctxh")).select("th", "c3", "cctx"), Seq("th"))
+      .withColumn("q_nll",
+        round(log(col("c3").cast("double") / col("cctx")) * -1000000.0d)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("q_nll")).as("q_sum"))
+      .withColumn("avg_nll",
+        round(floor(col("q_sum").cast("double") / col("n_trigrams"))
+          / 1000000.0d, 6))
+      .select(col("doc_id"), col("n_trigrams"), col("avg_nll"))
+  }
+
   /** PII span patterns — the RE2 ∩ Java-regex common subset (char
     * classes, bounded repeats, \b; no lookaround) so Spark and DuckDB
     * match identical spans.
@@ -840,6 +883,28 @@ object TextAnalysis {
              |    CAST(ROUND(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * -1000000.0) AS BIGINT) AS q_nll
              |  FROM b2 JOIN c2 USING (bh) JOIN c1 USING (w1h))
              |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
+             |FROM scored GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("txt_trigram_logprob",
+      (s, d) => trigramLogprob(docs(s, d)),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)),'\s+') AS t FROM documents),
+             |t3 AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(tg),1,15)) AS BIGINT) AS th,
+             |    CAST(concat('0x', substr(md5(
+             |      split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2)
+             |    ),1,15)) AS BIGINT) AS ctxh
+             |  FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, greatest(len(t)-2, 0)),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg FROM tk)),
+             |c3 AS (SELECT th, COUNT(*) AS c3 FROM t3 GROUP BY 1),
+             |cc AS (SELECT ctxh, COUNT(*) AS cctx FROM t3 GROUP BY 1),
+             |scored AS (SELECT doc_id,
+             |    CAST(ROUND(ln(CAST(c3.c3 AS DOUBLE) / cc.cctx) * -1000000.0) AS BIGINT) AS q_nll
+             |  FROM t3 JOIN c3 USING (th) JOIN cc USING (ctxh))
+             |SELECT doc_id, COUNT(*) AS n_trigrams,
              |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
              |FROM scored GROUP BY doc_id""".stripMargin)),
 

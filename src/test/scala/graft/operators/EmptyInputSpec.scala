@@ -120,6 +120,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.knnIvfProbe(emb0).count() === 0)
     assert(TextAnalysis.spanDedup(docs0).count() === 0)
     assert(TextAnalysis.interpLogprob(docs0).count() === 0)
+    assert(TextAnalysis.trigramLogprob(docs0).count() === 0)
     assert(TextAnalysis.keywords(docs0).count() === 0)
     assert(Recommend.userSimilarity(inter0).count() === 0)
     assert(Recommend.recommendUserBased(inter0,

@@ -65,6 +65,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._3 > out(1L)._3)    // rare 'x q' is surprising
   }
 
+  test("trigram logprob: unique continuation scores zero; short docs drop") {
+    val corpus = Seq(
+      TDoc(1, "a b c a b c a b c", "en"), // every context determines w3
+      TDoc(2, "a b c a b d", "en"),       // 'a b' → {c, d} splits mass
+      TDoc(3, "just two", "en")).toDF()
+    val out = TextAnalysis.trigramLogprob(corpus)
+      .select("doc_id", "n_trigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(3L))          // <3 tokens → no trigrams
+    assert(out(1L)._2 === 7L && out(2L)._2 === 4L)
+    // doc 2 contains the split-context trigrams, so it is strictly
+    // more surprising than doc 1's (which also shares 'a b' context)
+    assert(out(2L)._3 > out(1L)._3)
+  }
+
   test("repetition: degenerate doc gated out, diverse doc kept") {
     val corpus = Seq(
       TDoc(1, "spam spam spam spam spam spam", "en"),

@@ -435,6 +435,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("bucket"))
   }
 
+  /** Epoch budget for the registered temperature-mix queries, in ppm
+    * of the corpus token count: spend half the corpus per epoch.
+    */
+  val MixTempBudgetPpm = 500000L
+
+  /** Temperature-reweighted mixture plan (α = 0.5) under an epoch
+    * token budget B: per-source targets ∝ n_tokens^α scaled to Σ=B,
+    * rate_i = min(1, target_i/n_i) — the standard rebalance that
+    * upweights small sources without letting one giant source
+    * dominate an epoch (mix_domains is the hand-set-rates form; this
+    * derives the rates from the data). α is fixed at 0.5 because
+    * sqrt is the one power IEEE-754 requires correctly rounded —
+    * pow(x, 0.3) is not, and would flake across engines. All shares
+    * are integer ppm (q = round(sqrt(n)·10³), shares = q·10⁶ div
+    * Σq): order-free sums, engine-exact division. A source smaller
+    * than its temperature target is taken whole (the upsampling
+    * remainder is an epoch-count concern, not a selection concern).
+    * Widest intermediate is temp_ppm·B ≈ 10⁶·Σtokens: fits a long
+    * until ~9·10¹² corpus tokens; past that drop the ppm quantum
+    * to 10⁴.
+    * Scale: one groupBy(source) + a broadcast 1-row total — the plan
+    * is |sources| rows, nothing touches the corpus twice.
+    */
+  def mixTemperature(docs: DataFrame,
+                     budgetPpm: Long = MixTempBudgetPpm): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("q", expr("CAST(ROUND(sqrt(n_tokens) * 1000) AS BIGINT)"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("q")).as("tot_q"))
+    per.join(broadcast(tot))
+      .withColumn("budget_tokens",
+        expr(s"tot_tokens * $budgetPpm div 1000000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div tot_tokens").as("nat_ppm"),
+        expr("q * 1000000 div tot_q").as("temp_ppm"),
+        expr("LEAST(1000000, (q * 1000000 div tot_q) * budget_tokens div n_tokens)")
+          .as("rate_ppm"))
+  }
+
+  /** Apply the temperature plan: the same stable-hash bucket device as
+    * mixDomains, at ppm granularity, against the derived rate. The
+    * multiplier is Knuth's 2654435761 so small consecutive doc_ids
+    * still spread across the full ppm range (×31 would leave ids
+    * < ~32k all below any realistic threshold). The plan side is
+    * |sources| rows → broadcast; the corpus side is a scan-bandwidth
+    * filter with no shuffle.
+    */
+  def mixTemperatureSample(docs: DataFrame,
+                           budgetPpm: Long = MixTempBudgetPpm): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("bucket",
+        expr("((doc_id % 1000003) * 2654435761 + 12345) % 1000000")
+          .cast("long"))
+      .join(broadcast(mixTemperature(docs, budgetPpm)
+        .select("source", "rate_ppm")), Seq("source"))
+      .filter(col("bucket") < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+
   val PackSeqLen = 2048L
 
   /** Sequence packing: assign each document to a fixed-token-budget
@@ -1002,6 +1063,42 @@ object TextAnalysis {
            |WHERE ((doc_id % 100003) * 31 + 17) % 10000 <
            |CASE $cases ELSE ${(MixDefaultRate * 10000).toLong} END""".stripMargin
       }),
+
+    QueryDef("mix_temperature",
+      (s, d) => mixTemperature(docs(s, d)),
+      Some(s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(string_split_regex(trim(text),'\\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |q AS (SELECT source, n_docs, n_tokens,
+             |    CAST(ROUND(sqrt(n_tokens) * 1000) AS BIGINT) AS q
+             |  FROM per WHERE n_tokens > 0),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+             |    CAST(SUM(q) AS BIGINT) AS tot_q FROM q)
+             |SELECT source, n_docs, n_tokens,
+             |CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS nat_ppm,
+             |CAST(q * 1000000 // tot_q AS BIGINT) AS temp_ppm,
+             |CAST(LEAST(1000000, (q * 1000000 // tot_q)
+             |  * (tot_tokens * $MixTempBudgetPpm // 1000000) // n_tokens) AS BIGINT) AS rate_ppm
+             |FROM q, tot""".stripMargin)),
+
+    QueryDef("mix_temperature_sample",
+      (s, d) => mixTemperatureSample(docs(s, d)),
+      Some(s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(string_split_regex(trim(text),'\\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |q AS (SELECT source, n_tokens,
+             |    CAST(ROUND(sqrt(n_tokens) * 1000) AS BIGINT) AS q
+             |  FROM per WHERE n_tokens > 0),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+             |    CAST(SUM(q) AS BIGINT) AS tot_q FROM q),
+             |plan AS (SELECT source,
+             |  CAST(LEAST(1000000, (q * 1000000 // tot_q)
+             |    * (tot_tokens * $MixTempBudgetPpm // 1000000) // n_tokens) AS BIGINT) AS rate_ppm
+             |  FROM q, tot)
+             |SELECT doc_id, source,
+             |CAST(((doc_id % 1000003) * 2654435761 + 12345) % 1000000 AS BIGINT) AS bucket
+             |FROM documents JOIN plan USING (source)
+             |WHERE ((doc_id % 1000003) * 2654435761 + 12345) % 1000000 < rate_ppm""".stripMargin)),
 
     QueryDef("txt_chunk",
       (s, d) => chunk(docs(s, d)),

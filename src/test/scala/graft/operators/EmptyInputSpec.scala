@@ -103,6 +103,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.repetition(docs0).count() === 0)
     assert(TextAnalysis.tokenBudget(docs0).count() === 0)
     assert(TextAnalysis.mixDomains(docs0).count() === 0)
+    assert(TextAnalysis.mixTemperature(docs0).count() === 0)
+    assert(TextAnalysis.mixTemperatureSample(docs0).count() === 0)
     assert(TextAnalysis.packSequences(docs0).count() === 0)
     assert(Dedup.embeddingClusters(emb0).count() === 0)
     assert(Dedup.evalContaminationBloom(docs0).count() === 0)

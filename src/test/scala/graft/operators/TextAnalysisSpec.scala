@@ -107,6 +107,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bySrc.getOrElse("src1", 0L) > bySrc.getOrElse("src3", 0L))
   }
 
+  test("mix_temperature: small sources upweighted, tiny ones taken whole") {
+    // big: 8 docs × 16 tokens = 128; small: 2 docs × 2 tokens = 4
+    val docs = ((1L to 8L).map(i => (i, "big", Seq.fill(16)("w").mkString(" ")))
+      ++ Seq((100L, "small", "w w"), (101L, "small", "w w")))
+      .toDF("doc_id", "source", "text")
+    val plan = TextAnalysis.mixTemperature(docs, budgetPpm = 1000000L)
+      .select("source", "n_tokens", "nat_ppm", "temp_ppm", "rate_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(plan("big")._2 === 128L && plan("small")._2 === 4L)
+    // temperature pulls shares toward uniform: small up, big down
+    assert(plan("small")._4 > plan("small")._3)
+    assert(plan("big")._4 < plan("big")._3)
+    // the small source's temperature target exceeds its size → whole
+    assert(plan("small")._5 === 1000000L)
+    assert(plan("big")._5 < 1000000L && plan("big")._5 > plan("big")._4)
+    // a half-corpus epoch budget halves the big source's rate exactly
+    val half = TextAnalysis.mixTemperature(docs, budgetPpm = 500000L)
+      .select("source", "rate_ppm").as[(String, Long)].collect().toMap
+    assert(half("big") === plan("big")._4 * 66L / 128L)
+    assert(half("small") === 1000000L)  // still whole: target 2.5× size
+    // sampling applies exactly the planned rate via the stable bucket
+    val kept = TextAnalysis.mixTemperatureSample(docs, budgetPpm = 1000000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(100L) && kept.contains(101L))
+    val expectBig = (1L to 8L).filter(i =>
+      ((i % 1000003) * 2654435761L + 12345) % 1000000 < plan("big")._5).toSet
+    assert(kept.filter(_ <= 8L) === expectBig)
+    // partition-independent
+    val again = TextAnalysis.mixTemperatureSample(docs.repartition(7),
+      budgetPpm = 1000000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
   test("pack_sequences: offset binning packs per source shard") {
     val docs = Seq(
       (1L, "s", "a b c"), (2L, "s", "a b c"), (3L, "s", "a b c"),

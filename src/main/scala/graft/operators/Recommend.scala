@@ -338,6 +338,55 @@ object Recommend {
       count(lit(1)).as("n_users"))
   }
 
+  /** Micro-quantized DCG discount table: gain(r) = round(10⁶/log₂(r+1))
+    * for ranks 1..TopN, and its prefix sums for the ideal DCG. Both
+    * engines consume these as interpolated integer literals, so no
+    * transcendental function ever runs inside a query — the one
+    * bulletproof way to keep log-based metrics hash-exact across
+    * engines.
+    */
+  private val NdcgGains: Seq[Long] =
+    (1 to TopN).map(r => Math.round(1e6 / (Math.log(r + 1.0) / Math.log(2.0))))
+  private val NdcgPrefix: Seq[Long] = NdcgGains.scanLeft(0L)(_ + _).tail
+
+  private def gainCase(rankCol: String): String =
+    (1 to TopN).map(r => s"WHEN $rankCol = $r THEN ${NdcgGains(r - 1)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  private def idcgCase(nevalCol: String): String =
+    (1 until TopN).map(r => s"WHEN $nevalCol = $r THEN ${NdcgPrefix(r - 1)}")
+      .mkString("CASE ", " ", s" ELSE ${NdcgPrefix(TopN - 1)} END")
+
+  /** NDCG@k of the recommendations against eval purchases (binary
+    * relevance): per user DCG = Σ gain(rank) over hits, IDCG = the
+    * prefix sum at min(|eval(u)|, k), both exact integers from the
+    * shared discount table; per-user NDCG is one integer division in
+    * ppm, and the mean is the order-free FLOOR(Σq/n) micro-quantized
+    * average. Users with no eval rows have IDCG 0 and are excluded —
+    * the metric is defined over scorable users only.
+    * Scale: one hash join recs⋈eval on (user, item), one n_eval
+    * aggregate joined back on user — both shuffles keyed on user_id,
+    * no window, no skew beyond the recs table's own k-per-user bound.
+    */
+  def ndcgAtK(recs: DataFrame, evalDf: DataFrame): DataFrame = {
+    val nEval = evalDf.groupBy(col("user_id")).agg(count(lit(1)).as("n_eval"))
+    val perUser = recs.as("r")
+      .join(evalDf.as("e"),
+        col("r.user_id") === col("e.user_id") &&
+          col("r.item_id") === col("e.item_id"), "left")
+      .groupBy(col("r.user_id"))
+      .agg(sum(expr(
+        s"CASE WHEN e.user_id IS NOT NULL THEN ${gainCase("r.rank")} ELSE 0 END"))
+        .as("dcg"))
+    perUser.join(nEval, Seq("user_id"))
+      .withColumn("q", expr(s"dcg * 1000000 div (${idcgCase("n_eval")})"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n_users"))
+      .select(
+        round(floor(col("sq").cast("double") / col("n_users")) / 1000000.0d, 6)
+          .as("avg_ndcg"),
+        col("n_users"))
+  }
+
   // ---- driver-contract registry ----
 
   private val interSql =
@@ -654,6 +703,30 @@ object Recommend {
               |    ON r.user_id = e.user_id AND r.item_id = e.item_id
               |  GROUP BY r.user_id)
               |SELECT ROUND(AVG(CAST(hits AS DOUBLE)/n_recs), 6) AS avg_precision,
-              |COUNT(*) AS n_users FROM per_user""".stripMargin))
+              |COUNT(*) AS n_users FROM per_user""".stripMargin)),
+
+    QueryDef("ml_ndcg_at_10",
+      (s, d) => {
+        val inter = interactions(s, d).localCheckpoint(false)
+        val train = trainSet(inter).localCheckpoint(false)
+        val recs = recommend(train, itemSimilarity(train).localCheckpoint(false))
+        ndcgAtK(recs, evalSet(inter))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |tr AS (SELECT user_id, item_id FROM inter WHERE $splitCond < 8),
+              |ev AS (SELECT user_id, item_id FROM inter WHERE $splitCond >= 8),
+              |${recsSql("tr")},
+              |ne AS (SELECT user_id, COUNT(*) AS n_eval FROM ev GROUP BY 1),
+              |per_user AS (SELECT r.user_id,
+              |    CAST(SUM(CASE WHEN e.user_id IS NOT NULL
+              |      THEN ${gainCase("r.rank")} ELSE 0 END) AS BIGINT) AS dcg
+              |  FROM recs r LEFT JOIN ev e
+              |    ON r.user_id = e.user_id AND r.item_id = e.item_id
+              |  GROUP BY r.user_id),
+              |nq AS (SELECT p.user_id,
+              |    dcg * 1000000 // (${idcgCase("n_eval")}) AS q
+              |  FROM per_user p JOIN ne USING (user_id))
+              |SELECT ROUND(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_ndcg,
+              |COUNT(*) AS n_users FROM nq""".stripMargin))
   )
 }

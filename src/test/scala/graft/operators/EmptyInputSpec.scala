@@ -49,6 +49,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(cov.length === 1) // global agg over empty → one null row, no crash
     assert(Recommend.precisionAtK(
       Recommend.recommend(inter0, sim0), inter0).collect().length === 1)
+    assert(Recommend.ndcgAtK(
+      Recommend.recommend(inter0, sim0), inter0).collect().length === 1)
   }
 
   test("similarity family is total on empty embeddings") {

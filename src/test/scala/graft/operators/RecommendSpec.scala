@@ -82,6 +82,21 @@ class RecommendSpec extends SparkSpec {
     assert(p === ((0.25, 2L)))
   }
 
+  test("NDCG@10: rank-1 hit scores 1.0, rank-2-of-two scores its discount") {
+    val recs = Seq(
+      (10L, 1L, 3L, 0.5),              // user 10: hit at rank 1
+      (20L, 1L, 4L, 0.9), (20L, 2L, 7L, 0.8), // user 20: hit at rank 2
+      (30L, 1L, 9L, 0.7))              // user 30: no eval rows → excluded
+      .toDF("user_id", "rank", "item_id", "score_r")
+    val eval_ = Seq(Inter(10, 3), Inter(20, 7)).toDF()
+    val out = Recommend.ndcgAtK(recs, eval_)
+      .select("avg_ndcg", "n_users").as[(Double, Long)].head()
+    // user 10: dcg = g(1), idcg = g(1) → 1.0
+    // user 20: dcg = g(2) = 630930, idcg = g(1) = 1e6 → 0.630930
+    // mean = floor((1000000 + 630930)/2)/1e6 = 0.815465
+    assert(out === ((0.815465, 2L)))
+  }
+
   test("A13 DIMSUM fallback: threshold 0 reproduces the exact cosines") {
     val exact = Recommend.itemSimilarity(inter, minCo = 1, minCos = 0.0)
       .select("i", "j", "cos").as[(Long, Long, Double)].collect()

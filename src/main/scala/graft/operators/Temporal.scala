@@ -166,6 +166,41 @@ object Temporal {
           .as("vol"))
   }
 
+  /** SCD type-2 dimension history: compact each key's attribute
+    * stream (here: the user's event_type) into validity intervals —
+    * consecutive same-value observations collapse to one row with
+    * [valid_from, valid_to) bounds, the open interval marked current.
+    * The standard warehouse shape for "what was this dimension worth
+    * at time t", queryable with a plain BETWEEN.
+    *
+    * Scale: two window passes and one aggregate, all over the same
+    * (user_id) hash partitioning — Catalyst reuses a single exchange;
+    * the second window runs on the run-compacted (much smaller)
+    * relation. Determinism: observation order is (ts_us, event_id);
+    * the attribute is constant within a run so min() reads it back.
+    */
+  def scd2Build(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val runs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        (col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .cast("long"))
+      .withColumn("version", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs.groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+      .withColumn("is_current", col("valid_to_us").isNull.cast("int"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("n_obs"),
+        col("is_current"))
+  }
+
   private def ev(s: SparkSession, d: String) =
     Tables.events(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
@@ -269,6 +304,33 @@ object Temporal {
              |COALESCE(c.n_raw, 0) AS n,
              |ROUND(CAST(COALESCE(c.vq, 0) AS DOUBLE) / 1000000.0, 6) AS vol
              |FROM axis LEFT JOIN c
-             |  ON axis.event_type = c.event_type AND axis.hb = c.hb""".stripMargin))
+             |  ON axis.event_type = c.event_type AND axis.hb = c.hb""".stripMargin)),
+
+    // SCD2 history of each user's event_type over time.
+    QueryDef("scd2_history",
+      (s, d) => scd2Build(ev(s, d)),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+             |  event_type FROM events),
+             |g AS (SELECT user_id, ts_us, event_id, event_type,
+             |  CASE WHEN lag(event_type) OVER w IS NULL
+             |    OR lag(event_type) OVER w <> event_type
+             |    THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |v AS (SELECT user_id, ts_us, event_type,
+             |  CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+             |  FROM g),
+             |runs AS (SELECT user_id, version,
+             |    MIN(event_type) AS event_type,
+             |    MIN(ts_us) AS valid_from_us,
+             |    COUNT(*) AS n_obs
+             |  FROM v GROUP BY 1, 2)
+             |SELECT user_id, version, event_type, valid_from_us,
+             |lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             |  AS valid_to_us,
+             |n_obs,
+             |CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             |  IS NULL AS INT) AS is_current
+             |FROM runs""".stripMargin))
   )
 }

@@ -178,6 +178,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scd2: both windows and the agg share one user_id exchange") {
+    val p = planOf("scd2_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"scd2: $exchanges exchanges\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("span dedup / user CF: fp- and key-equi-joins, no pair scans") {
     for (name <- Seq("dedup_span", "ml_user_similarity_capped",
       "ml_recommendations_user_based")) {

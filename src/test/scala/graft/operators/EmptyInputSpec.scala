@@ -142,6 +142,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(ev0.withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type")).count().count() === 0)
+    assert(Temporal.scd2Build(ev0).count() === 0)
   }
 
   test("multimodal plumbing is total on an empty media table") {

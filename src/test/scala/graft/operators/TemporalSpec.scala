@@ -50,6 +50,28 @@ class TemporalSpec extends SparkSpec {
       (2L, 1L, 1L, 0L)))
   }
 
+  test("scd2: runs collapse to intervals; last interval open and current") {
+    val ev = Seq( // user 1: view,view,cart,view — 3 runs; user 2: one run
+      (1L, 1L, 100L, "view"), (2L, 1L, 200L, "view"),
+      (3L, 1L, 300L, "cart"), (4L, 1L, 400L, "view"),
+      (5L, 2L, 100L, "cart"))
+      .map { case (e, u, t, ty) => (e, u, t, ty) }
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Temporal.scd2Build(ev)
+      .select("user_id", "version", "event_type", "valid_from_us",
+        "valid_to_us", "n_obs", "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Long, Int)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (1L, 1L, "view", 100L, Some(300L), 2L, 0),
+      (1L, 2L, "cart", 300L, Some(400L), 1L, 0),
+      (1L, 3L, "view", 400L, None, 1L, 1),
+      (2L, 1L, "cart", 100L, None, 1L, 1)))
+    // intervals tile: every historical row's valid_to = next valid_from
+    // (asserted literally above) and exactly one open row per user
+    assert(got.count(_._7 == 1) === 2)
+  }
+
   test("resample: open/close by time order, micro-exact volume") {
     val ev = Seq( // one series, bucket width 100: bucket 0 = ts 0-99
       (1L, "view", 10L, 5.5), (2L, "view", 90L, 1.25),

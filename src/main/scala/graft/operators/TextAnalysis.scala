@@ -268,6 +268,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_trigrams"), col("avg_nll"))
   }
 
+  val CollocMinCount = 5L
+  val CollocTopK = 50
+
+  /** Corpus collocation mining: the top-k bigrams by pointwise mutual
+    * information, PMI = ln( p(w1w2) / (p(w1)·p(w2)) ) with unigram
+    * probabilities over the token stream and bigram probabilities
+    * over the bigram stream — the standard phrase detector (NYT/
+    * word2vec-phrases shape) that feeds multiword-token vocabularies.
+    * A min-count floor keeps rare-pair noise (PMI's known bias) out.
+    * The ln is micro-unit-quantized like every LM score here; ranking
+    * and the tie-break (q desc, w1, w2) run on the quantized integer,
+    * so both engines cut the same top-k.
+    * Scale: one tokenize pass (checkpointed) feeds the totals, the
+    * unigram and the bigram aggregates; joins key on the word — all
+    * map-side-combinable aggregates; the final top-k is
+    * TakeOrdered over the min-count-filtered vocabulary, never a
+    * global sort of the stream.
+    */
+  def collocations(docs: DataFrame, k: Int = CollocTopK,
+                   minCount: Long = CollocMinCount): DataFrame = {
+    val toks = docs.withColumn("t", tokens(lower(col("text"))))
+      .select(col("t"))
+      .localCheckpoint(false)
+    val tot = toks.agg(
+      sum(size(col("t")).cast("long")).as("n1"),
+      sum(greatest(size(col("t")) - 1, lit(0)).cast("long")).as("n2"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val big = toks.select(explode(expr(bigramArr)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("q",
+        round(log((col("c2") * lit(1.0d) / col("n2")) /
+          ((col("c1a") * lit(1.0d) / col("n1")) *
+            (col("c1b") * lit(1.0d) / col("n1")))) * 1000000.0d)
+          .cast("long"))
+      .orderBy(col("q").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c2"),
+        round(col("q").cast("double") / 1000000.0d, 6).as("pmi"))
+  }
+
   /** PII span patterns — the RE2 ∩ Java-regex common subset (char
     * classes, bounded repeats, \b; no lookaround) so Spark and DuckDB
     * match identical spans.
@@ -968,6 +1016,28 @@ object TextAnalysis {
              |SELECT doc_id, COUNT(*) AS n_trigrams,
              |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
              |FROM scored GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("txt_collocations",
+      (s, d) => collocations(docs(s, d)),
+      Some(s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)),'\\s+') AS t
+              |  FROM documents),
+              |tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n1,
+              |    CAST(SUM(greatest(len(t)-1, 0)) AS BIGINT) AS n2 FROM tk),
+              |uni AS (SELECT w, COUNT(*) AS c1 FROM
+              |  (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+              |bgs AS (SELECT unnest(list_transform(
+              |    generate_series(1, greatest(len(t)-1, 0)),
+              |    i -> t[i] || ' ' || t[i+1])) AS bg FROM tk),
+              |c2t AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY 1
+              |  HAVING COUNT(*) >= $CollocMinCount),
+              |sp AS (SELECT bg, c2, split_part(bg,' ',1) AS w1,
+              |    split_part(bg,' ',2) AS w2 FROM c2t),
+              |j AS (SELECT w1, w2, c2,
+              |  CAST(ROUND(ln((c2*1.0/n2)/((a.c1*1.0/n1)*(b.c1*1.0/n1))) * 1000000)
+              |    AS BIGINT) AS q
+              |  FROM sp JOIN uni a ON sp.w1 = a.w JOIN uni b ON sp.w2 = b.w, tot)
+              |SELECT w1, w2, c2, ROUND(CAST(q AS DOUBLE)/1000000.0, 6) AS pmi
+              |FROM j ORDER BY q DESC, w1, w2 LIMIT $CollocTopK""".stripMargin)),
 
     QueryDef("txt_keywords",
       (s, d) => keywords(docs(s, d)),

@@ -80,6 +80,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._3 > out(1L)._3)
   }
 
+  test("collocations: exclusive pair beats promiscuous pair, floor filters") {
+    // 'new york' always co-occurs (exclusive); 'of the' is frequent but
+    // both words roam widely → lower PMI. 'rare pair' appears once →
+    // cut by the min-count floor.
+    val base = "of the a of the b of the c of the d of the e"
+    val corpus = (1L to 4L).map(i => TDoc(i, s"new york $base", "en"))
+      .:+(TDoc(5L, s"new york $base rare pair", "en")).toDF()
+    val out = TextAnalysis.collocations(corpus, k = 10, minCount = 5)
+      .select("w1", "w2", "pmi").as[(String, String, Double)].collect()
+    val pmi = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(pmi.contains(("new", "york")) && pmi.contains(("of", "the")))
+    assert(!pmi.keySet.contains(("rare", "pair")))
+    assert(pmi(("new", "york")) > pmi(("of", "the")))
+  }
+
   test("repetition: degenerate doc gated out, diverse doc kept") {
     val corpus = Seq(
       TDoc(1, "spam spam spam spam spam spam", "en"),

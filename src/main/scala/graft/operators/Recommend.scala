@@ -338,6 +338,47 @@ object Recommend {
       count(lit(1)).as("n_users"))
   }
 
+  /** Model-based CF: implicit-feedback ALS (spark.ml) over the same
+    * binary interaction matrix the neighborhood CF uses — the
+    * factorization path you switch to when the item catalog outgrows
+    * co-occurrence joins (factors shuffle as rank-sized blocks, cost
+    * O((|U|+|I|)·rank²·iters), independent of the hottest user's
+    * degree). Seeded and block-counted for run-to-run stability;
+    * seen items are masked like `recommend` (so users keep ≤ k rows).
+    * Float factors are not SQL-expressible, so this is registered
+    * rows-only and behavior-tested in RecommendSpec; the
+    * oracle-checked neighborhood family stays the exact-compare
+    * surface.
+    */
+  def alsRecommend(inter: DataFrame, k: Int = TopN, rank: Int = 8,
+                   maxIter: Int = 5, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.recommendation.ALS
+    if (inter.isEmpty) {
+      // ALS.fit throws on an empty matrix; stay total like every
+      // other operator (isEmpty is a limit-1 scan, not a count)
+      return inter.sparkSession.emptyDataFrame
+        .withColumn("user_id", lit(0L)).withColumn("rank", lit(0L))
+        .withColumn("item_id", lit(0L)).withColumn("score", lit(0.0d))
+    }
+    val als = new ALS()
+      .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+      .setImplicitPrefs(true).setRank(rank).setMaxIter(maxIter)
+      .setSeed(seed).setAlpha(1.0).setRegParam(0.1)
+      .setNumUserBlocks(8).setNumItemBlocks(8)
+      .setColdStartStrategy("drop")
+    val model = als.fit(inter.withColumn("rating", lit(1.0f)))
+    model.recommendForAllUsers(k)
+      .select(col("user_id").cast("long").as("user_id"),
+        posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("rec.item_id").cast("long").as("item_id"),
+        col("rec.rating").cast("double").as("score"))
+      .join(inter.select(col("user_id"), col("item_id"))
+        .withColumn("seen", lit(1)), Seq("user_id", "item_id"), "left")
+      .filter(col("seen").isNull)
+      .select(col("user_id"), col("rank"), col("item_id"), col("score"))
+  }
+
   /** Micro-quantized DCG discount table: gain(r) = round(10⁶/log₂(r+1))
     * for ranks 1..TopN, and its prefix sums for the ideal DCG. Both
     * engines consume these as interpolated integer literals, so no
@@ -727,6 +768,13 @@ object Recommend {
               |    dcg * 1000000 // (${idcgCase("n_eval")}) AS q
               |  FROM per_user p JOIN ne USING (user_id))
               |SELECT ROUND(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_ndcg,
-              |COUNT(*) AS n_users FROM nq""".stripMargin))
+              |COUNT(*) AS n_users FROM nq""".stripMargin)),
+
+    // Model-based CF — float factors aren't SQL-expressible, so this
+    // is a rows-only entry (like the HLL sketches); RecommendSpec
+    // asserts its ranking behavior on a planted block structure.
+    QueryDef("ml_als_recommendations",
+      (s, d) => alsRecommend(interactions(s, d)),
+      None)
   )
 }

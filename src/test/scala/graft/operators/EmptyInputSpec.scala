@@ -51,6 +51,7 @@ class EmptyInputSpec extends SparkSpec {
       Recommend.recommend(inter0, sim0), inter0).collect().length === 1)
     assert(Recommend.ndcgAtK(
       Recommend.recommend(inter0, sim0), inter0).collect().length === 1)
+    assert(Recommend.alsRecommend(inter0).count() === 0)
   }
 
   test("similarity family is total on empty embeddings") {

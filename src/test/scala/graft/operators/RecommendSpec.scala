@@ -97,6 +97,26 @@ class RecommendSpec extends SparkSpec {
     assert(out === ((0.815465, 2L)))
   }
 
+  test("ALS: recovers planted block structure, masks seen items") {
+    // two disjoint taste blocks; each user misses one in-block item
+    val block = (1L to 12L).flatMap { u =>
+      val items = if (u <= 6) (1L to 6L) else (11L to 16L)
+      items.filter(_ % 6 != u % 6).map(i => Inter(u, i))
+    }.toDF()
+    val recs = Recommend.alsRecommend(block, k = 3, maxIter = 10)
+    val top = recs.filter(col("rank") === 1)
+      .select("user_id", "item_id").as[(Long, Long)].collect().toMap
+    // rank-1 rec stays inside the user's taste block for most users
+    val inBlock = top.count { case (u, i) =>
+      if (u <= 6) i <= 6 else i >= 11 }
+    assert(inBlock >= top.size - 2, s"cross-block top recs: $top")
+    // seen items never recommended
+    val seen = block.as[(Long, Long)].collect().toSet
+    val leaked = recs.select("user_id", "item_id").as[(Long, Long)]
+      .collect().filter(seen.contains)
+    assert(leaked.isEmpty, s"recommended seen items: ${leaked.toSeq}")
+  }
+
   test("A13 DIMSUM fallback: threshold 0 reproduces the exact cosines") {
     val exact = Recommend.itemSimilarity(inter, minCo = 1, minCos = 0.0)
       .select("i", "j", "cos").as[(Long, Long, Double)].collect()

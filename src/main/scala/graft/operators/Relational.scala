@@ -495,6 +495,73 @@ object Relational {
              |  THEN price_dec END) AS DOUBLE) AS p75
              |FROM ranked GROUP BY 1""".stripMargin)),
 
+    // P20 (beyond-ref): winsorization — clip each group's price tail
+    // at the exact discrete 5th/95th percentiles. Unlike a28 (row-
+    // grain rank window), the percentiles come from a VALUE-grain
+    // cumulative count: groupBy (status, price) first, window over
+    // the aggregated distinct-value relation — at 100 TB the window
+    // input is |distinct prices|, not |rows|, so a 3-status skew
+    // can't pile the raw fact into 3 partitions. Clipping itself is
+    // a broadcast join + scan-bandwidth LEAST/GREATEST; output is a
+    // per-group audit summary (constant rows at any scale).
+    QueryDef("p20_winsorize",
+      (s, d) => {
+        val rows = ord(s, d).select(col("o_orderstatus").as("status"),
+          col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("price_dec"))
+        val vals = rows.groupBy(col("status"), col("price_dec"))
+          .agg(count(lit(1)).as("cnt"))
+        val wcum = Window.partitionBy(col("status")).orderBy(col("price_dec"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = vals
+          .withColumn("cum", sum(col("cnt")).over(wcum))
+          .withColumn("n", sum(col("cnt")).over(
+            Window.partitionBy(col("status"))))
+        def disc(p: Double, name: String) =
+          min(when(col("cum") >= expr(s"CAST(ceil($p * n) AS BIGINT)"),
+            col("price_dec"))).as(name)
+        val cuts = cum.groupBy(col("status"))
+          .agg(disc(0.05, "p05v"), disc(0.95, "p95v"))
+        rows.join(broadcast(cuts), Seq("status"))
+          .withColumn("clipped",
+            least(greatest(col("price_dec"), col("p05v")), col("p95v")))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum((col("price_dec") < col("p05v")).cast("long"))
+              .as("n_clipped_low"),
+            sum((col("price_dec") > col("p95v")).cast("long"))
+              .as("n_clipped_high"),
+            max(col("p05v")).cast("double").as("p05"),
+            max(col("p95v")).cast("double").as("p95"),
+            dsum(col("clipped")).as("clipped_total"))
+      },
+      Some("""WITH rows_ AS (SELECT o_orderstatus AS status,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec FROM orders),
+             |vals AS (SELECT status, price_dec, COUNT(*) AS cnt
+             |  FROM rows_ GROUP BY 1, 2),
+             |cum AS (SELECT status, price_dec, cnt,
+             |    SUM(cnt) OVER (PARTITION BY status ORDER BY price_dec
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY status) AS n
+             |  FROM vals),
+             |cuts AS (SELECT status,
+             |    MIN(CASE WHEN cum >= CAST(ceil(0.05 * n) AS BIGINT)
+             |      THEN price_dec END) AS p05v,
+             |    MIN(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT)
+             |      THEN price_dec END) AS p95v
+             |  FROM cum GROUP BY 1)
+             |SELECT status, COUNT(*) AS n_orders,
+             |CAST(SUM(CASE WHEN price_dec < p05v THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_clipped_low,
+             |CAST(SUM(CASE WHEN price_dec > p95v THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_clipped_high,
+             |CAST(MAX(p05v) AS DOUBLE) AS p05,
+             |CAST(MAX(p95v) AS DOUBLE) AS p95,
+             |CAST(SUM(CAST(LEAST(GREATEST(price_dec, p05v), p95v)
+             |  AS DECIMAL(18,2))) AS DOUBLE) AS clipped_total
+             |FROM rows_ JOIN cuts USING (status) GROUP BY status""".stripMargin)),
+
     // P18 (beyond-ref): the quality audit behind the P2-P6 cleaner —
     // per-rule violation counts in one conditional-sum scan.
     QueryDef("p18_quality_audit",

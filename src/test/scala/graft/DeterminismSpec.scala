@@ -25,7 +25,13 @@ class DeterminismSpec extends SparkSpec {
     "sim_knn_sq8_rerank",     // two-stage retrieval
     "e3_transitions",         // lag sequence + ratio
     "u4_train_test_split",    // hash-bucket split
-    "a28_quartiles")          // rank-selected values
+    "a28_quartiles",          // rank-selected values
+    "txt_trigram_logprob",    // order-3 LM, vocab-grain context derive
+    "txt_collocations",       // PMI top-k cut on the quantized integer
+    "mix_temperature_sample", // derived-rate hash-bucket sampling
+    "scd2_history",           // run-compaction windows + lead
+    "ml_ndcg_at_10",          // discount-table metric
+    "p20_winsorize")          // value-grain percentile cuts + clip
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

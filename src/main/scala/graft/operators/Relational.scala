@@ -709,6 +709,88 @@ object Relational {
              |COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // U6 (beyond-ref): deterministic k-fold assignment — the
+    // cross-validation companion of U4: fold id from the same integer
+    // bucket arithmetic (no RNG, engine/partitioning/run stable), so
+    // "train on folds ≠ i" is a scan filter any engine replays.
+    QueryDef("u6_kfold",
+      (s, d) => li(s, d)
+        .withColumn("fold",
+          expr("((l_orderkey % 100003) * 31 + l_linenumber * 97) % 5"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          dsum(col("l_extendedprice")).as("revenue")),
+      Some("""SELECT ((l_orderkey % 100003) * 31 + l_linenumber * 97) % 5 AS fold,
+             |COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // A29 (beyond-ref): fixed-width histogram — the distribution
+    // monitor behind p20's clip thresholds. Bin id is integer
+    // arithmetic on the DECIMAL price (engine-exact), share divides
+    // exact counts once. One map-side-combinable aggregate + a 1-row
+    // broadcast total: output is |bins| rows at any scale.
+    QueryDef("a29_histogram",
+      (s, d) => {
+        val binW = 25000L
+        // floor explicitly: Spark's decimal→long cast truncates while
+        // DuckDB's rounds — FLOOR states the same rule on both engines
+        val binned = ord(s, d)
+          .select(expr("CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)))" +
+            s" AS BIGINT) div $binW").as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        val total = binned.agg(sum(col("n")).as("total"))
+        binned.join(broadcast(total))
+          .select(col("bin"), (col("bin") * binW).as("bin_lo"),
+            col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("share"))
+      },
+      Some("""WITH b AS (SELECT CAST(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS BIGINT) // 25000 AS BIGINT) AS bin, COUNT(*) AS n
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b)
+             |SELECT bin, CAST(bin * 25000 AS BIGINT) AS bin_lo, n,
+             |ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+             |FROM b, t""".stripMargin)),
+
+    // P21 (beyond-ref): column profiler — the "describe" every data
+    // contract check starts from, long-form so one schema fits any
+    // column set. Extremes go through DECIMAL/BIGINT before the
+    // string cast (raw double→string formatting differs between
+    // engines). One pass per column, each a partial+final aggregate.
+    QueryDef("p21_profile",
+      (s, d) => {
+        val o = ord(s, d)
+        def prof(c: String, e: org.apache.spark.sql.Column) = o.agg(
+          lit(c).as("column"),
+          count(lit(1)).as("n"),
+          sum(e.isNull.cast("long")).as("n_null"),
+          countDistinct(e).as("n_distinct"),
+          min(e).cast("string").as("min_s"),
+          max(e).cast("string").as("max_s"))
+        prof("o_custkey", col("o_custkey"))
+          .unionByName(prof("o_orderstatus", col("o_orderstatus")))
+          .unionByName(prof("o_totalprice", col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+      },
+      Some("""SELECT 'o_custkey' AS "column", COUNT(*) AS n,
+             |CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |COUNT(DISTINCT o_custkey) AS n_distinct,
+             |CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+             |CAST(MAX(o_custkey) AS VARCHAR) AS max_s FROM orders
+             |UNION ALL SELECT 'o_orderstatus', COUNT(*),
+             |CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |COUNT(DISTINCT o_orderstatus),
+             |CAST(MIN(o_orderstatus) AS VARCHAR),
+             |CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+             |UNION ALL SELECT 'o_totalprice', COUNT(*),
+             |CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+             |CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+             |CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+             |FROM orders""".stripMargin)),
+
     // J7 (beyond-ref): salted shuffle join — THE hot-key mitigation
     // when AQE skew split isn't enough (or the key is hot by design).
     // The probe side carries a stable salt (event_id % S — no RNG, so

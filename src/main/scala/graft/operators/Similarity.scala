@@ -384,6 +384,31 @@ object Similarity {
       |      CAST(w AS DOUBLE[])) > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
       |  FROM embeddings, planes GROUP BY vec_id, CAST(embedding AS DOUBLE[]))""".stripMargin
 
+  /** PCA dimensionality reduction (spark.ml) ahead of ANN indexing —
+    * the standard bandwidth lever when the embedding dim outgrows the
+    * index (project once at ingest, bucket/score in the reduced
+    * space). Covariance assembles distributively (treeAggregate over
+    * rows); the k×d eigenbasis rides to executors inside the model —
+    * nothing about the shape changes at 100 TB. Float eigenvectors
+    * aren't SQL-expressible (sign choice is solver-dependent), so
+    * this is spec-proven and unregistered, like the DIMSUM fallback.
+    */
+  def pcaProject(emb: DataFrame, kDim: Int = 8): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    if (emb.isEmpty) {
+      return emb.sparkSession.emptyDataFrame
+        .withColumn("vec_id", lit(0L))
+        .withColumn("pv", expr("CAST(array() AS array<double>)"))
+    }
+    val src = vecs(emb)
+      .select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val model = new PCA().setInputCol("features").setOutputCol("pca")
+      .setK(kDim).fit(src)
+    model.transform(src)
+      .select(col("vec_id"), vector_to_array(col("pca")).as("pv"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("sim_knn_brute",

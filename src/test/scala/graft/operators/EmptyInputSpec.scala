@@ -60,6 +60,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.knnLsh(emb0).count() === 0)
     assert(Similarity.knnIvf(emb0).count() === 0)
     assert(Similarity.bucketStats(emb0).count() === 0)
+    assert(Similarity.pcaProject(emb0).count() === 0)
   }
 
   test("streaming transforms and dashboard are total on empty batches") {

@@ -14,6 +14,30 @@ class SimilaritySpec extends SparkSpec {
         .map(d => ((i * 31 + d * 17) % 13 - 6).toFloat).toArray, 0)
     }.toDF("vec_id", "embedding", "label")
 
+  test("pca: rank-2 data survives 2-component projection losslessly") {
+    // vectors on an exact 2-D plane inside Dim-space: v = a·e + b·f
+    // where e/f mix all coordinates, so no axis shortcut exists
+    val planar = (0 until 40).map { i =>
+      val (a, b) = ((i % 5).toDouble + 1, (i / 5).toDouble + 1)
+      (i.toLong, (0 until Similarity.Dim)
+        .map(d => (a * ((d % 7) + 1) + b * ((d % 11) + 1)).toFloat)
+        .toArray, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.pcaProject(planar, kDim = 2)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(out.size === 40 && out.values.forall(_.length === 2))
+    // projection preserves total energy: rank-2 input, 2 components
+    val orig = (0 until 40).map { i =>
+      val (a, b) = ((i % 5).toDouble + 1, (i / 5).toDouble + 1)
+      (0 until Similarity.Dim)
+        .map(d => a * ((d % 7) + 1) + b * ((d % 11) + 1))
+        .map(x => x * x).sum
+    }.sum
+    val kept = out.values.map(_.map(x => x * x).sum).sum
+    assert(math.abs(kept - orig) / orig < 1e-6,
+      s"energy lost: kept=$kept orig=$orig")
+  }
+
   test("multiprobe: strict superset of the single-bucket LSH result space") {
     val e = emb(40)
     val lsh = Similarity.knnLsh(e)

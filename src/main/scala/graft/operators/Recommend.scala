@@ -349,6 +349,13 @@ object Recommend {
     * rows-only and behavior-tested in RecommendSpec; the
     * oracle-checked neighborhood family stays the exact-compare
     * surface.
+    * Plan note: `recommendForAllUsers` plans a CartesianProduct —
+    * that is spark.ml's BLOCKED userFactors × itemFactors scoring,
+    * not an accident: under MF every (u, i) pair has a score, so
+    * all-users top-k is inherently a blocked cross with per-block
+    * top-k aggregation (block size caps the in-flight pair window).
+    * The neighborhood family stays the sparse path; this is the
+    * dense-scoring trade you opt into with factorization.
     */
   def alsRecommend(inter: DataFrame, k: Int = TopN, rank: Int = 8,
                    maxIter: Int = 5, seed: Long = 42L): DataFrame = {

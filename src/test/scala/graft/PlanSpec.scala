@@ -178,6 +178,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("collocations: top-k cut is TakeOrdered, never a global sort") {
+    val p = planOf("txt_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange rangepartitioning"), "global sort crept in")
+  }
+
+  test("temperature mix: plan side broadcasts, corpus side scan-filters") {
+    val p = planOf("mix_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), "rate plan not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for a 20-row plan")
+  }
+
+  test("histogram / winsorize: value-grain aggregates, no row-grain sort") {
+    val ph = planOf("a29_histogram")
+    assert(!ph.contains("Exchange rangepartitioning"), ph.take(400))
+    val pw = planOf("p20_winsorize")
+    // percentile window runs over the value-grain relation: the window
+    // sort's input must come from a HashAggregate, not the raw scan
+    assert(pw.contains("HashAggregate"), pw.take(400))
+    assert(pw.contains("BroadcastHashJoin"), "cuts not broadcast")
+  }
+
   test("scd2: both windows and the agg share one user_id exchange") {
     val p = planOf("scd2_history")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

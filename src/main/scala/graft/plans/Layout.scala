@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical file layout for data skipping — the lakehouse write-side
@@ -23,6 +23,43 @@ object Layout {
     df.repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(col(key))
       .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** 16-bit Morton (Z-order) interleave of two bucketized dims — bit i
+    * of x lands at 2i, bit i of y at 2i+1, so curve-adjacent values
+    * are close in BOTH dims. Pure bit arithmetic (codegen'd shifts),
+    * no UDF.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Two-dimensional Z-order layout — the multi-dim extension of
+    * writeRangeLayout (what Delta OPTIMIZE ZORDER BY (x, y) does):
+    * each dim is bucketized to 16 bits by integer cell division
+    * (cell = span div 2¹⁶ + 1 — divide-first, so microsecond-scale
+    * spans can't overflow a long), the Morton value range-partitions
+    * the files, and a within-file sort orders the row groups. A
+    * file's rows then occupy a compact 2-D box, so a predicate
+    * selective in EITHER dim skips most files — the 1-D layout can
+    * only skip on its single key. Bounds are one broadcast row.
+    */
+  def writeZOrderLayout(df: DataFrame, dir: String, xKey: String,
+                        yKey: String, nFiles: Int): Unit = {
+    val b = df.agg(min(col(xKey)).as("zb_x0"), max(col(xKey)).as("zb_x1"),
+      min(col(yKey)).as("zb_y0"), max(col(yKey)).as("zb_y1"))
+    df.crossJoin(broadcast(b)) // 1-row bounds
+      .withColumn("zx",
+        expr(s"($xKey - zb_x0) div (((zb_x1 - zb_x0) div 65536) + 1)"))
+      .withColumn("zy",
+        expr(s"($yKey - zb_y0) div (((zb_y1 - zb_y0) div 65536) + 1)"))
+      .withColumn("z", zValue(col("zx"), col("zy")))
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("zb_x0", "zb_x1", "zb_y0", "zb_y1", "zx", "zy", "z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
 
   /** Per-file min/max of `key` — the skipping metadata a reader (or a
     * spec) inspects to prove the layout holds.

@@ -30,6 +30,38 @@ class LayoutSpec extends SparkSpec {
       df.agg(sum("k")).as[Long].head())
   }
 
+  test("z-order layout: a y-selective box query skips most files; " +
+    "the 1-D x layout cannot") {
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val grid = (for { x <- 0 until 128; y <- 0 until 128 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    Layout.writeRangeLayout(grid, s"$base/rx", "x", nFiles = 16)
+    Layout.writeZOrderLayout(grid, s"$base/z", "x", "y", nFiles = 16)
+
+    def boxes(dir: String) = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f")
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+
+    val rx = boxes(s"$base/rx")
+    val z = boxes(s"$base/z")
+    assert(rx.map(_._6).sum === 128L * 128 && z.map(_._6).sum === 128L * 128)
+    // box query: all x, y in [0, 15] — an eighth of the y axis
+    def touched(bs: Array[(String, Long, Long, Long, Long, Long)]) =
+      bs.count(b => b._4 <= 15 && b._5 >= 0)
+    // the x-only layout stores every y in every file → zero skipping
+    assert(touched(rx) === rx.length)
+    // z-order boxes are 2-D-compact → most files skip
+    assert(touched(z) <= z.length / 2,
+      s"z-order touched ${touched(z)} of ${z.length} files")
+    // content survives
+    assert(spark.read.parquet(s"$base/z").agg(sum("x"), sum("y"))
+      .as[(Long, Long)].head() ===
+      grid.agg(sum("x"), sum("y")).as[(Long, Long)].head())
+  }
+
   test("compaction: many small files → sized output, content identical") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     val df = (1L to 5000L).toDF("k")

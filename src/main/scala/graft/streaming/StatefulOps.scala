@@ -27,6 +27,14 @@ case class TypedEvent(event_id: Long, user_id: Long, ts_us: Long,
 case class TransitionCount(user_id: Long, prev_type: String,
                            next_type: String, n: Long)
 
+/** The open SCD2 run carried across micro-batches for one key. */
+case class Scd2Run(event_type: String, valid_from_us: Long,
+                   version: Long, n_obs: Long)
+
+/** A closed [valid_from, valid_to) SCD2 interval (append-mode-final). */
+case class Scd2Interval(user_id: Long, version: Long, event_type: String,
+                        valid_from_us: Long, valid_to_us: Long, n_obs: Long)
+
 /** Custom streaming state (SURVEY §2.8 note; builder brief:
   * `KeyValueGroupedDataset.mapGroupsWithState/flatMapGroupsWithState`
   * for custom state): a running per-customer spend accumulator that
@@ -199,6 +207,57 @@ object StatefulOps {
     implicit val ke = Encoders.scalaLong
     events.groupByKey(_.user_id)
       .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming SCD2 — the stream twin of `Temporal.scd2Build`: the
+    * open run rides in a ValueState so it CHAINS ACROSS micro-batches
+    * (same-type runs spanning a batch boundary stay one interval;
+    * type changes at the boundary close cleanly), and a closed
+    * [valid_from, valid_to) row is emitted the moment its successor
+    * arrives — append-mode-final, exactly like the batch operator's
+    * historical rows. The open (is_current) interval is deliberately
+    * NOT emitted: it isn't final until its close arrives; readers
+    * get it from the state store or the batch view.
+    * Scale: one small struct per key in RocksDB; in-batch rows sort
+    * by (ts_us, event_id) so replayed micro-batches emit identical
+    * intervals.
+    */
+  class Scd2Processor
+      extends StatefulProcessor[Long, TypedEvent, Scd2Interval] {
+    @transient private var run: ValueState[Scd2Run] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      run = getHandle.getValueState[Scd2Run]("run",
+        Encoders.product[Scd2Run], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[Scd2Interval] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = if (run.exists()) Option(run.get()) else None
+      val closed = Seq.newBuilder[Scd2Interval]
+      sorted.foreach { e =>
+        cur match {
+          case Some(r) if r.event_type == e.event_type =>
+            cur = Some(r.copy(n_obs = r.n_obs + 1))
+          case Some(r) =>
+            closed += Scd2Interval(key, r.version, r.event_type,
+              r.valid_from_us, e.ts_us, r.n_obs)
+            cur = Some(Scd2Run(e.event_type, e.ts_us, r.version + 1, 1L))
+          case None =>
+            cur = Some(Scd2Run(e.event_type, e.ts_us, 1L, 1L))
+        }
+      }
+      cur.foreach(run.update)
+      closed.result().iterator
+    }
+  }
+
+  def scd2Stream(events: Dataset[TypedEvent]): Dataset[Scd2Interval] = {
+    implicit val ie = Encoders.product[Scd2Interval]
+    implicit val ke = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -142,6 +142,53 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming scd2: runs chain across batches, closes emit once") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TypedEvent]
+      val q = StatefulOps.scd2Stream(in.toDS())
+        .writeStream.format("memory").queryName("scd2_out")
+        .outputMode("append").start()
+      // batch 1: u1 view,view,cart (closes the view run in-batch);
+      // u2 opens a view run that stays open
+      in.addData(TypedEvent(2L, 1L, 200L, "view"),
+        TypedEvent(1L, 1L, 100L, "view"),
+        TypedEvent(3L, 1L, 300L, "cart"),
+        TypedEvent(4L, 2L, 100L, "view"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("scd2_out").as[Scd2Interval].collect()
+      assert(afterB1.toSet === Set(
+        Scd2Interval(1L, 1L, "view", 100L, 300L, 2L)))
+      // batch 2: u1's view@400 closes the cart run opened in batch 1;
+      // u2's view@200 EXTENDS its open run (same type across the
+      // boundary — must NOT close), then cart@300 closes it with n=2
+      in.addData(TypedEvent(5L, 1L, 400L, "view"),
+        TypedEvent(6L, 2L, 200L, "view"),
+        TypedEvent(7L, 2L, 300L, "cart"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("scd2_out").as[Scd2Interval].collect()
+      assert(got.toSet === Set(
+        Scd2Interval(1L, 1L, "view", 100L, 300L, 2L),
+        Scd2Interval(1L, 2L, "cart", 300L, 400L, 1L),
+        Scd2Interval(2L, 1L, "view", 100L, 300L, 2L)))
+      // the open runs (u1 view@400, u2 cart@300) are in state, not
+      // the sink — append-mode rows are all FINAL intervals
+      assert(!got.exists(i => i.valid_from_us == 400L || (i.user_id == 2L
+        && i.event_type == "cart")))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("tier function boundaries") {
     assert(StatefulOps.tierOf(9999.99).isEmpty)
     assert(StatefulOps.tierOf(10000.0).contains("SILVER"))

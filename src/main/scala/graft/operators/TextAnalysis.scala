@@ -525,24 +525,31 @@ object TextAnalysis {
           .as("rate_ppm"))
   }
 
-  /** Apply the temperature plan: the same stable-hash bucket device as
-    * mixDomains, at ppm granularity, against the derived rate. The
-    * multiplier is Knuth's 2654435761 so small consecutive doc_ids
-    * still spread across the full ppm range (×31 would leave ids
-    * < ~32k all below any realistic threshold). The plan side is
-    * |sources| rows → broadcast; the corpus side is a scan-bandwidth
-    * filter with no shuffle.
+  /** Apply a (source, rate_ppm) mixture plan to a document relation —
+    * batch or STREAMING (stream-static broadcast join: the plan is a
+    * small static table, the docs side may be a readStream). The
+    * bucket multiplier is Knuth's 2654435761 so small consecutive
+    * doc_ids still spread across the full ppm range (×31 would leave
+    * ids < ~32k all below any realistic threshold). Plan side
+    * broadcasts; the docs side is a scan-bandwidth filter, no
+    * shuffle, no streaming state.
     */
-  def mixTemperatureSample(docs: DataFrame,
-                           budgetPpm: Long = MixTempBudgetPpm): DataFrame =
+  def applyMixPlan(docs: DataFrame, plan: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"))
       .withColumn("bucket",
         expr("((doc_id % 1000003) * 2654435761 + 12345) % 1000000")
           .cast("long"))
-      .join(broadcast(mixTemperature(docs, budgetPpm)
-        .select("source", "rate_ppm")), Seq("source"))
+      .join(broadcast(plan.select("source", "rate_ppm")), Seq("source"))
       .filter(col("bucket") < col("rate_ppm"))
       .select(col("doc_id"), col("source"), col("bucket"))
+
+  /** Derive the temperature plan from `docs` and apply it in one
+    * query (the registered batch form; the streaming ingest applies
+    * a precomputed plan via applyMixPlan directly).
+    */
+  def mixTemperatureSample(docs: DataFrame,
+                           budgetPpm: Long = MixTempBudgetPpm): DataFrame =
+    applyMixPlan(docs, mixTemperature(docs, budgetPpm))
 
   val PackSeqLen = 2048L
 

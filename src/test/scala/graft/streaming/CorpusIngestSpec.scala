@@ -39,4 +39,38 @@ class CorpusIngestSpec extends SparkSpec {
     assert(dropped.map(_._1).toSeq === Seq(2L))
     assert(dropped.head._2 === 0) // audit flag names the failing gate
   }
+
+  test("stream-static mix: yesterday's plan samples the live firehose, " +
+    "one codepath with the batch operator") {
+    import graft.operators.TextAnalysis
+    implicit val sc = spark.sqlContext
+    // "yesterday's corpus": big source vs small source → derived plan
+    val hist = ((1L to 80L).map(i =>
+      StreamDoc(i, Seq.fill(20)("w").mkString(" "), "en", "web"))
+      ++ (81L to 85L).map(i => StreamDoc(i, "w w", "en", "books"))).toDF()
+    val plan = TextAnalysis.mixTemperature(hist).localCheckpoint()
+
+    val in = MemoryStream[StreamDoc]
+    val q = TextAnalysis.applyMixPlan(in.toDF(), plan)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("append").start()
+    val wave1 = (200L to 260L).map(i => StreamDoc(i, "t", "en", "web"))
+    val wave2 = (300L to 320L).map(i => StreamDoc(i, "t", "en", "books"))
+    in.addData(wave1)
+    q.processAllAvailable()
+    in.addData(wave2)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("mix_out")
+      .select("doc_id").as[Long].collect().toSet
+    // one codepath: the stream kept exactly what the batch form keeps
+    val batch = TextAnalysis.applyMixPlan((wave1 ++ wave2).toDF(), plan)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch)
+    // the plan really discriminates: the small source is taken whole,
+    // the big source is rate-limited
+    assert((300L to 320L).toSet.subsetOf(streamed))
+    assert(streamed.count(_ <= 260L) < wave1.size)
+  }
 }

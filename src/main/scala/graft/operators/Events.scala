@@ -75,6 +75,33 @@ object Events {
 
   // ---- driver-contract registry ----
 
+  /** Count-min-sketch heavy hitters — the third classical sketch
+    * beside HLL (a10) and the approx-percentile gate: estimated
+    * frequency per candidate key with the (ε, δ) overcount guarantee
+    * est ∈ [exact, exact + ε·N]. The sketch builds distributed
+    * (mergeable per-partition tables inside stat.countMinSketch); the
+    * candidate probe set is the distinct key list — tiny here, and at
+    * 100 TB you'd probe a fixed watch-list instead, which is the
+    * point of a CMS: the sketch is O(ln(1/δ)/ε) bytes regardless of
+    * stream size. Estimates depend on the hash seed, so this is a
+    * rows-only entry (count = |candidates|, stable); EventsSpec
+    * asserts the error bound against exact counts.
+    */
+  def heavyHittersCms(events: DataFrame, eps: Double = 0.001,
+                      conf: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cms = events.stat.countMinSketch(col("event_type"), eps, conf, seed)
+    // candidate set: small by construction (like the 1-row metric
+    // reads in ModelRegistry); a production watch-list arrives as a
+    // literal Seq instead
+    val cands = events.select(col("event_type")).distinct()
+      .as[String].collect().sorted.toSeq
+    cands.map(t => (t, cms.estimateCount(t)))
+      .toDF("event_type", "est_count")
+      .orderBy(col("est_count").desc, col("event_type"))
+  }
+
   private def ev(s: SparkSession, d: String) =
     Tables.events(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"), col("props"))
@@ -208,6 +235,12 @@ object Events {
              |CAST(day - cohort_day AS BIGINT) AS offset_days,
              |COUNT(*) AS n_users
              |FROM days JOIN cohort USING (user_id)
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Rows-only (hash-seed-dependent estimates; EventsSpec proves the
+    // (ε, δ) bound against exact counts).
+    QueryDef("e6_heavy_hitters_cms",
+      (s, d) => heavyHittersCms(ev(s, d)),
+      None)
   )
 }

@@ -53,6 +53,25 @@ class EventsSpec extends SparkSpec {
     assert(df.toSeq === Seq((2L, 1L, 0.5)))
   }
 
+  test("CMS heavy hitters: estimates overcount-bounded, top-1 exact") {
+    // skewed stream: 600 views, 250 clicks, 100 purchases, 50 refunds
+    val rows = (1L to 1000L).map { i =>
+      val t = if (i <= 600) "view" else if (i <= 850) "click"
+      else if (i <= 950) "purchase" else "refund"
+      (i, i % 7, i, t)
+    }
+    val got = Events.heavyHittersCms(ev(rows: _*), eps = 0.01)
+      .as[(String, Long)].collect()
+    val exact = Map("view" -> 600L, "click" -> 250L,
+      "purchase" -> 100L, "refund" -> 50L)
+    got.foreach { case (t, est) =>
+      assert(est >= exact(t), s"$t undercounted: $est < ${exact(t)}")
+      assert(est <= exact(t) + math.ceil(0.01 * 1000).toLong,
+        s"$t above the eps*N bound: $est")
+    }
+    assert(got.head._1 === "view") // heavy hitter ranks first
+  }
+
   test("jsonProps: typed extraction from the props JSON") {
     val df = Seq((1L, "view", """{"k": 42}"""), (2L, "click", """{"j": 1}"""))
       .toDF("event_id", "event_type", "props")

@@ -268,6 +268,101 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_trigrams"), col("avg_nll"))
   }
 
+  val BpeMergeSteps = 10
+
+  /** Distributed BPE merge training — the tokenizer-building pass of
+    * an LLM data pipeline, at WORD-TYPE grain (GPT-2-style whitespace
+    * pretokenization): the corpus collapses to a (spelling, count)
+    * vocabulary table, then each step counts adjacent symbol pairs
+    * weighted by word count, takes the argmax (count desc, pair asc —
+    * a total order), and rewrites the spellings with the merge.
+    * Merging is left-to-right non-overlapping (both engines' replace
+    * semantics, and what reference BPE does), one merge per step.
+    *
+    * Scale: every pass runs over the vocabulary relation, never the
+    * corpus — exactly how production BPE trains at 100 TB (the corpus
+    * is touched once, in the initial word count); the per-step argmax
+    * is a 1-row collect like ModelRegistry's metric reads. Output is
+    * the merge table itself: k rows, engine-exact strings+integers.
+    */
+  def bpeTrain(docs: DataFrame, k: Int = BpeMergeSteps): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairArr =
+      """CASE WHEN size(split(s, ' ')) >= 2
+        |  THEN transform(sequence(1, size(split(s, ' ')) - 1),
+        |    i -> concat(split(s, ' ')[i-1], ' ', split(s, ' ')[i]))
+        |  ELSE CAST(array() AS array<string>) END""".stripMargin
+    // alphanumeric word types only: merge pairs are interpolated as
+    // SQL literals on both engines (quoting hazards) and '.'-regex
+    // codepoint semantics differ off the ASCII plane — the standard
+    // BPE pretokenizer restriction, stated identically in the oracle
+    var words = docs
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("c"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val best = words
+        .select(col("c"), explode(expr(pairArr)).as("p"))
+        .groupBy(col("p")).agg(sum(col("c")).as("pc"))
+        .orderBy(col("pc").desc, col("p"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (p, pc) = (best(0).getString(0), best(0).getLong(1))
+        val Array(l, r) = p.split(" ", 2)
+        merges += ((step.toLong, l, r, pc))
+        words = words.select(
+          trim(expr(s"replace(concat(' ', s, ' '), ' $l $r ', ' $l$r ')"))
+            .as("s"), col("c"))
+        step += 1
+      }
+    }
+    merges.result()
+      .toDF("step", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The unrolled DuckDB ladder mirroring bpeTrain — the pagerank
+    * device: one MATERIALIZED level per merge step (DuckDB would
+    * otherwise inline each level 3× and the plan explodes).
+    */
+  private def bpeSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS MATERIALIZED (SELECT
+        |  trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),'\s+')) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY 1)""".stripMargin)
+    for (i <- 0 until k) {
+      sb.append(s""",
+        |pc$i AS MATERIALIZED (SELECT p, CAST(SUM(c) AS BIGINT) AS pc FROM (
+        |  SELECT c, unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split(s, ' ')) - 1, 0)),
+        |    j -> string_split(s, ' ')[j] || ' ' || string_split(s, ' ')[j+1]))
+        |    AS p FROM w$i) GROUP BY 1),
+        |best$i AS MATERIALIZED (SELECT p, pc FROM pc$i
+        |  ORDER BY pc DESC, p LIMIT 1),
+        |w${i + 1} AS MATERIALIZED (SELECT
+        |  trim(replace(' ' || s || ' ', ' ' || p || ' ',
+        |    ' ' || replace(p, ' ', '') || ' ')) AS s, c
+        |  FROM w$i, best$i)""".stripMargin)
+    }
+    sb.append((0 until k).map(i =>
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS step,
+         |split_part(p, ' ', 1) AS left_sym,
+         |split_part(p, ' ', 2) AS right_sym,
+         |pc AS pair_count FROM best$i""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", ""))
+    sb.toString
+  }
+
   val CollocMinCount = 5L
   val CollocTopK = 50
 
@@ -1023,6 +1118,10 @@ object TextAnalysis {
              |SELECT doc_id, COUNT(*) AS n_trigrams,
              |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
              |FROM scored GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("txt_bpe_merges",
+      (s, d) => bpeTrain(docs(s, d)),
+      Some(bpeSql(BpeMergeSteps))),
 
     QueryDef("txt_collocations",
       (s, d) => collocations(docs(s, d)),

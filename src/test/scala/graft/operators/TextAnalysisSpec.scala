@@ -80,6 +80,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._3 > out(1L)._3)
   }
 
+  test("bpe: merges follow weighted pair counts, stop when symbols exhaust") {
+    // vocabulary: 'aaab' ×2, 'ab' ×1
+    val corpus = Seq(TDoc(1, "aaab aaab", "en"), TDoc(2, "ab", "en")).toDF()
+    val got = TextAnalysis.bpeTrain(corpus, k = 10)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    // step 1: 'a a' = 2 per 'aaab' × 2 words = 4, beats 'a b' (3)
+    // step 2: after 'a a'→'aa': 'a b' = 2+1 = 3 beats 'aa a' (2)
+    // step 3: only 'aa ab' (2) remains; then no pairs → stop at 3
+    assert(got.toSeq === Seq(
+      (1L, "a", "a", 4L),
+      (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 2L)))
+  }
+
   test("collocations: exclusive pair beats promiscuous pair, floor filters") {
     // 'new york' always co-occurs (exclusive); 'of the' is frequent but
     // both words roam widely → lower PMI. 'rare pair' appears once →

@@ -288,6 +288,16 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, k: Int = BpeMergeSteps): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeCore(docs, k)._1
+      .toDF("step", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The shared training loop: returns the merge table AND the final
+    * segmented vocabulary (spelling after k merges, with counts) —
+    * bpeTrain emits the former, bpeEncode consumes the latter.
+    */
+  private def bpeCore(docs: DataFrame, k: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     val pairArr =
       """CASE WHEN size(split(s, ' ')) >= 2
         |  THEN transform(sequence(1, size(split(s, ' ')) - 1),
@@ -323,15 +333,60 @@ object TextAnalysis {
         step += 1
       }
     }
-    merges.result()
-      .toDF("step", "left_sym", "right_sym", "pair_count")
+    (merges.result(), words)
+  }
+
+  /** Apply the trained segmentation: per document, word count, char
+    * count and the BPE subtoken count — the compression report that
+    * decides whether k merges were enough. The segmented vocabulary
+    * maps back to the raw word by dropping spelling spaces
+    * (reversible by construction), so the corpus re-joins on the
+    * word string; the vocabulary side is |word types| rows (AQE
+    * broadcasts it at any realistic scale).
+    */
+  def bpeEncode(docs: DataFrame, k: Int = BpeMergeSteps): DataFrame = {
+    val seg = bpeCore(docs, k)._2
+      .select(regexp_replace(col("s"), " ", "").as("w"),
+        size(split(col("s"), " ")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .join(seg, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_sub")).as("n_subtokens"))
+      .withColumn("compression",
+        round(col("n_subtokens").cast("double") / col("n_chars"), 6))
   }
 
   /** The unrolled DuckDB ladder mirroring bpeTrain — the pagerank
     * device: one MATERIALIZED level per merge step (DuckDB would
     * otherwise inline each level 3× and the plan explodes).
     */
-  private def bpeSql(k: Int): String = {
+  private def bpeSql(k: Int): String =
+    bpeLadderSql(k) + (0 until k).map(i =>
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS step,
+         |split_part(p, ' ', 1) AS left_sym,
+         |split_part(p, ' ', 2) AS right_sym,
+         |pc AS pair_count FROM best$i""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", "")
+
+  private def bpeEncodeSql(k: Int): String =
+    bpeLadderSql(k) +
+      s""",
+        |seg AS (SELECT replace(s, ' ', '') AS w,
+        |  CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sub FROM w$k),
+        |dw AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\\s+')) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$$'))
+        |SELECT doc_id, COUNT(*) AS n_words,
+        |CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+        |CAST(SUM(n_sub) AS BIGINT) AS n_subtokens,
+        |ROUND(CAST(SUM(n_sub) AS DOUBLE) / SUM(len(w)), 6) AS compression
+        |FROM dw JOIN seg USING (w) GROUP BY 1""".stripMargin
+
+  private def bpeLadderSql(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS MATERIALIZED (SELECT
@@ -354,12 +409,6 @@ object TextAnalysis {
         |    ' ' || replace(p, ' ', '') || ' ')) AS s, c
         |  FROM w$i, best$i)""".stripMargin)
     }
-    sb.append((0 until k).map(i =>
-      s"""SELECT CAST(${i + 1} AS BIGINT) AS step,
-         |split_part(p, ' ', 1) AS left_sym,
-         |split_part(p, ' ', 2) AS right_sym,
-         |pc AS pair_count FROM best$i""".stripMargin)
-      .mkString("\n", "\nUNION ALL\n", ""))
     sb.toString
   }
 
@@ -1122,6 +1171,10 @@ object TextAnalysis {
     QueryDef("txt_bpe_merges",
       (s, d) => bpeTrain(docs(s, d)),
       Some(bpeSql(BpeMergeSteps))),
+
+    QueryDef("txt_bpe_encode",
+      (s, d) => bpeEncode(docs(s, d)),
+      Some(bpeEncodeSql(BpeMergeSteps))),
 
     QueryDef("txt_collocations",
       (s, d) => collocations(docs(s, d)),

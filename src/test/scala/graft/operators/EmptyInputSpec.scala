@@ -129,6 +129,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.trigramLogprob(docs0).count() === 0)
     assert(TextAnalysis.collocations(docs0).count() === 0)
     assert(TextAnalysis.bpeTrain(docs0).count() === 0)
+    assert(TextAnalysis.bpeEncode(docs0).count() === 0)
     assert(TextAnalysis.keywords(docs0).count() === 0)
     assert(Recommend.userSimilarity(inter0).count() === 0)
     assert(Recommend.recommendUserBased(inter0,

@@ -94,6 +94,20 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "aa", "ab", 2L)))
   }
 
+  test("bpe encode: merges compress repeated words, novel word stays chars") {
+    val corpus = Seq(TDoc(1, "aaab aaab", "en"), TDoc(2, "ab", "en"),
+      TDoc(3, "xyz", "en")).toDF()
+    val out = TextAnalysis.bpeEncode(corpus, k = 3)
+      .select("doc_id", "n_words", "n_chars", "n_subtokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // merges learned: a+a, a+b, aa+ab → 'aaab' = 1 subtoken
+    assert(out(1L) === ((1L, 2L, 8L, 2L)))
+    // 'ab' merged at step 2 → 1 subtoken of 2 chars
+    assert(out(2L) === ((2L, 1L, 2L, 1L)))
+    // 'xyz' never merged (no repeated pairs reach the top) → 3 chars
+    assert(out(3L) === ((3L, 1L, 3L, 3L)))
+  }
+
   test("collocations: exclusive pair beats promiscuous pair, floor filters") {
     // 'new york' always co-occurs (exclusive); 'of the' is frequent but
     // both words roam widely → lower PMI. 'rare pair' appears once →

@@ -31,7 +31,8 @@ class DeterminismSpec extends SparkSpec {
     "mix_temperature_sample", // derived-rate hash-bucket sampling
     "scd2_history",           // run-compaction windows + lead
     "ml_ndcg_at_10",          // discount-table metric
-    "p20_winsorize")          // value-grain percentile cuts + clip
+    "p20_winsorize",          // value-grain percentile cuts + clip
+    "txt_bpe_merges")         // iterative argmax + driver-side merges
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

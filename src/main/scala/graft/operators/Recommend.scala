@@ -380,10 +380,8 @@ object Recommend {
       .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
         col("rec.item_id").cast("long").as("item_id"),
         col("rec.rating").cast("double").as("score"))
-      .join(inter.select(col("user_id"), col("item_id"))
-        .withColumn("seen", lit(1)), Seq("user_id", "item_id"), "left")
-      .filter(col("seen").isNull)
-      .select(col("user_id"), col("rank"), col("item_id"), col("score"))
+      .join(inter.select(col("user_id"), col("item_id")),
+        Seq("user_id", "item_id"), "left_anti") // J2 mask, dup-safe
   }
 
   /** Micro-quantized DCG discount table: gain(r) = round(10⁶/log₂(r+1))

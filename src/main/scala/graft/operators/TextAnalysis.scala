@@ -361,7 +361,13 @@ object TextAnalysis {
 
   /** The unrolled DuckDB ladder mirroring bpeTrain — the pagerank
     * device: one MATERIALIZED level per merge step (DuckDB would
-    * otherwise inline each level 3× and the plan explodes).
+    * otherwise inline each level 3× and the plan explodes). The merge
+    * step LEFT JOINs its (possibly empty) best-pair row and COALESCEs
+    * to an impossible pattern ('  ' never occurs in a padded
+    * single-spaced spelling), so when merges exhaust before k the
+    * ladder carries the final vocabulary forward unchanged — exactly
+    * the Spark loop's `exhausted` flag; an inner cross join would
+    * collapse every later level (and txt_bpe_encode's seg) to empty.
     */
   private def bpeSql(k: Int): String =
     bpeLadderSql(k) + (0 until k).map(i =>
@@ -405,9 +411,10 @@ object TextAnalysis {
         |best$i AS MATERIALIZED (SELECT p, pc FROM pc$i
         |  ORDER BY pc DESC, p LIMIT 1),
         |w${i + 1} AS MATERIALIZED (SELECT
-        |  trim(replace(' ' || s || ' ', ' ' || p || ' ',
-        |    ' ' || replace(p, ' ', '') || ' ')) AS s, c
-        |  FROM w$i, best$i)""".stripMargin)
+        |  trim(replace(' ' || s || ' ',
+        |    ' ' || COALESCE(p, '') || ' ',
+        |    ' ' || replace(COALESCE(p, ''), ' ', '') || ' ')) AS s, c
+        |  FROM w$i LEFT JOIN best$i ON true)""".stripMargin)
     }
     sb.toString
   }

@@ -238,6 +238,12 @@ object StatefulOps {
       val closed = Seq.newBuilder[Scd2Interval]
       sorted.foreach { e =>
         cur match {
+          // append-mode SCD2 assumes per-key event-time order (the
+          // CDC-feed contract); a cross-batch straggler older than
+          // the open run cannot be applied without rewriting emitted
+          // history, so it is DROPPED — never an inverted interval.
+          // Full out-of-order repair is the batch scd2Build's job.
+          case Some(r) if e.ts_us < r.valid_from_us => ()
           case Some(r) if r.event_type == e.event_type =>
             cur = Some(r.copy(n_obs = r.n_obs + 1))
           case Some(r) =>

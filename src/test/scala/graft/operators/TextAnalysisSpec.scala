@@ -106,6 +106,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((2L, 1L, 2L, 1L)))
     // 'xyz' never merged (no repeated pairs reach the top) → 3 chars
     assert(out(3L) === ((3L, 1L, 3L, 3L)))
+    // with k=10 the singleton pairs merge too ('x y' at 4, 'xy z' at
+    // 5), then EVERY word is one symbol and merges exhaust at 5 —
+    // training must stop and encode must keep the final vocabulary
+    // (the oracle mirrors via the LEFT JOIN ladder)
+    assert(TextAnalysis.bpeTrain(corpus, k = 10).count() === 5L)
+    val out10 = TextAnalysis.bpeEncode(corpus, k = 10)
+      .select("doc_id", "n_words", "n_chars", "n_subtokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out10 === Map(
+      1L -> ((1L, 2L, 8L, 2L)),
+      2L -> ((2L, 1L, 2L, 1L)),
+      3L -> ((3L, 1L, 3L, 1L))))
   }
 
   test("collocations: exclusive pair beats promiscuous pair, floor filters") {

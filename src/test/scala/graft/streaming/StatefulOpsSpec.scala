@@ -164,10 +164,13 @@ class StatefulOpsSpec extends SparkSpec {
         Scd2Interval(1L, 1L, "view", 100L, 300L, 2L)))
       // batch 2: u1's view@400 closes the cart run opened in batch 1;
       // u2's view@200 EXTENDS its open run (same type across the
-      // boundary — must NOT close), then cart@300 closes it with n=2
+      // boundary — must NOT close), then cart@300 closes it with n=2.
+      // u1's straggler purchase@50 is OLDER than the open run — the
+      // ordering contract drops it (no inverted interval, no version)
       in.addData(TypedEvent(5L, 1L, 400L, "view"),
         TypedEvent(6L, 2L, 200L, "view"),
-        TypedEvent(7L, 2L, 300L, "cart"))
+        TypedEvent(7L, 2L, 300L, "cart"),
+        TypedEvent(8L, 1L, 50L, "purchase"))
       q.processAllAvailable()
       q.stop()
       val got = spark.table("scd2_out").as[Scd2Interval].collect()
@@ -179,6 +182,9 @@ class StatefulOpsSpec extends SparkSpec {
       // the sink — append-mode rows are all FINAL intervals
       assert(!got.exists(i => i.valid_from_us == 400L || (i.user_id == 2L
         && i.event_type == "cart")))
+      // the dropped straggler left no trace and no interval inverted
+      assert(!got.exists(_.event_type == "purchase"))
+      assert(got.forall(i => i.valid_to_us > i.valid_from_us))
     } finally {
       prev match {
         case Some(v) =>

@@ -38,6 +38,30 @@ class SimilaritySpec extends SparkSpec {
       s"energy lost: kept=$kept orig=$orig")
   }
 
+  test("pca as the ANN bandwidth lever: reduced-space kNN keeps recall") {
+    // 4 well-separated clusters on axis groups + deterministic jitter
+    val clustered = (0 until 200).map { i =>
+      val k = i % 4
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        val base = if (d % 4 == k) 10.0 else 0.0
+        (base + ((i * 31 + d * 17) % 7 - 3) * 0.1).toFloat
+      }.toArray, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val full = Similarity.knnBrute(clustered)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val reduced = Similarity.pcaProject(clustered, kDim = 16)
+      .select($"vec_id", $"pv".cast("array<float>").as("embedding"),
+        org.apache.spark.sql.functions.lit(0).as("label"))
+    val pca = Similarity.knnBrute(reduced)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(full.keySet === pca.keySet && full.nonEmpty)
+    val recall = full.keys.toSeq.map(q =>
+      (full(q) intersect pca(q)).size.toDouble / full(q).size).sum / full.size
+    assert(recall >= 0.8, s"PCA-space recall $recall")
+  }
+
   test("multiprobe: strict superset of the single-bucket LSH result space") {
     val e = emb(40)
     val lsh = Similarity.knnLsh(e)

@@ -467,6 +467,93 @@ object TextAnalysis {
         round(col("q").cast("double") / 1000000.0d, 6).as("pmi"))
   }
 
+  val BackoffAlpha = 0.4
+
+  /** Held-out perplexity under stupid backoff (Brants et al.) — THE
+    * standard LM-quality eval, and the one place backoff is actually
+    * exercised: the corpus splits by the stable hash bucket into
+    * train (80%) and eval; eval trigrams score against the TRAIN
+    * counts, falling trigram → bigram → add-one unigram with an α
+    * penalty per level. Self-scoring queries (txt_*_logprob) never
+    * take the backoff branch because every observed n-gram has
+    * count ≥ 1 in its own LM; held-out data has genuinely unseen
+    * n-grams, so `n_backoff` is informative and the unigram floor
+    * (Laplace +1 over N+V+1) keeps unseen words finite.
+    * Shape at scale: three train-side vocabulary aggregates, the
+    * eval stream left-joins them on 8-byte hashes, one per-doc
+    * aggregate — the sharded held-out-eval dataflow. α and α² are
+    * Scala-computed constants interpolated into both engines, so no
+    * cross-engine float arithmetic beyond the single ln.
+    */
+  def backoffHeldout(docs: DataFrame): DataFrame = {
+    val a2 = BackoffAlpha * BackoffAlpha
+    val withB = docs.withColumn("b",
+      expr("((doc_id % 100003) * 31 + 7 * 97) % 10"))
+    val train = withB.filter(col("b") < 8)
+    val evalDocs = withB.filter(col("b") >= 8)
+
+    val trTok = train.select(explode(tokens(lower(col("text")))).as("w"))
+      .select(hex60(col("w")).as("wh")).localCheckpoint(false)
+    val uni = trTok.groupBy(col("wh")).agg(count(lit(1)).as("u3"))
+    val tot = trTok.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("wh")).as("v_size"))
+    val trBg = train.withColumn("t", tokens(lower(col("text"))))
+      .select(explode(expr(bigramArr)).as("bg"))
+      .select(hex60(col("bg")).as("b23h"),
+        hex60(expr("split_part(bg, ' ', 1)")).as("lwh"))
+    val c2t = trBg.groupBy(col("b23h"))
+      .agg(max(col("lwh")).as("lwh"), count(lit(1)).as("c23"))
+    val c2tab = c2t
+      .join(c2t.groupBy(col("lwh")).agg(sum(col("c23")).as("cl2")),
+        Seq("lwh"))
+      .select("b23h", "c23", "cl2")
+    val trTg = train.withColumn("t", tokens(lower(col("text"))))
+      .select(explode(expr(trigramArr)).as("tg"))
+      .select(hex60(col("tg")).as("th"),
+        hex60(expr(
+          "concat(split_part(tg, ' ', 1), ' ', split_part(tg, ' ', 2))"))
+          .as("ctxh"))
+    val c3t = trTg.groupBy(col("th"))
+      .agg(max(col("ctxh")).as("ctxh"), count(lit(1)).as("c3"))
+    val c3tab = c3t
+      .join(c3t.groupBy(col("ctxh")).agg(sum(col("c3")).as("cctx")),
+        Seq("ctxh"))
+      .select("th", "c3", "cctx")
+
+    val ev = evalDocs.withColumn("t", tokens(lower(col("text"))))
+      .select(col("doc_id"), explode(expr(trigramArr)).as("tg"))
+      .select(col("doc_id"), hex60(col("tg")).as("th"),
+        hex60(expr(
+          "concat(split_part(tg, ' ', 2), ' ', split_part(tg, ' ', 3))"))
+          .as("b23h"),
+        hex60(expr("split_part(tg, ' ', 3)")).as("w3h"))
+    ev.join(c3tab, Seq("th"), "left")
+      .join(c2tab, Seq("b23h"), "left")
+      .join(uni.withColumnRenamed("wh", "w3h"), Seq("w3h"), "left")
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("backed",
+        when(col("c3").isNotNull, 0)
+          .when(col("c23").isNotNull, 1).otherwise(2))
+      .withColumn("q_nll", round(
+        when(col("c3").isNotNull,
+          log(col("c3").cast("double") / col("cctx")))
+          .when(col("c23").isNotNull,
+            log(lit(BackoffAlpha) * (col("c23").cast("double") / col("cl2"))))
+          .otherwise(log(lit(a2) *
+            ((coalesce(col("u3"), lit(0L)) + 1).cast("double") /
+              (col("n_total") + col("v_size") + 1))))
+          * -1000000.0d).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum((col("backed") >= 1).cast("long")).as("n_backoff"),
+        sum(col("q_nll")).as("q_sum"))
+      .withColumn("avg_nll",
+        round(floor(col("q_sum").cast("double") / col("n_trigrams"))
+          / 1000000.0d, 6))
+      .select(col("doc_id"), col("n_trigrams"), col("n_backoff"),
+        col("avg_nll"))
+  }
+
   /** PII span patterns — the RE2 ∩ Java-regex common subset (char
     * classes, bounded repeats, \b; no lookaround) so Spark and DuckDB
     * match identical spans.
@@ -1182,6 +1269,63 @@ object TextAnalysis {
     QueryDef("txt_bpe_encode",
       (s, d) => bpeEncode(docs(s, d)),
       Some(bpeEncodeSql(BpeMergeSteps))),
+
+    QueryDef("txt_backoff_heldout",
+      (s, d) => backoffHeldout(docs(s, d)),
+      Some {
+        val a2 = BackoffAlpha * BackoffAlpha
+        val h = (x: String) =>
+          s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+        s"""WITH db AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)),'\\s+') AS t,
+           |    ((doc_id % 100003) * 31 + 7 * 97) % 10 AS b FROM documents),
+           |ttok AS (SELECT ${h("w")} AS wh FROM (
+           |  SELECT unnest(t) AS w FROM db WHERE b < 8)),
+           |uni AS (SELECT wh, CAST(COUNT(*) AS BIGINT) AS u3 FROM ttok GROUP BY 1),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           |  CAST(COUNT(DISTINCT wh) AS BIGINT) AS v_size FROM ttok),
+           |tbg AS (SELECT ${h("bg")} AS b23h,
+           |    ${h("split_part(bg, ' ', 1)")} AS lwh FROM (
+           |  SELECT unnest(list_transform(
+           |    generate_series(1, greatest(len(t)-1, 0)),
+           |    i -> t[i] || ' ' || t[i+1])) AS bg FROM db WHERE b < 8)),
+           |c2t AS (SELECT b23h, MAX(lwh) AS lwh,
+           |  CAST(COUNT(*) AS BIGINT) AS c23 FROM tbg GROUP BY 1),
+           |cl AS (SELECT lwh, CAST(SUM(c23) AS BIGINT) AS cl2 FROM c2t GROUP BY 1),
+           |c2tab AS (SELECT b23h, c23, cl2 FROM c2t JOIN cl USING (lwh)),
+           |ttg AS (SELECT ${h("tg")} AS th,
+           |    ${h("split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2)")} AS ctxh
+           |  FROM (SELECT unnest(list_transform(
+           |    generate_series(1, greatest(len(t)-2, 0)),
+           |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg
+           |  FROM db WHERE b < 8)),
+           |c3t AS (SELECT th, MAX(ctxh) AS ctxh,
+           |  CAST(COUNT(*) AS BIGINT) AS c3 FROM ttg GROUP BY 1),
+           |cc AS (SELECT ctxh, CAST(SUM(c3) AS BIGINT) AS cctx FROM c3t GROUP BY 1),
+           |c3tab AS (SELECT th, c3, cctx FROM c3t JOIN cc USING (ctxh)),
+           |ev AS (SELECT doc_id, ${h("tg")} AS th,
+           |    ${h("split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3)")} AS b23h,
+           |    ${h("split_part(tg, ' ', 3)")} AS w3h
+           |  FROM (SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(t)-2, 0)),
+           |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg
+           |  FROM db WHERE b >= 8)),
+           |scored AS (SELECT doc_id,
+           |  CASE WHEN c3 IS NOT NULL THEN 0
+           |       WHEN c23 IS NOT NULL THEN 1 ELSE 2 END AS backed,
+           |  CAST(ROUND(CASE
+           |    WHEN c3 IS NOT NULL THEN ln(c3 * 1.0 / cctx)
+           |    WHEN c23 IS NOT NULL THEN ln($BackoffAlpha * (c23 * 1.0 / cl2))
+           |    ELSE ln($a2 * ((COALESCE(u3, 0) + 1) * 1.0 / (n_total + v_size + 1)))
+           |  END * -1000000.0) AS BIGINT) AS q_nll
+           |  FROM ev LEFT JOIN c3tab USING (th)
+           |  LEFT JOIN c2tab USING (b23h)
+           |  LEFT JOIN uni ON ev.w3h = uni.wh, tot)
+           |SELECT doc_id, COUNT(*) AS n_trigrams,
+           |CAST(SUM(CASE WHEN backed >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+           |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
+           |FROM scored GROUP BY 1""".stripMargin
+      }),
 
     QueryDef("txt_collocations",
       (s, d) => collocations(docs(s, d)),

@@ -130,6 +130,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.collocations(docs0).count() === 0)
     assert(TextAnalysis.bpeTrain(docs0).count() === 0)
     assert(TextAnalysis.bpeEncode(docs0).count() === 0)
+    assert(TextAnalysis.backoffHeldout(docs0).count() === 0)
     assert(TextAnalysis.keywords(docs0).count() === 0)
     assert(Recommend.userSimilarity(inter0).count() === 0)
     assert(Recommend.recommendUserBased(inter0,

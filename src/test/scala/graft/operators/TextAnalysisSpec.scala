@@ -80,6 +80,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._3 > out(1L)._3)
   }
 
+  test("backoff heldout: each backoff level fires, unseen scores worse") {
+    // split bucket = (id+9)%10 → ids ≡ 0,9 (mod 10) land in eval
+    val corpus = Seq(
+      TDoc(1, "x y z x y z x y z", "en"),  // train
+      TDoc(10, "q x y z w", "en"),          // eval: 3 trigrams
+      TDoc(20, "aa bb cc", "en")).toDF()    // eval: 1 all-unseen trigram
+    val out = TextAnalysis.backoffHeldout(corpus)
+      .select("doc_id", "n_trigrams", "n_backoff", "avg_nll")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(1L))              // train docs are not scored
+    // doc 10: 'x y z' hits the trigram table (branch 0), 'q x y'
+    // backs off to the seen bigram 'x y' (branch 1), 'y z w' falls
+    // through to the unigram floor (branch 2) → 2 of 3 backed off
+    assert(out(10L)._2 === 3L && out(10L)._3 === 2L)
+    // doc 20 is entirely out-of-vocabulary → every position backs off
+    assert(out(20L)._2 === 1L && out(20L)._3 === 1L)
+    // fully-unseen text is more surprising than the mixed doc
+    assert(out(20L)._4 > out(10L)._4)
+    assert(out.values.forall(_._4 > 0.0))
+  }
+
   test("bpe: merges follow weighted pair counts, stop when symbols exhaust") {
     // vocabulary: 'aaab' ×2, 'ab' ×1
     val corpus = Seq(TDoc(1, "aaab aaab", "en"), TDoc(2, "ab", "en")).toDF()

@@ -433,6 +433,40 @@ object Recommend {
         col("n_users"))
   }
 
+  /** MAP@k — the third leg of the ranking-eval triple (precision@k,
+    * NDCG@k, MAP@k): per user, average precision = Σ over hit ranks
+    * of (hits-so-far / rank), normalized by min(|eval|, k). Every
+    * term is an integer ppm division ((cumhits·10⁶) div rank), the
+    * per-user AP another, and the mean the order-free quantized
+    * average — deterministic by construction, no floats until
+    * emission. Users with no eval rows are excluded like ndcgAtK.
+    * Scale: the recs⋈eval hash join plus one ≤k-row window per user.
+    */
+  def mapAtK(recs: DataFrame, evalDf: DataFrame, k: Int = TopN): DataFrame = {
+    val nEval = evalDf.groupBy(col("user_id")).agg(count(lit(1)).as("n_eval"))
+    val w = Window.partitionBy(col("r.user_id")).orderBy(col("r.rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perUser = recs.as("r")
+      .join(evalDf.as("e"),
+        col("r.user_id") === col("e.user_id") &&
+          col("r.item_id") === col("e.item_id"), "left")
+      .withColumn("hit", col("e.user_id").isNotNull.cast("long"))
+      .withColumn("rnk", col("r.rank"))
+      .withColumn("cumhits", sum(col("hit")).over(w))
+      .withColumn("term",
+        when(col("hit") === 1, expr("(cumhits * 1000000) div rnk"))
+          .otherwise(lit(0L)))
+      .groupBy(col("r.user_id").as("user_id"))
+      .agg(sum(col("term")).as("term_sum"))
+    perUser.join(nEval, Seq("user_id"))
+      .withColumn("ap_q", expr(s"term_sum div LEAST(n_eval, $k)"))
+      .agg(sum(col("ap_q")).as("sq"), count(lit(1)).as("n_users"))
+      .select(
+        round(floor(col("sq").cast("double") / col("n_users")) / 1000000.0d, 6)
+          .as("avg_map"),
+        col("n_users"))
+  }
+
   // ---- driver-contract registry ----
 
   private val interSql =
@@ -774,6 +808,35 @@ object Recommend {
               |  FROM per_user p JOIN ne USING (user_id))
               |SELECT ROUND(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_ndcg,
               |COUNT(*) AS n_users FROM nq""".stripMargin)),
+
+    QueryDef("ml_map_at_10",
+      (s, d) => {
+        val inter = interactions(s, d).localCheckpoint(false)
+        val train = trainSet(inter).localCheckpoint(false)
+        val recs = recommend(train, itemSimilarity(train).localCheckpoint(false))
+        mapAtK(recs, evalSet(inter))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |tr AS (SELECT user_id, item_id FROM inter WHERE $splitCond < 8),
+              |ev AS (SELECT user_id, item_id FROM inter WHERE $splitCond >= 8),
+              |${recsSql("tr")},
+              |ne AS (SELECT user_id, COUNT(*) AS n_eval FROM ev GROUP BY 1),
+              |hits AS (SELECT r.user_id, r.rank,
+              |    CASE WHEN e.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+              |  FROM recs r LEFT JOIN ev e
+              |    ON r.user_id = e.user_id AND r.item_id = e.item_id),
+              |terms AS (SELECT user_id,
+              |    CASE WHEN hit = 1 THEN (SUM(hit) OVER (PARTITION BY user_id
+              |      ORDER BY rank ROWS UNBOUNDED PRECEDING) * 1000000) // rank
+              |    ELSE 0 END AS term
+              |  FROM hits),
+              |per_user AS (SELECT user_id,
+              |    CAST(SUM(term) AS BIGINT) AS term_sum FROM terms GROUP BY 1),
+              |mq AS (SELECT p.user_id,
+              |    term_sum // LEAST(n_eval, $TopN) AS ap_q
+              |  FROM per_user p JOIN ne USING (user_id))
+              |SELECT ROUND(FLOOR(CAST(SUM(ap_q) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_map,
+              |COUNT(*) AS n_users FROM mq""".stripMargin)),
 
     // Model-based CF — float factors aren't SQL-expressible, so this
     // is a rows-only entry (like the HLL sketches); RecommendSpec

@@ -52,6 +52,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Recommend.ndcgAtK(
       Recommend.recommend(inter0, sim0), inter0).collect().length === 1)
     assert(Recommend.alsRecommend(inter0).count() === 0)
+    assert(Recommend.mapAtK(
+      Recommend.recommend(inter0, sim0), inter0).collect().length === 1)
   }
 
   test("similarity family is total on empty embeddings") {

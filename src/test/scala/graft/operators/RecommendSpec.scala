@@ -97,6 +97,21 @@ class RecommendSpec extends SparkSpec {
     assert(out === ((0.815465, 2L)))
   }
 
+  test("MAP@10: hit positions weight average precision, misses dilute") {
+    val recs = Seq(
+      (10L, 1L, 3L, 0.9), (10L, 2L, 4L, 0.8), (10L, 3L, 5L, 0.7),
+      (20L, 1L, 6L, 0.9), (20L, 2L, 7L, 0.8))
+      .toDF("user_id", "rank", "item_id", "score_r")
+    val eval_ = Seq(Inter(10, 3), Inter(10, 5), Inter(20, 7)).toDF()
+    val out = Recommend.mapAtK(recs, eval_)
+      .select("avg_map", "n_users").as[(Double, Long)].head()
+    // user 10: hits at ranks 1 and 3 → (1/1 + 2/3)/min(2,10)
+    //   = (1000000 + 666666)/2 = 833333 ppm
+    // user 20: hit at rank 2 → (1/2)/1 = 500000 ppm
+    // mean = floor((833333+500000)/2)/1e6 = 0.666666
+    assert(out === ((0.666666, 2L)))
+  }
+
   test("ALS: recovers planted block structure, masks seen items") {
     // two disjoint taste blocks; each user misses one in-block item
     val block = (1L to 12L).flatMap { u =>

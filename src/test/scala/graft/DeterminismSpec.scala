@@ -32,7 +32,9 @@ class DeterminismSpec extends SparkSpec {
     "scd2_history",           // run-compaction windows + lead
     "ml_ndcg_at_10",          // discount-table metric
     "p20_winsorize",          // value-grain percentile cuts + clip
-    "txt_bpe_merges")         // iterative argmax + driver-side merges
+    "txt_bpe_merges",         // iterative argmax + driver-side merges
+    "txt_backoff_heldout",    // 3-way left joins + quantized ln
+    "ml_map_at_10")           // ppm average-precision terms
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -443,11 +443,17 @@ object Recommend {
     * Scale: the recs⋈eval hash join plus one ≤k-row window per user.
     */
   def mapAtK(recs: DataFrame, evalDf: DataFrame, k: Int = TopN): DataFrame = {
-    val nEval = evalDf.groupBy(col("user_id")).agg(count(lit(1)).as("n_eval"))
+    // dedupe defensively: a duplicate eval pair would fan the join out
+    // into tied (user, rank) rows whose cumhits order is shuffle-
+    // dependent; the registered inputs are distinct, arbitrary callers
+    // may not be
+    val ev = evalDf.select(col("user_id"), col("item_id")).distinct()
+    val nEval = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_eval"))
     val w = Window.partitionBy(col("r.user_id")).orderBy(col("r.rank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val perUser = recs.as("r")
-      .join(evalDf.as("e"),
+      .filter(col("r.rank") <= k) // AP@k scores the top k only
+      .join(ev.as("e"),
         col("r.user_id") === col("e.user_id") &&
           col("r.item_id") === col("e.item_id"), "left")
       .withColumn("hit", col("e.user_id").isNotNull.cast("long"))
@@ -824,7 +830,8 @@ object Recommend {
               |hits AS (SELECT r.user_id, r.rank,
               |    CASE WHEN e.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit
               |  FROM recs r LEFT JOIN ev e
-              |    ON r.user_id = e.user_id AND r.item_id = e.item_id),
+              |    ON r.user_id = e.user_id AND r.item_id = e.item_id
+              |  WHERE r.rank <= $TopN),
               |terms AS (SELECT user_id,
               |    CASE WHEN hit = 1 THEN (SUM(hit) OVER (PARTITION BY user_id
               |      ORDER BY rank ROWS UNBOUNDED PRECEDING) * 1000000) // rank

@@ -487,17 +487,21 @@ object TextAnalysis {
     */
   def backoffHeldout(docs: DataFrame): DataFrame = {
     val a2 = BackoffAlpha * BackoffAlpha
-    val withB = docs.withColumn("b",
-      expr("((doc_id % 100003) * 31 + 7 * 97) % 10"))
+    val withB = docs.withColumn("b", bucket10(col("doc_id"), lit(7L)))
+    // ONE tokenize pass over the train split, checkpointed — the
+    // unigram, bigram and trigram aggregates all explode from it
+    // (the bigramLogprob device; three raw corpus scans otherwise)
     val train = withB.filter(col("b") < 8)
+      .withColumn("t", tokens(lower(col("text"))))
+      .select(col("t")).localCheckpoint(false)
     val evalDocs = withB.filter(col("b") >= 8)
 
-    val trTok = train.select(explode(tokens(lower(col("text")))).as("w"))
+    val trTok = train.select(explode(col("t")).as("w"))
       .select(hex60(col("w")).as("wh")).localCheckpoint(false)
     val uni = trTok.groupBy(col("wh")).agg(count(lit(1)).as("u3"))
     val tot = trTok.agg(count(lit(1)).as("n_total"),
       countDistinct(col("wh")).as("v_size"))
-    val trBg = train.withColumn("t", tokens(lower(col("text"))))
+    val trBg = train
       .select(explode(expr(bigramArr)).as("bg"))
       .select(hex60(col("bg")).as("b23h"),
         hex60(expr("split_part(bg, ' ', 1)")).as("lwh"))
@@ -507,7 +511,7 @@ object TextAnalysis {
       .join(c2t.groupBy(col("lwh")).agg(sum(col("c23")).as("cl2")),
         Seq("lwh"))
       .select("b23h", "c23", "cl2")
-    val trTg = train.withColumn("t", tokens(lower(col("text"))))
+    val trTg = train
       .select(explode(expr(trigramArr)).as("tg"))
       .select(hex60(col("tg")).as("th"),
         hex60(expr(

@@ -110,6 +110,11 @@ class RecommendSpec extends SparkSpec {
     // user 20: hit at rank 2 → (1/2)/1 = 500000 ppm
     // mean = floor((833333+500000)/2)/1e6 = 0.666666
     assert(out === ((0.666666, 2L)))
+    // k truncates the list: at k=1 user 20's rank-2 hit is outside
+    // the cut (AP 0), user 10's rank-1 hit is a perfect 1.0 → 0.5
+    val at1 = Recommend.mapAtK(recs, eval_, k = 1)
+      .select("avg_map", "n_users").as[(Double, Long)].head()
+    assert(at1 === ((0.5, 2L)))
   }
 
   test("ALS: recovers planted block structure, masks seen items") {

@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Multimodal.defs ++
       operators.Temporal.defs ++
       operators.Events.defs ++
-      operators.Graph.defs
+      operators.Graph.defs ++
+      operators.Commerce.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

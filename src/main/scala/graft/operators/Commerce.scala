@@ -1,0 +1,383 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Functions.dsum
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Customer/merchandising analytics over the order history — the
+  * next ring of gold-layer marts around the reference's daily
+  * summary / category / top-k aggregates (dags/daily_pipeline.py
+  * gold step, :200-260): RFM segmentation, market-basket lift,
+  * revenue trend slopes, recency-decayed popularity, statistical
+  * outlier audit, and a blocked fuzzy-match (record-linkage) join.
+  *
+  * Scale design (100 TB):
+  *  - every metric reduces facts to an entity grain (customer /
+  *    part / brand / priority) in ONE partial+final aggregate, then
+  *    does the statistics on the reduced relation;
+  *  - percentile cutpoints come from value-grain cumulative windows
+  *    (the p20_winsorize device), never a global row-grain ntile —
+  *    |distinct values| per group, not |rows|, flows to the window;
+  *  - basket pairs enumerate only within an order (bounded basket
+  *    size — TPC-H ≤13, real carts similar), shuffled on the order
+  *    key, never across orders;
+  *  - fuzzy matching blocks on (lang, length-bucket, first token)
+  *    equi-keys and verifies edit distance on candidates only — the
+  *    classic record-linkage blocking shape, same candidates-then-
+  *    verify discipline as the minhash/simhash dedup family;
+  *  - cross-engine determinism: money flows through DECIMAL(18,2)
+  *    (dsum), decay weights are exact powers of two, and every
+  *    float expression is the same IEEE op sequence on both engines
+  *    (correctly-rounded /,*,sqrt over exactly-cast aggregates).
+  */
+object Commerce {
+
+  private def ord(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+
+  private def li(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+
+  /** Value-grain exact discrete quartile cutpoints of `v` (the
+    * p20_winsorize device, ungrouped): q_p = min value whose
+    * cumulative count reaches ceil(p·n). Window input is |distinct
+    * values|, constant-ish at any row scale.
+    */
+  private def quartileCuts(df: DataFrame, v: String): DataFrame = {
+    val vals = df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(lit(1))))
+    def disc(p: Double, name: String) =
+      min(when(col("cum") >= expr(s"CAST(ceil($p * n) AS BIGINT)"),
+        col(v))).as(name)
+    cum.agg(disc(0.25, s"${v}_q1"), disc(0.50, s"${v}_q2"),
+      disc(0.75, s"${v}_q3"))
+  }
+
+  /** 1 + (v>q1) + (v>q2) + (v>q3): value-threshold quartile score
+    * (percentile_disc semantics — ties share a score, unlike ntile's
+    * arbitrary row split; deterministic on any engine).
+    */
+  private def qscore(v: Column, q1: Column, q2: Column, q3: Column): Column =
+    lit(1) + (v > q1).cast("int") + (v > q2).cast("int") +
+      (v > q3).cast("int")
+
+  /** RFM segmentation: per-customer recency (days since last order,
+    * relative to the corpus max date), frequency (order count) and
+    * monetary (exact decimal revenue), each scored into value-based
+    * quartiles; output is the segment-grain rollup (≤64 rows at any
+    * scale). Recency quartiles are inverted (most recent = 4) so all
+    * three scores read "higher is better".
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("od"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val mx = o.agg(max(col("od")).as("mxd")) // 1 row
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("od")).as("last_od"), count(lit(1)).as("freq"),
+        sum(col("price")).as("monetary"))
+      .crossJoin(broadcast(mx))
+      .withColumn("recency", datediff(col("mxd"), col("last_od")))
+      .localCheckpoint(false) // three cutpoint scans + the score scan
+    val rc = quartileCuts(cust, "recency")
+    val fc = quartileCuts(cust, "freq")
+    val mc = quartileCuts(cust, "monetary")
+    cust.crossJoin(broadcast(rc)).crossJoin(broadcast(fc))
+      .crossJoin(broadcast(mc))
+      .withColumn("r_score", lit(5) - qscore(col("recency"),
+        col("recency_q1"), col("recency_q2"), col("recency_q3")))
+      .withColumn("f_score", qscore(col("freq"),
+        col("freq_q1"), col("freq_q2"), col("freq_q3")))
+      .withColumn("m_score", qscore(col("monetary"),
+        col("monetary_q1"), col("monetary_q2"), col("monetary_q3")))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("monetary")).as("revenue"))
+  }
+
+  /** Market-basket association mining: support / confidence / lift
+    * for part pairs co-purchased in one order. Pairs enumerate only
+    * inside an order (distinct items first, so quantity doesn't
+    * inflate counts); per-item counts broadcast onto the pair
+    * relation; output is the top-k by co-occurrence with a unique
+    * (n_ab desc, i, j) total order.
+    */
+  def basketLift(lineitem: DataFrame, k: Int = 100): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("pid"))
+      .distinct().localCheckpoint(false)
+    val nOrders = items.select(col("oid")).distinct()
+      .agg(count(lit(1)).as("n_orders")) // 1 row
+    val icnt = items.groupBy(col("pid")).agg(count(lit(1)).as("n_i"))
+    val pairs = items.as("x")
+      .join(items.as("y"),
+        col("x.oid") === col("y.oid") && col("x.pid") < col("y.pid"))
+      .groupBy(col("x.pid").as("i"), col("y.pid").as("j"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(icnt.select(col("pid").as("i"),
+        col("n_i").as("n_a"))), Seq("i"))
+      .join(broadcast(icnt.select(col("pid").as("j"),
+        col("n_i").as("n_b"))), Seq("j"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("i"), col("j"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("i"), col("j"))
+      .limit(k)
+  }
+
+  /** Per-brand weekly revenue trend: least-squares slope of weekly
+    * revenue over the week index, from exact sufficient statistics
+    * (counts, integer week sums, decimal revenue sums) — the only
+    * float ops are the final casts and one (num/den) division,
+    * identical IEEE sequences on both engines. Output is |brands|
+    * rows at any scale; facts reduce in one (brand, week) aggregate.
+    */
+  def trendSlope(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val weekly = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("datediff(to_date(l_shipdate), date'1970-01-01') div 7")
+          .as("wk"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("rev"))
+      .groupBy(col("brand"), col("wk"))
+      .agg(sum(col("rev")).as("rev"))
+    weekly.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(col("wk")).as("sx"),
+        sum(col("rev")).cast("double").as("sy"),
+        sum(col("wk") * col("rev")).cast("double").as("sxy"),
+        sum(col("wk") * col("wk")).as("sxx"))
+      .select(col("brand"), col("n_weeks"),
+        round((col("n_weeks").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")) /
+          (col("n_weeks") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("slope_per_week"))
+  }
+
+  /** Recency-decayed part popularity: each sale contributes
+    * 0.5^age_months (30-day buckets against the corpus max ship
+    * date, clamped at 40 half-lives). 2^-m is exactly representable,
+    * so floor(1e6·2^-m) micro-units sum as exact BIGINTs in any
+    * order on any engine (the txt_unigram_logprob quantization, with
+    * an exact weight instead of a log). Top-k by (score desc, part).
+    */
+  def decayTopk(lineitem: DataFrame, k: Int = 100): DataFrame = {
+    val sales = lineitem.select(col("l_partkey").as("part_id"),
+      to_date(col("l_shipdate")).as("sd"))
+    val mx = sales.agg(max(col("sd")).as("mxd")) // 1 row
+    sales.crossJoin(broadcast(mx))
+      .withColumn("age_m",
+        least(expr("datediff(mxd, sd) div 30"), lit(40)))
+      .withColumn("wq",
+        floor(pow(lit(0.5), col("age_m")) * lit(1000000.0)))
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_sales"), sum(col("wq")).as("score_q"))
+      .withColumn("score",
+        round(col("score_q").cast("double") / 1000000.0, 6))
+      .orderBy(col("score_q").desc, col("part_id")) // unquantized cut key
+      .limit(k)
+      .select(col("part_id"), col("n_sales"), col("score"))
+  }
+
+  /** Statistical outlier audit: events whose value sits >3σ from
+    * their event-type mean. Values quantize to centi-units
+    * (floor(x·100) — one IEEE multiply + floor, identical on any
+    * engine) so the per-class moments (n, Σx, Σx² — the square sum
+    * in DECIMAL(38,0)) are exact integers summed in any order; mean,
+    * σ and the z comparison are then the same correctly-rounded
+    * double sequence on both engines, so the flag can't flake.
+    * Output is the outlier rows (audit-sized for well-behaved tails).
+    */
+  def outliers(events: DataFrame): DataFrame = {
+    val rows = events.select(col("event_id"),
+      col("event_type"), col("value"),
+      floor(col("value") * lit(100.0)).as("xq"))
+    val mom = rows.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // decimal sums: exact at any row count (long would wrap at
+        // ~1e12 rows of 1e6-unit values; DuckDB's SUM is HUGEINT)
+        sum(col("xq").cast(DecimalType(38, 0))).cast("double").as("sy"),
+        sum(col("xq").cast(DecimalType(28, 0)) * col("xq"))
+          .cast("double").as("syy"))
+      .select(col("event_type"),
+        (col("sy") / col("n")).as("mean"),
+        sqrt((col("n") * col("syy") - col("sy") * col("sy")) /
+          (col("n").cast("double") * (col("n") - lit(1)))).as("sd"))
+    rows.join(broadcast(mom), Seq("event_type"))
+      .withColumn("z",
+        (col("xq").cast("double") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z"))
+  }
+
+  /** Blocked fuzzy match (record linkage) over documents: block on
+    * the cheap equi-keys (lang, 50-char length bucket, first token),
+    * verify candidates with edit distance over a 60-char prefix.
+    * Candidates come from an equi-join on the block key — never a
+    * pair scan — and the O(len²) levenshtein runs only on the
+    * bounded prefix of surviving candidates.
+    */
+  def blockedMatch(docs: DataFrame, maxDist: Int = 5): DataFrame = {
+    val p = docs.select(col("doc_id"), col("lang"),
+      expr("n_chars div 50").as("lb"),
+      split_part(col("text"), lit(" "), lit(1)).as("tok1"),
+      substring(col("text"), 1, 60).as("pre"))
+    p.as("a").join(p.as("b"),
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.tok1") === col("b.tok1") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        levenshtein(col("a.pre"), col("b.pre")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  // ---- driver-contract registry ----
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("bi_rfm_segments",
+      (s, d) => rfmSegments(ord(s, d)),
+      Some("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+             |cust AS (SELECT o_custkey, MAX(od) AS last_od,
+             |    CAST(COUNT(*) AS BIGINT) AS freq,
+             |    CAST(SUM(price) AS DECIMAL(18,2)) AS monetary,
+             |    date_diff('day', MAX(od), (SELECT MAX(od) FROM o))
+             |      AS recency
+             |  FROM o GROUP BY 1),
+             |rcut AS (SELECT MIN(CASE WHEN cum >= CAST(ceil(0.25*n) AS BIGINT) THEN v END) q1,
+             |    MIN(CASE WHEN cum >= CAST(ceil(0.50*n) AS BIGINT) THEN v END) q2,
+             |    MIN(CASE WHEN cum >= CAST(ceil(0.75*n) AS BIGINT) THEN v END) q3
+             |  FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cum,
+             |      SUM(cnt) OVER () n
+             |    FROM (SELECT recency v, COUNT(*) cnt FROM cust GROUP BY 1))),
+             |fcut AS (SELECT MIN(CASE WHEN cum >= CAST(ceil(0.25*n) AS BIGINT) THEN v END) q1,
+             |    MIN(CASE WHEN cum >= CAST(ceil(0.50*n) AS BIGINT) THEN v END) q2,
+             |    MIN(CASE WHEN cum >= CAST(ceil(0.75*n) AS BIGINT) THEN v END) q3
+             |  FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cum,
+             |      SUM(cnt) OVER () n
+             |    FROM (SELECT freq v, COUNT(*) cnt FROM cust GROUP BY 1))),
+             |mcut AS (SELECT MIN(CASE WHEN cum >= CAST(ceil(0.25*n) AS BIGINT) THEN v END) q1,
+             |    MIN(CASE WHEN cum >= CAST(ceil(0.50*n) AS BIGINT) THEN v END) q2,
+             |    MIN(CASE WHEN cum >= CAST(ceil(0.75*n) AS BIGINT) THEN v END) q3
+             |  FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cum,
+             |      SUM(cnt) OVER () n
+             |    FROM (SELECT monetary v, COUNT(*) cnt FROM cust GROUP BY 1)))
+             |SELECT 5 - (1 + CAST(recency > rcut.q1 AS INT)
+             |    + CAST(recency > rcut.q2 AS INT)
+             |    + CAST(recency > rcut.q3 AS INT)) AS r_score,
+             |  1 + CAST(freq > fcut.q1 AS INT) + CAST(freq > fcut.q2 AS INT)
+             |    + CAST(freq > fcut.q3 AS INT) AS f_score,
+             |  1 + CAST(monetary > mcut.q1 AS INT) + CAST(monetary > mcut.q2 AS INT)
+             |    + CAST(monetary > mcut.q3 AS INT) AS m_score,
+             |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+             |  CAST(CAST(SUM(monetary) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+             |FROM cust, rcut, fcut, mcut
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    QueryDef("bi_basket_lift",
+      (s, d) => basketLift(li(s, d)),
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS oid,
+             |    l_partkey AS pid FROM lineitem),
+             |no AS (SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n_orders
+             |  FROM items),
+             |icnt AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_i
+             |  FROM items GROUP BY 1),
+             |pairs AS (SELECT x.pid AS i, y.pid AS j,
+             |    CAST(COUNT(*) AS BIGINT) AS n_ab
+             |  FROM items x JOIN items y
+             |    ON x.oid = y.oid AND x.pid < y.pid
+             |  GROUP BY 1, 2)
+             |SELECT i, j, n_ab,
+             |ROUND(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+             |ROUND(CAST(n_ab AS DOUBLE) / a.n_i, 6) AS confidence,
+             |ROUND(CAST(n_ab AS DOUBLE) * n_orders / (a.n_i * b.n_i), 6)
+             |  AS lift
+             |FROM pairs
+             |JOIN icnt a ON pairs.i = a.pid
+             |JOIN icnt b ON pairs.j = b.pid
+             |CROSS JOIN no
+             |ORDER BY n_ab DESC, i, j LIMIT 100""".stripMargin)),
+
+    QueryDef("bi_trend_slope",
+      (s, d) => trendSlope(li(s, d), Tables.part(s, d)),
+      Some("""WITH weekly AS (SELECT p_brand AS brand,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(l_shipdate AS DATE)) // 7 AS wk,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DECIMAL(18,2)) AS rev
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |st AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             |    CAST(SUM(wk) AS BIGINT) AS sx,
+             |    CAST(SUM(rev) AS DOUBLE) AS sy,
+             |    CAST(SUM(wk * rev) AS DOUBLE) AS sxy,
+             |    CAST(SUM(wk * wk) AS BIGINT) AS sxx
+             |  FROM weekly GROUP BY 1)
+             |SELECT brand, n_weeks,
+             |ROUND((CAST(n_weeks AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |  / CAST(n_weeks * sxx - sx * sx AS DOUBLE), 6)
+             |  AS slope_per_week
+             |FROM st""".stripMargin)),
+
+    QueryDef("bi_decay_topk",
+      (s, d) => decayTopk(li(s, d)),
+      Some("""WITH sales AS (SELECT l_partkey AS part_id,
+             |    CAST(l_shipdate AS DATE) AS sd FROM lineitem),
+             |mx AS (SELECT MAX(sd) AS mxd FROM sales),
+             |w AS (SELECT part_id,
+             |    CAST(FLOOR(power(0.5,
+             |      LEAST(date_diff('day', sd, mxd) // 30, 40)) * 1000000.0)
+             |      AS BIGINT) AS wq
+             |  FROM sales, mx)
+             |SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_sales,
+             |ROUND(CAST(SUM(wq) AS DOUBLE) / 1000000.0, 6) AS score
+             |FROM w GROUP BY 1
+             |ORDER BY SUM(wq) DESC, part_id LIMIT 100""".stripMargin)),
+
+    QueryDef("p22_outliers",
+      (s, d) => outliers(Tables.events(s, d)),
+      Some("""WITH rows_ AS (SELECT event_id, event_type, value,
+             |    CAST(FLOOR(value * 100.0) AS BIGINT) AS xq FROM events),
+             |mom AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(xq) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(xq AS DECIMAL(28,0)) * xq) AS DOUBLE) AS syy
+             |  FROM rows_ GROUP BY 1),
+             |ms AS (SELECT event_type, sy / n AS mean,
+             |    sqrt((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1)))
+             |      AS sd
+             |  FROM mom)
+             |SELECT event_id, rows_.event_type, value,
+             |ROUND((CAST(xq AS DOUBLE) - mean) / sd, 4) AS z
+             |FROM rows_ JOIN ms ON rows_.event_type = ms.event_type
+             |WHERE abs((CAST(xq AS DOUBLE) - mean) / sd) > 3.0""".stripMargin)),
+
+    QueryDef("er_blocked_match",
+      (s, d) => blockedMatch(Tables.documents(s, d)),
+      Some("""WITH p AS (SELECT doc_id, lang, n_chars // 50 AS lb,
+             |    split_part(text, ' ', 1) AS tok1,
+             |    substr(text, 1, 60) AS pre FROM documents)
+             |SELECT a.doc_id AS i, b.doc_id AS j,
+             |CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+             |FROM p a JOIN p b
+             |  ON a.lang = b.lang AND a.lb = b.lb AND a.tok1 = b.tok1
+             |  AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.pre, b.pre) <= 5""".stripMargin))
+  )
+}

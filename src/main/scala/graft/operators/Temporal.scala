@@ -201,6 +201,29 @@ object Temporal {
         col("is_current"))
   }
 
+  /** Point-in-time (SCD2) lookup: each fact row joined to the
+    * dimension version valid at the fact's timestamp —
+    * valid_from ≤ ts < valid_to, open interval for the current row.
+    * THE reason a warehouse keeps SCD2 history (training-data
+    * pipelines call it temporal feature correctness: no peeking at
+    * attributes from the future).
+    *
+    * Shape: an equi-join on the entity key with the interval as a
+    * residual filter — per-key version counts are small (the run-
+    * compacted dimension), so the per-key fan-out is bounded and
+    * the join stays a plain shuffled hash join at any fact scale;
+    * versions partition time, so at most one survives per fact.
+    */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+          facts("ts_us") >= dim("valid_from_us") &&
+          (dim("valid_to_us").isNull ||
+            facts("ts_us") < dim("valid_to_us")),
+        "left")
+      .select(facts("event_id"), facts("user_id"), facts("ts_us"),
+        dim("version"), dim("event_type").as("state_at_ts"))
+
   private def ev(s: SparkSession, d: String) =
     Tables.events(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
@@ -331,6 +354,46 @@ object Temporal {
              |n_obs,
              |CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
              |  IS NULL AS INT) AS is_current
-             |FROM runs""".stripMargin))
+             |FROM runs""".stripMargin)),
+
+    // Point-in-time lookup: every purchase joined to the SCD2 state
+    // (built from the user's non-purchase events) valid at purchase
+    // time — purchases before any state row keep NULLs via the left
+    // join.
+    QueryDef("scd2_pointintime",
+      (s, d) => {
+        val e = ev(s, d)
+        scd2Lookup(
+          e.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts_us")),
+          scd2Build(e.filter(col("event_type") =!= "purchase")))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+             |  event_type FROM events),
+             |ne AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+             |g AS (SELECT user_id, ts_us, event_id, event_type,
+             |  CASE WHEN lag(event_type) OVER w IS NULL
+             |    OR lag(event_type) OVER w <> event_type
+             |    THEN 1 ELSE 0 END AS chg
+             |  FROM ne WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |v AS (SELECT user_id, ts_us, event_type,
+             |  CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+             |  FROM g),
+             |runs AS (SELECT user_id, version,
+             |    MIN(event_type) AS event_type,
+             |    MIN(ts_us) AS valid_from_us
+             |  FROM v GROUP BY 1, 2),
+             |dim AS (SELECT user_id, version, event_type, valid_from_us,
+             |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             |    AS valid_to_us
+             |  FROM runs)
+             |SELECT f.event_id, f.user_id, f.ts_us, dim.version,
+             |dim.event_type AS state_at_ts
+             |FROM (SELECT event_id, user_id, ts_us FROM e
+             |  WHERE event_type = 'purchase') f
+             |LEFT JOIN dim ON f.user_id = dim.user_id
+             |  AND f.ts_us >= dim.valid_from_us
+             |  AND (dim.valid_to_us IS NULL OR f.ts_us < dim.valid_to_us)""".stripMargin))
   )
 }

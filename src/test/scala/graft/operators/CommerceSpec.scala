@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CommerceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("rfm: quartile thresholds are value-based — ties share a score") {
+    // 8 customers, one order each on the same date => recency all 0
+    // (every r_score = 4 after inversion: nobody exceeds any cutpoint),
+    // monetary 10,10,10,10,20,20,30,40 => q1=10 q2=10 q3=20 (ceil-rank
+    // discrete): the four 10s all score m=1, the 20s m=3, 30/40 m=4.
+    val orders = (1 to 8).map { i =>
+      val price = Seq(10, 10, 10, 10, 20, 20, 30, 40)(i - 1)
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        price.toDouble)
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val seg = Commerce.rfmSegments(orders)
+      .select("r_score", "f_score", "m_score", "n_customers")
+      .as[(Int, Int, Int, Long)].collect().toSet
+    assert(seg === Set((4, 1, 1, 4L), (4, 1, 3, 2L), (4, 1, 4, 2L)))
+  }
+
+  test("rfm: recency score inverts — most recent buyer gets r=4") {
+    val orders = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-02-01", 10.0),
+      (3L, "2024-03-01", 10.0), (4L, "2024-04-01", 10.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
+    val byR = Commerce.rfmSegments(orders)
+      .select("r_score", "n_customers").as[(Int, Long)].collect().toMap
+    // distinct recencies 0,31,60,91: quartiles split one each, r=4 is
+    // the recency-0 customer
+    assert(byR(4) === 1L && byR(1) === 1L)
+  }
+
+  test("basket lift: co-purchase counts and lift from distinct items") {
+    // orders: {A,B} x2, {A,C}, {B,C,A} -> pairs AB:3 AC:2 BC:1; N=4
+    val lines = Seq(
+      (1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L),
+      (3L, 101L), (3L, 103L), (4L, 102L), (4L, 103L), (4L, 101L),
+      (4L, 101L)) // dup line: distinct() must collapse it
+      .toDF("l_orderkey", "l_partkey")
+    val got = Commerce.basketLift(lines, k = 10)
+      .select("i", "j", "n_ab", "lift").as[(Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((101L, 102L))._1 === 3L)
+    assert(got((101L, 103L))._1 === 2L)
+    assert(got((102L, 103L))._1 === 1L)
+    // lift(AB) = n_ab*N/(n_a*n_b) = 3*4/(4*3) = 1.0
+    assert(got((101L, 102L))._2 === 1.0)
+  }
+
+  test("trend slope: exact LSQ over weekly revenue") {
+    // brand X: weekly revenue 10, 20, 30 over weeks w, w+1, w+2
+    // (7-day steps from epoch) -> slope exactly 10/week
+    val part = Seq((1L, "X")).toDF("p_partkey", "p_brand")
+    val lines = Seq(
+      (1L, "1995-01-02", 10.0), (1L, "1995-01-09", 20.0),
+      (1L, "1995-01-16", 30.0))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice")
+      .withColumn("l_shipdate", to_timestamp(col("l_shipdate")))
+    val got = Commerce.trendSlope(lines, part)
+      .select("brand", "n_weeks", "slope_per_week")
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq === Seq(("X", 3L, 10.0)))
+  }
+
+  test("decay: 30-day half-life halves the contribution exactly") {
+    // part 1: sales today and 30 days ago -> 1.0 + 0.5
+    // part 2: one sale 60 days ago -> 0.25
+    val lines = Seq(
+      (1L, "2024-03-01"), (1L, "2024-01-31"), (2L, "2024-01-01"))
+      .toDF("l_partkey", "l_shipdate")
+      .withColumn("l_shipdate", to_timestamp(col("l_shipdate")))
+    val got = Commerce.decayTopk(lines, k = 10)
+      .select("part_id", "score").as[(Long, Double)].collect().toMap
+    assert(got(1L) === 1.5)
+    assert(got(2L) === 0.25)
+  }
+
+  test("outliers: flags the planted spike, not the uniform bulk") {
+    val base = (1 to 200).map(i =>
+      (i.toLong, "view", 10.0 + (i % 10) * 0.1))
+    val spike = Seq((999L, "view", 500.0))
+    val got = Commerce.outliers(
+      (base ++ spike).toDF("event_id", "event_type", "value"))
+      .select("event_id").as[Long].collect()
+    assert(got.toSeq === Seq(999L))
+  }
+
+  test("blocked match: candidates only within a block, verified by distance") {
+    val docs = Seq(
+      // same block (en, bucket 0, "alpha"), distance 1 -> match
+      (1L, "en", 40L, "alpha beta gamma delta"),
+      (2L, "en", 41L, "alpha beta gamma delte"),
+      // same text but different lang -> different block, no candidate
+      (3L, "fr", 40L, "alpha beta gamma delta"),
+      // same block but distance > 5 -> verified away
+      (4L, "en", 44L, "alpha omega psi chi rho tau"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val got = Commerce.blockedMatch(docs)
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 1)))
+  }
+}

@@ -52,6 +52,14 @@ object Recommend {
 
   val CapPerUser = 20
 
+  /** Negative-sampling knobs: slots hashed per user must exceed
+    * NegPerUser enough to survive positive-item collisions and
+    * duplicate draws. (Declared before `defs`, which interpolates
+    * them.)
+    */
+  val NegSlots = 24
+  val NegPerUser = 8
+
   /** Per-user item cap — the power-user mitigation the A13 self-join
     * needs at scale: the pair space per user is |P(u)|², so one viral
     * user with 10⁵ items contributes 10¹⁰ pairs to the shuffle.
@@ -850,6 +858,76 @@ object Recommend {
     // asserts its ranking behavior on a planted block structure.
     QueryDef("ml_als_recommendations",
       (s, d) => alsRecommend(interactions(s, d)),
-      None)
+      None),
+
+    // Deterministic negative sampling — the other half of an
+    // implicit-feedback training set (positives = interactions;
+    // negatives = items the user did NOT touch). Candidates come
+    // from hashing (user, slot) into the item-index space — |users|
+    // × slots rows, LINEAR in users, never the users × catalog
+    // cross product — then anti-filtering the user's positives and
+    // keeping the first k surviving slots. Every step is md5-
+    // derived (hex60), so the sample is reproducible on any engine,
+    // any partitioning, any day — which is what makes train sets
+    // auditable.
+    QueryDef("ml_negative_samples",
+      (s, d) => negativeSamples(interactions(s, d)),
+      Some(s"""WITH inter AS (SELECT DISTINCT o_custkey AS user_id,
+              |    l_partkey AS item_id
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              |items AS (SELECT item_id,
+              |    ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS idx
+              |  FROM (SELECT DISTINCT item_id FROM inter)),
+              |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM items),
+              |slots AS (SELECT user_id, s.slot
+              |  FROM (SELECT DISTINCT user_id FROM inter)
+              |  CROSS JOIN (SELECT unnest(generate_series(0,
+              |    ${NegSlots - 1})) AS slot) s),
+              |cand AS (SELECT user_id, slot,
+              |    CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+              |      ':', CAST(slot AS VARCHAR))),1,15)) AS BIGINT)
+              |      % n_items AS idx
+              |  FROM slots, ni),
+              |hit AS (SELECT c.user_id, c.slot, items.item_id
+              |  FROM cand c JOIN items ON c.idx = items.idx
+              |  WHERE NOT EXISTS (SELECT 1 FROM inter
+              |    WHERE inter.user_id = c.user_id
+              |      AND inter.item_id = items.item_id)),
+              |firstslot AS (SELECT user_id, item_id,
+              |    MIN(slot) AS slot FROM hit GROUP BY 1, 2),
+              |ranked AS (SELECT user_id, item_id, slot,
+              |    ROW_NUMBER() OVER (PARTITION BY user_id
+              |      ORDER BY slot) AS rn
+              |  FROM firstslot)
+              |SELECT user_id, item_id, CAST(slot AS BIGINT) AS slot
+              |FROM ranked WHERE rn <= $NegPerUser""".stripMargin))
   )
+
+  /** See the ml_negative_samples QueryDef. Items index and count are
+    * dim-sized (broadcast); the slot expansion is |users| × NegSlots.
+    */
+  def negativeSamples(inter: DataFrame, k: Int = NegPerUser,
+                      slots: Int = NegSlots): DataFrame = {
+    val items = inter.select(col("item_id")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("item_id"))).cast("long")
+          - 1L)
+    val nItems = items.agg(count(lit(1)).as("n_items")) // 1 row
+    val cand = inter.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(slots - 1))).as("slot"))
+      .crossJoin(broadcast(nItems))
+      .withColumn("idx", hex60(concat(col("user_id").cast("string"),
+        lit(":"), col("slot").cast("string"))) % col("n_items"))
+      .join(broadcast(items), Seq("idx"))
+    val negatives = cand
+      .join(inter, Seq("user_id", "item_id"), "left_anti")
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(min(col("slot")).as("slot"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("slot"))
+    negatives.withColumn("rn", row_number().over(wu))
+      .filter(col("rn") <= k)
+      .select(col("user_id"), col("item_id"), col("slot").cast("long")
+        .as("slot"))
+  }
 }

@@ -624,6 +624,57 @@ object Similarity {
               |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)
-              |WHERE rk <= $K""".stripMargin))
+              |WHERE rk <= $K""".stripMargin)),
+
+    // Mean-center + L2-normalize the embedding corpus — the standard
+    // preprocessing before cosine ANN (centering makes hyperplane
+    // buckets balanced; unit norm makes dot = cosine). All in exact
+    // integer arithmetic: values quantize to micro-units, the
+    // centered numerator is xq·n − Σxq (scaling by n instead of
+    // dividing keeps it integral; the norm division cancels n), and
+    // the squared-norm sums exactly in DECIMAL/HUGEINT — so the
+    // output is bit-identical on any engine/partitioning. Long-form
+    // output (vec_id, idx, nval): dim stats are a 64-row broadcast;
+    // everything else is scan-bandwidth.
+    QueryDef("sim_normalize",
+      (s, d) => normalizeCenter(Tables.embeddings(s, d)),
+      Some(s"""WITH x AS (SELECT vec_id, CAST(g.i AS INT) AS idx,
+              |    CAST(ROUND(CAST(embedding AS DOUBLE[])[g.i + 1]
+              |      * 1000000.0) AS BIGINT) AS xq
+              |  FROM embeddings,
+              |    (SELECT unnest(generate_series(0, ${Dim - 1})) i) g),
+              |ds AS (SELECT idx, SUM(xq) AS sq,
+              |    CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY 1),
+              |c AS (SELECT vec_id, x.idx, xq * n - sq AS cq
+              |  FROM x JOIN ds ON x.idx = ds.idx),
+              |norms AS (SELECT vec_id, SUM(CAST(cq AS HUGEINT) * cq)
+              |    AS ssq FROM c GROUP BY 1)
+              |SELECT c.vec_id, idx,
+              |ROUND(CAST(cq AS DOUBLE) / sqrt(CAST(ssq AS DOUBLE)), 6)
+              |  + 0.0 AS nval
+              |FROM c JOIN norms ON c.vec_id = norms.vec_id
+              |WHERE ssq > 0""".stripMargin))
   )
+
+  /** See the sim_normalize QueryDef. */
+  def normalizeCenter(emb: DataFrame): DataFrame = {
+    val x = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("idx", "xv")))
+      .withColumn("xq", round(col("xv") * lit(1000000.0)).cast("long"))
+    val dimStats = x.groupBy(col("idx"))
+      .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
+    val centered = x.join(broadcast(dimStats), Seq("idx"))
+      .withColumn("cq", col("xq") * col("n") - col("sq"))
+    val norms = centered.groupBy(col("vec_id"))
+      .agg(sum(col("cq").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * col("cq")).as("ssq"))
+      .filter(col("ssq") > 0)
+    centered.join(norms, Seq("vec_id"))
+      .select(col("vec_id"), col("idx"),
+        // + 0.0 collapses IEEE -0.0 to +0.0 (engines differ on the
+        // sign of a rounded tiny negative; repr-level compares care)
+        (round(col("cq").cast("double") / sqrt(col("ssq").cast("double")), 6)
+          + lit(0.0)).as("nval"))
+  }
 }

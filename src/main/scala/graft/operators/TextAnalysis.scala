@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.Functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-training-data pipeline over the
@@ -1669,6 +1670,64 @@ object TextAnalysis {
              |SELECT doc_id, n_tokens,
              |ROUND(ln(n_tokens) - (CAST(sq AS DOUBLE) / 1000000.0) / n_tokens, 6)
              |  AS entropy
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // Quality-classifier calibration: the precision/recall curve of
+    // the blended quality score against a reference label (lang =
+    // 'en' — the corpus's dominant class stands in for "wanted").
+    // The curve is value-grain (one row per distinct rounded score,
+    // cumulative counts over score desc — the p20 percentile
+    // device), so the window input is |distinct scores|, bounded by
+    // the rounding grid, never |docs|. This is how you pick the keep
+    // threshold for a filtering pass: the knee of this curve.
+    QueryDef("txt_quality_pr",
+      (s, d) => qualityPr(docs(s, d)),
+      Some(s"""WITH q AS (SELECT doc_id,
+              |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct(string_split_regex(trim(text),'\\s+'))) AS BIGINT) AS n_distinct,
+              |  CAST(${sqlHits(StopEn)} AS BIGINT) AS n_stop,
+              |  CAST(lang = 'en' AS BIGINT) AS pos
+              |  FROM documents),
+              |r AS (SELECT doc_id, pos,
+              |  ROUND(CAST(n_distinct AS DOUBLE)/n_tokens*0.5
+              |    + LEAST(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.3
+              |    + CAST(n_stop AS DOUBLE)/n_tokens*0.2, 6) AS quality
+              |  FROM q),
+              |vals AS (SELECT quality, CAST(COUNT(*) AS BIGINT) AS cnt,
+              |    CAST(SUM(pos) AS BIGINT) AS npos
+              |  FROM r GROUP BY 1),
+              |cum AS (SELECT quality,
+              |    SUM(cnt) OVER (ORDER BY quality DESC
+              |      ROWS UNBOUNDED PRECEDING) AS n_ge,
+              |    SUM(npos) OVER (ORDER BY quality DESC
+              |      ROWS UNBOUNDED PRECEDING) AS tp,
+              |    SUM(npos) OVER () AS p_total
+              |  FROM vals)
+              |SELECT quality AS threshold, CAST(n_ge AS BIGINT) AS n_ge,
+              |ROUND(CAST(tp AS DOUBLE) / n_ge, 6) AS precision,
+              |ROUND(CAST(tp AS DOUBLE) / p_total, 6) AS recall
+              |FROM cum""".stripMargin))
   )
+
+  /** See the txt_quality_pr QueryDef. */
+  def qualityPr(d: DataFrame): DataFrame = {
+    val q = qualityScore(d).select(col("doc_id"), col("quality"))
+    val lab = d.select(col("doc_id"),
+      (col("lang") === lit("en")).cast("long").as("pos"))
+    val vals = q.join(lab, Seq("doc_id"))
+      .groupBy(col("quality"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+    val wCum = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(lit(1))
+    vals
+      .withColumn("n_ge", sum(col("cnt")).over(wCum))
+      .withColumn("tp", sum(col("npos")).over(wCum))
+      .withColumn("p_total", sum(col("npos")).over(wTot))
+      .select(col("quality").as("threshold"), col("n_ge"),
+        round(col("tp").cast("double") / col("n_ge"), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / col("p_total"), 6)
+          .as("recall"))
+  }
 }

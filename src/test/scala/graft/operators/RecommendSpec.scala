@@ -167,4 +167,25 @@ class RecommendSpec extends SparkSpec {
     assert(tr > 700 && tr < 900) // exact 80% only in expectation
     assert(Recommend.trainSet(big).intersect(Recommend.evalSet(big)).count() === 0)
   }
+
+  test("negative samples: never a positive, at most k, reproducible") {
+    // user 1 touched items 1..8 of a 10-item catalog; user 2 touched
+    // only item 1 — plenty of negatives for user 2, few for user 1
+    val inter = ((1 to 8).map(i => (1L, i.toLong)) ++
+      Seq((2L, 1L)) ++ (1 to 10).map(i => (99L, i.toLong)))
+      .toDF("user_id", "item_id")
+    val got = Recommend.negativeSamples(inter, k = 3, slots = 24)
+      .select("user_id", "item_id").as[(Long, Long)].collect()
+    val byUser = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // no sampled negative is a positive
+    assert(byUser.getOrElse(1L, Set.empty).subsetOf(Set(9L, 10L)))
+    assert(!byUser(2L).contains(1L))
+    assert(byUser(2L).size === 3)
+    // user 99 owns the whole catalog: nothing to sample
+    assert(!byUser.contains(99L))
+    // deterministic: a second run yields the identical sample
+    val again = Recommend.negativeSamples(inter, k = 3, slots = 24)
+      .select("user_id", "item_id").as[(Long, Long)].collect()
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
 }

@@ -142,4 +142,18 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "nbr_id").as[(Long, Long)].collect()
     assert(got.length === got.distinct.length)
   }
+
+  test("normalize: mean-centered unit vectors, exact symmetric case") {
+    // mean = (1,1); centered v1=(1,-1), v2=(-1,1); both normalize to
+    // ±1/√2 = ±0.707107 (rounded)
+    val e = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.normalizeCenter(e)
+      .select("vec_id", "idx", "nval").as[(Long, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 0)) === 0.707107)
+    assert(got((1L, 1)) === -0.707107)
+    assert(got((2L, 0)) === -0.707107)
+    assert(got((2L, 1)) === 0.707107)
+  }
 }

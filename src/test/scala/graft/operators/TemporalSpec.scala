@@ -99,4 +99,24 @@ class TemporalSpec extends SparkSpec {
     assert(got.filter(_._1 == "b").map(_._3).toSeq === Seq(0L, 1L, 0L, 0L))
     assert(got.filter(r => r._3 == 0).forall(_._4 == 0.0))
   }
+
+  test("scd2 lookup: fact joins the version valid at its timestamp") {
+    // dim history for user 1: A @[10,30), B @[30,∞)
+    val dimEvents = Seq(
+      (1L, 1L, 10L, "A"), (2L, 1L, 20L, "A"), (3L, 1L, 30L, "B"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val dim = Temporal.scd2Build(dimEvents)
+    val facts = Seq(
+      (10L, 1L, 5L),   // before any version -> NULL state
+      (11L, 1L, 15L),  // inside A
+      (12L, 1L, 30L),  // boundary: belongs to B (valid_from inclusive)
+      (13L, 1L, 99L),  // open current interval -> B
+      (14L, 2L, 50L))  // unknown user -> NULL state
+      .toDF("event_id", "user_id", "ts_us")
+    val got = Temporal.scd2Lookup(facts, dim)
+      .select("event_id", "state_at_ts").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got === Map(10L -> None, 11L -> Some("A"), 12L -> Some("B"),
+      13L -> Some("B"), 14L -> None))
+  }
 }

@@ -310,4 +310,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) > out(2L))        // tf=3 beats tf=1 at the same dl
     assert(out(2L) > 0.0)
   }
+
+  test("quality PR curve: cumulative over descending threshold, recall ends at 1") {
+    // two en docs (the positives) score above the two zh docs:
+    // rich vocab + stopwords vs pure repetition
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog with a very long tail"),
+      (2L, "en", "a bright new day brings many fresh ideas and the will to act on them"),
+      (3L, "zh", "x x x x x x x x"),
+      (4L, "zh", "y y y y y y y y"))
+      .toDF("doc_id", "lang", "text")
+    val rows = TextAnalysis.qualityPr(docs)
+      .select("threshold", "n_ge", "precision", "recall")
+      .as[(Double, Long, Double, Double)].collect()
+      .sortBy(-_._1)
+    // thresholds descend, n_ge and recall are nondecreasing
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq)
+    assert(rows.last._4 === 1.0) // lowest threshold keeps everything
+    // positives separate perfectly here: precision 1.0 until both
+    // positives are in, then decays
+    assert(rows.head._3 === 1.0)
+    assert(rows.last._3 === 0.5)
+  }
 }

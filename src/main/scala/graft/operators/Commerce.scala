@@ -104,23 +104,31 @@ object Commerce {
   }
 
   /** Market-basket association mining: support / confidence / lift
-    * for part pairs co-purchased in one order. Pairs enumerate only
-    * inside an order (distinct items first, so quantity doesn't
-    * inflate counts); per-item counts broadcast onto the pair
-    * relation; output is the top-k by co-occurrence with a unique
-    * (n_ab desc, i, j) total order.
+    * for part pairs co-purchased in one order. One (order) shuffle
+    * builds the sorted distinct basket array; pairs then generate
+    * at scan bandwidth from the array (bounded by basket size² —
+    * TPC-H ≤13, real carts similar) instead of an order-key
+    * self-join, which would shuffle the item relation twice more.
+    * Per-item counts broadcast onto the pair relation; output is
+    * the top-k by co-occurrence with a unique (n_ab desc, i, j)
+    * total order.
     */
   def basketLift(lineitem: DataFrame, k: Int = 100): DataFrame = {
-    val items = lineitem
+    val baskets = lineitem
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("pid"))
-      .distinct().localCheckpoint(false)
-    val nOrders = items.select(col("oid")).distinct()
-      .agg(count(lit(1)).as("n_orders")) // 1 row
-    val icnt = items.groupBy(col("pid")).agg(count(lit(1)).as("n_i"))
-    val pairs = items.as("x")
-      .join(items.as("y"),
-        col("x.oid") === col("y.oid") && col("x.pid") < col("y.pid"))
-      .groupBy(col("x.pid").as("i"), col("y.pid").as("j"))
+      .groupBy(col("oid"))
+      .agg(sort_array(collect_set(col("pid"))).as("ps"))
+      .localCheckpoint(false) // feeds pairs, item counts, order count
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders")) // 1 row
+    val icnt = baskets.select(explode(col("ps")).as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("n_i"))
+    val pairs = baskets.select(explode(expr(
+        """flatten(transform(ps, (x, ix) ->
+          |  transform(slice(ps, ix + 2, size(ps) - ix - 1),
+          |    y -> named_struct('i', x, 'j', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(icnt.select(col("pid").as("i"),

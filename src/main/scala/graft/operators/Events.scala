@@ -241,6 +241,86 @@ object Events {
     // (ε, δ) bound against exact counts).
     QueryDef("e6_heavy_hitters_cms",
       (s, d) => heavyHittersCms(ev(s, d)),
-      None)
+      None),
+
+    // P23 (beyond-ref): last-observation-carried-forward imputation.
+    // 'error' events carry no valid measurement (the sensor-dropout
+    // convention); each gets the user's most recent valid value, or
+    // NULL before any. One window over the same (user, ts) ordering
+    // every sequence op here shares; the value passes through
+    // untouched (no float arithmetic), so the fill is trivially
+    // engine-identical.
+    QueryDef("p23_fill_forward",
+      (s, d) => fillForward(Tables.events(s, d).select(col("event_id"),
+        col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+             |  event_type, value FROM events),
+             |c AS (SELECT *, CASE WHEN event_type <> 'error'
+             |    THEN value END AS v_clean FROM e)
+             |SELECT event_id, user_id, ts_us, event_type,
+             |last_value(v_clean IGNORE NULLS) OVER (
+             |  PARTITION BY user_id ORDER BY ts_us, event_id
+             |  ROWS UNBOUNDED PRECEDING) AS filled_value,
+             |CAST(v_clean IS NULL AND last_value(v_clean IGNORE NULLS)
+             |  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |  ROWS UNBOUNDED PRECEDING) IS NOT NULL AS INT)
+             |  AS was_imputed
+             |FROM c""".stripMargin)),
+
+    // E7 (beyond-ref): last-touch attribution — each purchase's value
+    // credited to the user's most recent non-purchase event type
+    // ('direct' when none precedes). The same single-sort window
+    // carry as the funnel (no as-of join materializes); revenue sums
+    // in exact cents.
+    QueryDef("e7_attribution",
+      (s, d) => attribution(Tables.events(s, d).select(col("event_id"),
+        col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+             |  event_type, value FROM events),
+             |c AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+             |    THEN event_type END IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS last_ch
+             |  FROM e)
+             |SELECT COALESCE(last_ch, 'direct') AS channel,
+             |CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             |ROUND(CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS DOUBLE)
+             |  / 100.0, 2) AS revenue
+             |FROM c WHERE event_type = 'purchase'
+             |GROUP BY 1""".stripMargin))
   )
+
+  /** See the p23_fill_forward QueryDef. */
+  def fillForward(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("v_clean",
+        when(col("event_type") =!= "error", col("value")))
+      .withColumn("filled_value",
+        last(col("v_clean"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("filled_value"),
+        (col("v_clean").isNull && col("filled_value").isNotNull)
+          .cast("int").as("was_imputed"))
+  }
+
+  /** See the e7_attribution QueryDef. */
+  def attribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("last_ch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(floor(col("value") * lit(100.0))).cast("double")
+          / 100.0, 2).as("revenue"))
+  }
 }

@@ -911,6 +911,49 @@ object Relational {
              |ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
              |  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
              |    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // J8 (beyond-ref): full-outer reconciliation — the fact-vs-rollup
+    // audit every warehouse runs: order headers against the per-order
+    // lineitem totals, classified matched / mismatched / only_orders /
+    // only_lines with the absolute drift. Exact DECIMAL comparison
+    // (no float equality); ONE shuffle each side on the order key,
+    // status grain out (constant rows at any scale).
+    QueryDef("j8_reconcile",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        val la = li(s, d).groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice").cast(dec)).as("lt"))
+        val o = ord(s, d).select(col("o_orderkey"),
+          col("o_totalprice").cast(dec).as("ot"))
+        o.join(la, col("o_orderkey") === col("l_orderkey"), "full_outer")
+          .withColumn("status",
+            when(col("ot").isNull, "only_lines")
+              .when(col("lt").isNull, "only_orders")
+              .when(col("ot") === col("lt"), "matched")
+              .otherwise("mismatched"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(abs(coalesce(col("ot"), lit(0)).cast(dec)
+              - coalesce(col("lt"), lit(0)).cast(dec))).cast("double"), 2)
+              .as("total_abs_diff"))
+      },
+      Some("""WITH la AS (SELECT l_orderkey,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DECIMAL(18,2)) AS lt
+             |  FROM lineitem GROUP BY 1),
+             |o AS (SELECT o_orderkey,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS ot FROM orders),
+             |j AS (SELECT ot, lt,
+             |    CASE WHEN ot IS NULL THEN 'only_lines'
+             |      WHEN lt IS NULL THEN 'only_orders'
+             |      WHEN ot = lt THEN 'matched'
+             |      ELSE 'mismatched' END AS status
+             |  FROM o FULL JOIN la ON o_orderkey = l_orderkey)
+             |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+             |ROUND(CAST(SUM(abs(CAST(COALESCE(ot, 0) AS DECIMAL(18,2))
+             |  - CAST(COALESCE(lt, 0) AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             |  AS total_abs_diff
+             |FROM j GROUP BY 1""".stripMargin))
   )
 }

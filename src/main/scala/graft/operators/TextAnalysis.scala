@@ -90,6 +90,11 @@ object TextAnalysis {
         .otherwise("es"))
   }
 
+  /** Top-V vocabulary size for txt_oov_rate. (Declared before `defs`,
+    * which interpolates it.)
+    */
+  val VocabV = 60
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Terms = Seq("spark", "vector", "hash")
@@ -1706,8 +1711,52 @@ object TextAnalysis {
               |SELECT quality AS threshold, CAST(n_ge AS BIGINT) AS n_ge,
               |ROUND(CAST(tp AS DOUBLE) / n_ge, 6) AS precision,
               |ROUND(CAST(tp AS DOUBLE) / p_total, 6) AS recall
-              |FROM cum""".stripMargin))
+              |FROM cum""".stripMargin)),
+
+    // Vocabulary coverage / OOV pressure per source — the tokenizer-
+    // budget diagnostic run before committing to a vocab size: fix
+    // the top-V corpus words as the vocabulary (deterministic
+    // (count desc, word) cut), then measure each source's
+    // out-of-vocabulary token rate in exact ppm. Token stream
+    // aggregates at word grain before the top-V window (value-grain,
+    // the p20 device); the vocab is a broadcast semi-join.
+    QueryDef("txt_oov_rate",
+      (s, d) => oovRate(docs(s, d)),
+      Some(s"""WITH toks AS (SELECT source,
+              |    unnest(string_split_regex(trim(text),'\\s+')) AS tok
+              |  FROM documents),
+              |wc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM toks GROUP BY 1),
+              |vocab AS (SELECT tok FROM (SELECT tok,
+              |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn
+              |  FROM wc) WHERE rn <= $VocabV),
+              |m AS (SELECT source, COUNT(*) AS n_tokens,
+              |    CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+              |  FROM toks GROUP BY 1)
+              |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_oov,
+              |CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_ppm
+              |FROM m""".stripMargin))
   )
+
+  /** See the txt_oov_rate QueryDef. */
+  def oovRate(d: DataFrame, v: Int = VocabV): DataFrame = {
+    val toks = d.select(col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val wc = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val vocab = wc
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rn") <= v)
+      .select(col("tok"))
+    toks.join(broadcast(vocab.withColumn("in_v", lit(1L))),
+        Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+  }
 
   /** See the txt_quality_pr QueryDef. */
   def qualityPr(d: DataFrame): DataFrame = {

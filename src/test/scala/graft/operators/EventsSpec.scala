@@ -9,6 +9,41 @@ class EventsSpec extends SparkSpec {
   private def ev(rows: (Long, Long, Long, String)*) =
     rows.toDF("event_id", "user_id", "ts_us", "event_type")
 
+  private def evv(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "user_id", "ts_us", "event_type", "value")
+
+  test("fill forward: error rows take the last valid value, leading stay null") {
+    val got = Events.fillForward(evv(
+      (1L, 1L, 10L, "error", 0.0),  // before any valid -> null
+      (2L, 1L, 20L, "view", 5.0),
+      (3L, 1L, 30L, "error", 0.0),  // -> 5.0
+      (4L, 1L, 40L, "click", 7.0),
+      (5L, 1L, 50L, "error", 0.0))) // -> 7.0 (latest wins)
+      .select("event_id", "filled_value", "was_imputed")
+      .as[(Long, Option[Double], Int)].collect()
+      .map { case (k, v, f) => k -> ((v, f)) }.toMap
+    assert(got(1L) === ((None, 0)))
+    assert(got(2L) === ((Some(5.0), 0)))
+    assert(got(3L) === ((Some(5.0), 1)))
+    assert(got(5L) === ((Some(7.0), 1)))
+  }
+
+  test("attribution: purchase credits the last prior non-purchase channel") {
+    val got = Events.attribution(evv(
+      (1L, 1L, 10L, "view", 0.0), (2L, 1L, 20L, "purchase", 10.0),
+      (3L, 1L, 30L, "click", 0.0), (4L, 1L, 40L, "purchase", 20.0),
+      // user 2 purchases with no prior event -> direct
+      (5L, 2L, 10L, "purchase", 5.0),
+      // a purchase between purchases still credits the older channel
+      (6L, 1L, 50L, "purchase", 1.0)))
+      .select("channel", "n_purchases", "revenue")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("view") === ((1L, 10.0)))
+    assert(got("click") === ((2L, 21.0))) // events 4 and 6
+    assert(got("direct") === ((1L, 5.0)))
+  }
+
   test("funnel: converts only when view -> click -> purchase in window") {
     val w = 100L
     val df = Events.funnel(ev(

@@ -333,4 +333,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.head._3 === 1.0)
     assert(rows.last._3 === 0.5)
   }
+
+  test("oov rate: top-V vocab cut is deterministic, rate in exact ppm") {
+    // corpus: "a"x4, "b"x3, "c"x2, "z"x1 -> with V=3 vocab={a,b,c}
+    val docs = Seq(
+      (1L, "srcA", "a a b c"),
+      (2L, "srcA", "a b z"),
+      (3L, "srcB", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.oovRate(docs, v = 3)
+      .select("source", "n_tokens", "n_oov", "oov_ppm")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("srcA") === ((7L, 1L, 142857L))) // 1e6 div 7
+    assert(got("srcB") === ((3L, 0L, 0L)))
+  }
 }

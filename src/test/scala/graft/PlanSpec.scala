@@ -215,4 +215,55 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: pair scan")
     }
   }
+
+  test("basket lift: pairs generate from the basket array, never a self-join") {
+    val p = planOf("bi_basket_lift")
+    // the only joins are the broadcast item-count/total joins onto the
+    // pair aggregate; pair enumeration itself is a Generate (explode)
+    assert(p.contains("Generate"), "no array pair generation")
+    assert(!p.contains("SortMergeJoin"), "order-key self-join crept back")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("rfm / negative samples: dims broadcast, no cross products beyond 1-row") {
+    // rfm's only joins ARE the 1-row broadcasts (max date + three
+    // cutpoint rows riding BroadcastNestedLoopJoin); everything else
+    // is aggregate-shaped
+    val pr = planOf("bi_rfm_segments")
+    assert(!pr.contains("CartesianProduct"), "rfm: cartesian")
+    assert(!pr.contains("SortMergeJoin"), "rfm: a 1-row side got shuffled")
+    // negative sampling: item index broadcasts onto the linear
+    // (user, slot) expansion; only the positives anti-join shuffles
+    val pn = planOf("ml_negative_samples")
+    assert(!pn.contains("CartesianProduct"), "negatives: cartesian")
+    assert(pn.contains("BroadcastHashJoin"), "item index not broadcast")
+  }
+
+  test("er blocked match: candidates come from a block-key equi-join") {
+    val p = planOf("er_blocked_match")
+    assert(!p.contains("CartesianProduct"), "pair scan!")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "non-equi join only")
+  }
+
+  test("fill-forward / attribution: one user_id exchange, no joins") {
+    for (name <- Seq("p23_fill_forward", "e7_attribution")) {
+      val p = planOf(name)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$name: $exchanges exchanges")
+      assert(!p.contains("SortMergeJoin"), s"$name: unexpected join")
+    }
+  }
+
+  test("oov rate: vocabulary joins as broadcast onto the token stream") {
+    val p = planOf("txt_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), "vocab not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("scd2 point-in-time: interval lookup is a key equi-join") {
+    val p = planOf("scd2_pointintime")
+    assert(!p.contains("CartesianProduct"), "interval join fell to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval predicate lost its equi-key")
+  }
 }

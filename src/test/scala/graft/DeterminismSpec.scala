@@ -34,7 +34,14 @@ class DeterminismSpec extends SparkSpec {
     "p20_winsorize",          // value-grain percentile cuts + clip
     "txt_bpe_merges",         // iterative argmax + driver-side merges
     "txt_backoff_heldout",    // 3-way left joins + quantized ln
-    "ml_map_at_10")           // ppm average-precision terms
+    "ml_map_at_10",           // ppm average-precision terms
+    "bi_rfm_segments",        // value-based cutpoints + 1-row crosses
+    "bi_basket_lift",         // array pair expansion + top-k cut
+    "bi_decay_topk",          // exact-power-of-two quantized sums
+    "ml_negative_samples",    // hash-slot sampling + anti-join
+    "sim_normalize",          // integer-exact centering/normalizing
+    "p22_outliers",           // quantized moments -> IEEE z flags
+    "txt_oov_rate")           // value-grain vocab cut + ppm ratio
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

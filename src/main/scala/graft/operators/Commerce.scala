@@ -255,9 +255,65 @@ object Commerce {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Cohort lifetime-value triangle: customers grouped by first-order
+    * month, revenue accumulated per months-since-acquisition — the
+    * money twin of the e4 retention triangle and the standard LTV
+    * read-out. Facts reduce to (cohort, offset) grain in one
+    * aggregate; the cumulative sum windows over the triangle itself
+    * (|cohorts| × |offsets| rows, constant-ish at any fact scale);
+    * LTV-per-customer divides exact decimal by exact count.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("midx"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val firstM = o.groupBy(col("o_custkey"))
+      .agg(min(col("midx")).as("cohort"))
+    val sized = firstM.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val tri = o.join(firstM, Seq("o_custkey"))
+      .groupBy(col("cohort"), (col("midx") - col("cohort")).as("month_offset"))
+      .agg(sum(col("price")).as("rev"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .join(broadcast(sized), Seq("cohort"))
+      .select(col("cohort"), col("month_offset"), col("cohort_size"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        // floor-division in exact cents: ROUND of the double ratio
+        // can land on a .xx5 halfway case where engines disagree
+        (expr("CAST(cum_rev * 100 AS BIGINT) div cohort_size")
+          .cast("double") / 100.0).as("ltv_per_customer"))
+  }
+
   // ---- driver-contract registry ----
 
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("bi_cohort_ltv",
+      (s, d) => cohortLtv(ord(s, d)),
+      Some("""WITH o AS (SELECT o_custkey,
+             |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT)
+             |      AS midx,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+             |firstm AS (SELECT o_custkey, MIN(midx) AS cohort
+             |  FROM o GROUP BY 1),
+             |sized AS (SELECT cohort, CAST(COUNT(*) AS BIGINT)
+             |    AS cohort_size FROM firstm GROUP BY 1),
+             |tri AS (SELECT cohort, midx - cohort AS month_offset,
+             |    CAST(SUM(price) AS DECIMAL(18,2)) AS rev
+             |  FROM o JOIN firstm USING (o_custkey) GROUP BY 1, 2),
+             |c AS (SELECT cohort, month_offset, rev,
+             |    SUM(rev) OVER (PARTITION BY cohort ORDER BY month_offset
+             |      ROWS UNBOUNDED PRECEDING) AS cum_rev
+             |  FROM tri)
+             |SELECT cohort, month_offset, cohort_size,
+             |ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+             |CAST(CAST(cum_rev * 100 AS BIGINT) // cohort_size AS DOUBLE)
+             |  / 100.0 AS ltv_per_customer
+             |FROM c JOIN sized USING (cohort)""".stripMargin)),
 
     QueryDef("bi_rfm_segments",
       (s, d) => rfmSegments(ord(s, d)),

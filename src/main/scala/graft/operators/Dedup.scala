@@ -663,6 +663,37 @@ object Dedup {
            |SELECT doc_id, lbl AS canonical_id,
            |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
 
+    // Curation-grade canonicalization: within each near-dup cluster
+    // keep the LONGEST document (ties to the lower doc_id) instead of
+    // the arbitrary min-id — the "most complete version survives"
+    // rule real dedup passes apply. Same CC labels as dedup_clusters;
+    // the survivor pick is one (cluster)-keyed rank window over the
+    // doc-grain relation.
+    QueryDef("dedup_best_of_cluster",
+      (s, d) => {
+        val dd = docs(s, d)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        dedupClusters(dd)
+          .join(dd.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+          .select(col("doc_id"), col("canonical_id"), col("n_chars"),
+            col("keep"))
+      },
+      Some(
+        s"""WITH $shSql,
+           |$jacSql,
+           |p AS (SELECT i, j FROM jac WHERE jaccard >= $JaccardT),
+           |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+           |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+           |$ccStepsSql,
+           |clus AS (SELECT doc_id, lbl AS canonical_id FROM l$ClusterRounds)
+           |SELECT clus.doc_id, canonical_id, n_chars,
+           |CAST(ROW_NUMBER() OVER (PARTITION BY canonical_id
+           |  ORDER BY n_chars DESC, clus.doc_id) = 1 AS INT) AS keep
+           |FROM clus JOIN documents ON clus.doc_id = documents.doc_id""".stripMargin)),
+
     QueryDef("dedup_simhash",
       (s, d) => simhash(docs(s, d)),
       Some(s"""WITH tok AS (SELECT doc_id,

@@ -192,6 +192,32 @@ object Multimodal {
              |SELECT media_id, kind, fp,
              |CAST(media_id = MIN(media_id) OVER (PARTITION BY fp) AS INT)
              |  AS is_canonical
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Modality-mix corpus report: asset counts and payload bytes per
+    // (kind, source) — the first dashboard a multimodal training-data
+    // pipeline stands up (is the mix on plan? which source ships the
+    // bytes?). One scan, one small aggregate; byte math is exact
+    // integers end to end.
+    QueryDef("mm_corpus_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        mediaTable(docs)
+          .join(docs.select(col("doc_id").as("media_id"), col("source")),
+            Seq("media_id"))
+          .groupBy(col("kind"), col("source"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(length(col("payload"))).as("total_bytes"))
+          .withColumn("avg_bytes",
+            expr("total_bytes div n_assets"))
+      },
+      Some(s"""WITH $mediaSql,
+              |j AS (SELECT kind, source,
+              |    CAST(strlen(payload) AS BIGINT) AS nb
+              |  FROM media JOIN documents ON media_id = doc_id)
+              |SELECT kind, source, CAST(COUNT(*) AS BIGINT) AS n_assets,
+              |CAST(SUM(nb) AS BIGINT) AS total_bytes,
+              |CAST(SUM(nb) // COUNT(*) AS BIGINT) AS avg_bytes
+              |FROM j GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -954,6 +954,51 @@ object Relational {
              |ROUND(CAST(SUM(abs(CAST(COALESCE(ot, 0) AS DECIMAL(18,2))
              |  - CAST(COALESCE(lt, 0) AS DECIMAL(18,2)))) AS DOUBLE), 2)
              |  AS total_abs_diff
-             |FROM j GROUP BY 1""".stripMargin))
+             |FROM j GROUP BY 1""".stripMargin)),
+
+    // U8 (beyond-ref): TIME-based train/eval split — the leakage-safe
+    // alternative to U4's hash split for anything temporal (CF, LMs
+    // over dated corpora): train strictly precedes eval in time, so
+    // no future information reaches training. The cut day is the
+    // exact 80th percentile of the event stream from a VALUE-grain
+    // (per-day) cumulative count — the p20 device; the split itself
+    // is a scan-bandwidth comparison against the broadcast cut.
+    QueryDef("u8_time_split",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("event_id"),
+          col("user_id"), to_date(col("ts")).as("day"))
+        val days = e.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+        val wcum = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cut = days
+          .withColumn("cum", sum(col("cnt")).over(wcum))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+          .agg(min(when(col("cum") >= expr("CAST(ceil(0.8 * n) AS BIGINT)"),
+            col("day"))).as("cut_day"))
+        e.crossJoin(broadcast(cut))
+          .withColumn("split",
+            when(col("day") <= col("cut_day"), "train").otherwise("eval"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |days AS (SELECT day, COUNT(*) AS cnt FROM e GROUP BY 1),
+             |cum AS (SELECT day,
+             |    SUM(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             |      AS cum,
+             |    SUM(cnt) OVER () AS n
+             |  FROM days),
+             |cut AS (SELECT MIN(CASE WHEN cum >=
+             |    CAST(ceil(0.8 * n) AS BIGINT) THEN day END) AS cut_day
+             |  FROM cum)
+             |SELECT CASE WHEN day <= cut_day THEN 'train' ELSE 'eval' END
+             |  AS split,
+             |CAST(COUNT(*) AS BIGINT) AS n_events,
+             |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             |MIN(day) AS min_day, MAX(day) AS max_day
+             |FROM e, cut GROUP BY 1""".stripMargin))
   )
 }

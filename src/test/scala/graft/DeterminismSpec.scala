@@ -41,7 +41,10 @@ class DeterminismSpec extends SparkSpec {
     "ml_negative_samples",    // hash-slot sampling + anti-join
     "sim_normalize",          // integer-exact centering/normalizing
     "p22_outliers",           // quantized moments -> IEEE z flags
-    "txt_oov_rate")           // value-grain vocab cut + ppm ratio
+    "txt_oov_rate",           // value-grain vocab cut + ppm ratio
+    "bi_cohort_ltv",          // window cumsum + cents floor-division
+    "u8_time_split",          // value-grain day cut
+    "dedup_best_of_cluster")  // CC labels + longest-survivor window
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -91,6 +91,26 @@ class CommerceSpec extends SparkSpec {
     assert(got.toSeq === Seq(999L))
   }
 
+  test("cohort LTV: first-month cohorts, cumulative revenue per offset") {
+    // customer 1 first buys in Jan (10), again in Mar (20);
+    // customer 2 first buys in Mar (40) -> cohorts Jan{1}, Mar{2}
+    val orders = Seq(
+      (1L, "2024-01-10", 10.0), (1L, "2024-03-05", 20.0),
+      (2L, "2024-03-20", 40.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
+    val got = Commerce.cohortLtv(orders)
+      .select("cohort", "month_offset", "cohort_size", "revenue",
+        "ltv_per_customer")
+      .as[(Int, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val jan = 2024 * 12 + 1
+    val mar = 2024 * 12 + 3
+    assert(got((jan, 0)) === ((1L, 10.0, 10.0)))
+    assert(got((jan, 2)) === ((1L, 20.0, 30.0))) // cumulative
+    assert(got((mar, 0)) === ((1L, 40.0, 40.0)))
+  }
+
   test("blocked match: candidates only within a block, verified by distance") {
     val docs = Seq(
       // same block (en, bucket 0, "alpha"), distance 1 -> match

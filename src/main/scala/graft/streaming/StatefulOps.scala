@@ -31,6 +31,17 @@ case class TransitionCount(user_id: Long, prev_type: String,
 case class Scd2Run(event_type: String, valid_from_us: Long,
                    version: Long, n_obs: Long)
 
+/** Event row with a value — input to the streaming attributor. */
+case class ValuedEvent(event_id: Long, user_id: Long, ts_us: Long,
+                       event_type: String, value: Double)
+
+/** The carried last-touch channel for one user. */
+case class ChannelAt(channel: String, ts_us: Long)
+
+/** One purchase credited to its last-touch channel (append-final). */
+case class AttributedPurchase(event_id: Long, user_id: Long, ts_us: Long,
+                              channel: String, value: Double)
+
 /** A closed [valid_from, valid_to) SCD2 interval (append-mode-final). */
 case class Scd2Interval(user_id: Long, version: Long, event_type: String,
                         valid_from_us: Long, valid_to_us: Long, n_obs: Long)
@@ -264,6 +275,53 @@ object StatefulOps {
     implicit val ke = Encoders.scalaLong
     events.groupByKey(_.user_id)
       .transformWithState(new Scd2Processor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming last-touch attribution — the stream twin of
+    * `Events.attribution`: the user's most recent non-purchase
+    * channel rides in a ValueState so attribution CHAINS ACROSS
+    * micro-batches (a view in batch 1 credits a purchase in batch
+    * 9); each purchase emits exactly one attributed row the moment
+    * it arrives (append-mode-final). Same per-key event-time-order
+    * contract as Scd2Processor: in-batch rows sort by (ts_us,
+    * event_id); a cross-batch straggler older than the last applied
+    * event is dropped — attributing it against a channel from its
+    * future would be wrong, and the emitted history is immutable.
+    * Scale: one (channel, ts) struct per user in RocksDB.
+    */
+  class AttributionProcessor
+      extends StatefulProcessor[Long, ValuedEvent, AttributedPurchase] {
+    @transient private var last: ValueState[ChannelAt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[ChannelAt]("last",
+        Encoders.product[ChannelAt], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ValuedEvent],
+        timerValues: TimerValues): Iterator[AttributedPurchase] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = if (last.exists()) Option(last.get()) else None
+      val out = Seq.newBuilder[AttributedPurchase]
+      sorted.foreach { e =>
+        if (!cur.exists(e.ts_us < _.ts_us)) { // straggler guard
+          if (e.event_type == "purchase")
+            out += AttributedPurchase(e.event_id, key, e.ts_us,
+              cur.map(_.channel).getOrElse("direct"), e.value)
+          else cur = Some(ChannelAt(e.event_type, e.ts_us))
+        }
+      }
+      cur.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  def attributionStream(
+      events: Dataset[ValuedEvent]): Dataset[AttributedPurchase] = {
+    implicit val ae = Encoders.product[AttributedPurchase]
+    implicit val ke = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 }

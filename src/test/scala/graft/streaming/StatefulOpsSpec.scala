@@ -200,4 +200,50 @@ class StatefulOpsSpec extends SparkSpec {
     assert(StatefulOps.tierOf(10000.0).contains("SILVER"))
     assert(StatefulOps.tierOf(100000.0).contains("PLATINUM"))
   }
+
+  test("streaming attribution: channel chains across batches, matches batch op") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val b1 = Seq(
+        ValuedEvent(1L, 1L, 100L, "view", 0.0),
+        ValuedEvent(2L, 1L, 200L, "purchase", 10.0), // -> view
+        ValuedEvent(3L, 2L, 100L, "purchase", 5.0))  // -> direct
+      val b2 = Seq(
+        ValuedEvent(4L, 1L, 300L, "purchase", 20.0), // batch-1 view carries
+        ValuedEvent(5L, 1L, 400L, "click", 0.0),
+        ValuedEvent(6L, 1L, 500L, "purchase", 1.0),  // -> click
+        ValuedEvent(7L, 2L, 50L, "view", 0.0))       // straggler: dropped
+      val in = MemoryStream[ValuedEvent]
+      val q = StatefulOps.attributionStream(in.toDS())
+        .writeStream.format("memory").queryName("attr_out")
+        .outputMode("append").start()
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("attr_out").as[AttributedPurchase].collect()
+        .map(a => a.event_id -> a.channel).toMap
+      assert(got === Map(2L -> "view", 3L -> "direct",
+        4L -> "view", 6L -> "click"))
+      // one codepath: the batch operator over the concatenated input
+      // (minus the dropped straggler) agrees channel-for-channel
+      val batch = graft.operators.Events.attribution(
+        (b1 ++ b2.filter(_.event_id != 7L))
+          .toDF("event_id", "user_id", "ts_us", "event_type", "value"))
+        .select("channel", "n_purchases").as[(String, Long)]
+        .collect().toMap
+      val streamByCh = spark.table("attr_out").as[AttributedPurchase]
+        .collect().groupBy(_.channel).view.mapValues(_.length.toLong).toMap
+      assert(batch === streamByCh)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -95,6 +95,12 @@ object TextAnalysis {
     */
   val VocabV = 60
 
+  /** Quality-band keep rates for mix_quality_bands (percent kept per
+    * quartile band, best band first) — the quality-curriculum knob.
+    * (Declared before `defs`, which interpolates it.)
+    */
+  val BandRates: Map[Int, Int] = Map(4 -> 100, 3 -> 50, 2 -> 20, 1 -> 5)
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Terms = Seq("spark", "vector", "hash")
@@ -1736,8 +1742,94 @@ object TextAnalysis {
               |  FROM toks GROUP BY 1)
               |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_oov,
               |CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_ppm
-              |FROM m""".stripMargin))
+              |FROM m""".stripMargin)),
+
+    QueryDef("mix_quality_bands",
+      (s, d) => qualityBands(docs(s, d)),
+      Some(s"""WITH q0 AS (SELECT doc_id,
+              |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct(string_split_regex(trim(text),'\\s+'))) AS BIGINT) AS n_distinct,
+              |  CAST(${sqlHits(StopEn)} AS BIGINT) AS n_stop
+              |  FROM documents),
+              |q AS (SELECT doc_id, n_tokens,
+              |  ROUND(CAST(n_distinct AS DOUBLE)/n_tokens*0.5
+              |    + LEAST(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.3
+              |    + CAST(n_stop AS DOUBLE)/n_tokens*0.2, 6) AS quality
+              |  FROM q0),
+              |vals AS (SELECT quality, COUNT(*) AS cnt FROM q GROUP BY 1),
+              |cum AS (SELECT quality,
+              |    SUM(cnt) OVER (ORDER BY quality ROWS UNBOUNDED PRECEDING)
+              |      AS cum, SUM(cnt) OVER () AS n
+              |  FROM vals),
+              |cuts AS (SELECT
+              |    MIN(CASE WHEN cum >= CAST(ceil(0.25*n) AS BIGINT)
+              |      THEN quality END) AS q1,
+              |    MIN(CASE WHEN cum >= CAST(ceil(0.50*n) AS BIGINT)
+              |      THEN quality END) AS q2,
+              |    MIN(CASE WHEN cum >= CAST(ceil(0.75*n) AS BIGINT)
+              |      THEN quality END) AS q3
+              |  FROM cum),
+              |b AS (SELECT doc_id, n_tokens,
+              |    1 + CAST(quality > q1 AS INT) + CAST(quality > q2 AS INT)
+              |      + CAST(quality > q3 AS INT) AS band
+              |  FROM q, cuts),
+              |k AS (SELECT band, n_tokens,
+              |    CAST(CAST(concat('0x', substr(md5(concat('qb',
+              |      CAST(doc_id AS VARCHAR))),1,15)) AS BIGINT)
+              |      % 4294967291 % 100
+              |      < CASE band ${BandRates.toSeq.sortBy(_._1)
+                       .map { case (bb, r) => s"WHEN $bb THEN $r" }
+                       .mkString(" ")} END AS INT) AS keep
+              |  FROM b)
+              |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |CAST(SUM(keep) AS BIGINT) AS n_kept,
+              |CAST(SUM(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END)
+              |  AS BIGINT) AS tokens_kept
+              |FROM k GROUP BY 1""".stripMargin))
   )
+
+  /** Stratified quality-band sampling — the curriculum/mixing pass
+    * that keeps ALL of the best-quality quartile and a decaying
+    * fraction of each lower band (vs txt_quality_filter's hard gate
+    * and mix_budget_select's global ranking). Bands come from
+    * value-grain exact quartile cuts on the rounded quality score;
+    * the keep decision is the house md5 hash bucket — deterministic,
+    * replayable, scan-bandwidth. Output is band grain.
+    */
+  def qualityBands(d: DataFrame): DataFrame = {
+    val q = qualityScore(d).select(col("doc_id"), col("n_tokens"),
+      col("quality"))
+    val vals = q.groupBy(col("quality")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = vals
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+      .agg(
+        min(when(col("cum") >= expr("CAST(ceil(0.25 * n) AS BIGINT)"),
+          col("quality"))).as("q1"),
+        min(when(col("cum") >= expr("CAST(ceil(0.50 * n) AS BIGINT)"),
+          col("quality"))).as("q2"),
+        min(when(col("cum") >= expr("CAST(ceil(0.75 * n) AS BIGINT)"),
+          col("quality"))).as("q3"))
+    val rateCase = BandRates.toSeq.sortBy(_._1)
+      .map { case (b, r) => s"WHEN $b THEN $r" }.mkString(" ")
+    q.crossJoin(broadcast(cuts))
+      .withColumn("band", lit(1)
+        + (col("quality") > col("q1")).cast("int")
+        + (col("quality") > col("q2")).cast("int")
+        + (col("quality") > col("q3")).cast("int"))
+      .withColumn("rate", expr(s"CASE band $rateCase END"))
+      .withColumn("keep",
+        (graft.functions.Functions.h32(
+          concat(lit("qb"), col("doc_id").cast("string"))) % 100
+          < col("rate")).cast("int"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep") === 1, col("n_tokens")).otherwise(0L))
+          .as("tokens_kept"))
+  }
 
   /** See the txt_oov_rate QueryDef. */
   def oovRate(d: DataFrame, v: Int = VocabV): DataFrame = {

@@ -90,4 +90,44 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS inter_bucketed")
     }
   }
+
+  test("AQE splits a planted skewed join partition at runtime") {
+    // the runtime complement to j7's manual salting: when one key
+    // carries the bulk of a shuffle, AQE's OptimizeSkewedJoin must
+    // split that partition instead of letting one task grind — the
+    // difference between a 100 TB join finishing and one straggler
+    // pinning the stage. Thresholds are lowered so a local fixture
+    // exhibits "skew" by the same relative rules production uses.
+    import spark.implicits._
+    val keep = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keep.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keep.foreach { case (k, v) => spark.conf.set(k, v) }
+      // left: 200k rows on ONE hot key + a thin tail; right: the keys.
+      // No keyed aggregate downstream: AQE declines to split when the
+      // join's output partitioning is required by a parent (splitting
+      // would force a re-shuffle) — which is itself the documented
+      // trade; the free-standing join is the splittable case.
+      val left = (Seq.fill(200000)(0L) ++ (1L to 50L))
+        .toDF("k").withColumn("pad", lit("x" * 64))
+      val right = (0L to 50L).toDF("k").withColumn("v", col("k") * 2)
+      val joined = left.join(right, "k")
+      // execute THIS dataframe's own query (count() would plan a
+      // separate one); the AQE final plan exists only after execution
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

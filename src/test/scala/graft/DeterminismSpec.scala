@@ -44,7 +44,8 @@ class DeterminismSpec extends SparkSpec {
     "txt_oov_rate",           // value-grain vocab cut + ppm ratio
     "bi_cohort_ltv",          // window cumsum + cents floor-division
     "u8_time_split",          // value-grain day cut
-    "dedup_best_of_cluster")  // CC labels + longest-survivor window
+    "dedup_best_of_cluster",  // CC labels + longest-survivor window
+    "mix_quality_bands")      // band cuts + hash keep rates
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -160,4 +160,35 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.frameSample(Multimodal.decode(m)).count() === 0)
     assert(Multimodal.features(m).count() === 0)
   }
+
+  test("commerce/eval family is total on empty inputs") {
+    val orders0 = empty("o_custkey" -> LongType,
+      "o_orderdate" -> TimestampType, "o_totalprice" -> DoubleType)
+    val lines0 = empty("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_shipdate" -> TimestampType, "l_extendedprice" -> DoubleType)
+    val part0 = empty("p_partkey" -> LongType, "p_brand" -> StringType)
+    assert(Commerce.rfmSegments(orders0).count() === 0)
+    assert(Commerce.basketLift(lines0).count() === 0)
+    assert(Commerce.trendSlope(lines0, part0).count() === 0)
+    assert(Commerce.decayTopk(lines0).count() === 0)
+    assert(Commerce.cohortLtv(orders0).count() === 0)
+    assert(Commerce.blockedMatch(docs0
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(0L)))
+      .count() === 0)
+    val evv0 = empty("event_id" -> LongType, "user_id" -> LongType,
+      "ts_us" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType)
+    assert(Commerce.outliers(
+      empty("event_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType)).count() === 0)
+    assert(Events.fillForward(evv0).count() === 0)
+    assert(Events.attribution(evv0).count() === 0)
+    // negative sampling: n_items = 0 makes the hash modulo NULL-safe
+    // (Spark % 0 -> null), never a divide-by-zero
+    assert(Recommend.negativeSamples(inter0).count() === 0)
+    assert(Similarity.normalizeCenter(emb0).count() === 0)
+    assert(TextAnalysis.oovRate(docs0).count() === 0)
+    assert(TextAnalysis.qualityPr(docs0).count() === 0)
+    assert(TextAnalysis.qualityBands(docs0).count() === 0)
+  }
 }

@@ -234,19 +234,36 @@ object Commerce {
         round(col("z"), 4).as("z"))
   }
 
+  /** Maximum members per block in blockedMatch — block purging, the
+    * record-linkage analog of Dedup's stop-shingle df cap: a block
+    * bigger than this is too generic to discriminate, and its pair
+    * space (size²) is exactly what must not reach the join at 100 TB.
+    * (Current data maxes at 14; the cap is the insurance, not the
+    * tuning.)
+    */
+  val MaxBlock = 100
+
   /** Blocked fuzzy match (record linkage) over documents: block on
     * the cheap equi-keys (lang, 50-char length bucket, first token),
     * verify candidates with edit distance over a 60-char prefix.
     * Candidates come from an equi-join on the block key — never a
-    * pair scan — and the O(len²) levenshtein runs only on the
-    * bounded prefix of surviving candidates.
+    * pair scan; oversize blocks are purged (MaxBlock) so no key can
+    * contribute more than MaxBlock² candidate pairs; the O(len²)
+    * levenshtein runs only on the bounded prefix of survivors.
     */
-  def blockedMatch(docs: DataFrame, maxDist: Int = 5): DataFrame = {
+  def blockedMatch(docs: DataFrame, maxDist: Int = 5,
+                   maxBlock: Int = MaxBlock): DataFrame = {
     val p = docs.select(col("doc_id"), col("lang"),
       expr("n_chars div 50").as("lb"),
       split_part(col("text"), lit(" "), lit(1)).as("tok1"),
       substring(col("text"), 1, 60).as("pre"))
-    p.as("a").join(p.as("b"),
+    val sized = p.join(
+      p.groupBy(col("lang"), col("lb"), col("tok1"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBlock)
+        .drop("bsz"),
+      Seq("lang", "lb", "tok1"), "left_semi")
+    sized.as("a").join(sized.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
           col("a.tok1") === col("b.tok1") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -434,14 +451,17 @@ object Commerce {
 
     QueryDef("er_blocked_match",
       (s, d) => blockedMatch(Tables.documents(s, d)),
-      Some("""WITH p AS (SELECT doc_id, lang, n_chars // 50 AS lb,
-             |    split_part(text, ' ', 1) AS tok1,
-             |    substr(text, 1, 60) AS pre FROM documents)
-             |SELECT a.doc_id AS i, b.doc_id AS j,
-             |CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
-             |FROM p a JOIN p b
-             |  ON a.lang = b.lang AND a.lb = b.lb AND a.tok1 = b.tok1
-             |  AND a.doc_id < b.doc_id
-             |WHERE levenshtein(a.pre, b.pre) <= 5""".stripMargin))
+      Some(s"""WITH p0 AS (SELECT doc_id, lang, n_chars // 50 AS lb,
+              |    split_part(text, ' ', 1) AS tok1,
+              |    substr(text, 1, 60) AS pre FROM documents),
+              |p AS (SELECT * FROM p0 WHERE (lang, lb, tok1) IN (
+              |  SELECT (lang, lb, tok1) FROM p0
+              |  GROUP BY lang, lb, tok1 HAVING COUNT(*) <= $MaxBlock))
+              |SELECT a.doc_id AS i, b.doc_id AS j,
+              |CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+              |FROM p a JOIN p b
+              |  ON a.lang = b.lang AND a.lb = b.lb AND a.tok1 = b.tok1
+              |  AND a.doc_id < b.doc_id
+              |WHERE levenshtein(a.pre, b.pre) <= 5""".stripMargin))
   )
 }

@@ -125,4 +125,17 @@ class CommerceSpec extends SparkSpec {
       .select("i", "j", "dist").as[(Long, Long, Int)].collect()
     assert(got.toSeq === Seq((1L, 2L, 1)))
   }
+
+  test("blocked match: oversize blocks are purged, small ones survive") {
+    // 5 identical docs in one block (> maxBlock=3) -> all purged;
+    // a 2-doc block elsewhere still matches
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "en", 40L, "common text here")) ++
+        Seq((10L, "fr", 40L, "petit texte un"),
+          (11L, "fr", 41L, "petit texte um")))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val got = Commerce.blockedMatch(docs, maxDist = 5, maxBlock = 3)
+      .select("i", "j").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((10L, 11L)))
+  }
 }

@@ -1733,9 +1733,8 @@ object TextAnalysis {
               |  FROM documents),
               |wc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
               |  FROM toks GROUP BY 1),
-              |vocab AS (SELECT tok FROM (SELECT tok,
-              |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn
-              |  FROM wc) WHERE rn <= $VocabV),
+              |vocab AS (SELECT tok FROM wc
+              |  ORDER BY cnt DESC, tok LIMIT $VocabV),
               |m AS (SELECT source, COUNT(*) AS n_tokens,
               |    CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
               |      THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
@@ -1836,10 +1835,12 @@ object TextAnalysis {
     val toks = d.select(col("source"),
       explode(tokens(col("text"))).as("tok"))
     val wc = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // top-V as TakeOrderedAndProject (per-partition heaps), NOT a
+    // rank window: the distinct-word relation is hapax-heavy at
+    // corpus scale and must never sort in one partition
     val vocab = wc
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok"))))
-      .filter(col("rn") <= v)
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(v)
       .select(col("tok"))
     toks.join(broadcast(vocab.withColumn("in_v", lit(1L))),
         Seq("tok"), "left")

@@ -86,18 +86,24 @@ object Commerce {
         sum(col("price")).as("monetary"))
       .crossJoin(broadcast(mx))
       .withColumn("recency", datediff(col("mxd"), col("last_od")))
+      // monetary scores at DOLLAR grain: the cutpoint device is
+      // value-grain, and exact-cent revenues are near-unique per
+      // customer — at corpus scale that degenerates to |customers|
+      // rows in one window; whole dollars bound the grain by the
+      // price range instead
+      .withColumn("mon_b", floor(col("monetary")).cast("long"))
       .localCheckpoint(false) // three cutpoint scans + the score scan
     val rc = quartileCuts(cust, "recency")
     val fc = quartileCuts(cust, "freq")
-    val mc = quartileCuts(cust, "monetary")
+    val mc = quartileCuts(cust, "mon_b")
     cust.crossJoin(broadcast(rc)).crossJoin(broadcast(fc))
       .crossJoin(broadcast(mc))
       .withColumn("r_score", lit(5) - qscore(col("recency"),
         col("recency_q1"), col("recency_q2"), col("recency_q3")))
       .withColumn("f_score", qscore(col("freq"),
         col("freq_q1"), col("freq_q2"), col("freq_q3")))
-      .withColumn("m_score", qscore(col("monetary"),
-        col("monetary_q1"), col("monetary_q2"), col("monetary_q3")))
+      .withColumn("m_score", qscore(col("mon_b"),
+        col("mon_b_q1"), col("mon_b_q2"), col("mon_b_q3")))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
         dsum(col("monetary")).as("revenue"))
@@ -170,6 +176,9 @@ object Commerce {
         sum(col("rev")).cast("double").as("sy"),
         sum(col("wk") * col("rev")).cast("double").as("sxy"),
         sum(col("wk") * col("wk")).as("sxx"))
+      // a single-week brand has no slope: the denominator is exactly
+      // 0 and engines disagree on 0/0 (Spark NaN, DuckDB NULL)
+      .filter(col("n_weeks") >= 2)
       .select(col("brand"), col("n_weeks"),
         round((col("n_weeks").cast("double") * col("sxy") -
           col("sx").cast("double") * col("sy")) /
@@ -224,12 +233,16 @@ object Commerce {
           .cast("double").as("syy"))
       .select(col("event_type"),
         (col("sy") / col("n")).as("mean"),
-        sqrt((col("n") * col("syy") - col("sy") * col("sy")) /
-          (col("n").cast("double") * (col("n") - lit(1)))).as("sd"))
+        // greatest(0): near-constant classes can round n·Σx² − (Σx)²
+        // slightly negative in doubles; Spark would NaN-drop rows but
+        // DuckDB hard-errors on sqrt(negative) — guard both engines
+        sqrt(greatest((col("n") * col("syy") - col("sy") * col("sy")) /
+          (col("n").cast("double") * (col("n") - lit(1))), lit(0.0)))
+          .as("sd"))
     rows.join(broadcast(mom), Seq("event_type"))
       .withColumn("z",
         (col("xq").cast("double") - col("mean")) / col("sd"))
-      .filter(abs(col("z")) > 3.0)
+      .filter(col("sd") > 0.0 && abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("z"), 4).as("z"))
   }
@@ -253,16 +266,23 @@ object Commerce {
     */
   def blockedMatch(docs: DataFrame, maxDist: Int = 5,
                    maxBlock: Int = MaxBlock): DataFrame = {
+    // non-ASCII is projected to '#' before the distance: Spark's
+    // levenshtein counts code points, DuckDB's counts BYTES — on the
+    // ASCII projection they are the same function. '[^ -~]' (outside
+    // printable ASCII) parses identically in Java regex and RE2.
     val p = docs.select(col("doc_id"), col("lang"),
-      expr("n_chars div 50").as("lb"),
-      split_part(col("text"), lit(" "), lit(1)).as("tok1"),
-      substring(col("text"), 1, 60).as("pre"))
+        expr("n_chars div 50").as("lb"),
+        split_part(col("text"), lit(" "), lit(1)).as("tok1"),
+        regexp_replace(substring(col("text"), 1, 60), "[^ -~]", "#")
+          .as("pre"))
+      .localCheckpoint(false) // feeds the block sizes AND the semi join
     val sized = p.join(
-      p.groupBy(col("lang"), col("lb"), col("tok1"))
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBlock)
-        .drop("bsz"),
-      Seq("lang", "lb", "tok1"), "left_semi")
+        p.groupBy(col("lang"), col("lb"), col("tok1"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBlock)
+          .drop("bsz"),
+        Seq("lang", "lb", "tok1"), "left_semi")
+      .localCheckpoint(false) // both sides of the self-join below
     sized.as("a").join(sized.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
           col("a.tok1") === col("b.tok1") &&
@@ -339,6 +359,8 @@ object Commerce {
              |cust AS (SELECT o_custkey, MAX(od) AS last_od,
              |    CAST(COUNT(*) AS BIGINT) AS freq,
              |    CAST(SUM(price) AS DECIMAL(18,2)) AS monetary,
+             |    CAST(FLOOR(CAST(SUM(price) AS DECIMAL(18,2))) AS BIGINT)
+             |      AS mon_b,
              |    date_diff('day', MAX(od), (SELECT MAX(od) FROM o))
              |      AS recency
              |  FROM o GROUP BY 1),
@@ -359,14 +381,14 @@ object Commerce {
              |    MIN(CASE WHEN cum >= CAST(ceil(0.75*n) AS BIGINT) THEN v END) q3
              |  FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cum,
              |      SUM(cnt) OVER () n
-             |    FROM (SELECT monetary v, COUNT(*) cnt FROM cust GROUP BY 1)))
+             |    FROM (SELECT mon_b v, COUNT(*) cnt FROM cust GROUP BY 1)))
              |SELECT 5 - (1 + CAST(recency > rcut.q1 AS INT)
              |    + CAST(recency > rcut.q2 AS INT)
              |    + CAST(recency > rcut.q3 AS INT)) AS r_score,
              |  1 + CAST(freq > fcut.q1 AS INT) + CAST(freq > fcut.q2 AS INT)
              |    + CAST(freq > fcut.q3 AS INT) AS f_score,
-             |  1 + CAST(monetary > mcut.q1 AS INT) + CAST(monetary > mcut.q2 AS INT)
-             |    + CAST(monetary > mcut.q3 AS INT) AS m_score,
+             |  1 + CAST(mon_b > mcut.q1 AS INT) + CAST(mon_b > mcut.q2 AS INT)
+             |    + CAST(mon_b > mcut.q3 AS INT) AS m_score,
              |  CAST(COUNT(*) AS BIGINT) AS n_customers,
              |  CAST(CAST(SUM(monetary) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
              |FROM cust, rcut, fcut, mcut
@@ -410,7 +432,7 @@ object Commerce {
              |    CAST(SUM(rev) AS DOUBLE) AS sy,
              |    CAST(SUM(wk * rev) AS DOUBLE) AS sxy,
              |    CAST(SUM(wk * wk) AS BIGINT) AS sxx
-             |  FROM weekly GROUP BY 1)
+             |  FROM weekly GROUP BY 1 HAVING COUNT(*) >= 2)
              |SELECT brand, n_weeks,
              |ROUND((CAST(n_weeks AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
              |  / CAST(n_weeks * sxx - sx * sx AS DOUBLE), 6)
@@ -441,19 +463,21 @@ object Commerce {
              |    CAST(SUM(CAST(xq AS DECIMAL(28,0)) * xq) AS DOUBLE) AS syy
              |  FROM rows_ GROUP BY 1),
              |ms AS (SELECT event_type, sy / n AS mean,
-             |    sqrt((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1)))
-             |      AS sd
+             |    sqrt(greatest((n * syy - sy * sy)
+             |      / (CAST(n AS DOUBLE) * (n - 1)), 0.0)) AS sd
              |  FROM mom)
              |SELECT event_id, rows_.event_type, value,
              |ROUND((CAST(xq AS DOUBLE) - mean) / sd, 4) AS z
              |FROM rows_ JOIN ms ON rows_.event_type = ms.event_type
-             |WHERE abs((CAST(xq AS DOUBLE) - mean) / sd) > 3.0""".stripMargin)),
+             |WHERE sd > 0.0
+             |  AND abs((CAST(xq AS DOUBLE) - mean) / sd) > 3.0""".stripMargin)),
 
     QueryDef("er_blocked_match",
       (s, d) => blockedMatch(Tables.documents(s, d)),
       Some(s"""WITH p0 AS (SELECT doc_id, lang, n_chars // 50 AS lb,
               |    split_part(text, ' ', 1) AS tok1,
-              |    substr(text, 1, 60) AS pre FROM documents),
+              |    regexp_replace(substr(text, 1, 60), '[^ -~]', '#', 'g')
+              |      AS pre FROM documents),
               |p AS (SELECT * FROM p0 WHERE (lang, lb, tok1) IN (
               |  SELECT (lang, lb, tok1) FROM p0
               |  GROUP BY lang, lb, tok1 HAVING COUNT(*) <= $MaxBlock))

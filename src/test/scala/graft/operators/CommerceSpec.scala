@@ -68,6 +68,28 @@ class CommerceSpec extends SparkSpec {
     assert(got.toSeq === Seq(("X", 3L, 10.0)))
   }
 
+  test("trend slope: a single-week brand has no slope and is excluded") {
+    val part = Seq((1L, "X"), (2L, "Y")).toDF("p_partkey", "p_brand")
+    val lines = Seq(
+      (1L, "1995-01-02", 10.0), (1L, "1995-01-09", 20.0),
+      (2L, "1995-01-02", 99.0)) // brand Y: one week only
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice")
+      .withColumn("l_shipdate", to_timestamp(col("l_shipdate")))
+    val got = Commerce.trendSlope(lines, part)
+      .select("brand").as[String].collect()
+    assert(got.toSeq === Seq("X")) // no NaN/NULL row for Y
+  }
+
+  test("outliers: a zero-variance class crashes neither engine path") {
+    val rows = (1 to 50).map(i => (i.toLong, "flat", 10.0)) ++
+      (51 to 250).map(i => (i.toLong, "wide", (i % 40).toDouble)) ++
+      Seq((999L, "wide", 5000.0))
+    val got = Commerce.outliers(
+      rows.toDF("event_id", "event_type", "value"))
+      .select("event_id").as[Long].collect()
+    assert(got.toSeq === Seq(999L)) // flat class contributes nothing
+  }
+
   test("decay: 30-day half-life halves the contribution exactly") {
     // part 1: sales today and 30 days ago -> 1.0 + 0.5
     // part 2: one sale 60 days ago -> 0.25

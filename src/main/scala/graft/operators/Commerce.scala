@@ -41,26 +41,6 @@ object Commerce {
   private def li(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
 
-  /** Value-grain exact discrete quartile cutpoints of `v` (the
-    * p20_winsorize device, ungrouped): q_p = min value whose
-    * cumulative count reaches ceil(p·n). Window input is |distinct
-    * values|, constant-ish at any row scale.
-    */
-  private def quartileCuts(df: DataFrame, v: String): DataFrame = {
-    val vals = df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
-    val wcum = Window.orderBy(col(v))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = vals
-      .withColumn("cum", sum(col("cnt")).over(wcum))
-      .withColumn("n", sum(col("cnt")).over(
-        Window.partitionBy(lit(1))))
-    def disc(p: Double, name: String) =
-      min(when(col("cum") >= expr(s"CAST(ceil($p * n) AS BIGINT)"),
-        col(v))).as(name)
-    cum.agg(disc(0.25, s"${v}_q1"), disc(0.50, s"${v}_q2"),
-      disc(0.75, s"${v}_q3"))
-  }
-
   /** 1 + (v>q1) + (v>q2) + (v>q3): value-threshold quartile score
     * (percentile_disc semantics — ties share a score, unlike ntile's
     * arbitrary row split; deterministic on any engine).
@@ -93,9 +73,9 @@ object Commerce {
       // price range instead
       .withColumn("mon_b", floor(col("monetary")).cast("long"))
       .localCheckpoint(false) // three cutpoint scans + the score scan
-    val rc = quartileCuts(cust, "recency")
-    val fc = quartileCuts(cust, "freq")
-    val mc = quartileCuts(cust, "mon_b")
+    val rc = Stats.quartileCuts(cust, "recency")
+    val fc = Stats.quartileCuts(cust, "freq")
+    val mc = Stats.quartileCuts(cust, "mon_b")
     cust.crossJoin(broadcast(rc)).crossJoin(broadcast(fc))
       .crossJoin(broadcast(mc))
       .withColumn("r_score", lit(5) - qscore(col("recency"),
@@ -231,6 +211,9 @@ object Commerce {
         sum(col("xq").cast(DecimalType(38, 0))).cast("double").as("sy"),
         sum(col("xq").cast(DecimalType(28, 0)) * col("xq"))
           .cast("double").as("syy"))
+      // a singleton class has no sample variance: its 0/0 is NULL on
+      // Spark but NaN on DuckDB (whose total float order passes > 0)
+      .filter(col("n") >= 2)
       .select(col("event_type"),
         (col("sy") / col("n")).as("mean"),
         // greatest(0): near-constant classes can round n·Σx² − (Σx)²
@@ -461,7 +444,7 @@ object Commerce {
              |mom AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              |    CAST(SUM(xq) AS DOUBLE) AS sy,
              |    CAST(SUM(CAST(xq AS DECIMAL(28,0)) * xq) AS DOUBLE) AS syy
-             |  FROM rows_ GROUP BY 1),
+             |  FROM rows_ GROUP BY 1 HAVING COUNT(*) >= 2),
              |ms AS (SELECT event_type, sy / n AS mean,
              |    sqrt(greatest((n * syy - sy * sy)
              |      / (CAST(n AS DOUBLE) * (n - 1)), 0.0)) AS sd

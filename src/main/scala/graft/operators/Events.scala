@@ -106,6 +106,13 @@ object Events {
     Tables.events(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"), col("props"))
 
+  /** The ev projection with `value` instead of `props` (fill-forward
+    * and attribution consume the measurement, not the payload).
+    */
+  private def evv(s: SparkSession, d: String) =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("e1_json_extract",
@@ -251,9 +258,7 @@ object Events {
     // untouched (no float arithmetic), so the fill is trivially
     // engine-identical.
     QueryDef("p23_fill_forward",
-      (s, d) => fillForward(Tables.events(s, d).select(col("event_id"),
-        col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_type"), col("value"))),
+      (s, d) => fillForward(evv(s, d)),
       Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
              |  event_type, value FROM events),
              |c AS (SELECT *, CASE WHEN event_type <> 'error'
@@ -274,9 +279,7 @@ object Events {
     // carry as the funnel (no as-of join materializes); revenue sums
     // in exact cents.
     QueryDef("e7_attribution",
-      (s, d) => attribution(Tables.events(s, d).select(col("event_id"),
-        col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_type"), col("value"))),
+      (s, d) => attribution(evv(s, d)),
       Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
              |  event_type, value FROM events),
              |c AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase'

@@ -967,14 +967,7 @@ object Relational {
       (s, d) => {
         val e = Tables.events(s, d).select(col("event_id"),
           col("user_id"), to_date(col("ts")).as("day"))
-        val days = e.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
-        val wcum = Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cut = days
-          .withColumn("cum", sum(col("cnt")).over(wcum))
-          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
-          .agg(min(when(col("cum") >= expr("CAST(ceil(0.8 * n) AS BIGINT)"),
-            col("day"))).as("cut_day"))
+        val cut = Stats.valueCuts(e, "day", Seq(0.8 -> "cut_day"))
         e.crossJoin(broadcast(cut))
           .withColumn("split",
             when(col("day") <= col("cut_day"), "train").otherwise("eval"))

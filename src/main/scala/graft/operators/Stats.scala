@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The value-grain exact-percentile cut device (first built for
+  * p20_winsorize, now shared): cutpoints come from a cumulative
+  * count over the DISTINCT-value relation, so the window input is
+  * |distinct values| — never |rows| — and the tie rule (min value
+  * whose cumulative count reaches ceil(p·n)) is engine-exact
+  * integer arithmetic. Every consumer mirrors the same CTE shape in
+  * its DuckDB oracle; keeping the Spark side in one place keeps the
+  * frame choice and ceil-rank rule from drifting between copies.
+  */
+object Stats {
+
+  /** One row of exact discrete percentile cutpoints of column `v`:
+    * for each (p, name), `name` = min v with cum-count ≥ ceil(p·n).
+    * The caller guarantees `v`'s distinct cardinality is bounded
+    * (a rounded score, a day, whole currency units, ...).
+    */
+  def valueCuts(df: DataFrame, v: String,
+                ps: Seq[(Double, String)]): DataFrame = {
+    val vals = df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+    val aggs = ps.map { case (p, name) =>
+      min(when(col("cum") >= expr(s"CAST(ceil($p * n) AS BIGINT)"),
+        col(v))).as(name)
+    }
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Quartile cutpoints named `<v>_q1/_q2/_q3`. */
+  def quartileCuts(df: DataFrame, v: String): DataFrame =
+    valueCuts(df, v,
+      Seq(0.25 -> s"${v}_q1", 0.50 -> s"${v}_q2", 0.75 -> s"${v}_q3"))
+}

@@ -1716,7 +1716,7 @@ object TextAnalysis {
               |  FROM vals)
               |SELECT quality AS threshold, CAST(n_ge AS BIGINT) AS n_ge,
               |ROUND(CAST(tp AS DOUBLE) / n_ge, 6) AS precision,
-              |ROUND(CAST(tp AS DOUBLE) / p_total, 6) AS recall
+              |ROUND(CAST(tp AS DOUBLE) / NULLIF(p_total, 0), 6) AS recall
               |FROM cum""".stripMargin)),
 
     // Vocabulary coverage / OOV pressure per source — the tokenizer-
@@ -1798,19 +1798,8 @@ object TextAnalysis {
   def qualityBands(d: DataFrame): DataFrame = {
     val q = qualityScore(d).select(col("doc_id"), col("n_tokens"),
       col("quality"))
-    val vals = q.groupBy(col("quality")).agg(count(lit(1)).as("cnt"))
-    val wcum = Window.orderBy(col("quality"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cuts = vals
-      .withColumn("cum", sum(col("cnt")).over(wcum))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
-      .agg(
-        min(when(col("cum") >= expr("CAST(ceil(0.25 * n) AS BIGINT)"),
-          col("quality"))).as("q1"),
-        min(when(col("cum") >= expr("CAST(ceil(0.50 * n) AS BIGINT)"),
-          col("quality"))).as("q2"),
-        min(when(col("cum") >= expr("CAST(ceil(0.75 * n) AS BIGINT)"),
-          col("quality"))).as("q3"))
+    val cuts = Stats.valueCuts(q, "quality",
+      Seq(0.25 -> "q1", 0.50 -> "q2", 0.75 -> "q3"))
     val rateCase = BandRates.toSeq.sortBy(_._1)
       .map { case (b, r) => s"WHEN $b THEN $r" }.mkString(" ")
     q.crossJoin(broadcast(cuts))
@@ -1853,10 +1842,21 @@ object TextAnalysis {
 
   /** See the txt_quality_pr QueryDef. */
   def qualityPr(d: DataFrame): DataFrame = {
-    val q = qualityScore(d).select(col("doc_id"), col("quality"))
-    val lab = d.select(col("doc_id"),
-      (col("lang") === lit("en")).cast("long").as("pos"))
-    val vals = q.join(lab, Seq("doc_id"))
+    // label and score in ONE projection — joining qualityScore back
+    // to d on doc_id would shuffle the corpus twice for a column the
+    // same scan already carries
+    val t = tokens(col("text"))
+    val q = d.select(
+        (col("lang") === lit("en")).cast("long").as("pos"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        hits(t, StopEn).cast("long").as("n_stop"))
+      .select(col("pos"), round(
+        col("n_distinct").cast("double") / col("n_tokens") * 0.5d
+          + least(col("n_tokens").cast("double") / 100.0d, lit(1.0d)) * 0.3d
+          + col("n_stop").cast("double") / col("n_tokens") * 0.2d, 6)
+        .as("quality"))
+    val vals = q
       .groupBy(col("quality"))
       .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
     val wCum = Window.orderBy(col("quality").desc)
@@ -1869,7 +1869,10 @@ object TextAnalysis {
       .select(col("quality").as("threshold"), col("n_ge"),
         round(col("tp").cast("double") / col("n_ge"), 6)
           .as("precision"),
-        round(col("tp").cast("double") / col("p_total"), 6)
+        // NULL recall when the corpus has no positives (tp/0 is NULL
+        // on Spark but NaN on DuckDB — nullif aligns the oracle)
+        when(col("p_total") > 0,
+          round(col("tp").cast("double") / col("p_total"), 6))
           .as("recall"))
   }
 }

@@ -35,8 +35,13 @@ case class Scd2Run(event_type: String, valid_from_us: Long,
 case class ValuedEvent(event_id: Long, user_id: Long, ts_us: Long,
                        event_type: String, value: Double)
 
-/** The carried last-touch channel for one user. */
-case class ChannelAt(channel: String, ts_us: Long)
+/** The carried attribution state for one user: the last-touch channel
+  * ("" before any channel event) plus the (ts, event_id) of the last
+  * APPLIED event of any type — purchases advance the watermark too,
+  * so a straggler older than anything already emitted is dropped
+  * instead of silently rewriting the channel history.
+  */
+case class ChannelAt(channel: String, ts_us: Long, event_id: Long)
 
 /** One purchase credited to its last-touch channel (append-final). */
 case class AttributedPurchase(event_id: Long, user_id: Long, ts_us: Long,
@@ -304,11 +309,19 @@ object StatefulOps {
       var cur = if (last.exists()) Option(last.get()) else None
       val out = Seq.newBuilder[AttributedPurchase]
       sorted.foreach { e =>
-        if (!cur.exists(e.ts_us < _.ts_us)) { // straggler guard
-          if (e.event_type == "purchase")
+        // straggler guard on the full (ts, event_id) order — the same
+        // tuple the batch window sorts by, so an equal-ts event from
+        // a later batch can't jump BEHIND one already applied
+        val isStale = cur.exists(c =>
+          e.ts_us < c.ts_us || (e.ts_us == c.ts_us && e.event_id < c.event_id))
+        if (!isStale) {
+          if (e.event_type == "purchase") {
             out += AttributedPurchase(e.event_id, key, e.ts_us,
-              cur.map(_.channel).getOrElse("direct"), e.value)
-          else cur = Some(ChannelAt(e.event_type, e.ts_us))
+              cur.map(_.channel).filter(_.nonEmpty).getOrElse("direct"),
+              e.value)
+            cur = Some(ChannelAt(cur.map(_.channel).getOrElse(""),
+              e.ts_us, e.event_id))
+          } else cur = Some(ChannelAt(e.event_type, e.ts_us, e.event_id))
         }
       }
       cur.foreach(last.update)

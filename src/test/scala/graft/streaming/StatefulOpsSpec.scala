@@ -216,21 +216,25 @@ class StatefulOpsSpec extends SparkSpec {
         ValuedEvent(5L, 1L, 400L, "click", 0.0),
         ValuedEvent(6L, 1L, 500L, "purchase", 1.0),  // -> click
         ValuedEvent(7L, 2L, 50L, "view", 0.0))       // straggler: dropped
+      // batch 3 PROVES the straggler was dropped: were view@50 applied,
+      // this purchase would credit "view"; emitted history says direct
+      val b3 = Seq(ValuedEvent(8L, 2L, 200L, "purchase", 2.0))
       val in = MemoryStream[ValuedEvent]
       val q = StatefulOps.attributionStream(in.toDS())
         .writeStream.format("memory").queryName("attr_out")
         .outputMode("append").start()
       in.addData(b1: _*); q.processAllAvailable()
       in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
       q.stop()
       val got = spark.table("attr_out").as[AttributedPurchase].collect()
         .map(a => a.event_id -> a.channel).toMap
       assert(got === Map(2L -> "view", 3L -> "direct",
-        4L -> "view", 6L -> "click"))
+        4L -> "view", 6L -> "click", 8L -> "direct"))
       // one codepath: the batch operator over the concatenated input
       // (minus the dropped straggler) agrees channel-for-channel
       val batch = graft.operators.Events.attribution(
-        (b1 ++ b2.filter(_.event_id != 7L))
+        (b1 ++ b2.filter(_.event_id != 7L) ++ b3)
           .toDF("event_id", "user_id", "ts_us", "event_type", "value"))
         .select("channel", "n_purchases").as[(String, Long)]
         .collect().toMap

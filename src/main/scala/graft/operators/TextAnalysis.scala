@@ -1053,6 +1053,48 @@ object TextAnalysis {
               |  ELSE 'es' END AS pred_lang
               |FROM h""".stripMargin)),
 
+    // Language-ID confusion matrix + per-class precision/recall —
+    // the eval artifact behind the lang_id classifier: |langs|² cells
+    // at any corpus scale, exact integer ratios rounded once. This
+    // is how a real pipeline decides whether the n-gram heuristic is
+    // good enough or a model is needed.
+    QueryDef("txt_lang_confusion",
+      (s, d) => {
+        val p = langId(docs(s, d))
+          .select(col("lang_label"), col("pred_lang"))
+        val cells = p.groupBy(col("lang_label"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val byLabel = Window.partitionBy(col("lang_label"))
+        val byPred = Window.partitionBy(col("pred_lang"))
+        cells
+          .withColumn("recall_of_label",
+            round(col("n").cast("double") / sum(col("n")).over(byLabel), 6))
+          .withColumn("precision_of_pred",
+            round(col("n").cast("double") / sum(col("n")).over(byPred), 6))
+      },
+      Some(s"""WITH h AS (SELECT doc_id, lang AS lang_label,
+              |  CAST(${sqlHits(StopEn)} AS BIGINT) AS en_hits,
+              |  CAST(${sqlHits(StopDe)} AS BIGINT) AS de_hits,
+              |  CAST(${sqlHits(StopFr)} AS BIGINT) AS fr_hits,
+              |  CAST(${sqlHits(StopEs)} AS BIGINT) AS es_hits
+              |  FROM documents),
+              |p AS (SELECT lang_label, CASE
+              |  WHEN GREATEST(en_hits,de_hits,fr_hits,es_hits) = 0 THEN 'und'
+              |  WHEN en_hits = GREATEST(en_hits,de_hits,fr_hits,es_hits) THEN 'en'
+              |  WHEN de_hits = GREATEST(en_hits,de_hits,fr_hits,es_hits) THEN 'de'
+              |  WHEN fr_hits = GREATEST(en_hits,de_hits,fr_hits,es_hits) THEN 'fr'
+              |  ELSE 'es' END AS pred_lang
+              |  FROM h),
+              |cells AS (SELECT lang_label, pred_lang,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM p GROUP BY 1, 2)
+              |SELECT lang_label, pred_lang, n,
+              |ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang_label), 6)
+              |  AS recall_of_label,
+              |ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY pred_lang), 6)
+              |  AS precision_of_pred
+              |FROM cells""".stripMargin)),
+
     QueryDef("txt_fingerprint",
       (s, d) => fingerprint(docs(s, d)),
       Some("""SELECT doc_id,

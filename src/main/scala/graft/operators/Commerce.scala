@@ -455,6 +455,34 @@ object Commerce {
              |WHERE sd > 0.0
              |  AND abs((CAST(xq AS DOUBLE) - mean) / sd) > 3.0""".stripMargin)),
 
+    // The blocking-health monitor for er_blocked_match (what
+    // sim_bucket_stats is to the LSH index): blocks per size with the
+    // candidate-pair budget each size class implies — the chart that
+    // says whether MaxBlock purging is dormant insurance or actively
+    // cutting recall.
+    QueryDef("er_block_stats",
+      (s, d) => {
+        val p = Tables.documents(s, d).select(col("lang"),
+          expr("n_chars div 50").as("lb"),
+          split_part(col("text"), lit(" "), lit(1)).as("tok1"))
+        p.groupBy(col("lang"), col("lb"), col("tok1"))
+          .agg(count(lit(1)).as("bsz"))
+          .groupBy(col("bsz"))
+          .agg(count(lit(1)).as("n_blocks"))
+          .select(col("bsz"), col("n_blocks"),
+            // div, not /: integer division (both engines' / is float)
+            expr("(bsz * (bsz - 1)) div 2 * n_blocks")
+              .as("candidate_pairs"))
+      },
+      Some("""WITH p AS (SELECT lang, n_chars // 50 AS lb,
+             |    split_part(text, ' ', 1) AS tok1 FROM documents),
+             |b AS (SELECT lang, lb, tok1, CAST(COUNT(*) AS BIGINT) AS bsz
+             |  FROM p GROUP BY 1, 2, 3)
+             |SELECT bsz, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             |CAST((bsz * (bsz - 1)) // 2 * COUNT(*) AS BIGINT)
+             |  AS candidate_pairs
+             |FROM b GROUP BY 1""".stripMargin)),
+
     QueryDef("er_blocked_match",
       (s, d) => blockedMatch(Tables.documents(s, d)),
       Some(s"""WITH p0 AS (SELECT doc_id, lang, n_chars // 50 AS lb,

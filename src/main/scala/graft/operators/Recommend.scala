@@ -900,8 +900,107 @@ object Recommend {
               |      ORDER BY slot) AS rn
               |  FROM firstslot)
               |SELECT user_id, item_id, CAST(slot AS BIGINT) AS slot
-              |FROM ranked WHERE rn <= $NegPerUser""".stripMargin))
+              |FROM ranked WHERE rn <= $NegPerUser""".stripMargin)),
+
+    // The yardstick every CF eval needs: precision@10 of the
+    // POPULARITY baseline (everyone gets the global top-10 from
+    // train, minus what they already have). If the CF numbers don't
+    // clear this, the similarity model adds nothing. Candidate fan-
+    // out is |users| × 10 (broadcast top list) — linear, never
+    // users × catalog.
+    QueryDef("ml_precision_popularity",
+      (s, d) => {
+        val inter = interactions(s, d).localCheckpoint(false)
+        val train = trainSet(inter).localCheckpoint(false)
+        precisionAtK(popularityRecs(train), evalSet(inter))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |tr AS (SELECT user_id, item_id FROM inter WHERE $splitCond < 8),
+              |ev AS (SELECT user_id, item_id FROM inter WHERE $splitCond >= 8),
+              |top10 AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS pop
+              |  FROM tr GROUP BY 1 ORDER BY pop DESC, item_id LIMIT $TopN),
+              |recs AS (SELECT u.user_id, t.item_id
+              |  FROM (SELECT DISTINCT user_id FROM tr) u CROSS JOIN top10 t
+              |  WHERE NOT EXISTS (SELECT 1 FROM tr
+              |    WHERE tr.user_id = u.user_id AND tr.item_id = t.item_id)),
+              |per_user AS (SELECT r.user_id,
+              |    COUNT(e.user_id) AS hits, COUNT(*) AS n_recs
+              |  FROM recs r LEFT JOIN ev e
+              |    ON r.user_id = e.user_id AND r.item_id = e.item_id
+              |  GROUP BY r.user_id)
+              |SELECT ROUND(AVG(CAST(hits AS DOUBLE)/n_recs), 6) AS avg_precision,
+              |COUNT(*) AS n_users FROM per_user""".stripMargin)),
+
+    // Group-wise (user-level) split: every user's rows land in ONE
+    // fold — the leakage-safe split for generalization-to-new-users
+    // evaluation, where U4's row split (a user straddling train and
+    // eval) is by design. Deterministic md5 fold assignment; fold
+    // grain out.
+    QueryDef("u9_group_split",
+      (s, d) => {
+        val g = interactions(s, d).withColumn("fold",
+          (hex60(concat(lit("gs"), col("user_id").cast("string"))) % 5)
+            .cast("int"))
+        g.groupBy(col("fold"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |g AS (SELECT user_id, item_id,
+              |    CAST(CAST(concat('0x', substr(md5(concat('gs',
+              |      CAST(user_id AS VARCHAR))),1,15)) AS BIGINT) % 5
+              |      AS INT) AS fold
+              |  FROM inter)
+              |SELECT fold, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+              |  AS n_users,
+              |CAST(COUNT(*) AS BIGINT) AS n_rows
+              |FROM g GROUP BY 1""".stripMargin)),
+
+    // Cold-start gap report: the share of eval pairs whose item never
+    // appears in train — the ceiling on any co-occurrence CF's recall
+    // (it cannot score an unseen item). THE number to read next to
+    // ml_precision_at_10.
+    QueryDef("ml_coldstart_report",
+      (s, d) => {
+        val inter = interactions(s, d).localCheckpoint(false)
+        val seen = trainSet(inter).select(col("item_id")).distinct()
+          .withColumn("seen", lit(1))
+        evalSet(inter).join(broadcast(seen), Seq("item_id"), "left")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L))
+              .as("n_cold_pairs"),
+            countDistinct(when(col("seen").isNull, col("item_id")))
+              .as("n_cold_items"))
+          .withColumn("cold_ppm",
+            expr("(n_cold_pairs * 1000000) div n_eval"))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |tr AS (SELECT user_id, item_id FROM inter WHERE $splitCond < 8),
+              |ev AS (SELECT user_id, item_id FROM inter WHERE $splitCond >= 8),
+              |seen AS (SELECT DISTINCT item_id FROM tr)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+              |CAST(SUM(CASE WHEN seen.item_id IS NULL THEN 1 ELSE 0 END)
+              |  AS BIGINT) AS n_cold_pairs,
+              |CAST(COUNT(DISTINCT CASE WHEN seen.item_id IS NULL
+              |  THEN ev.item_id END) AS BIGINT) AS n_cold_items,
+              |CAST((SUM(CASE WHEN seen.item_id IS NULL THEN 1 ELSE 0 END)
+              |  * 1000000) // COUNT(*) AS BIGINT) AS cold_ppm
+              |FROM ev LEFT JOIN seen ON ev.item_id = seen.item_id""".stripMargin))
   )
+
+  /** Popularity-baseline recommender: the train-set top-k items for
+    * everyone, seen items masked (see ml_precision_popularity).
+    */
+  def popularityRecs(train: DataFrame, k: Int = TopN): DataFrame = {
+    val top = train.groupBy(col("item_id"))
+      .agg(count(lit(1)).as("pop"))
+      .orderBy(col("pop").desc, col("item_id"))
+      .limit(k) // TakeOrderedAndProject
+    train.select(col("user_id")).distinct()
+      .crossJoin(broadcast(top))
+      .join(train, Seq("user_id", "item_id"), "left_anti")
+      .select(col("user_id"), col("item_id"))
+  }
 
   /** See the ml_negative_samples QueryDef. Items index and count are
     * dim-sized (broadcast); the slot expansion is |users| × NegSlots.

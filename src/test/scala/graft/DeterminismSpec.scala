@@ -45,7 +45,9 @@ class DeterminismSpec extends SparkSpec {
     "bi_cohort_ltv",          // window cumsum + cents floor-division
     "u8_time_split",          // value-grain day cut
     "dedup_best_of_cluster",  // CC labels + longest-survivor window
-    "mix_quality_bands")      // band cuts + hash keep rates
+    "mix_quality_bands",      // band cuts + hash keep rates
+    "ml_precision_popularity", // TakeOrdered top list + anti-join mask
+    "ml_coldstart_report")    // split + seen-mask conditional sums
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -168,6 +168,21 @@ class RecommendSpec extends SparkSpec {
     assert(Recommend.trainSet(big).intersect(Recommend.evalSet(big)).count() === 0)
   }
 
+  test("popularity baseline: global top-k minus the user's own items") {
+    // items 1,2,3 with popularity 3,2,1; k=2 -> top = {1,2}
+    val train = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (1L, 2L), (2L, 2L),
+      (1L, 3L))
+      .toDF("user_id", "item_id")
+    val got = Recommend.popularityRecs(train, k = 2)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!got.contains(1L)) // owns both top items -> nothing left
+    assert(!got.contains(2L)) // likewise
+    assert(got(3L) === Set(2L)) // has item 1, gets item 2
+  }
+
   test("negative samples: never a positive, at most k, reproducible") {
     // user 1 touched items 1..8 of a 10-item catalog; user 2 touched
     // only item 1 — plenty of negatives for user 2, few for user 1

@@ -437,6 +437,46 @@ object Commerce {
              |FROM w GROUP BY 1
              |ORDER BY SUM(wq) DESC, part_id LIMIT 100""".stripMargin)),
 
+    // Year-over-year growth per brand — the trend-slope's BI sibling
+    // (slope says direction inside a year; YoY compares seasons
+    // honestly). One (brand, year) aggregate, a lag window over the
+    // |brands|×|years| grain, exact-decimal ratio rounded once.
+    QueryDef("bi_yoy_growth",
+      (s, d) => {
+        val yearly = li(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"),
+            year(col("l_shipdate")).as("yr"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .as("rev"))
+        val w = Window.partitionBy(col("brand")).orderBy(col("yr"))
+        yearly
+          .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+          .select(col("brand"), col("yr"),
+            round(col("rev").cast("double"), 2).as("revenue"),
+            when(col("prev_rev") > 0, round(
+              (col("rev") - col("prev_rev")).cast("double")
+                / col("prev_rev").cast("double"), 6))
+              .as("yoy_growth"))
+      },
+      Some("""WITH yearly AS (SELECT p_brand AS brand,
+             |    CAST(year(l_shipdate) AS INT) AS yr,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DECIMAL(18,2)) AS rev
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |l AS (SELECT brand, yr, rev,
+             |    lag(rev) OVER (PARTITION BY brand ORDER BY yr)
+             |      AS prev_rev
+             |  FROM yearly)
+             |SELECT brand, yr, ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+             |CASE WHEN prev_rev > 0 THEN ROUND(
+             |  CAST(rev - prev_rev AS DOUBLE) / CAST(prev_rev AS DOUBLE), 6)
+             |  END AS yoy_growth
+             |FROM l""".stripMargin)),
+
     QueryDef("p22_outliers",
       (s, d) => outliers(Tables.events(s, d)),
       Some("""WITH rows_ AS (SELECT event_id, event_type, value,

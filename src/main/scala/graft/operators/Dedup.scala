@@ -663,6 +663,29 @@ object Dedup {
            |SELECT doc_id, lbl AS canonical_id,
            |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
 
+    // Threshold-sensitivity sweep: near-dup pair volume at each
+    // candidate Jaccard cut, from ONE pass over the (already stop-
+    // shingle-capped) candidate pairs — conditional sums, no
+    // re-join per threshold. How the JaccardT knob gets picked:
+    // the elbow of this curve separates boilerplate cousins from
+    // real dups.
+    QueryDef("dedup_threshold_sweep",
+      (s, d) => {
+        val pairs = ngramJaccard(docs(s, d), t = 0.0)
+        val cuts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+        pairs.agg(
+          count(lit(1)).as("n_candidates"),
+          cuts.map(t => sum((col("jaccard") >= t).cast("long"))
+            .as(s"ge_${(t * 10).toInt}")): _*)
+      },
+      Some(s"""WITH $shSql,
+              |$jacSql
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+              |${Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(t =>
+                 s"CAST(SUM(CASE WHEN jaccard >= $t THEN 1 ELSE 0 END) " +
+                   s"AS BIGINT) AS ge_${(t * 10).toInt}").mkString(",\n|")}
+              |FROM jac""".stripMargin)),
+
     // Curation-grade canonicalization: within each near-dup cluster
     // keep the LONGEST document (ties to the lower doc_id) instead of
     // the arbitrary min-id — the "most complete version survives"

@@ -288,6 +288,73 @@ object Temporal {
              |MAX(ts_us) - MIN(ts_us) AS duration_us
              |FROM sess GROUP BY user_id, session_id""".stripMargin)),
 
+    // E8 (beyond-ref): daily bounce rate — share of sessions with a
+    // single event, the engagement-health headline over the st5
+    // sessions. Session grain in, day grain out; rate is an exact
+    // ppm integer division.
+    QueryDef("e8_bounce_rate",
+      (s, d) => sessionize(ev(s, d), 30L * 60 * 1000000)
+        .groupBy(to_date(timestamp_micros(col("session_start_us")))
+          .as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum((col("n_events") === 1).cast("long")).as("n_bounce"))
+        .withColumn("bounce_ppm",
+          expr("(n_bounce * 1000000) div n_sessions")),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us
+             |  FROM events),
+             |g AS (SELECT user_id, ts_us, event_id,
+             |  CASE WHEN lag(ts_us) OVER w IS NULL
+             |    OR ts_us - lag(ts_us) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS is_start
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |sess AS (SELECT user_id, ts_us,
+             |  CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM g),
+             |s2 AS (SELECT user_id, session_id,
+             |    MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+             |  FROM sess GROUP BY 1, 2)
+             |SELECT CAST(make_timestamp(session_start_us) AS DATE) AS day,
+             |CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_bounce,
+             |CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
+             |  // COUNT(*) AS BIGINT) AS bounce_ppm
+             |FROM s2 GROUP BY 1""".stripMargin)),
+
+    // The type-1 ("current truth") view over the SCD2 history — what
+    // most consumers actually query: each user's open version, with
+    // the version counter doubling as versions-to-date. A filter on
+    // the run-compacted dimension, no extra shuffle.
+    QueryDef("scd2_current",
+      (s, d) => scd2Build(ev(s, d))
+        .filter(col("is_current") === 1)
+        .select(col("user_id"), col("event_type").as("current_state"),
+          col("valid_from_us").as("since_us"),
+          col("version").as("n_versions")),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+             |  event_type FROM events),
+             |g AS (SELECT user_id, ts_us, event_id, event_type,
+             |  CASE WHEN lag(event_type) OVER w IS NULL
+             |    OR lag(event_type) OVER w <> event_type
+             |    THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |v AS (SELECT user_id, ts_us, event_type,
+             |  CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+             |  FROM g),
+             |runs AS (SELECT user_id, version,
+             |    MIN(event_type) AS event_type,
+             |    MIN(ts_us) AS valid_from_us
+             |  FROM v GROUP BY 1, 2),
+             |cur AS (SELECT user_id, version, event_type, valid_from_us,
+             |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             |    AS valid_to_us
+             |  FROM runs)
+             |SELECT user_id, event_type AS current_state,
+             |valid_from_us AS since_us, version AS n_versions
+             |FROM cur WHERE valid_to_us IS NULL""".stripMargin)),
+
     QueryDef("ts_resample_ohlc",
       (s, d) => resampleOhlc(ev(s, d), 300L * 1000000),
       Some("""WITH e AS (SELECT event_id, event_type, epoch_us(ts) ts_us,

@@ -441,6 +441,50 @@ object Commerce {
     // (slope says direction inside a year; YoY compares seasons
     // honestly). One (brand, year) aggregate, a lag window over the
     // |brands|×|years| grain, exact-decimal ratio rounded once.
+    // ABC / Pareto analysis: parts classified by cumulative revenue
+    // share (A carries the first 80%, B to 95%, C the tail) — the
+    // inventory-policy classic. The window runs over the PART-grain
+    // relation (a dim; for an extreme catalog, band by a revenue
+    // bucket first — the value-grain device). Class boundaries are
+    // exact decimal comparisons (cum·5 ≤ total·4 for 80%), so no
+    // float ever decides a boundary row.
+    QueryDef("bi_abc_analysis",
+      (s, d) => {
+        val byPart = li(s, d)
+          .groupBy(col("l_partkey").as("part_id"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .as("rev"))
+        val w = Window.orderBy(col("rev").desc, col("part_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byPart
+          .withColumn("cum", sum(col("rev")).over(w))
+          .withColumn("total",
+            sum(col("rev")).over(Window.partitionBy(lit(1))))
+          .withColumn("abc_class",
+            when(col("cum") * 5 <= col("total") * 4, "A")
+              .when(col("cum") * 20 <= col("total") * 19, "B")
+              .otherwise("C"))
+          .groupBy(col("abc_class"))
+          .agg(count(lit(1)).as("n_parts"), dsum(col("rev")).as("revenue"))
+      },
+      Some("""WITH byp AS (SELECT l_partkey AS part_id,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DECIMAL(18,2)) AS rev
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT part_id, rev,
+             |    SUM(rev) OVER (ORDER BY rev DESC, part_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    SUM(rev) OVER () AS total
+             |  FROM byp),
+             |k AS (SELECT rev,
+             |    CASE WHEN cum * 5 <= total * 4 THEN 'A'
+             |      WHEN cum * 20 <= total * 19 THEN 'B'
+             |      ELSE 'C' END AS abc_class
+             |  FROM c)
+             |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             |CAST(CAST(SUM(rev) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+             |FROM k GROUP BY 1""".stripMargin)),
+
     QueryDef("bi_yoy_growth",
       (s, d) => {
         val yearly = li(s, d)

@@ -686,6 +686,27 @@ object Dedup {
                    s"AS BIGINT) AS ge_${(t * 10).toInt}").mkString(",\n|")}
               |FROM jac""".stripMargin)),
 
+    // The cosine knob's sweep (D13's embedding twin): candidate-pair
+    // volume at five cosine cuts from one pass over the bucketed
+    // candidates. Candidates dedupe on (i, j) first — multiprobe can
+    // surface a pair in up to... exactly one probe bucket (masks are
+    // distinct), so no dedup needed; conditional sums only.
+    QueryDef("dedup_embedding_sweep",
+      (s, d) => {
+        val pairs = embeddingNearDup(Tables.embeddings(s, d), t = -1.0)
+        val cuts = Seq(0.80, 0.85, 0.90, 0.95, 0.99)
+        pairs.agg(
+          count(lit(1)).as("n_candidates"),
+          cuts.map(t => sum((col("cos") >= t).cast("long"))
+            .as(s"ge_${(t * 100).toInt}")): _*)
+      },
+      Some(s"""WITH $embCandSql
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+              |${Seq(0.80, 0.85, 0.90, 0.95, 0.99).map(t =>
+                 s"CAST(SUM(CASE WHEN cos >= $t THEN 1 ELSE 0 END) " +
+                   s"AS BIGINT) AS ge_${(t * 100).toInt}").mkString(",\n|")}
+              |FROM ecand""".stripMargin)),
+
     // Curation-grade canonicalization: within each near-dup cluster
     // keep the LONGEST document (ties to the lower doc_id) instead of
     // the arbitrary min-id — the "most complete version survives"

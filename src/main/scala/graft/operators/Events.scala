@@ -292,8 +292,42 @@ object Events {
              |ROUND(CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS DOUBLE)
              |  / 100.0, 2) AS revenue
              |FROM c WHERE event_type = 'purchase'
+             |GROUP BY 1""".stripMargin)),
+
+    QueryDef("e9_new_vs_returning",
+      (s, d) => newVsReturning(Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))),
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |first AS (SELECT user_id, MIN(day) AS first_day
+             |  FROM days GROUP BY 1)
+             |SELECT day, CAST(COUNT(*) AS BIGINT) AS active,
+             |CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+             |  AS BIGINT) AS new_users,
+             |CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+             |  AS BIGINT) AS returning
+             |FROM days JOIN first USING (user_id)
              |GROUP BY 1""".stripMargin))
   )
+
+  /** E9: daily new-vs-returning actives — the acquisition half of the
+    * E5 activity chart. The (user, day) grid reduces once; first-seen
+    * day is a per-user min; a day's "new" are the users whose first
+    * day it is. Two small aggregates, exact integers.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .distinct().localCheckpoint(false)
+    val first = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    days.join(first, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active"),
+        sum((col("day") === col("first_day")).cast("long")).as("new_users"))
+      .select(col("day"), col("active"), col("new_users"),
+        (col("active") - col("new_users")).as("returning"))
+  }
 
   /** See the p23_fill_forward QueryDef. */
   def fillForward(events: DataFrame): DataFrame = {

@@ -28,6 +28,18 @@ class EventsSpec extends SparkSpec {
     assert(got(5L) === ((Some(7.0), 1)))
   }
 
+  test("new vs returning: a user is new only on their first-seen day") {
+    val dayUs = 86400L * 1000000
+    val ev = Seq(
+      (1L, 0L), (1L, dayUs),        // user 1: day 0 new, day 1 returning
+      (2L, dayUs), (2L, dayUs + 1)) // user 2: day 1 new (dup row collapses)
+      .toDF("user_id", "ts_us")
+    val got = Events.newVsReturning(ev)
+      .select("active", "new_users", "returning")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L, 0L), (2L, 1L, 1L)))
+  }
+
   test("attribution: purchase credits the last prior non-purchase channel") {
     val got = Events.attribution(evv(
       (1L, 1L, 10L, "view", 0.0), (2L, 1L, 20L, "purchase", 10.0),

@@ -47,7 +47,10 @@ class DeterminismSpec extends SparkSpec {
     "dedup_best_of_cluster",  // CC labels + longest-survivor window
     "mix_quality_bands",      // band cuts + hash keep rates
     "ml_precision_popularity", // TakeOrdered top list + anti-join mask
-    "ml_coldstart_report")    // split + seen-mask conditional sums
+    "ml_coldstart_report",    // split + seen-mask conditional sums
+    "bi_abc_analysis",        // decimal cumsum + exact class boundaries
+    "dedup_threshold_sweep",  // candidate-pair conditional sums
+    "e8_bounce_rate")         // session grid + ppm ratio
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

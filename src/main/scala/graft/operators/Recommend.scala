@@ -956,6 +956,49 @@ object Recommend {
               |CAST(COUNT(*) AS BIGINT) AS n_rows
               |FROM g GROUP BY 1""".stripMargin)),
 
+    // Novelty@10: mean self-information −ln(pop/|users|) of the
+    // recommended items — the metric that catches a recommender
+    // collapsing into the popularity list (popular recs score near
+    // zero). Quantized-ln device (txt_unigram_logprob): each term is
+    // floor(−10⁶·ln(ratio-of-exact-ints)), summed as exact BIGINTs in
+    // any order; ln matches across engines per the LM-family
+    // precedent. Read next to ml_precision_popularity: precision says
+    // accurate, novelty says not-just-obvious.
+    QueryDef("ml_novelty_at_10",
+      (s, d) => {
+        val inter = interactions(s, d).localCheckpoint(false)
+        val train = trainSet(inter).localCheckpoint(false)
+        val recs = recommend(train, itemSimilarity(train).localCheckpoint(false))
+        val nu = train.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("nu")) // 1 row
+        val pop = train.groupBy(col("item_id")).agg(count(lit(1)).as("pop"))
+        recs
+          .join(pop, Seq("item_id")) // recommended items exist in train
+          .crossJoin(broadcast(nu))
+          .withColumn("si_q", floor(lit(-1000000.0d)
+            * log(col("pop").cast("double") / col("nu"))).cast("long"))
+          .agg(sum(col("si_q")).as("sq"), count(lit(1)).as("n_recs"))
+          .select(
+            round(floor(col("sq").cast("double") / col("n_recs"))
+              / 1000000.0d, 6).as("avg_novelty"),
+            col("n_recs"))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |tr AS (SELECT user_id, item_id FROM inter WHERE $splitCond < 8),
+              |ev AS (SELECT user_id, item_id FROM inter WHERE $splitCond >= 8),
+              |${recsSql("tr")},
+              |nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+              |  FROM tr),
+              |pop AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS pop
+              |  FROM tr GROUP BY 1),
+              |si AS (SELECT CAST(FLOOR(-1000000.0 *
+              |    ln(CAST(pop AS DOUBLE) / nu)) AS BIGINT) AS si_q
+              |  FROM recs JOIN pop USING (item_id), nu)
+              |SELECT ROUND(FLOOR(CAST(SUM(si_q) AS DOUBLE) / COUNT(*))
+              |  / 1000000.0, 6) AS avg_novelty,
+              |CAST(COUNT(*) AS BIGINT) AS n_recs
+              |FROM si""".stripMargin)),
+
     // Cold-start gap report: the share of eval pairs whose item never
     // appears in train — the ceiling on any co-occurrence CF's recall
     // (it cannot score an unseen item). THE number to read next to

@@ -443,30 +443,46 @@ object TextAnalysis {
     * The ln is micro-unit-quantized like every LM score here; ranking
     * and the tie-break (q desc, w1, w2) run on the quantized integer,
     * so both engines cut the same top-k.
-    * Scale: one tokenize pass (checkpointed) feeds the totals, the
-    * unigram and the bigram aggregates; joins key on the word — all
-    * map-side-combinable aggregates; the final top-k is
-    * TakeOrdered over the min-count-filtered vocabulary, never a
-    * global sort of the stream.
+    * Scale: ONE full-stream explode (the bigram stream); unigram
+    * counts and both totals DERIVE from the bigram vocabulary — a
+    * leading-word sum covers every token but each doc's last, which
+    * one row per doc off the checkpointed arrays supplies (the
+    * backoffHeldout edge-correction device one order down). The PMI
+    * joins key on 8-byte hex60 hashes (bigramLogprob's device) and
+    * run at vocabulary grain, so AQE broadcasts them; the final
+    * top-k is TakeOrdered over the min-count-filtered vocabulary,
+    * never a global sort of the stream. The oracle hashes its join
+    * keys identically, so a hash collision cannot cause a mismatch.
     */
   def collocations(docs: DataFrame, k: Int = CollocTopK,
                    minCount: Long = CollocMinCount): DataFrame = {
     val toks = docs.withColumn("t", tokens(lower(col("text"))))
       .select(col("t"))
       .localCheckpoint(false)
-    val tot = toks.agg(
-      sum(size(col("t")).cast("long")).as("n1"),
-      sum(greatest(size(col("t")) - 1, lit(0)).cast("long")).as("n2"))
-    val uni = toks.select(explode(col("t")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val big = toks.select(explode(expr(bigramArr)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= minCount)
+      .withColumn("w1h", hex60(expr("split_part(bg, ' ', 1)")))
+      .withColumn("w2h", hex60(expr("split_part(bg, ' ', 2)")))
+      .localCheckpoint(false) // vocab-grain: feeds c1, totals, PMI join
+    // Unigram counts: every token position but the doc-final one is
+    // some bigram's left word; 1-token docs (no bigrams) are covered
+    // by the same last-token edge row.
+    val edge = toks.filter(size(col("t")) >= 1)
+      .select(hex60(expr("t[size(t)-1]")).as("wh"))
+      .groupBy(col("wh")).agg(count(lit(1)).as("c"))
+    val uni = big.select(col("w1h").as("wh"), col("c2").as("c"))
+      .unionByName(edge)
+      .groupBy(col("wh")).agg(sum(col("c")).as("c1"))
+      .localCheckpoint(false) // reused: two PMI joins + n1 total
+    val tot = uni.agg(sum(col("c1")).as("n1"))
+      .crossJoin(big.agg(sum(col("c2")).as("n2"))) // 1-row × 1-row
+    big.filter(col("c2") >= minCount)
       .withColumn("w1", expr("split_part(bg, ' ', 1)"))
       .withColumn("w2", expr("split_part(bg, ' ', 2)"))
-    big
-      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .join(uni.select(col("wh").as("w1h"), col("c1").as("c1a")),
+        Seq("w1h"))
+      .join(uni.select(col("wh").as("w2h"), col("c1").as("c1b")),
+        Seq("w2h"))
       .crossJoin(broadcast(tot)) // 1-row totals
       .withColumn("q",
         round(log((col("c2") * lit(1.0d) / col("n2")) /
@@ -500,41 +516,72 @@ object TextAnalysis {
   def backoffHeldout(docs: DataFrame): DataFrame = {
     val a2 = BackoffAlpha * BackoffAlpha
     val withB = docs.withColumn("b", bucket10(col("doc_id"), lit(7L)))
-    // ONE tokenize pass over the train split, checkpointed — the
-    // unigram, bigram and trigram aggregates all explode from it
-    // (the bigramLogprob device; three raw corpus scans otherwise)
     val train = withB.filter(col("b") < 8)
       .withColumn("t", tokens(lower(col("text"))))
       .select(col("t")).localCheckpoint(false)
     val evalDocs = withB.filter(col("b") >= 8)
 
-    val trTok = train.select(explode(col("t")).as("w"))
-      .select(hex60(col("w")).as("wh")).localCheckpoint(false)
-    val uni = trTok.groupBy(col("wh")).agg(count(lit(1)).as("u3"))
-    val tot = trTok.agg(count(lit(1)).as("n_total"),
-      countDistinct(col("wh")).as("v_size"))
-    val trBg = train
-      .select(explode(expr(bigramArr)).as("bg"))
-      .select(hex60(col("bg")).as("b23h"),
-        hex60(expr("split_part(bg, ' ', 1)")).as("lwh"))
-    val c2t = trBg.groupBy(col("b23h"))
-      .agg(max(col("lwh")).as("lwh"), count(lit(1)).as("c23"))
-    val c2tab = c2t
-      .join(c2t.groupBy(col("lwh")).agg(sum(col("c23")).as("cl2")),
-        Seq("lwh"))
-      .select("b23h", "c23", "cl2")
+    // ONE full-stream explode of the train split: the trigram stream,
+    // hashed at scan to (trigram, leading-bigram, first-word) 8-byte
+    // keys. Bigram and unigram train counts DERIVE from the trigram
+    // vocabulary: a leading-position sum covers positions 1..n-2 of
+    // every doc, and the only occurrences it misses are each doc's
+    // last bigram (position n-1) and last two tokens — one/two rows
+    // per doc, read off the checkpointed token arrays without another
+    // stream explode. Counts are exact, so the scored values are
+    // byte-identical to the three-explode form the oracle runs.
     val trTg = train
       .select(explode(expr(trigramArr)).as("tg"))
       .select(hex60(col("tg")).as("th"),
         hex60(expr(
           "concat(split_part(tg, ' ', 1), ' ', split_part(tg, ' ', 2))"))
-          .as("ctxh"))
+          .as("ctxh"),
+        hex60(expr("split_part(tg, ' ', 1)")).as("w1h"))
     val c3t = trTg.groupBy(col("th"))
-      .agg(max(col("ctxh")).as("ctxh"), count(lit(1)).as("c3"))
+      .agg(max(col("ctxh")).as("ctxh"), max(col("w1h")).as("w1h"),
+        count(lit(1)).as("c3"))
+      .localCheckpoint(false) // vocab-grain: feeds cctx, c2, uni, tot
+    // Context counts = leading-bigram sums over the trigram vocab
+    // (w1h is functionally determined by ctxh, so max() is exact).
+    val cc = c3t.groupBy(col("ctxh"))
+      .agg(max(col("w1h")).as("lwh"), sum(col("c3")).as("cctx"))
+      .localCheckpoint(false) // reused: c3tab join + bigram derivation
     val c3tab = c3t
-      .join(c3t.groupBy(col("ctxh")).agg(sum(col("c3")).as("cctx")),
-        Seq("ctxh"))
+      .join(cc.select(col("ctxh"), col("cctx")), Seq("ctxh"))
       .select("th", "c3", "cctx")
+    // Full bigram counts = trigram-context sums + the per-doc final
+    // bigram (also the ONLY bigram of 2-token docs, which have no
+    // trigrams at all).
+    val edgeBg = train.filter(size(col("t")) >= 2)
+      .select(
+        hex60(expr("concat(t[size(t)-2], ' ', t[size(t)-1])")).as("b23h"),
+        hex60(expr("t[size(t)-2]")).as("lwh"))
+      .groupBy(col("b23h"))
+      .agg(max(col("lwh")).as("lwh"), count(lit(1)).as("c"))
+    val c2t = cc
+      .select(col("ctxh").as("b23h"), col("lwh"), col("cctx").as("c"))
+      .unionByName(edgeBg)
+      .groupBy(col("b23h"))
+      .agg(max(col("lwh")).as("lwh"), sum(col("c")).as("c23"))
+    val c2tab = c2t
+      .join(c2t.groupBy(col("lwh")).agg(sum(col("c23")).as("cl2")),
+        Seq("lwh"))
+      .select("b23h", "c23", "cl2")
+    // Unigram counts = trigram first-word sums + each doc's last two
+    // tokens (or its only token); totals then read off the unigram
+    // vocab table instead of a stream-grain countDistinct.
+    val edgeUni = train.filter(size(col("t")) >= 1)
+      .select(explode(
+        expr("slice(t, -least(size(t), 2), least(size(t), 2))")).as("w"))
+      .select(hex60(col("w")).as("wh"))
+      .groupBy(col("wh")).agg(count(lit(1)).as("c"))
+    val uni = c3t
+      .select(col("w1h").as("wh"), col("c3").as("c"))
+      .unionByName(edgeUni)
+      .groupBy(col("wh")).agg(sum(col("c")).as("u3"))
+      .localCheckpoint(false) // reused: scoring join + totals
+    val tot = uni.agg(sum(col("u3")).as("n_total"),
+      count(lit(1)).as("v_size"))
 
     val ev = evalDocs.withColumn("t", tokens(lower(col("text"))))
       .select(col("doc_id"), explode(expr(trigramArr)).as("tg"))
@@ -1387,25 +1434,33 @@ object TextAnalysis {
 
     QueryDef("txt_collocations",
       (s, d) => collocations(docs(s, d)),
-      Some(s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)),'\\s+') AS t
-              |  FROM documents),
-              |tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n1,
-              |    CAST(SUM(greatest(len(t)-1, 0)) AS BIGINT) AS n2 FROM tk),
-              |uni AS (SELECT w, COUNT(*) AS c1 FROM
-              |  (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
-              |bgs AS (SELECT unnest(list_transform(
-              |    generate_series(1, greatest(len(t)-1, 0)),
-              |    i -> t[i] || ' ' || t[i+1])) AS bg FROM tk),
-              |c2t AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY 1
-              |  HAVING COUNT(*) >= $CollocMinCount),
-              |sp AS (SELECT bg, c2, split_part(bg,' ',1) AS w1,
-              |    split_part(bg,' ',2) AS w2 FROM c2t),
-              |j AS (SELECT w1, w2, c2,
-              |  CAST(ROUND(ln((c2*1.0/n2)/((a.c1*1.0/n1)*(b.c1*1.0/n1))) * 1000000)
-              |    AS BIGINT) AS q
-              |  FROM sp JOIN uni a ON sp.w1 = a.w JOIN uni b ON sp.w2 = b.w, tot)
-              |SELECT w1, w2, c2, ROUND(CAST(q AS DOUBLE)/1000000.0, 6) AS pmi
-              |FROM j ORDER BY q DESC, w1, w2 LIMIT $CollocTopK""".stripMargin)),
+      Some {
+        // join keys hashed exactly like the Spark side (hex60), so a
+        // collision merges the same counts on both engines
+        val h = (x: String) =>
+          s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+        s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)),'\\s+') AS t
+           |  FROM documents),
+           |tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n1,
+           |    CAST(SUM(greatest(len(t)-1, 0)) AS BIGINT) AS n2 FROM tk),
+           |uni AS (SELECT ${h("w")} AS wh, COUNT(*) AS c1 FROM
+           |  (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+           |bgs AS (SELECT unnest(list_transform(
+           |    generate_series(1, greatest(len(t)-1, 0)),
+           |    i -> t[i] || ' ' || t[i+1])) AS bg FROM tk),
+           |c2t AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY 1
+           |  HAVING COUNT(*) >= $CollocMinCount),
+           |sp AS (SELECT bg, c2, split_part(bg,' ',1) AS w1,
+           |    split_part(bg,' ',2) AS w2,
+           |    ${h("split_part(bg,' ',1)")} AS w1h,
+           |    ${h("split_part(bg,' ',2)")} AS w2h FROM c2t),
+           |j AS (SELECT w1, w2, c2,
+           |  CAST(ROUND(ln((c2*1.0/n2)/((a.c1*1.0/n1)*(b.c1*1.0/n1))) * 1000000)
+           |    AS BIGINT) AS q
+           |  FROM sp JOIN uni a ON sp.w1h = a.wh JOIN uni b ON sp.w2h = b.wh, tot)
+           |SELECT w1, w2, c2, ROUND(CAST(q AS DOUBLE)/1000000.0, 6) AS pmi
+           |FROM j ORDER BY q DESC, w1, w2 LIMIT $CollocTopK""".stripMargin
+      }),
 
     QueryDef("txt_keywords",
       (s, d) => keywords(docs(s, d)),

@@ -17,10 +17,13 @@ case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
 /** Multimodal-column operators: decode / feature-extract / resize /
   * frame-sample over opaque `binary` payloads.
   *
-  * The image/audio codecs are NOT in this container, so the decode
-  * itself is a clearly-marked deterministic STUB (dimensions derived
+  * IMAGE decode is real: payloads carrying a PNG/JPEG magic go
+  * through `javax.imageio` (JDK built-in — no new dependency), which
+  * reads true width/height/format off the header without a full
+  * pixel decode. Audio/video (no JDK codec) and non-image bytes fall
+  * back to a clearly-marked deterministic STUB (dimensions derived
   * from the payload's md5 — see decodeBytesStub). Everything around
-  * it is real and tested: the binary column schema, the
+  * the codec is real and tested: the binary column schema, the
   * Dataset[MediaRow] → mapPartitions → Dataset[DecodedMedia] batch
   * plumbing (the Scala analog of mapInPandas: one iterator per
   * partition, decoder state initialized once per partition, rows
@@ -47,11 +50,11 @@ object Multimodal {
         .otherwise("video").as("kind"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB decoder ??? — replace with a real codec (javax.imageio /
-    * ffmpeg bindings) in production. Deterministic fake: dimensions
-    * are carved out of the payload's md5 so any engine (and the
-    * DuckDB oracle) reproduces them. The SIGNATURE is the contract:
-    * bytes in, (n_bytes, width, height, format) out.
+  /** STUB decoder ??? for audio/video (no JDK codec exists) and for
+    * image bytes that are not a parseable image. Deterministic fake:
+    * dimensions are carved out of the payload's md5 so any engine
+    * (and the DuckDB oracle) reproduces them. The SIGNATURE is the
+    * contract: bytes in, (n_bytes, width, height, format) out.
     */
   def decodeBytesStub(payload: Array[Byte], kind: String): (Long, Int, Int, String) = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
@@ -65,17 +68,60 @@ object Multimodal {
       (h2 % 901L + 180L).toInt, fmt)
   }
 
+  // Strong magic-byte gates for the real-codec path. Both contain
+  // bytes (0x89 / 0xFF 0xD8) that cannot occur at the start of the
+  // synthetic text payloads, so the oracle's stub model stays exact
+  // on testdata. GIF ("GIF89a") and BMP ("BM") magics are printable
+  // ASCII — text-collidable — so those formats stay on the stub
+  // until payloads carry a content-type column.
+  private def looksLikePng(p: Array[Byte]): Boolean =
+    p.length >= 8 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
+      p(2) == 'N'.toByte && p(3) == 'G'.toByte
+  private def looksLikeJpeg(p: Array[Byte]): Boolean =
+    p.length >= 3 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte &&
+      p(2) == 0xFF.toByte
+
+  /** REAL image decode via `javax.imageio`: reads true
+    * width/height/format from the header (no full pixel decode — the
+    * metadata pass over a 100 TB corpus must not rasterize). None on
+    * unparseable bytes → caller falls back to the stub.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Long, Int, Int, String)] = {
+    if (!looksLikePng(payload) && !looksLikeJpeg(payload)) return None
+    val iin = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iin)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iin)
+          Some((payload.length.toLong, r.getWidth(0), r.getHeight(0),
+            r.getFormatName.toLowerCase))
+        } catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } finally if (iin != null) iin.close()
+  }
+
+  /** Per-payload dispatch: real codec for real images, stub otherwise. */
+  def decodeBytes(payload: Array[Byte], kind: String): (Long, Int, Int, String) =
+    if (kind == "image") decodeImage(payload)
+      .getOrElse(decodeBytesStub(payload, kind))
+    else decodeBytesStub(payload, kind)
+
   /** Decode pass: Dataset[MediaRow] → mapPartitions → typed metadata.
-    * One decoder "session" per partition (the `digestInit` line is
-    * where a real codec would allocate), rows streamed lazily.
+    * One decoder "session" per partition (where a heavier codec would
+    * allocate its state once per task), rows streamed lazily.
     */
   def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // real decoder init would go here, once per partition/task
+      // heavier codec init would go here, once per partition/task
       rows.map { r =>
-        val (n, w, h, f) = decodeBytesStub(r.payload, r.kind)
+        val (n, w, h, f) = decodeBytes(r.payload, r.kind)
         DecodedMedia(r.media_id, r.kind, n, w, h, f)
       }
     }.toDF()

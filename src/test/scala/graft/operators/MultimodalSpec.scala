@@ -32,6 +32,38 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[String]("format") === "jpeg")
   }
 
+  test("decode: real PNG/JPEG payloads get true dimensions via imageio") {
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val real = Seq(
+      (100L, "image", imageBytes(640, 480, "png")),
+      (101L, "image", imageBytes(31, 17, "jpg")),
+      // image-kind but non-image bytes: must fall back to the stub
+      (102L, "image", "not an image".getBytes("UTF-8")),
+      // real PNG bytes under a non-image kind: stub (kind wins)
+      (103L, "audio", imageBytes(8, 8, "png")))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decode(real).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[String]("format")))).toMap
+    assert(out(100L) === ((640, 480, "png")))
+    assert(out(101L)._1 === 31 && out(101L)._2 === 17)
+    assert(out(101L)._3 === "jpeg")
+    assert(out(102L)._3 === "jpeg" && out(102L)._1 >= 320) // stub path
+    assert(out(103L)._3 === "wav") // stub path, audio format
+    // n_bytes is the raw payload size on both paths
+    val nb = Multimodal.decode(real).filter(col("media_id") === 100L)
+      .head().getAs[Long]("n_bytes")
+    assert(nb === imageBytes(640, 480, "png").length.toLong)
+  }
+
   test("resize: integer aspect math") {
     val out = Multimodal.resizePlan(Multimodal.decode(Multimodal.mediaTable(docs)))
       .select("media_id", "width", "height", "out_width", "out_height")

@@ -83,23 +83,34 @@ object Events {
     * candidate probe set is the distinct key list — tiny here, and at
     * 100 TB you'd probe a fixed watch-list instead, which is the
     * point of a CMS: the sketch is O(ln(1/δ)/ε) bytes regardless of
-    * stream size. Estimates depend on the hash seed, so this is a
-    * rows-only entry (count = |candidates|, stable); EventsSpec
-    * asserts the error bound against exact counts.
+    * stream size. The candidate watch-list is a CALLER-SUPPLIED
+    * literal — the production contract (probe a fixed list against
+    * the sketch; the operator itself never collects the stream).
+    * Estimates depend on the hash seed, so this is a rows-only entry
+    * (count = |watchlist|, stable); EventsSpec asserts the error
+    * bound against exact counts.
     */
-  def heavyHittersCms(events: DataFrame, eps: Double = 0.001,
-                      conf: Double = 0.99, seed: Int = 42): DataFrame = {
+  def heavyHittersCms(events: DataFrame, watchlist: Seq[String],
+                      eps: Double = 0.001, conf: Double = 0.99,
+                      seed: Int = 42): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val cms = events.stat.countMinSketch(col("event_type"), eps, conf, seed)
-    // candidate set: small by construction (like the 1-row metric
-    // reads in ModelRegistry); a production watch-list arrives as a
-    // literal Seq instead
-    val cands = events.select(col("event_type")).distinct()
-      .as[String].collect().sorted.toSeq
-    cands.map(t => (t, cms.estimateCount(t)))
+    watchlist.sorted.map(t => (t, cms.estimateCount(t)))
       .toDF("event_type", "est_count")
       .orderBy(col("est_count").desc, col("event_type"))
+  }
+
+  /** Test-only probe list for the registered query: the distinct key
+    * set of the synthetic table (5 values). A deployment passes its
+    * literal watch-list; this collect is OUTSIDE the operator and
+    * bounded by `event_type`'s enum cardinality.
+    */
+  def eventTypeWatchlist(events: DataFrame): Seq[String] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type")).distinct().as[String]
+      .collect().sorted.toSeq
   }
 
   private def ev(s: SparkSession, d: String) =
@@ -247,7 +258,10 @@ object Events {
     // Rows-only (hash-seed-dependent estimates; EventsSpec proves the
     // (ε, δ) bound against exact counts).
     QueryDef("e6_heavy_hitters_cms",
-      (s, d) => heavyHittersCms(ev(s, d)),
+      (s, d) => {
+        val e = ev(s, d)
+        heavyHittersCms(e, eventTypeWatchlist(e))
+      },
       None),
 
     // P23 (beyond-ref): last-observation-carried-forward imputation.

@@ -107,7 +107,8 @@ class EventsSpec extends SparkSpec {
       else if (i <= 950) "purchase" else "refund"
       (i, i % 7, i, t)
     }
-    val got = Events.heavyHittersCms(ev(rows: _*), eps = 0.01)
+    val got = Events.heavyHittersCms(ev(rows: _*),
+      Seq("view", "click", "purchase", "refund"), eps = 0.01)
       .as[(String, Long)].collect()
     val exact = Map("view" -> 600L, "click" -> 250L,
       "purchase" -> 100L, "refund" -> 50L)

@@ -898,9 +898,13 @@ object Recommend {
               |ranked AS (SELECT user_id, item_id, slot,
               |    ROW_NUMBER() OVER (PARTITION BY user_id
               |      ORDER BY slot) AS rn
-              |  FROM firstslot)
-              |SELECT user_id, item_id, CAST(slot AS BIGINT) AS slot
-              |FROM ranked WHERE rn <= $NegPerUser""".stripMargin)),
+              |  FROM firstslot),
+              |kept AS (SELECT user_id, item_id, slot
+              |  FROM ranked WHERE rn <= $NegPerUser)
+              |SELECT user_id, item_id, CAST(slot AS BIGINT) AS slot,
+              |CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+              |  AS n_sampled
+              |FROM kept""".stripMargin)),
 
     // The yardstick every CF eval needs: precision@10 of the
     // POPULARITY baseline (everyone gets the global top-10 from
@@ -1047,6 +1051,16 @@ object Recommend {
 
   /** See the ml_negative_samples QueryDef. Items index and count are
     * dim-sized (broadcast); the slot expansion is |users| × NegSlots.
+    * A user can receive FEWER than k negatives (fixed `slots` hash
+    * draws lose some to duplicate indices and positive-item
+    * collisions — e.g. a user owning most of a small catalog), so the
+    * output carries `n_sampled`, the user's delivered count:
+    * training-set consumers filter or re-draw short users instead of
+    * discovering the shortfall at batch-assembly time.
+    * The item index below is a global-window rank over the DISTINCT
+    * item catalog — bounded cardinality by precondition (see
+    * Stats.valueCuts for the same contract); never call it on a
+    * row-grain column.
     */
   def negativeSamples(inter: DataFrame, k: Int = NegPerUser,
                       slots: Int = NegSlots): DataFrame = {
@@ -1069,7 +1083,11 @@ object Recommend {
     val wu = Window.partitionBy(col("user_id")).orderBy(col("slot"))
     negatives.withColumn("rn", row_number().over(wu))
       .filter(col("rn") <= k)
+      // delivered-count window AFTER the keep-k filter (same user_id
+      // partitioning — no extra exchange)
+      .withColumn("n_sampled",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
       .select(col("user_id"), col("item_id"), col("slot").cast("long")
-        .as("slot"))
+        .as("slot"), col("n_sampled"))
   }
 }

@@ -17,8 +17,18 @@ object Stats {
 
   /** One row of exact discrete percentile cutpoints of column `v`:
     * for each (p, name), `name` = min v with cum-count ≥ ceil(p·n).
-    * The caller guarantees `v`'s distinct cardinality is bounded
-    * (a rounded score, a day, whole currency units, ...).
+    *
+    * PRECONDITION — bounded distinct cardinality of `v` (a rounded
+    * score, a day, whole currency units, ...): the cumulative window
+    * below is UNPARTITIONED, so the post-groupBy sort runs on one
+    * task over |distinct v| rows. That is the designed shape — the
+    * groupBy collapses the data-sized input first — but a caller
+    * passing a row-grain column (raw doubles, ids) would funnel the
+    * whole relation through one partition. Pre-bucket such columns
+    * first, as bi_rfm_segments does with its mon_b monetary bucket
+    * (Commerce.rfm) and bi_abc_analysis with whole-unit revenue.
+    * Spark cannot assert cardinality at plan time, so this contract
+    * is documentation + the consuming queries' construction.
     */
   def valueCuts(df: DataFrame, v: String,
                 ps: Seq[(Double, String)]): DataFrame = {

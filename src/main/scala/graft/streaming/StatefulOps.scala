@@ -291,8 +291,13 @@ object StatefulOps {
     * it arrives (append-mode-final). Same per-key event-time-order
     * contract as Scd2Processor: in-batch rows sort by (ts_us,
     * event_id); a cross-batch straggler older than the last applied
-    * event is dropped — attributing it against a channel from its
-    * future would be wrong, and the emitted history is immutable.
+    * event never enters the channel history — attributing against a
+    * channel from its future would be wrong, and the emitted history
+    * is immutable. A straggler PURCHASE is still revenue, though:
+    * it emits under the 'late' sentinel channel rather than silently
+    * undercounting the stream vs the batch twin (the true channel is
+    * unknowable once newer state has been applied; the sentinel marks
+    * the row for downstream reconciliation).
     * Scale: one (channel, ts) struct per user in RocksDB.
     */
   class AttributionProcessor
@@ -322,6 +327,11 @@ object StatefulOps {
             cur = Some(ChannelAt(cur.map(_.channel).getOrElse(""),
               e.ts_us, e.event_id))
           } else cur = Some(ChannelAt(e.event_type, e.ts_us, e.event_id))
+        } else if (e.event_type == "purchase") {
+          // late purchase: emit the revenue fact under the sentinel;
+          // state is NOT touched (the channel history stays immutable)
+          out += AttributedPurchase(e.event_id, key, e.ts_us, "late",
+            e.value)
         }
       }
       cur.foreach(last.update)

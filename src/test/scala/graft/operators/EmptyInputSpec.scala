@@ -183,8 +183,10 @@ class EmptyInputSpec extends SparkSpec {
         "value" -> DoubleType)).count() === 0)
     assert(Events.fillForward(evv0).count() === 0)
     assert(Events.attribution(evv0).count() === 0)
-    // negative sampling: n_items = 0 makes the hash modulo NULL-safe
-    // (Spark % 0 -> null), never a divide-by-zero
+    // negative sampling: with no interactions the candidate side is
+    // empty too, so the `% n_items` expression is never evaluated —
+    // under Spark 4's default ANSI mode, integer modulo by zero
+    // would throw DIVIDE_BY_ZERO if a row ever reached it
     assert(Recommend.negativeSamples(inter0).count() === 0)
     assert(Similarity.normalizeCenter(emb0).count() === 0)
     assert(TextAnalysis.oovRate(docs0).count() === 0)

@@ -215,7 +215,8 @@ class StatefulOpsSpec extends SparkSpec {
         ValuedEvent(4L, 1L, 300L, "purchase", 20.0), // batch-1 view carries
         ValuedEvent(5L, 1L, 400L, "click", 0.0),
         ValuedEvent(6L, 1L, 500L, "purchase", 1.0),  // -> click
-        ValuedEvent(7L, 2L, 50L, "view", 0.0))       // straggler: dropped
+        ValuedEvent(7L, 2L, 50L, "view", 0.0),       // straggler: dropped
+        ValuedEvent(9L, 2L, 40L, "purchase", 7.0))   // late purchase -> 'late'
       // batch 3 PROVES the straggler was dropped: were view@50 applied,
       // this purchase would credit "view"; emitted history says direct
       val b3 = Seq(ValuedEvent(8L, 2L, 200L, "purchase", 2.0))
@@ -230,16 +231,18 @@ class StatefulOpsSpec extends SparkSpec {
       val got = spark.table("attr_out").as[AttributedPurchase].collect()
         .map(a => a.event_id -> a.channel).toMap
       assert(got === Map(2L -> "view", 3L -> "direct",
-        4L -> "view", 6L -> "click", 8L -> "direct"))
+        4L -> "view", 6L -> "click", 8L -> "direct", 9L -> "late"))
       // one codepath: the batch operator over the concatenated input
       // (minus the dropped straggler) agrees channel-for-channel
       val batch = graft.operators.Events.attribution(
-        (b1 ++ b2.filter(_.event_id != 7L) ++ b3)
+        (b1 ++ b2.filterNot(e => e.event_id == 7L || e.event_id == 9L) ++ b3)
           .toDF("event_id", "user_id", "ts_us", "event_type", "value"))
         .select("channel", "n_purchases").as[(String, Long)]
         .collect().toMap
+      // late rows carry the sentinel, outside the batch twin's universe
       val streamByCh = spark.table("attr_out").as[AttributedPurchase]
-        .collect().groupBy(_.channel).view.mapValues(_.length.toLong).toMap
+        .collect().filter(_.channel != "late")
+        .groupBy(_.channel).view.mapValues(_.length.toLong).toMap
       assert(batch === streamByCh)
     } finally {
       prev match {

@@ -88,6 +88,85 @@ object Graph {
   def pagerank(s: SparkSession, d: String): DataFrame =
     pagerankFrom(Recommend.interactions(s, d))
 
+  val TriMinCo = 3L
+
+  /** Item co-occurrence graph: canonical i<j edges between items at
+    * least `minCo` users share, from per-user-CAPPED interactions —
+    * the cap bounds each user's pair contribution at cap² exactly as
+    * in the CF self-join, so edge generation survives power users.
+    */
+  def itemEdges(inter: DataFrame, minCo: Long = TriMinCo): DataFrame =
+    inter.as("a").join(inter.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("i"), col("b.item_id").as("j"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+      .select(col("i"), col("j"))
+
+  /** Per-vertex triangle count + local clustering coefficient over an
+    * undirected i<j edge list — the community-structure monitor next
+    * to PageRank's global importance (a co-purchase neighborhood with
+    * high clustering is a real category; low clustering around a hub
+    * is drive-by popularity).
+    *
+    * Scale shape: the wedge join uses DEGREE-ORDERED orientation —
+    * each edge points from its lower-(deg, id) endpoint to the
+    * higher — so every vertex's out-degree is O(√|E|) for ANY degree
+    * distribution (the classic compact-forward guarantee): wedge
+    * volume is Σ outdeg² ≤ |E|^1.5, never the hub's deg² blowup a
+    * naive neighbor join pays. The closing-edge probe is an equi-join
+    * back on the oriented list. Each triangle materializes exactly
+    * once (at its orientation-minimum vertex).
+    *
+    * Determinism: counts and the ppm coefficient are exact integer
+    * arithmetic — 2T·10⁶ div d(d−1) — so both engines emit identical
+    * rows on any partitioning.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(false) // degrees + orientation + probe
+    val deg = e.select(col("i").as("v"))
+      .unionByName(e.select(col("j").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false) // reused: orientation decoration + output
+    val eo = e
+      .join(deg.select(col("v").as("i"), col("deg").as("di")), Seq("i"))
+      .join(deg.select(col("v").as("j"), col("deg").as("dj")), Seq("j"))
+      .select(
+        when(col("di") < col("dj") ||
+          (col("di") === col("dj") && col("i") < col("j")),
+          struct(col("i").as("s"), col("j").as("t"), col("dj").as("td")))
+          .otherwise(
+            struct(col("j").as("s"), col("i").as("t"), col("di").as("td")))
+          .as("o"))
+      .select(col("o.s").as("src"), col("o.t").as("dst"),
+        col("o.td").as("ddeg"))
+      .localCheckpoint(false) // both wedge sides + the closing probe
+    // out-neighbor pairs (b, c), b before c in the SAME orientation
+    // order — so the closing edge {b, c}, if present, is oriented
+    // b→c and one equi-join decides the triangle
+    val wedge = eo.as("e1").join(eo.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.ddeg") < col("e2.ddeg") ||
+          (col("e1.ddeg") === col("e2.ddeg") &&
+            col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val tri = wedge.join(
+      eo.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val ntri = tri.select(col("a").as("v"))
+      .unionByName(tri.select(col("b").as("v")))
+      .unionByName(tri.select(col("c").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(ntri, Seq("v"), "left")
+      .select(col("v").as("item_id"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
   /** One unrolled oracle iteration; `prev` names the previous level's
     * CTE. MATERIALIZED is load-bearing: DuckDB inlines CTEs, so an
     * un-materialized ladder re-scans the base 3^iters times.
@@ -118,6 +197,44 @@ object Graph {
            |$ladder
            |SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS node_type,
            |node // 2 AS id, CAST(rank AS BIGINT) AS rank FROM r$Iters""".stripMargin
-      })
+      }),
+
+    // G2 (beyond-ref): triangles + clustering coefficient over the
+    // co-purchase graph. Oracle enumerates each a<b<c triangle once
+    // via the canonical-edge 3-join — same triangles the oriented
+    // wedge join finds, minus the orientation machinery DuckDB
+    // doesn't need at oracle scale.
+    QueryDef("graph_triangles",
+      (s, d) => triangleStats(
+        itemEdges(Recommend.interactionsCapped(s, d)
+          .localCheckpoint(false))),
+      Some(s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |capped AS (SELECT user_id, item_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+              |  WHERE rn <= ${Recommend.CapPerUser}),
+              |e AS MATERIALIZED (SELECT i, j FROM (
+              |  SELECT a.item_id i, b.item_id j, COUNT(*) co
+              |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+              |    AND a.item_id < b.item_id
+              |  GROUP BY 1, 2) WHERE co >= $TriMinCo),
+              |dg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+              |  FROM (SELECT i AS v FROM e UNION ALL SELECT j FROM e)
+              |  GROUP BY 1),
+              |tri AS MATERIALIZED (SELECT e1.i AS a, e1.j AS b, e2.j AS c
+              |  FROM e e1 JOIN e e2 ON e1.j = e2.i
+              |  JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j),
+              |nt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+              |  FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+              |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+              |SELECT dg.v AS item_id, deg AS degree,
+              |COALESCE(n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+              |CASE WHEN deg >= 2 THEN (2 * COALESCE(n_triangles,
+              |    CAST(0 AS BIGINT)) * 1000000) // (deg * (deg - 1))
+              |  ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+              |FROM dg LEFT JOIN nt ON dg.v = nt.v""".stripMargin))
   )
 }

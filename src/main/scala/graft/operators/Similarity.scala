@@ -291,6 +291,25 @@ object Similarity {
           .as("avg_recall"))
   }
 
+  val TruncDim = Dim / 2
+
+  /** Matryoshka-truncation recall: recall@k of brute-force top-k
+    * computed on only the FIRST `dims` dimensions vs the full-dim
+    * baseline, over the strided query set. The other scale lever
+    * beside SQ8: MRL-trained embeddings order information by prefix,
+    * so truncating halves every downstream cost (storage, shuffle
+    * bytes, dot-product flops) and THIS metric is how the kept-dim
+    * knob gets picked — same measure-don't-guess loop as
+    * sim_recall_at_k and sim_sq8_recall, one query family per index
+    * compression axis. Pure composition of the audited brute kernel
+    * on a sliced column; counts of deterministic top-k sets.
+    */
+  def truncationRecallAtK(emb: DataFrame, dims: Int = TruncDim,
+                          k: Int = K): DataFrame =
+    annRecallAtK(emb, k, (e, kk) => knnBrute(
+      e.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $dims)").as("embedding")), kk))
+
   /** Int8 quantization of the embedding column — the storage/serving
     * compression pass every vector store applies before ANN at scale:
     * per-vector min/max range, code = round((v−mn)·255/(mx−mn)),
@@ -488,6 +507,36 @@ object Similarity {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM apsc)
               |  WHERE rk <= $K AND query_id % $QueryStride = 0),
+              |hits AS (SELECT e.query_id, COUNT(*) n_hit FROM ex e
+              |  JOIN ap ON e.query_id = ap.query_id AND e.nbr_id = ap.nbr_id
+              |  GROUP BY 1),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1)
+              |SELECT COUNT(*) AS n_queries,
+              |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6) AS avg_recall
+              |FROM base LEFT JOIN hits USING (query_id)""".stripMargin)),
+
+    // V2 (beyond-ref): the dimension-compression axis of the recall
+    // family (sim_recall_at_k = index axis, sim_sq8_recall = bit
+    // axis) — brute top-k on the first TruncDim dims vs full-dim.
+    QueryDef("sim_truncation_recall",
+      (s, d) => truncationRecallAtK(Tables.embeddings(s, d)),
+      Some(s"""WITH exsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |apsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(
+              |      CAST(q.embedding AS DOUBLE[])[1:$TruncDim],
+              |      CAST(c.embedding AS DOUBLE[])[1:$TruncDim]), 6) AS cos
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0),
+              |ap AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM apsc) WHERE rk <= $K),
               |hits AS (SELECT e.query_id, COUNT(*) n_hit FROM ex e
               |  JOIN ap ON e.query_id = ap.query_id AND e.nbr_id = ap.nbr_id
               |  GROUP BY 1),

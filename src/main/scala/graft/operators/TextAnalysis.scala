@@ -933,6 +933,47 @@ object TextAnalysis {
         col("tk").as("keyword"), col("tf"), col("df"), col("score"))
   }
 
+  val PostingsK = 5
+  val PostingsMinDf = 5L
+
+  /** Inverted-index build: per term, document frequency, total term
+    * frequency, and the top-k postings by (tf desc, doc_id) encoded
+    * as an ordered "doc:tf" string (the a22 sorted-string device —
+    * the driver's comparator can't sort array cells). The df floor
+    * keeps hapax noise out of the artifact.
+    *
+    * Scale shape: the (term, doc) aggregate is map-side combinable
+    * off one tokenize pass; everything after runs at VOCABULARY
+    * grain — the stats aggregate and the per-term rank window both
+    * key on the term, which is exactly how a sharded index build
+    * partitions (term-sharded posting files). The window output is
+    * bounded at k rows per term before the string assembly, so no
+    * posting list ever materializes beyond the cap.
+    */
+  def invertedIndex(docs: DataFrame, k: Int = PostingsK,
+                    minDf: Long = PostingsMinDf): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // stats aggregate + postings window
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      .filter(col("df") >= minDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val posts = tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("rk").as("r"),
+        concat(col("doc_id"), lit(":"), col("tf")).as("p")))).as("ps"))
+      .select(col("term"),
+        expr("array_join(transform(ps, x -> x.p), ' ')").as("top_docs"))
+    stats.join(posts, Seq("term"))
+      .select(col("term"), col("df"), col("tf_total"), col("top_docs"))
+  }
+
   val InterpLambda = 0.75
 
   /** Jelinek-Mercer interpolated LM score: p = λ·p_bigram + (1−λ)·
@@ -1461,6 +1502,28 @@ object TextAnalysis {
            |SELECT w1, w2, c2, ROUND(CAST(q AS DOUBLE)/1000000.0, 6) AS pmi
            |FROM j ORDER BY q DESC, w1, w2 LIMIT $CollocTopK""".stripMargin
       }),
+
+    // T22 (beyond-ref): the index-build artifact behind txt_bm25 —
+    // term-sharded posting lists, capped at k per term.
+    QueryDef("txt_inverted_index",
+      (s, d) => invertedIndex(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |    unnest(string_split_regex(trim(lower(text)),'\\s+')) AS term
+              |  FROM documents),
+              |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+              |  FROM tok GROUP BY 1, 2),
+              |stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+              |    CAST(SUM(tf) AS BIGINT) AS tf_total
+              |  FROM tf GROUP BY 1 HAVING COUNT(*) >= $PostingsMinDf),
+              |pk AS (SELECT term, doc_id, tf,
+              |    ROW_NUMBER() OVER (PARTITION BY term
+              |      ORDER BY tf DESC, doc_id) rk FROM tf),
+              |posts AS (SELECT term,
+              |    string_agg(doc_id || ':' || tf, ' ' ORDER BY rk)
+              |      AS top_docs
+              |  FROM pk WHERE rk <= $PostingsK GROUP BY 1)
+              |SELECT term, df, tf_total, top_docs
+              |FROM stats JOIN posts USING (term)""".stripMargin)),
 
     QueryDef("txt_keywords",
       (s, d) => keywords(docs(s, d)),

@@ -36,6 +36,48 @@ class GraphSpec extends SparkSpec {
     assert(rank(("user", 2L)) == rank(("user", 3L)))
   }
 
+  test("triangles: planted triangle + pendant, exact counts and ppm") {
+    // {1,2,3} closed, 4 pendant off 3: deg = (2,2,3,1)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("i", "j")
+    val got = Graph.triangleStats(edges)
+      .select("item_id", "degree", "n_triangles", "clustering_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, 2L, 1L, 1000000L), // 2*1e6/(2*1)
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L),  // 2*1e6/(3*2)
+      (4L, 1L, 0L, 0L)))      // pendant: no triangle, deg<2 -> 0
+  }
+
+  test("triangles: hub graph — orientation keeps wedges off the hub") {
+    // star around 0 (deg 6) plus one closed rim pair: exactly 1 triangle
+    val rim = (1L to 6L).map(k => (0L, k))
+    val edges = (rim :+ (1L, 2L)).toDF("i", "j")
+    val got = Graph.triangleStats(edges)
+      .select("item_id", "n_triangles").as[(Long, Long)].collect().toMap
+    assert(got(0L) === 1L && got(1L) === 1L && got(2L) === 1L)
+    assert((3L to 6L).forall(got(_) === 0L))
+  }
+
+  test("triangles: partition invariance") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (1L, 4L)).toDF("i", "j")
+    val a = Graph.triangleStats(edges).orderBy("item_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val b = Graph.triangleStats(edges.repartition(5)).orderBy("item_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a === b)
+  }
+
+  test("itemEdges: co-count floor filters casual pairs") {
+    // items 10,11 shared by 3 users; 10,12 by only 1
+    val inter = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (4L, 10L), (4L, 12L)).toDF("user_id", "item_id")
+    val e = Graph.itemEdges(inter, minCo = 3L)
+      .as[(Long, Long)].collect().toSeq
+    assert(e === Seq((10L, 11L)))
+  }
+
   test("iteration is a fixpoint map: rank vector is deterministic") {
     val a = Graph.pagerankFrom(starInter, iters = 4)
       .orderBy("node_type", "id").as[(String, Long, Long)].collect().toSeq

@@ -14,6 +14,34 @@ class SimilaritySpec extends SparkSpec {
         .map(d => ((i * 31 + d * 17) % 13 - 6).toFloat).toArray, 0)
     }.toDF("vec_id", "embedding", "label")
 
+  test("truncation recall: prefix-only information -> perfect recall") {
+    // second half all zeros: truncated cosine == full cosine exactly
+    val prefixOnly = (0 until 120).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        if (d < Similarity.TruncDim) ((i * 31 + d * 17) % 13 - 6).toFloat
+        else 0.0f
+      }.toArray, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.truncationRecallAtK(prefixOnly)
+      .as[(Long, Double)].head()
+    assert(got._1 === 3L) // strided queries: 0, 50, 100
+    assert(got._2 === 1.0)
+  }
+
+  test("truncation recall: tail-heavy vectors lose recall, bounded in [0,1]") {
+    // discriminating signal lives ONLY in the tail half: truncation
+    // must not score a perfect 1.0 (the knob measurably costs recall)
+    val tailHeavy = (0 until 120).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        if (d < Similarity.TruncDim) (d % 3 + 1).toFloat // shared prefix
+        else ((i * 37 + d * 19) % 15 - 7).toFloat
+      }.toArray, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.truncationRecallAtK(tailHeavy)
+      .as[(Long, Double)].head()
+    assert(got._2 >= 0.0 && got._2 < 1.0)
+  }
+
   test("pca: rank-2 data survives 2-component projection losslessly") {
     // vectors on an exact 2-D plane inside Dim-space: v = a·e + b·f
     // where e/f mix all coordinates, so no axis shortcut exists

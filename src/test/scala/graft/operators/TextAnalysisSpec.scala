@@ -13,6 +13,18 @@ class TextAnalysisSpec extends SparkSpec {
     TDoc(2, "der hund und die katze ist", "de"),
     TDoc(3, "zzz yyy xxx", "xx")).toDF()
 
+  test("inverted index: df floor, ordered capped postings") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a b b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, k = 2, minDf = 2)
+      .as[(String, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      // a: df 3, tf 4; top-2 postings by (tf desc, doc_id)
+      ("a", 3L, 4L, "1:2 2:1"),
+      // b: df 2, tf 3; c (df 1) is floored out
+      ("b", 2L, 3L, "2:2 1:1")))
+  }
+
   test("token stats: counts and average length") {
     val out = TextAnalysis.tokenStats(docs)
       .select("doc_id", "n_tokens", "n_token_chars", "avg_token_len")

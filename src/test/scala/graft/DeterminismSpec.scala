@@ -50,7 +50,10 @@ class DeterminismSpec extends SparkSpec {
     "ml_coldstart_report",    // split + seen-mask conditional sums
     "bi_abc_analysis",        // decimal cumsum + exact class boundaries
     "dedup_threshold_sweep",  // candidate-pair conditional sums
-    "e8_bounce_rate")         // session grid + ppm ratio
+    "e8_bounce_rate",         // session grid + ppm ratio
+    "graph_triangles",        // oriented wedge join + ppm coefficient
+    "txt_inverted_index",     // rank-ordered posting-string assembly
+    "sim_truncation_recall")  // two brute top-k sets + recall average
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -111,6 +111,68 @@ object Multimodal {
       .getOrElse(decodeBytesStub(payload, kind))
     else decodeBytesStub(payload, kind)
 
+  /** 64-bit average-hash (aHash) of a REAL image: full rasterize
+    * (perceptual hashing needs pixels, unlike the header-only
+    * metadata pass), bilinear downscale to 8×8, integer-weighted
+    * grayscale (299/587/114 per mille), bit k set iff pixel k exceeds
+    * the integer mean. Two encodings of the same picture hash to
+    * (nearly) the same 64 bits — the codec-independent near-dup key
+    * exact byte fingerprints (mm_dedup) can never provide. None when
+    * the payload is not a decodable image.
+    */
+  def ahashImage(payload: Array[Byte]): Option[Long] = {
+    if (!looksLikePng(payload) && !looksLikeJpeg(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val small = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 8, 8, null)
+      } finally g.dispose()
+      val px = (0 until 64).map { k =>
+        val rgb = small.getRGB(k % 8, k / 8)
+        ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+      }
+      val mean = px.sum / 64
+      Some(px.zipWithIndex.foldLeft(0L) { case (h, (v, k)) =>
+        if (v > mean) h | (1L << k) else h
+      })
+    } catch { case _: Exception => None }
+  }
+
+  /** Stub hash for non-image payloads: the 60-bit md5 prefix, exactly
+    * the oracle's CAST(concat('0x', substr(md5(payload),1,15)) AS
+    * BIGINT) — so the registered query stays hash-checkable on the
+    * synthetic (text-payload) corpus.
+    */
+  def ahashStub(payload: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    java.lang.Long.parseLong(
+      md.map("%02x".format(_)).mkString.substring(0, 15), 16)
+  }
+
+  /** Perceptual-hash pass: real aHash for decodable images, md5 stub
+    * otherwise — same mapPartitions batch shape as decode.
+    */
+  def ahash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val h = if (r.kind == "image") ahashImage(r.payload)
+          .getOrElse(ahashStub(r.payload))
+        else ahashStub(r.payload)
+        (r.media_id, r.kind, h)
+      }
+    }.toDF("media_id", "kind", "ahash")
+  }
+
   /** Decode pass: Dataset[MediaRow] → mapPartitions → typed metadata.
     * One decoder "session" per partition (where a heavier codec would
     * allocate its state once per task), rows streamed lazily.
@@ -239,6 +301,19 @@ object Multimodal {
              |CAST(media_id = MIN(media_id) OVER (PARTITION BY fp) AS INT)
              |  AS is_canonical
              |FROM m""".stripMargin)),
+
+    // MM7 (beyond-ref): perceptual average-hash per asset — the
+    // codec-independent near-dup key (two encodings of one picture
+    // share it; exact fingerprints don't). Real pixels for decodable
+    // images (spec-proven); the synthetic text payloads all take the
+    // md5-stub path the oracle models.
+    QueryDef("mm_ahash",
+      (s, d) => ahash(media(s, d)),
+      Some(s"""WITH $mediaSql
+              |SELECT media_id, kind,
+              |CAST(concat('0x', substr(md5(payload),1,15)) AS BIGINT)
+              |  AS ahash
+              |FROM media""".stripMargin)),
 
     // Modality-mix corpus report: asset counts and payload bytes per
     // (kind, source) — the first dashboard a multimodal training-data

@@ -136,6 +136,44 @@ object Similarity {
         col("nbr_id"), col("cos"))
   }
 
+  val HardNegLo = 0.2
+  val HardNegHi = 0.8
+  val HardNegK = 3
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k most-similar candidates inside the [lo, hi) cosine band —
+    * close enough to be informative, below the near-dup line so they
+    * are genuinely negative (the band is the standard dedup-aware
+    * guard against false negatives). Candidates come from the SAME
+    * multiprobe LSH buckets as the ANN index — a hard negative is by
+    * definition nearby, which is exactly what the index surfaces, so
+    * the shuffle stays bucket-keyed and the corpus is never
+    * self-joined. The band filter compares the ROUNDED cosine
+    * (cross-engine rule); ranking ties break on (cos desc, nbr_id).
+    */
+  def hardNegatives(emb: DataFrame, lo: Double = HardNegLo,
+                    hi: Double = HardNegHi, k: Int = HardNegK): DataFrame = {
+    val e = vecs(emb).withColumn("bucket", bucketCol(col("v")))
+      .localCheckpoint(false) // probe side + candidate side
+    val probes = e.withColumn("probe", explode(array(
+      col("bucket") +:
+        (0 until Planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+    val scored = probes.as("a")
+      .join(e.as("b"),
+        col("a.probe") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor_id"), col("b.vec_id").as("neg_id"),
+        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("neg_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("cos"))
+  }
+
   /** Bucket histogram — the operational check that LSH buckets stay
     * balanced (skew here is what would break the candidate join at
     * scale).
@@ -514,6 +552,27 @@ object Similarity {
               |SELECT COUNT(*) AS n_queries,
               |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6) AS avg_recall
               |FROM base LEFT JOIN hits USING (query_id)""".stripMargin)),
+
+    // V3 (beyond-ref): dedup-aware hard-negative mining off the same
+    // multiprobe buckets as the ANN index — the contrastive-training
+    // data op (anchors paired with near-but-not-duplicate negatives).
+    QueryDef("sim_hard_negatives",
+      (s, d) => hardNegatives(Tables.embeddings(s, d)),
+      Some(s"""WITH $planesSql,
+              |probes AS (SELECT vec_id, v,
+              |    unnest([bucket] || list_transform(generate_series(0, ${Planes - 1}),
+              |      p -> xor(bucket, CAST(1 << p AS BIGINT)))) AS probe
+              |  FROM buckets),
+              |scored AS (SELECT a.vec_id anchor_id, b.vec_id neg_id,
+              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM probes a JOIN buckets b
+              |    ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
+              |banded AS (SELECT * FROM scored
+              |  WHERE cos >= $HardNegLo AND cos < $HardNegHi)
+              |SELECT anchor_id, CAST(rk AS BIGINT) rank, neg_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+              |    ORDER BY cos DESC, neg_id) rk FROM banded)
+              |WHERE rk <= $HardNegK""".stripMargin)),
 
     // V2 (beyond-ref): the dimension-compression axis of the recall
     // family (sim_recall_at_k = index axis, sim_sq8_recall = bit

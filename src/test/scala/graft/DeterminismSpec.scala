@@ -53,7 +53,9 @@ class DeterminismSpec extends SparkSpec {
     "e8_bounce_rate",         // session grid + ppm ratio
     "graph_triangles",        // oriented wedge join + ppm coefficient
     "txt_inverted_index",     // rank-ordered posting-string assembly
-    "sim_truncation_recall")  // two brute top-k sets + recall average
+    "sim_truncation_recall",  // two brute top-k sets + recall average
+    "sim_hard_negatives",     // banded LSH candidates + rank window
+    "mm_ahash")               // mapPartitions hash pass
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -64,6 +64,45 @@ class MultimodalSpec extends SparkSpec {
     assert(nb === imageBytes(640, 480, "png").length.toLong)
   }
 
+  test("ahash: codec-independent perceptual key, pattern-sensitive") {
+    def pattern(f: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val leftBright = (x: Int, _: Int) => if (x < 32) 0xffffff else 0x000000
+    val topBright = (_: Int, y: Int) => if (y < 32) 0xffffff else 0x000000
+    val pngL = Multimodal.ahashImage(pattern(leftBright, "png")).get
+    val jpgL = Multimodal.ahashImage(pattern(leftBright, "jpg")).get
+    val pngT = Multimodal.ahashImage(pattern(topBright, "png")).get
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // same picture, different codec: perceptually identical (JPEG's
+    // loss may flip a boundary bit or two)
+    assert(hamming(pngL, jpgL) <= 4, s"codec moved the hash: $pngL vs $jpgL")
+    // different picture: far apart (half the bits disagree)
+    assert(hamming(pngL, pngT) >= 16)
+    // non-image bytes: None from the real path, stub = md5 60-bit prefix
+    val txt = "not an image".getBytes("UTF-8")
+    assert(Multimodal.ahashImage(txt).isEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5").digest(txt)
+    val expect = java.lang.Long.parseLong(
+      md.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    assert(Multimodal.ahashStub(txt) === expect)
+    // the full pass routes image-kind real images through pixels and
+    // everything else through the stub
+    val mixed = Seq(
+      (1L, "image", pattern(leftBright, "png")),
+      (2L, "image", txt),
+      (3L, "audio", txt)).toDF("media_id", "kind", "payload")
+    val got = Multimodal.ahash(mixed).as[(Long, String, Long)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) === pngL)
+    assert(got(2L) === expect && got(3L) === expect)
+  }
+
   test("resize: integer aspect math") {
     val out = Multimodal.resizePlan(Multimodal.decode(Multimodal.mediaTable(docs)))
       .select("media_id", "width", "height", "out_width", "out_height")

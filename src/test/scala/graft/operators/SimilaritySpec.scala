@@ -14,6 +14,33 @@ class SimilaritySpec extends SparkSpec {
         .map(d => ((i * 31 + d * 17) % 13 - 6).toFloat).toArray, 0)
     }.toDF("vec_id", "embedding", "label")
 
+  test("hard negatives: banded, ranked, self-free, k-capped") {
+    val got = Similarity.hardNegatives(emb(200))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (a, rk, n, cos) =>
+      assert(a !== n)
+      assert(cos >= Similarity.HardNegLo && cos < Similarity.HardNegHi)
+      assert(rk >= 1L && rk <= Similarity.HardNegK)
+    }
+    // ranks are dense per anchor and ordered by cos desc
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) === (1L to sorted.length))
+      assert(sorted.map(-_._4).sorted === sorted.map(-_._4))
+    }
+    // a true near-duplicate (cos ~= 1) never appears as a negative:
+    // plant an exact copy of vector 0 and check the pair is banned
+    val base = emb(100)
+    val dup = base.filter($"vec_id" === 0L)
+      .select(org.apache.spark.sql.functions.lit(9999L).as("vec_id"),
+        $"embedding", $"label")
+    val withDup = Similarity.hardNegatives(base.unionByName(dup))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(!withDup.exists(r => r._1 === 0L && r._2 === 9999L))
+    assert(!withDup.exists(r => r._1 === 9999L && r._2 === 0L))
+  }
+
   test("truncation recall: prefix-only information -> perfect recall") {
     // second half all zeros: truncated cosine == full cosine exactly
     val prefixOnly = (0 until 120).map { i =>

@@ -294,8 +294,15 @@ object TextAnalysis {
     * Scale: every pass runs over the vocabulary relation, never the
     * corpus — exactly how production BPE trains at 100 TB (the corpus
     * is touched once, in the initial word count); the per-step argmax
-    * is a 1-row collect like ModelRegistry's metric reads. Output is
-    * the merge table itself: k rows, engine-exact strings+integers.
+    * is a 1-row collect like ModelRegistry's metric reads. `k` is
+    * therefore the DRIVER-ROUND-TRIP bound — merges are inherently
+    * sequential (step t's pair counts depend on step t−1's rewrite),
+    * so a real 32k-merge vocabulary run schedules 32k tiny jobs; the
+    * standard mitigation is batching non-conflicting merges per
+    * round, which changes the merge table and is deliberately NOT
+    * done here (the oracle mirrors one-merge-per-step semantics).
+    * Output is the merge table itself: k rows, engine-exact
+    * strings+integers.
     */
   def bpeTrain(docs: DataFrame, k: Int = BpeMergeSteps): DataFrame = {
     val spark = docs.sparkSession

@@ -56,6 +56,20 @@ class EmptyInputSpec extends SparkSpec {
       Recommend.recommend(inter0, sim0), inter0).collect().length === 1)
   }
 
+  test("round-4 additions are total on empty input") {
+    val edges0 = empty("i" -> LongType, "j" -> LongType)
+    assert(Graph.itemEdges(inter0).count() === 0)
+    assert(Graph.triangleStats(edges0).count() === 0)
+    assert(TextAnalysis.invertedIndex(docs0).count() === 0)
+    assert(Similarity.hardNegatives(emb0).count() === 0)
+    // recall over zero queries: one row, zero count, null average
+    val tr = Similarity.truncationRecallAtK(emb0).collect()
+    assert(tr.length === 1 && tr.head.getLong(0) === 0L)
+    val media0 = empty("media_id" -> LongType, "kind" -> StringType,
+      "payload" -> BinaryType)
+    assert(Multimodal.ahash(media0).count() === 0)
+  }
+
   test("similarity family is total on empty embeddings") {
     assert(Dedup.embeddingNearDup(emb0).count() === 0)
     assert(Similarity.knnBrute(emb0).count() === 0)

@@ -182,6 +182,93 @@ object Similarity {
     vecs(emb).withColumn("bucket", bucketCol(col("v")))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
 
+  // ---- product quantization (PQ) ----
+
+  val PqM = 4                 // subspaces
+  val PqSubDim = Dim / PqM    // 16 dims each
+
+  /** Per-vector subspace slices, long form (vec_id, m, x) — ONE scan,
+    * the slices come out of a single transform-over-sequence explode
+    * (no per-subspace re-read of the corpus).
+    */
+  private def subSlices(e: DataFrame, id: String, vcol: String,
+                        xcol: String): DataFrame =
+    e.select(col(id), posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), " +
+        s"m -> slice($vcol, m * $PqSubDim + 1, $PqSubDim))"))
+      .as(Seq("m", xcol)))
+
+  /** PQ code assignment: for each vector and subspace, the nearest
+    * codebook entry by squared L2 distance. The codebook is the
+    * strided seed set (the IVF-centroid device — deterministic, no
+    * k-means RNG): codebook entry c's sub-vector for subspace m is
+    * slice(c, m). d² is computed by the fixed-shape identity
+    * x·x − 2·x·c + c·c so both engines see identical double bits;
+    * round-6 + cent_id tie-break make the argmin total.
+    *
+    * Scale shape: the codebook is tiny → broadcast; assignment is a
+    * scan-speed pass over the (vec, subspace) stream; the only wide
+    * operation is the per-(vec, m) argmin window, keyed on vec_id —
+    * i.e. the same partitioning the scan already has. Output is the
+    * compressed index: Dim floats → PqM small ints per vector (16×
+    * fewer bytes than the raw vectors at these parameters).
+    */
+  def pqCodes(emb: DataFrame): DataFrame = {
+    val e = vecs(emb)
+    val cent = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val xs = subSlices(e, "vec_id", "v", "x")
+    val cs = subSlices(cent, "cent_id", "cv", "c")
+    val wAsn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("cent_id"))
+    xs.join(broadcast(cs), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cent_id"),
+        round(dotFast(col("x"), col("x"))
+          - lit(2.0d) * dotFast(col("x"), col("c"))
+          + dotFast(col("c"), col("c")), 6).as("d2"))
+      .withColumn("rk", row_number().over(wAsn))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+  }
+
+  /** PQ-ADC top-k retrieval — the classic asymmetric-distance shape:
+    * per query, a lookup table of partial dot products against every
+    * codebook entry per subspace (|q|·PqM·|codebook| rows — tiny,
+    * broadcast), then every candidate is scored by summing its PqM
+    * table entries. The candidate stream carries ONLY the integer
+    * codes — at scale the scoring stage reads the 16×-compressed code
+    * column and never touches the float vectors; that bandwidth win
+    * is the operator. Partials are micro-unit-quantized before the
+    * sum (order-free integer arithmetic → engine-identical), and the
+    * per-(query, candidate) sum is map-side combinable.
+    */
+  def knnPqAdc(emb: DataFrame, k: Int = K): DataFrame = {
+    val e = vecs(emb)
+    val cent = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cs = subSlices(cent, "cent_id", "cv", "c")
+    val codes = pqCodes(emb)
+    val qs = subSlices(e.filter(col("vec_id") % QueryStride === 0)
+      .withColumnRenamed("vec_id", "query_id"), "query_id", "v", "qx")
+    val lut = qs.join(cs, Seq("m"))
+      .select(col("query_id"), col("m"), col("cent_id").as("code"),
+        round(dotFast(col("qx"), col("c")) * lit(1000000.0d))
+          .cast("long").as("qp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("qp")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"),
+        round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
+  }
+
   /** IVF-Flat ANN: coarse quantization to the nearest of the strided
     * seed centroids (every `QueryStride`-th vector — deterministic, no
     * k-means RNG), then exact search inside the cell. The centroid
@@ -466,6 +553,42 @@ object Similarity {
       .select(col("vec_id"), vector_to_array(col("pca")).as("pv"))
   }
 
+  /** PQ prelude shared by the three sim_pq_* oracles: subspace
+    * slices, fixed-shape d² identity, argmin codes — operand-for-
+    * operand the Spark plan in pqCodes.
+    */
+  private val pqSql =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |sub AS (SELECT CAST(g.m AS INT) m FROM
+       |  (SELECT unnest(generate_series(0, ${PqM - 1})) m) g),
+       |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+       |xs AS (SELECT e.vec_id, s.m,
+       |    list_slice(e.v, s.m * $PqSubDim + 1, s.m * $PqSubDim + $PqSubDim) x
+       |  FROM e, sub s),
+       |cs AS (SELECT cent_id, s.m,
+       |    list_slice(cv, s.m * $PqSubDim + 1, s.m * $PqSubDim + $PqSubDim) c
+       |  FROM cent, sub s),
+       |asn AS (SELECT vec_id, xs.m, cent_id,
+       |    ROUND(list_dot_product(x, x) - 2.0 * list_dot_product(x, c)
+       |      + list_dot_product(c, c), 6) d2
+       |  FROM xs JOIN cs ON xs.m = cs.m),
+       |codes AS (SELECT vec_id, m, cent_id AS code FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |    ORDER BY d2, cent_id) rk FROM asn) WHERE rk = 1)""".stripMargin
+
+  /** ADC continuation: per-query LUT of micro-quantized partial dots,
+    * candidate score = integer sum of PqM table entries.
+    */
+  private val pqAdcSql =
+    s"""lut AS (SELECT q.vec_id query_id, cs.m, cent_id AS code,
+       |    CAST(ROUND(list_dot_product(
+       |      list_slice(q.v, cs.m * $PqSubDim + 1, cs.m * $PqSubDim + $PqSubDim),
+       |      c) * 1000000.0) AS BIGINT) qp
+       |  FROM e q, cs WHERE q.vec_id % $QueryStride = 0),
+       |sc AS (SELECT lut.query_id, k.vec_id nbr_id, SUM(qp) score
+       |  FROM codes k JOIN lut ON k.m = lut.m AND k.code = lut.code
+       |  WHERE k.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("sim_knn_brute",
@@ -733,6 +856,50 @@ object Similarity {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)
               |WHERE rk <= $K""".stripMargin)),
+
+    // V4 (beyond-ref): product quantization — the third compression
+    // family beside SQ8 (per-dim bits) and truncation (fewer dims):
+    // PqM codebook ids per vector. sim_pq_codes is the index build,
+    // sim_knn_pq_adc the asymmetric-distance retrieval that reads
+    // ONLY the codes, sim_pq_recall the family's measured-recall
+    // monitor (every index family here ships with one).
+    QueryDef("sim_pq_codes",
+      (s, d) => pqCodes(Tables.embeddings(s, d)),
+      Some(s"""WITH $pqSql
+              |SELECT vec_id, m, code FROM codes""".stripMargin)),
+
+    QueryDef("sim_knn_pq_adc",
+      (s, d) => knnPqAdc(Tables.embeddings(s, d)),
+      Some(s"""WITH $pqSql,
+              |$pqAdcSql
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id,
+              |ROUND(CAST(score AS DOUBLE) / 1000000.0, 6) adc FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM sc)
+              |WHERE rk <= $K""".stripMargin)),
+
+    QueryDef("sim_pq_recall",
+      (s, d) => annRecallAtK(Tables.embeddings(s, d),
+        index = knnPqAdc(_, _)),
+      Some(s"""WITH $pqSql,
+              |$pqAdcSql,
+              |ap AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM sc) WHERE rk <= $K),
+              |exsc AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
+              |  FROM e q JOIN e t ON q.vec_id <> t.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |hits AS (SELECT e2.query_id, COUNT(*) n_hit FROM ex e2
+              |  JOIN ap ON e2.query_id = ap.query_id AND e2.nbr_id = ap.nbr_id
+              |  GROUP BY 1),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1)
+              |SELECT COUNT(*) AS n_queries,
+              |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6) AS avg_recall
+              |FROM base LEFT JOIN hits USING (query_id)""".stripMargin)),
 
     // Mean-center + L2-normalize the embedding corpus — the standard
     // preprocessing before cosine ANN (centering makes hyperplane

@@ -624,6 +624,80 @@ object TextAnalysis {
         col("avg_nll"))
   }
 
+  val KnDiscount = 0.75
+
+  /** Held-out cross-entropy under interpolated Kneser-Ney — the
+    * smoothing that completes the ladder (add-one floor →
+    * Jelinek-Mercer mix → stupid backoff → KN): absolute discounting
+    * with the freed mass routed to the CONTINUATION distribution
+    * (how many distinct contexts a word follows), which is what makes
+    * KN the production default ("Francisco" is frequent but only ever
+    * follows "San" — its continuation probability is tiny).
+    *   P(w2|w1) = (max(c12−D, 0) + D·N1+(w1·)·Pc(w2)) / c1
+    *   Pc(w2)   = (N1+(·w2) + 1) / (|bigram types| + |cont types| + 1)
+    * with D = 0.75 and the +1 floor keeping unseen continuations
+    * finite (the backoffHeldout Laplace device); an unseen CONTEXT
+    * backs off to Pc alone. All counts are exact integers from ONE
+    * bigram explode of the train split — c1, N1+(w1·), N1+(·w2) and
+    * both type totals all derive from the bigram vocabulary table
+    * (the backoff/collocations derivation pattern), so the corpus is
+    * touched once. Shuffles carry 8-byte hashes; the single ln runs
+    * on one fixed-shape double expression mirrored operand-for-
+    * operand by the oracle.
+    */
+  def knHeldout(docs: DataFrame): DataFrame = {
+    val withB = docs.withColumn("b", bucket10(col("doc_id"), lit(7L)))
+    val train = withB.filter(col("b") < 8)
+      .withColumn("t", tokens(lower(col("text"))))
+    val evalDocs = withB.filter(col("b") >= 8)
+      .withColumn("t", tokens(lower(col("text"))))
+    val trBg = train.select(explode(expr(bigramArr)).as("bg"))
+      .select(hex60(col("bg")).as("bgh"),
+        hex60(expr("split_part(bg, ' ', 1)")).as("w1h"),
+        hex60(expr("split_part(bg, ' ', 2)")).as("w2h"))
+    // Bigram vocabulary — every other model table derives from it.
+    val c2t = trBg.groupBy(col("bgh"))
+      .agg(max(col("w1h")).as("w1h"), max(col("w2h")).as("w2h"),
+        count(lit(1)).as("c12"))
+      .localCheckpoint(false) // feeds left/right/totals + scoring join
+    val left = c2t.groupBy(col("w1h"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val right = c2t.groupBy(col("w2h")).agg(count(lit(1)).as("n1b"))
+    val tot = c2t.agg(count(lit(1)).as("n_types"),
+      countDistinct(col("w2h")).as("n_cont"))
+    val ev = evalDocs
+      .select(col("doc_id"), explode(expr(bigramArr)).as("bg"))
+      .select(col("doc_id"), hex60(col("bg")).as("bgh"),
+        hex60(expr("split_part(bg, ' ', 1)")).as("w1h"),
+        hex60(expr("split_part(bg, ' ', 2)")).as("w2h"))
+    val pc = (coalesce(col("n1b"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n_types") + col("n_cont") + lit(1L)).cast("double")
+    ev.join(c2t.select(col("bgh"), col("c12")), Seq("bgh"), "left")
+      .join(left, Seq("w1h"), "left")
+      .join(right, Seq("w2h"), "left")
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("pc", pc)
+      .withColumn("q_nll", round(
+        when(col("c1").isNotNull,
+          log((greatest(coalesce(col("c12"), lit(0L)).cast("double")
+            - lit(KnDiscount), lit(0.0d))
+            + lit(KnDiscount) * col("n1f").cast("double") * col("pc"))
+            / col("c1").cast("double")))
+          .otherwise(log(col("pc")))
+          * -1000000.0d).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c1").isNull.cast("long")).as("n_unseen_ctx"),
+        sum((col("c1").isNotNull && col("c12").isNull).cast("long"))
+          .as("n_discounted_zero"),
+        sum(col("q_nll")).as("q_sum"))
+      .withColumn("avg_nll",
+        round(floor(col("q_sum").cast("double") / col("n_bigrams"))
+          / 1000000.0d, 6))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen_ctx"),
+        col("n_discounted_zero"), col("avg_nll"))
+  }
+
   /** PII span patterns — the RE2 ∩ Java-regex common subset (char
     * classes, bounded repeats, \b; no lookaround) so Spark and DuckDB
     * match identical spans.
@@ -1476,6 +1550,53 @@ object TextAnalysis {
            |  LEFT JOIN uni ON ev.w3h = uni.wh, tot)
            |SELECT doc_id, COUNT(*) AS n_trigrams,
            |CAST(SUM(CASE WHEN backed >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+           |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
+           |FROM scored GROUP BY 1""".stripMargin
+      }),
+
+    QueryDef("txt_kn_heldout",
+      (s, d) => knHeldout(docs(s, d)),
+      Some {
+        val h = (x: String) =>
+          s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+        s"""WITH db AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)),'\\s+') AS t,
+           |    ((doc_id % 100003) * 31 + 7 * 97) % 10 AS b FROM documents),
+           |tbg AS (SELECT ${h("bg")} AS bgh,
+           |    ${h("split_part(bg, ' ', 1)")} AS w1h,
+           |    ${h("split_part(bg, ' ', 2)")} AS w2h FROM (
+           |  SELECT unnest(list_transform(
+           |    generate_series(1, greatest(len(t)-1, 0)),
+           |    i -> t[i] || ' ' || t[i+1])) AS bg FROM db WHERE b < 8)),
+           |c2t AS (SELECT bgh, MAX(w1h) AS w1h, MAX(w2h) AS w2h,
+           |  CAST(COUNT(*) AS BIGINT) AS c12 FROM tbg GROUP BY 1),
+           |lft AS (SELECT w1h, CAST(SUM(c12) AS BIGINT) AS c1,
+           |  CAST(COUNT(*) AS BIGINT) AS n1f FROM c2t GROUP BY 1),
+           |rgt AS (SELECT w2h, CAST(COUNT(*) AS BIGINT) AS n1b FROM c2t GROUP BY 1),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           |  CAST(COUNT(DISTINCT w2h) AS BIGINT) AS n_cont FROM c2t),
+           |ev AS (SELECT doc_id, ${h("bg")} AS bgh,
+           |    ${h("split_part(bg, ' ', 1)")} AS w1h,
+           |    ${h("split_part(bg, ' ', 2)")} AS w2h
+           |  FROM (SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(t)-1, 0)),
+           |    i -> t[i] || ' ' || t[i+1])) AS bg FROM db WHERE b >= 8)),
+           |scored AS (SELECT doc_id,
+           |  CASE WHEN c1 IS NULL THEN 1 ELSE 0 END AS unseen,
+           |  CASE WHEN c1 IS NOT NULL AND c12 IS NULL THEN 1 ELSE 0 END AS dzero,
+           |  CAST(ROUND(CASE WHEN c1 IS NOT NULL THEN
+           |      ln((GREATEST(CAST(COALESCE(c12, 0) AS DOUBLE) - $KnDiscount, 0.0)
+           |        + $KnDiscount * CAST(n1f AS DOUBLE) * pc) / CAST(c1 AS DOUBLE))
+           |    ELSE ln(pc) END * -1000000.0) AS BIGINT) AS q_nll
+           |  FROM (SELECT doc_id, c12, c1, n1f,
+           |      CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+           |        / CAST(n_types + n_cont + 1 AS DOUBLE) AS pc
+           |    FROM ev LEFT JOIN (SELECT bgh, c12 FROM c2t) USING (bgh)
+           |    LEFT JOIN lft USING (w1h)
+           |    LEFT JOIN rgt USING (w2h), tot))
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |CAST(SUM(unseen) AS BIGINT) AS n_unseen_ctx,
+           |CAST(SUM(dzero) AS BIGINT) AS n_discounted_zero,
            |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
            |FROM scored GROUP BY 1""".stripMargin
       }),

@@ -55,7 +55,9 @@ class DeterminismSpec extends SparkSpec {
     "txt_inverted_index",     // rank-ordered posting-string assembly
     "sim_truncation_recall",  // two brute top-k sets + recall average
     "sim_hard_negatives",     // banded LSH candidates + rank window
-    "mm_ahash")               // mapPartitions hash pass
+    "mm_ahash",               // mapPartitions hash pass
+    "sim_knn_pq_adc",         // codebook argmin + integer ADC sums
+    "txt_kn_heldout")         // 3-way left joins + quantized KN ln
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

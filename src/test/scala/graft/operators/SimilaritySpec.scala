@@ -198,6 +198,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length === got.distinct.length)
   }
 
+  test("pq codes: PqM codes per vector; codebook vectors code to themselves") {
+    val got = Similarity.pqCodes(emb(200))
+      .as[(Long, Int, Long)].collect().toSeq
+    // exactly one code per (vector, subspace)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0 until Similarity.PqM))
+    }
+    // codebook members (strided ids) are distance-0 from their own
+    // entry in every subspace, so they must code to themselves
+    got.filter(r => r._1 % Similarity.QueryStride == 0).foreach {
+      case (id, _, code) => assert(code === id)
+    }
+    // every emitted code is a codebook id
+    assert(got.forall(_._3 % Similarity.QueryStride == 0))
+  }
+
+  // three exactly-repeated prototypes: codes reconstruct each cluster's
+  // prototype losslessly, ADC ties resolve on nbr_id, and the PQ top-k
+  // matches the exact top-k — recall 1.0
+  private def protoEmb(n: Int) = {
+    def proto(c: Int) = (0 until Similarity.Dim)
+      .map(d => if (d / 21 == c || (c == 2 && d >= 42)) 5.0f else 0.1f)
+      .toArray
+    (0 until n).map(i => (i.toLong, proto(i % 3), i % 3))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("pq adc on separable clusters: same-cluster retrieval, recall 1.0") {
+    val e = protoEmb(120)
+    val got = Similarity.knnPqAdc(e)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // queries 0, 50, 100; every query emits K dense ranks
+    assert(got.map(_._1).distinct.sorted == Seq(0L, 50L, 100L))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to Similarity.K))
+    }
+    // query 0 is cluster 0 (ids ≡ 0 mod 3): its ADC top-5 are the five
+    // lowest same-cluster ids (scores tie exactly, nbr_id breaks them)
+    val q0 = got.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(q0 === Seq(3L, 6L, 9L, 12L, 15L))
+    // exact brute top-5 ties identically -> measured recall is 1.0
+    val rec = Similarity.annRecallAtK(e, index = Similarity.knnPqAdc(_, _))
+      .as[(Long, Double)].head()
+    assert(rec._1 === 3L)
+    assert(rec._2 === 1.0)
+  }
+
   test("normalize: mean-centered unit vectors, exact symmetric case") {
     // mean = (1,1); centered v1=(1,-1), v2=(-1,1); both normalize to
     // ±1/√2 = ±0.707107 (rounded)

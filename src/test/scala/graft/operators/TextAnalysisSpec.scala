@@ -113,6 +113,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(_._4 > 0.0))
   }
 
+  test("kneser-ney heldout: counters partition; discount and continuation math exact") {
+    // split: ids ≡ 0,9 (mod 10) land in eval (same device as backoff)
+    // train doc 1 "a b a b": c("a b")=2, c("b a")=1; c1(a)=2, c1(b)=1;
+    // N1+(a·)=N1+(b·)=1; N1+(·a)=N1+(·b)=1; 2 bigram types, 2 cont types
+    val corpus = Seq(
+      TDoc(1, "a b a b", "en"),   // train
+      TDoc(9, "a a", "en"),       // eval: seen ctx, unseen bigram
+      TDoc(10, "a b", "en"),      // eval: fully seen bigram
+      TDoc(20, "q r", "en")).toDF() // eval: unseen context
+    val out = TextAnalysis.knHeldout(corpus)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(9L, 10L, 20L))
+    assert(out(9L) === ((9L, 1L, 0L, 1L, 1.89712)))   // -ln(0.75·0.4/2)
+    assert(out(10L) === ((10L, 1L, 0L, 0L, 0.254892))) // -ln((1.25+0.3)/2)
+    assert(out(20L) === ((20L, 1L, 1L, 0L, 1.609438))) // -ln(Pc) = ln 5
+    // the fully-seen bigram is the least surprising of the three
+    assert(out(10L)._5 < out(9L)._5 && out(10L)._5 < out(20L)._5)
+  }
+
   test("bpe: merges follow weighted pair counts, stop when symbols exhaust") {
     // vocabulary: 'aaab' ×2, 'ab' ×1
     val corpus = Seq(TDoc(1, "aaab aaab", "en"), TDoc(2, "ab", "en")).toDF()

@@ -308,9 +308,81 @@ object Commerce {
           .cast("double") / 100.0).as("ltv_per_customer"))
   }
 
+  val PsiBinWidth = 50000.0
+  val PsiBins = 10
+
+  /** Population-stability-index input-drift monitor over the order-
+    * value distribution — the standard MLOps drift alarm (PSI > 0.25
+    * = investigate/retrain) the reference's monitoring tier implies
+    * but never materializes: the date range splits at its midpoint
+    * into reference and current windows, values bin into fixed-width
+    * bands, and each band contributes (p_ref − p_cur)·ln(p_ref/p_cur)
+    * with add-one smoothing over the fixed band count keeping empty
+    * bands finite. One scan → one ≤PsiBins-row aggregate; the date
+    * midpoint and the side totals are 1-row broadcasts; shares and
+    * the single ln run on fixed-shape doubles over exact integer
+    * counts, micro-unit-quantized at emission (sum of psi_ppm / 1e6
+    * is the headline PSI).
+    */
+  def driftPsi(orders: DataFrame): DataFrame = {
+    val o = orders.select(to_date(col("o_orderdate")).as("od"),
+      col("o_totalprice").cast("double").as("v"))
+    val mid = o.agg(min(col("od")).as("dmin"), max(col("od")).as("dmax"))
+      .select(date_add(col("dmin"),
+        floor(datediff(col("dmax"), col("dmin")) / lit(2)).cast("int"))
+        .as("dmid"))
+    val counts = o.crossJoin(broadcast(mid))
+      .withColumn("bin",
+        least(floor(col("v") / lit(PsiBinWidth)), lit((PsiBins - 1).toLong)))
+      .withColumn("cur", (col("od") >= col("dmid")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(sum(lit(1L) - col("cur")).as("n_ref"),
+        sum(col("cur")).as("n_cur"))
+    val tot = counts.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p_ref", (col("n_ref") + lit(1L)).cast("double") /
+        (col("t_ref") + lit(PsiBins.toLong)).cast("double"))
+      .withColumn("p_cur", (col("n_cur") + lit(1L)).cast("double") /
+        (col("t_cur") + lit(PsiBins.toLong)).cast("double"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("p_ref") * lit(1000000.0d)).cast("long")
+          .as("share_ref_ppm"),
+        round(col("p_cur") * lit(1000000.0d)).cast("long")
+          .as("share_cur_ppm"),
+        round((col("p_ref") - col("p_cur"))
+          * log(col("p_ref") / col("p_cur")) * lit(1000000.0d))
+          .cast("long").as("psi_ppm"))
+  }
+
   // ---- driver-contract registry ----
 
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("ops_drift_psi",
+      (s, d) => driftPsi(ord(s, d)),
+      Some(s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) od,
+              |    CAST(o_totalprice AS DOUBLE) v FROM orders),
+              |mid AS (SELECT MIN(od) + CAST(FLOOR(
+              |    date_diff('day', MIN(od), MAX(od)) / 2) AS INT) AS dmid
+              |  FROM o),
+              |c AS (SELECT LEAST(FLOOR(v / $PsiBinWidth),
+              |      CAST(${PsiBins - 1} AS DOUBLE)) AS bin,
+              |    CAST(SUM(CASE WHEN od >= dmid THEN 0 ELSE 1 END) AS BIGINT) n_ref,
+              |    CAST(SUM(CASE WHEN od >= dmid THEN 1 ELSE 0 END) AS BIGINT) n_cur
+              |  FROM o, mid GROUP BY 1),
+              |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) t_ref,
+              |  CAST(SUM(n_cur) AS BIGINT) t_cur FROM c),
+              |p AS (SELECT bin, n_ref, n_cur,
+              |    CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + $PsiBins AS DOUBLE) p_ref,
+              |    CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + $PsiBins AS DOUBLE) p_cur
+              |  FROM c, t)
+              |SELECT CAST(bin AS BIGINT) bin, n_ref, n_cur,
+              |CAST(ROUND(p_ref * 1000000.0) AS BIGINT) share_ref_ppm,
+              |CAST(ROUND(p_cur * 1000000.0) AS BIGINT) share_cur_ppm,
+              |CAST(ROUND((p_ref - p_cur) * ln(p_ref / p_cur) * 1000000.0)
+              |  AS BIGINT) psi_ppm
+              |FROM p""".stripMargin)),
 
     QueryDef("bi_cohort_ltv",
       (s, d) => cohortLtv(ord(s, d)),

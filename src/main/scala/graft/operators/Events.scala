@@ -124,6 +124,8 @@ object Events {
     Tables.events(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
 
+  val SkewTopK = 20 // before defs: the oracle SQL interpolates it
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("e1_json_extract",
@@ -308,6 +310,24 @@ object Events {
              |FROM c WHERE event_type = 'purchase'
              |GROUP BY 1""".stripMargin)),
 
+    // E10 (beyond-ref): key-skew audit — the monitor that catches a
+    // hot key before it melts a shuffle (the operational companion to
+    // the J7 salted join and AQE skew handling: measure first, salt
+    // the keys this report names). One map-side-combined aggregate at
+    // key grain + a 1-row totals broadcast + a k-row TakeOrdered.
+    QueryDef("e10_key_skew",
+      (s, d) => keySkew(ev(s, d)),
+      Some(s"""WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT)
+              |    n_events FROM events GROUP BY 1),
+              |t AS (SELECT CAST(SUM(n_events) AS BIGINT) n_total,
+              |  CAST(COUNT(*) AS BIGINT) n_keys FROM per)
+              |SELECT user_id, n_events,
+              |CAST(ROUND(n_events * 1000000.0 / n_total) AS BIGINT) share_ppm,
+              |CAST(ROUND(n_events * n_keys * 1000000.0 / n_total) AS BIGINT)
+              |  x_mean_ppm
+              |FROM per, t ORDER BY n_events DESC, user_id
+              |LIMIT $SkewTopK""".stripMargin)),
+
     QueryDef("e9_new_vs_returning",
       (s, d) => newVsReturning(Tables.events(s, d).select(col("user_id"),
         unix_micros(col("ts")).as("ts_us"))),
@@ -323,6 +343,27 @@ object Events {
              |FROM days JOIN first USING (user_id)
              |GROUP BY 1""".stripMargin))
   )
+
+  /** E10: top-k hottest keys by row count, with corpus share and
+    * multiple-of-mean in exact ppm — see the e10_key_skew QueryDef.
+    * At scale: key-grain aggregate (map-side combined), 1-row totals
+    * broadcast, TakeOrderedAndProject for the k-row cut; nothing
+    * driver-side grows with data volume.
+    */
+  def keySkew(events: DataFrame, k: Int = SkewTopK): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = per.agg(sum(col("n_events")).as("n_total"),
+      count(lit(1)).as("n_keys"))
+    per.crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("user_id"), col("n_events"),
+        round(col("n_events") * lit(1000000.0d) / col("n_total"))
+          .cast("long").as("share_ppm"),
+        round(col("n_events") * col("n_keys") * lit(1000000.0d) /
+          col("n_total")).cast("long").as("x_mean_ppm"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(k)
+  }
 
   /** E9: daily new-vs-returning actives — the acquisition half of the
     * E5 activity chart. The (user, day) grid reduces once; first-seen

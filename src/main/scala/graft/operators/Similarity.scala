@@ -269,6 +269,55 @@ object Similarity {
         round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
   }
 
+  /** IVF-PQ retrieval — the production composite (the default
+    * billion-scale ANN shape): the IVF coarse quantizer restricts
+    * each query's candidates to its home cell, and inside the cell
+    * candidates are scored from their PQ codes alone via the
+    * broadcast ADC LUT. The scoring stage touches cell ids + integer
+    * codes only — float vectors are never shuffled; compounded
+    * recall loss (cell restriction × quantization) is what
+    * sim_ivfpq_recall measures against the exact baseline.
+    */
+  def knnIvfPq(emb: DataFrame, k: Int = K): DataFrame = {
+    val e = vecs(emb)
+    val cent = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+      .localCheckpoint(false) // candidate cells + query cells
+    val codes = pqCodes(emb)
+    val cs = subSlices(cent, "cent_id", "cv", "c")
+    val qs = subSlices(e.filter(col("vec_id") % QueryStride === 0)
+      .withColumnRenamed("vec_id", "query_id"), "query_id", "v", "qx")
+    val lut = qs.join(cs, Seq("m"))
+      .select(col("query_id"), col("m"), col("cent_id").as("code"),
+        round(dotFast(col("qx"), col("c")) * lit(1000000.0d))
+          .cast("long").as("qp"))
+    val qcell = assigned.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    codes.join(assigned, Seq("vec_id"))
+      .join(broadcast(qcell), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("qp")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"),
+        round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
+  }
+
   /** IVF-Flat ANN: coarse quantization to the nearest of the strided
     * seed centroids (every `QueryStride`-th vector — deterministic, no
     * k-means RNG), then exact search inside the cell. The centroid
@@ -576,18 +625,39 @@ object Similarity {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
        |    ORDER BY d2, cent_id) rk FROM asn) WHERE rk = 1)""".stripMargin
 
-  /** ADC continuation: per-query LUT of micro-quantized partial dots,
-    * candidate score = integer sum of PqM table entries.
-    */
-  private val pqAdcSql =
+  /** Per-query ADC lookup table of micro-quantized partial dots. */
+  private val pqLutSql =
     s"""lut AS (SELECT q.vec_id query_id, cs.m, cent_id AS code,
        |    CAST(ROUND(list_dot_product(
        |      list_slice(q.v, cs.m * $PqSubDim + 1, cs.m * $PqSubDim + $PqSubDim),
        |      c) * 1000000.0) AS BIGINT) qp
-       |  FROM e q, cs WHERE q.vec_id % $QueryStride = 0),
+       |  FROM e q, cs WHERE q.vec_id % $QueryStride = 0)""".stripMargin
+
+  /** ADC continuation: candidate score = integer sum of PqM table
+    * entries over the whole corpus (flat PQ).
+    */
+  private val pqAdcSql =
+    s"""$pqLutSql,
        |sc AS (SELECT lut.query_id, k.vec_id nbr_id, SUM(qp) score
        |  FROM codes k JOIN lut ON k.m = lut.m AND k.code = lut.code
        |  WHERE k.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
+
+  /** IVF-PQ continuation: cell assignment + cell-restricted ADC. */
+  private val pqIvfSql =
+    s"""asncell AS (SELECT vec_id, cent_id AS cell FROM (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+       |      c.cent_id) rn
+       |  FROM e, cent c) WHERE rn = 1),
+       |$pqLutSql,
+       |sc AS (SELECT lut.query_id, k2.vec_id nbr_id, SUM(qp) score
+       |  FROM codes k2
+       |  JOIN asncell ca ON k2.vec_id = ca.vec_id
+       |  JOIN asncell qa ON qa.cell = ca.cell AND qa.vec_id % $QueryStride = 0
+       |  JOIN lut ON lut.query_id = qa.vec_id
+       |    AND lut.m = k2.m AND lut.code = k2.code
+       |  WHERE k2.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -883,6 +953,42 @@ object Similarity {
         index = knnPqAdc(_, _)),
       Some(s"""WITH $pqSql,
               |$pqAdcSql,
+              |ap AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM sc) WHERE rk <= $K),
+              |exsc AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
+              |  FROM e q JOIN e t ON q.vec_id <> t.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |hits AS (SELECT e2.query_id, COUNT(*) n_hit FROM ex e2
+              |  JOIN ap ON e2.query_id = ap.query_id AND e2.nbr_id = ap.nbr_id
+              |  GROUP BY 1),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1)
+              |SELECT COUNT(*) AS n_queries,
+              |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6) AS avg_recall
+              |FROM base LEFT JOIN hits USING (query_id)""".stripMargin)),
+
+    // V4 composite: IVF cell restriction × PQ-ADC scoring — the
+    // production billion-scale shape; its recall monitor reads the
+    // COMPOUNDED loss next to the per-axis monitors.
+    QueryDef("sim_knn_ivfpq",
+      (s, d) => knnIvfPq(Tables.embeddings(s, d)),
+      Some(s"""WITH $pqSql,
+              |$pqIvfSql
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id,
+              |ROUND(CAST(score AS DOUBLE) / 1000000.0, 6) adc FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM sc)
+              |WHERE rk <= $K""".stripMargin)),
+
+    QueryDef("sim_ivfpq_recall",
+      (s, d) => annRecallAtK(Tables.embeddings(s, d),
+        index = knnIvfPq(_, _)),
+      Some(s"""WITH $pqSql,
+              |$pqIvfSql,
               |ap AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY score DESC, nbr_id) rk FROM sc) WHERE rk <= $K),

@@ -57,7 +57,10 @@ class DeterminismSpec extends SparkSpec {
     "sim_hard_negatives",     // banded LSH candidates + rank window
     "mm_ahash",               // mapPartitions hash pass
     "sim_knn_pq_adc",         // codebook argmin + integer ADC sums
-    "txt_kn_heldout")         // 3-way left joins + quantized KN ln
+    "txt_kn_heldout",         // 3-way left joins + quantized KN ln
+    "sim_knn_ivfpq",          // cell restriction × ADC composite
+    "ops_drift_psi",          // midpoint split + smoothed ln shares
+    "e10_key_skew")           // TakeOrdered cut + ppm ratios
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -160,4 +160,39 @@ class CommerceSpec extends SparkSpec {
       .select("i", "j").as[(Long, Long)].collect()
     assert(got.toSeq === Seq((10L, 11L)))
   }
+
+  test("psi drift: stable distribution scores zero in every band") {
+    // midpoint of [jan1, jan3] is jan2: jan1 = reference, jan3 = current;
+    // both sides have the same 3-low/1-high value mix
+    val orders = (Seq.fill(3)(10000.0) ++ Seq(60000.0)).flatMap(v =>
+      Seq(("2024-01-01", v), ("2024-01-03", v)))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = Commerce.driftPsi(orders)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(0L, 1L))
+    got.values.foreach { case (_, nRef, nCur, sRef, sCur, psi) =>
+      assert(nRef === nCur)
+      assert(sRef === sCur)
+      assert(psi === 0L)
+    }
+  }
+
+  test("psi drift: a full distribution shift fires the 0.25 alarm") {
+    // reference all in band 0, current all in band 1 (plus one extreme
+    // current value proving the top-band cap)
+    val orders = (Seq.fill(4)(("2024-01-01", 10000.0)) ++
+      Seq.fill(4)(("2024-01-03", 60000.0)) :+ ("2024-01-03", 9.0e8))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = Commerce.driftPsi(orders)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the extreme value clamps into the last band, not beyond it
+    assert(got.keySet === Set(0L, 1L, 9L))
+    assert(got(9L)._2 === 0L && got(9L)._3 === 1L)
+    // both shifted bands contribute positive PSI; the total crosses
+    // the standard 0.25 retrain threshold
+    assert(got(0L)._6 > 0L && got(1L)._6 > 0L)
+    assert(got.values.map(_._6).sum > 250000L)
+  }
 }

@@ -203,6 +203,12 @@ class EmptyInputSpec extends SparkSpec {
     // would throw DIVIDE_BY_ZERO if a row ever reached it
     assert(Recommend.negativeSamples(inter0).count() === 0)
     assert(Similarity.normalizeCenter(emb0).count() === 0)
+    assert(Similarity.pqCodes(emb0).count() === 0)
+    assert(Similarity.knnPqAdc(emb0).count() === 0)
+    assert(Similarity.knnIvfPq(emb0).count() === 0)
+    assert(TextAnalysis.knHeldout(docs0).count() === 0)
+    assert(Commerce.driftPsi(orders0).count() === 0)
+    assert(Events.keySkew(evv0).count() === 0)
     assert(TextAnalysis.oovRate(docs0).count() === 0)
     assert(TextAnalysis.qualityPr(docs0).count() === 0)
     assert(TextAnalysis.qualityBands(docs0).count() === 0)

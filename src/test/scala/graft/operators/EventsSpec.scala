@@ -120,6 +120,21 @@ class EventsSpec extends SparkSpec {
     assert(got.head._1 === "view") // heavy hitter ranks first
   }
 
+  test("key skew: hot key ranks first with exact ppm share and x-mean") {
+    // user 1: 50 events, users 2..11: 1 each -> 60 rows over 11 keys
+    val rows = (1 to 50).map(i => (i.toLong, 1L)) ++
+      (2 to 11).map(u => (100L + u, u.toLong))
+    val df = rows.toDF("event_id", "user_id")
+    val got = Events.keySkew(df, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.length === 3)
+    // share = round(50e6/60) = 833333; x_mean = round(50*11e6/60) = 9166667
+    assert(got.head === ((1L, 50L, 833333L, 9166667L)))
+    // singleton keys: share round(1e6/60)=16667, x_mean round(11e6/60)=183333
+    assert(got(1) === ((2L, 1L, 16667L, 183333L)))
+    assert(got(2) === ((3L, 1L, 16667L, 183333L))) // tie broken by user_id
+  }
+
   test("jsonProps: typed extraction from the props JSON") {
     val df = Seq((1L, "view", """{"k": 42}"""), (2L, "click", """{"j": 1}"""))
       .toDF("event_id", "event_type", "props")

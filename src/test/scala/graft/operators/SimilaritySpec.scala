@@ -245,6 +245,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rec._2 === 1.0)
   }
 
+  test("ivf-pq: cell-restricted ADC retrieval, recall 1.0 on separable clusters") {
+    val e = protoEmb(120)
+    val got = Similarity.knnIvfPq(e)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1).distinct.sorted == Seq(0L, 50L, 100L))
+    // candidates never leave the query's IVF cell (= cluster here)
+    got.foreach { case (q, _, n, _) => assert(q % 3 === n % 3) }
+    val q0 = got.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(q0 === Seq(3L, 6L, 9L, 12L, 15L))
+    val rec = Similarity.annRecallAtK(e, index = Similarity.knnIvfPq(_, _))
+      .as[(Long, Double)].head()
+    assert(rec === ((3L, 1.0)))
+  }
+
   test("normalize: mean-centered unit vectors, exact symmetric case") {
     // mean = (1,1); centered v1=(1,-1), v2=(-1,1); both normalize to
     // ±1/√2 = ±0.707107 (rounded)

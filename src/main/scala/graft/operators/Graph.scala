@@ -167,6 +167,47 @@ object Graph {
           .otherwise(lit(0L)))
   }
 
+  val LpMaxNbr = 64L
+  val LpTopK = 100
+
+  /** G3: common-neighbor link prediction over the co-purchase graph —
+    * the "you may also like" candidate generator that complements CF:
+    * for every NON-adjacent item pair sharing ≥1 neighbor, Jaccard =
+    * |Γi ∩ Γj| / |Γi ∪ Γj| in exact ppm, top-k. Unlike triangle
+    * counting, open-wedge enumeration has no orientation trick (a
+    * pair needs ALL its common neighbors, not one canonical witness),
+    * so the scale device is the adjacency CAP: each node keeps its
+    * `maxNbr` lowest-id neighbors (the blockedMatch MaxBlock purge /
+    * CF CapPerUser device) — wedge volume is bounded by |V|·cap²
+    * regardless of hub degree, and at 100 TB a hub's full adjacency
+    * is drive-by popularity, not signal, exactly as in the CF cap.
+    * Degrees in the denominator are post-cap for consistency.
+    */
+  def linkPredict(edges: DataFrame, maxNbr: Long = LpMaxNbr,
+                  k: Int = LpTopK): DataFrame = {
+    val e = edges.localCheckpoint(false) // adjacency + the anti-join
+    val adj0 = e.select(col("i").as("v"), col("j").as("n"))
+      .unionByName(e.select(col("j").as("v"), col("i").as("n")))
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("n"))
+    val adj = adj0.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= maxNbr).select(col("v"), col("n"))
+      .localCheckpoint(false) // wedge sides + degrees
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val cn = adj.as("x").join(adj.as("y"),
+        col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("i"), col("y.n").as("j"))
+      .agg(count(lit(1)).as("n_common"))
+    cn.join(e, Seq("i", "j"), "left_anti") // predicted = not yet linked
+      .join(deg.select(col("v").as("i"), col("deg").as("di")), Seq("i"))
+      .join(deg.select(col("v").as("j"), col("deg").as("dj")), Seq("j"))
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000) div (di + dj - n_common)"))
+      .orderBy(col("jaccard_ppm").desc, col("i"), col("j"))
+      .limit(k)
+      .select(col("i"), col("j"), col("n_common"), col("jaccard_ppm"))
+  }
+
   /** One unrolled oracle iteration; `prev` names the previous level's
     * CTE. MATERIALIZED is load-bearing: DuckDB inlines CTEs, so an
     * un-materialized ladder re-scans the base 3^iters times.
@@ -235,6 +276,45 @@ object Graph {
               |CASE WHEN deg >= 2 THEN (2 * COALESCE(n_triangles,
               |    CAST(0 AS BIGINT)) * 1000000) // (deg * (deg - 1))
               |  ELSE CAST(0 AS BIGINT) END AS clustering_ppm
-              |FROM dg LEFT JOIN nt ON dg.v = nt.v""".stripMargin))
+              |FROM dg LEFT JOIN nt ON dg.v = nt.v""".stripMargin)),
+
+    // G3 (beyond-ref): common-neighbor link prediction — see
+    // linkPredict for the adjacency-cap scale argument.
+    QueryDef("graph_link_predict",
+      (s, d) => linkPredict(
+        itemEdges(Recommend.interactionsCapped(s, d)
+          .localCheckpoint(false))),
+      Some(s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |capped AS (SELECT user_id, item_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+              |  WHERE rn <= ${Recommend.CapPerUser}),
+              |e AS MATERIALIZED (SELECT i, j FROM (
+              |  SELECT a.item_id i, b.item_id j, COUNT(*) co
+              |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+              |    AND a.item_id < b.item_id
+              |  GROUP BY 1, 2) WHERE co >= $TriMinCo),
+              |adj0 AS (SELECT i AS v, j AS n FROM e
+              |  UNION ALL SELECT j, i FROM e),
+              |adj AS MATERIALIZED (SELECT v, n FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY v ORDER BY n) rn
+              |  FROM adj0) WHERE rn <= $LpMaxNbr),
+              |dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+              |  FROM adj GROUP BY 1),
+              |cn AS (SELECT x.n AS i, y.n AS j,
+              |    CAST(COUNT(*) AS BIGINT) AS n_common
+              |  FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n
+              |  GROUP BY 1, 2),
+              |cand AS (SELECT cn.i, cn.j, cn.n_common FROM cn
+              |  LEFT JOIN e ON cn.i = e.i AND cn.j = e.j
+              |  WHERE e.i IS NULL)
+              |SELECT c.i, c.j, c.n_common,
+              |(c.n_common * 1000000) // (di.deg + dj.deg - c.n_common)
+              |  AS jaccard_ppm
+              |FROM cand c JOIN dg di ON c.i = di.v JOIN dg dj ON c.j = dj.v
+              |ORDER BY jaccard_ppm DESC, c.i, c.j LIMIT $LpTopK""".stripMargin))
   )
 }

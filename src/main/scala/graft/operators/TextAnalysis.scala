@@ -2007,6 +2007,36 @@ object TextAnalysis {
               |ROUND(CAST(tp AS DOUBLE) / NULLIF(p_total, 0), 6) AS recall
               |FROM cum""".stripMargin)),
 
+    // Calibration companion to the PR curve: reliability diagram of
+    // the blended quality score — fixed 0.1-wide score bands, each
+    // with its quantized mean predicted score and observed positive
+    // rate in exact ppm. A well-calibrated scorer has avg_score ≈
+    // pos_rate band by band; a monotone-but-miscalibrated one still
+    // ranks (PR curve looks fine) yet lies about absolute quality —
+    // exactly what a mixture-weighting pass consuming the score as a
+    // probability would trip over. One scan → one ≤10-row aggregate.
+    QueryDef("txt_quality_calibration",
+      (s, d) => qualityCalibration(docs(s, d)),
+      Some(s"""WITH q AS (SELECT doc_id,
+              |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct(string_split_regex(trim(text),'\\s+'))) AS BIGINT) AS n_distinct,
+              |  CAST(${sqlHits(StopEn)} AS BIGINT) AS n_stop,
+              |  CAST(lang = 'en' AS BIGINT) AS pos
+              |  FROM documents),
+              |r AS (SELECT pos,
+              |  ROUND(CAST(n_distinct AS DOUBLE)/n_tokens*0.5
+              |    + LEAST(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.3
+              |    + CAST(n_stop AS DOUBLE)/n_tokens*0.2, 6) AS quality
+              |  FROM q)
+              |SELECT CAST(LEAST(FLOOR(quality * 10.0), 9.0) AS BIGINT) AS bin,
+              |CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |CAST(SUM(pos) AS BIGINT) AS n_pos,
+              |ROUND(FLOOR(CAST(SUM(CAST(ROUND(quality * 1000000.0) AS BIGINT))
+              |    AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_score,
+              |CAST(ROUND(SUM(pos) * 1000000.0 / COUNT(*)) AS BIGINT)
+              |  AS pos_rate_ppm
+              |FROM r GROUP BY 1""".stripMargin)),
+
     // Vocabulary coverage / OOV pressure per source — the tokenizer-
     // budget diagnostic run before committing to a vocab size: fix
     // the top-V corpus words as the vocabulary (deterministic
@@ -2129,6 +2159,34 @@ object TextAnalysis {
   }
 
   /** See the txt_quality_pr QueryDef. */
+  /** Reliability-diagram calibration of the quality score — see the
+    * txt_quality_calibration QueryDef. Same single-projection
+    * score+label trick as qualityPr; the band aggregate is map-side
+    * combinable and at most 10 rows leave it.
+    */
+  def qualityCalibration(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val q = d.select(
+        (col("lang") === lit("en")).cast("long").as("pos"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        hits(t, StopEn).cast("long").as("n_stop"))
+      .select(col("pos"), round(
+        col("n_distinct").cast("double") / col("n_tokens") * 0.5d
+          + least(col("n_tokens").cast("double") / 100.0d, lit(1.0d)) * 0.3d
+          + col("n_stop").cast("double") / col("n_tokens") * 0.2d, 6)
+        .as("quality"))
+    q.groupBy(least(floor(col("quality") * lit(10.0d)), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        sum(round(col("quality") * lit(1000000.0d)).cast("long"))
+          .as("q_sum"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(floor(col("q_sum").cast("double") / col("n_docs"))
+          / 1000000.0d, 6).as("avg_score"),
+        round(col("n_pos") * lit(1000000.0d) / col("n_docs")).cast("long")
+          .as("pos_rate_ppm"))
+  }
+
   def qualityPr(d: DataFrame): DataFrame = {
     // label and score in ONE projection — joining qualityScore back
     // to d on doc_id would shuffle the corpus twice for a column the

@@ -60,7 +60,9 @@ class DeterminismSpec extends SparkSpec {
     "txt_kn_heldout",         // 3-way left joins + quantized KN ln
     "sim_knn_ivfpq",          // cell restriction × ADC composite
     "ops_drift_psi",          // midpoint split + smoothed ln shares
-    "e10_key_skew")           // TakeOrdered cut + ppm ratios
+    "e10_key_skew",           // TakeOrdered cut + ppm ratios
+    "graph_link_predict",     // capped wedge join + integer Jaccard
+    "txt_quality_calibration") // band cut + quantized mean score
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

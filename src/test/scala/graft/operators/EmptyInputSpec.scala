@@ -209,6 +209,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.knHeldout(docs0).count() === 0)
     assert(Commerce.driftPsi(orders0).count() === 0)
     assert(Events.keySkew(evv0).count() === 0)
+    assert(TextAnalysis.qualityCalibration(docs0).count() === 0)
+    assert(Graph.linkPredict(
+      empty("i" -> LongType, "j" -> LongType)).count() === 0)
     assert(TextAnalysis.oovRate(docs0).count() === 0)
     assert(TextAnalysis.qualityPr(docs0).count() === 0)
     assert(TextAnalysis.qualityBands(docs0).count() === 0)

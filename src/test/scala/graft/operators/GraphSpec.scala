@@ -78,6 +78,24 @@ class GraphSpec extends SparkSpec {
     assert(e === Seq((10L, 11L)))
   }
 
+  test("link prediction: open wedge predicted, closed pairs excluded, cap bounds the hub") {
+    // path 1-2-3: (1,3) share neighbor 2 and are not adjacent ->
+    // predicted with Jaccard 1/(1+1-1) = 1.0; adjacent pairs never emit
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    val got = Graph.linkPredict(path)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 1L, 1000000L)))
+    // star 1,2,3 - 9: uncapped predicts all three spoke pairs; with
+    // the adjacency capped at 2 the hub keeps neighbors {1, 2} only
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("i", "j")
+    val full = Graph.linkPredict(star)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(full === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val capped = Graph.linkPredict(star, maxNbr = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(capped === Seq((1L, 2L, 1L, 1000000L)))
+  }
+
   test("iteration is a fixpoint map: rank vector is deterministic") {
     val a = Graph.pagerankFrom(starInter, iters = 4)
       .orderBy("node_type", "id").as[(String, Long, Long)].collect().toSeq

@@ -113,6 +113,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(_._4 > 0.0))
   }
 
+  test("quality calibration: bands, quantized mean score, exact pos rate") {
+    // "x y": ttr 1.0 -> 0.5, length 2/100 -> 0.006, no stopwords
+    // => quality 0.506, band 5; same text under 'en' and 'fr' labels
+    // gives the band a 50% positive rate
+    val corpus = Seq(
+      TDoc(1, "x y", "en"), TDoc(2, "x y", "fr"),
+      // "the the the": ttr 1/3 -> 0.166667, len 0.009, stop 3/3 -> 0.2
+      // => quality 0.375667, band 3, pure negative
+      TDoc(3, "the the the", "de")).toDF()
+    val got = TextAnalysis.qualityCalibration(corpus)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(3L, 5L))
+    assert(got(5L) === ((5L, 2L, 1L, 0.506, 500000L)))
+    assert(got(3L)._2 === 1L && got(3L)._3 === 0L)
+    assert(got(3L)._5 === 0L)
+  }
+
   test("kneser-ney heldout: counters partition; discount and continuation math exact") {
     // split: ids ≡ 0,9 (mod 10) land in eval (same device as backoff)
     // train doc 1 "a b a b": c("a b")=2, c("b a")=1; c1(a)=2, c1(b)=1;

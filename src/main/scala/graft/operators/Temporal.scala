@@ -228,7 +228,75 @@ object Temporal {
     Tables.events(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
 
+  val ZWin = 24
+  val HourUs = 3600L * 1000000L
+
+  /** TS3: rolling z-score anomaly detection over the per-type hourly
+    * volume series — the alerting-tier monitor behind every "traffic
+    * dropped/spiked" page: each bucket scores against the TRAILING
+    * `w` observed buckets (current excluded, so the anomaly can't
+    * shift its own baseline; the first w buckets of a series are
+    * warm-up and drop). The flag decision is EXACT integer
+    * arithmetic — |x−mean| ≥ 3σ rewritten over window sums as
+    * (w·x−s)² ≥ 9·(w·ssq−s²), with the squares in DECIMAL(38)
+    * (HUGEINT on the oracle) so a 10⁹-rows/hour series cannot
+    * overflow — and the readable z is one fixed-shape double
+    * division. A flat window (σ=0) flags any deviation.
+    * Scale: one series-grain aggregate, one ordered window pass per
+    * event_type — the resampleOhlc shuffle, nothing else.
+    */
+  def rollingAnomaly(events: DataFrame, bucketUs: Long = HourUs,
+                     w: Int = ZWin): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = events
+      .groupBy(col("event_type"), expr(s"ts_us div $bucketUs").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-w, -1)
+    series
+      .withColumn("w_cnt", count(lit(1)).over(win))
+      .withColumn("s", sum(col("n")).over(win))
+      .withColumn("ssq", sum((col("n") * col("n")).cast(dec)).over(win))
+      .filter(col("w_cnt") === w)
+      .withColumn("num", col("n") * w - col("s"))
+      .withColumn("varw", col("ssq") * w - (col("s") * col("s")).cast(dec))
+      .select(col("event_type"),
+        (col("bucket") * bucketUs).as("bucket_start_us"), col("n"),
+        when(col("varw") > 0, round(col("num").cast("double") /
+          sqrt(col("varw").cast("double")), 6)).as("z"),
+        when(col("varw") > 0,
+          col("num").cast(dec) * col("num") >= col("varw") * 9)
+          .otherwise(col("num") =!= 0L).cast("long").as("is_anomaly"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // TS3 (beyond-ref): trailing-window anomaly flags — see
+    // rollingAnomaly for the exact-integer decision rule.
+    QueryDef("ts_rolling_z",
+      (s, d) => rollingAnomaly(ev(s, d)),
+      Some(s"""WITH series AS (SELECT event_type,
+              |    epoch_us(ts) // $HourUs AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1, 2),
+              |win AS (SELECT event_type, bucket, n,
+              |    COUNT(*) OVER tw AS w_cnt,
+              |    SUM(n) OVER tw AS s,
+              |    SUM(CAST(n * n AS HUGEINT)) OVER tw AS ssq
+              |  FROM series WINDOW tw AS (PARTITION BY event_type
+              |    ORDER BY bucket ROWS BETWEEN $ZWin PRECEDING
+              |    AND 1 PRECEDING)),
+              |f AS (SELECT event_type, bucket, n,
+              |    n * $ZWin - s AS num,
+              |    ssq * $ZWin - CAST(s * s AS HUGEINT) AS varw
+              |  FROM win WHERE w_cnt = $ZWin)
+              |SELECT event_type, bucket * $HourUs AS bucket_start_us, n,
+              |CASE WHEN varw > 0 THEN ROUND(CAST(num AS DOUBLE)
+              |  / sqrt(CAST(varw AS DOUBLE)), 6) END AS z,
+              |CAST(CASE WHEN varw > 0
+              |  THEN CAST(num AS HUGEINT) * num >= varw * 9
+              |  ELSE num <> 0 END AS BIGINT) AS is_anomaly
+              |FROM f""".stripMargin)),
 
     // As-of: each purchase matched to the user's most recent
     // non-purchase event at-or-before it. Oracle uses DuckDB's native

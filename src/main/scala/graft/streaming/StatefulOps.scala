@@ -47,6 +47,23 @@ case class ChannelAt(channel: String, ts_us: Long, event_id: Long)
 case class AttributedPurchase(event_id: Long, user_id: Long, ts_us: Long,
                               channel: String, value: Double)
 
+/** Input row for the streaming anomaly detector. */
+case class BucketEvent(event_type: String, ts_us: Long)
+
+/** Trailing-window state for one event_type: the open (latest)
+  * bucket with its running count, plus the last ≤w CLOSED buckets as
+  * two parallel primitive Seqs, oldest first (flat state blob — a
+  * Seq of case classes would nest the encoder).
+  */
+case class AnomalyState(open: Long, openN: Long,
+                        tb: Seq[Long], tn: Seq[Long])
+
+/** One scored closed bucket (append-final) — same fields and same
+  * arithmetic as the batch `Temporal.rollingAnomaly` row.
+  */
+case class AnomalyFlag(event_type: String, bucket_start_us: Long,
+                       n: Long, z: Option[Double], is_anomaly: Long)
+
 /** A closed [valid_from, valid_to) SCD2 interval (append-mode-final). */
 case class Scd2Interval(user_id: Long, version: Long, event_type: String,
                         valid_from_us: Long, valid_to_us: Long, n_obs: Long)
@@ -345,6 +362,77 @@ object StatefulOps {
     implicit val ke = Encoders.scalaLong
     events.groupByKey(_.user_id)
       .transformWithState(new AttributionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming twin of `Temporal.rollingAnomaly` (ts_rolling_z): per
+    * event_type, keyed state carries the open bucket plus the last w
+    * closed bucket counts; a bucket is scored the moment a later
+    * bucket's first row closes it, with the SAME exact-integer
+    * (w·x−s)² ≥ 9·(w·ssq−s²) decision and round-6 z as the batch
+    * operator (BigInt stands in for the batch DECIMAL(38)). The open
+    * bucket is never emitted — it cannot be scored until it stops
+    * growing — so on in-order input the stream output equals the
+    * batch output minus each series' final bucket (spec-proven). A
+    * straggler row for an already-closed bucket is dropped: scored
+    * history is immutable, same stance as the attribution twin.
+    * Scale: state is 2w+2 longs per event_type in RocksDB.
+    */
+  class AnomalyProcessor(bucketUs: Long, w: Int)
+      extends StatefulProcessor[String, BucketEvent, AnomalyFlag] {
+    @transient private var st: ValueState[AnomalyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AnomalyState]("trail",
+        Encoders.product[AnomalyState], TTLConfig.NONE)
+
+    private def score(key: String, tn: Seq[Long], b: Long,
+                      n: Long): Option[AnomalyFlag] =
+      if (tn.length < w) None
+      else {
+        val s = tn.sum
+        val ssq = tn.map(x => BigInt(x) * x).sum
+        val num = BigInt(n) * w - s
+        val varw = ssq * w - BigInt(s) * s
+        val anom = if (varw > 0) num * num >= varw * 9 else num != 0
+        val z = if (varw > 0)
+          Some(BigDecimal(num.toDouble / math.sqrt(varw.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+        Some(AnomalyFlag(key, b * bucketUs, n, z, if (anom) 1L else 0L))
+      }
+
+    override def handleInputRows(key: String, rows: Iterator[BucketEvent],
+        timerValues: TimerValues): Iterator[AnomalyFlag] = {
+      val counts = rows.map(_.ts_us / bucketUs).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var state = if (st.exists()) st.get() else null
+      val out = Seq.newBuilder[AnomalyFlag]
+      counts.foreach { case (b, c) =>
+        if (state == null) state = AnomalyState(b, c, Seq.empty, Seq.empty)
+        else if (b < state.open) () // straggler: closed history is immutable
+        else if (b == state.open) state = state.copy(openN = state.openN + c)
+        else {
+          score(key, state.tn, state.open, state.openN).foreach(out += _)
+          state = AnomalyState(b, c,
+            (state.tb :+ state.open).takeRight(w),
+            (state.tn :+ state.openN).takeRight(w))
+        }
+      }
+      if (state != null) st.update(state)
+      out.result().iterator
+    }
+  }
+
+  def anomalyStream(events: Dataset[BucketEvent],
+                    bucketUs: Long = graft.operators.Temporal.HourUs,
+                    w: Int = graft.operators.Temporal.ZWin)
+      : Dataset[AnomalyFlag] = {
+    implicit val fe = Encoders.product[AnomalyFlag]
+    implicit val ke = Encoders.STRING
+    events.groupByKey(_.event_type)
+      .transformWithState(new AnomalyProcessor(bucketUs, w),
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -62,7 +62,8 @@ class DeterminismSpec extends SparkSpec {
     "ops_drift_psi",          // midpoint split + smoothed ln shares
     "e10_key_skew",           // TakeOrdered cut + ppm ratios
     "graph_link_predict",     // capped wedge join + integer Jaccard
-    "txt_quality_calibration") // band cut + quantized mean score
+    "txt_quality_calibration", // band cut + quantized mean score
+    "ts_rolling_z")           // trailing-frame integer moments
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -212,6 +212,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.qualityCalibration(docs0).count() === 0)
     assert(Graph.linkPredict(
       empty("i" -> LongType, "j" -> LongType)).count() === 0)
+    assert(Temporal.rollingAnomaly(
+      empty("event_type" -> StringType, "ts_us" -> LongType))
+      .count() === 0)
     assert(TextAnalysis.oovRate(docs0).count() === 0)
     assert(TextAnalysis.qualityPr(docs0).count() === 0)
     assert(TextAnalysis.qualityBands(docs0).count() === 0)

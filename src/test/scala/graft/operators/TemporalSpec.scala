@@ -119,4 +119,25 @@ class TemporalSpec extends SparkSpec {
     assert(got === Map(10L -> None, 11L -> Some("A"), 12L -> Some("B"),
       13L -> Some("B"), 14L -> None))
   }
+
+  test("rolling z: flat window flags any deviation; exact 3-sigma rule") {
+    def mk(tp: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, b) => (0 until c).map(i => (tp, b.toLong * 1000L + i))
+    }
+    val df = (mk("flat", Seq(2, 2, 2, 2, 8)) ++
+      mk("noisy", Seq(1, 2, 1, 2, 2, 9))).toDF("event_type", "ts_us")
+    val got = Temporal.rollingAnomaly(df, bucketUs = 1000L, w = 4)
+      .as[(String, Long, Long, Option[Double], Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // warm-up buckets (fewer than w trailing points) emit nothing
+    assert(got.keySet === Set(("flat", 4000L), ("noisy", 4000L),
+      ("noisy", 5000L)))
+    // flat window [2,2,2,2]: sigma 0 -> any deviation flags, z is null
+    assert(got(("flat", 4000L)) === (("flat", 4000L, 8L, None, 1L)))
+    // noisy bucket 4, window [1,2,1,2]: num=2, varw=4 -> z=1.0, no flag
+    assert(got(("noisy", 4000L)) === (("noisy", 4000L, 2L, Some(1.0), 0L)))
+    // noisy bucket 5, window [2,1,2,2]: num=29, varw=3 -> 841 >= 27
+    val r5 = got(("noisy", 5000L))
+    assert(r5._5 === 1L && r5._4.get > 16.0)
+  }
 }

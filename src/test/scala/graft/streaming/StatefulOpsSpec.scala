@@ -201,6 +201,52 @@ class StatefulOpsSpec extends SparkSpec {
     assert(StatefulOps.tierOf(100000.0).contains("PLATINUM"))
   }
 
+  test("streaming anomaly: trail carries across batches, matches the batch twin") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the TemporalSpec "noisy" series [1,2,1,2,2,9] at bucketUs=1000,
+      // w=4, split mid-series so the trail must cross the batch boundary;
+      // bucket 6 is the sentinel that closes bucket 5 and stays open
+      def rows(counts: Seq[(Int, Int)]) = counts.flatMap { case (b, c) =>
+        (0 until c).map(i => BucketEvent("noisy", b.toLong * 1000L + i))
+      }
+      val b1 = rows(Seq(0 -> 1, 1 -> 2, 2 -> 1))
+      val b2 = rows(Seq(3 -> 2, 4 -> 2, 5 -> 9, 6 -> 1))
+      val in = MemoryStream[BucketEvent]
+      val q = StatefulOps.anomalyStream(in.toDS(), bucketUs = 1000L, w = 4)
+        .writeStream.format("memory").queryName("anom_out")
+        .outputMode("append").start()
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("anom_out").as[AnomalyFlag].collect()
+        .map(f => f.bucket_start_us -> f).toMap
+      assert(got.keySet === Set(4000L, 5000L))
+      assert(got(4000L) === AnomalyFlag("noisy", 4000L, 2L, Some(1.0), 0L))
+      assert(got(5000L).is_anomaly === 1L)
+      // one codepath: the batch operator over the same rows (minus the
+      // never-closed sentinel bucket) emits identical rows
+      val batch = graft.operators.Temporal.rollingAnomaly(
+        (b1 ++ b2).filter(_.ts_us < 6000L).toDF(),
+        bucketUs = 1000L, w = 4)
+        .as[(String, Long, Long, Option[Double], Long)].collect().toSet
+      val streamSet = got.values
+        .map(f => (f.event_type, f.bucket_start_us, f.n, f.z, f.is_anomaly))
+        .toSet
+      assert(batch === streamSet)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming attribution: channel chains across batches, matches batch op") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -308,6 +308,31 @@ object Commerce {
           .cast("double") / 100.0).as("ltv_per_customer"))
   }
 
+  /** ER3: golden-record consolidation — the end of the record-linkage
+    * pipeline the blocked fuzzy match begins: match pairs → connected
+    * components (Dedup's pointer-jumping machinery, log-depth) → one
+    * merged master row per entity cluster, with the longest-text
+    * member as the survivor (ties to the lower doc_id — the
+    * dedup_best_of_cluster rule) and merged attributes read off the
+    * cluster. Composition of three audited-safe pieces; the only new
+    * operation is one cluster-keyed rank window + one aggregate.
+    */
+  def goldenRecords(docs: DataFrame): DataFrame = {
+    val pairs = blockedMatch(docs).select(col("i"), col("j"))
+    val labeled = Dedup.labelComponents(pairs, docs.select(col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(labeled.select(col("doc_id"),
+        col("canonical_id").as("cluster_id")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("golden_id"),
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("n_chars"))).as("golden_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   val PsiBinWidth = 50000.0
   val PsiBins = 10
 
@@ -653,6 +678,37 @@ object Commerce {
               |FROM p a JOIN p b
               |  ON a.lang = b.lang AND a.lb = b.lb AND a.tok1 = b.tok1
               |  AND a.doc_id < b.doc_id
-              |WHERE levenshtein(a.pre, b.pre) <= 5""".stripMargin))
+              |WHERE levenshtein(a.pre, b.pre) <= 5""".stripMargin)),
+
+    // ER3 (beyond-ref): golden-record consolidation — see
+    // goldenRecords. Oracle = the er_blocked_match pair SQL + Dedup's
+    // unrolled pointer-jump ladder + the survivor window.
+    QueryDef("er_golden",
+      (s, d) => goldenRecords(Tables.documents(s, d)),
+      Some(s"""WITH p0 AS (SELECT doc_id, lang, n_chars // 50 AS lb,
+              |    split_part(text, ' ', 1) AS tok1,
+              |    regexp_replace(substr(text, 1, 60), '[^ -~]', '#', 'g')
+              |      AS pre FROM documents),
+              |p AS (SELECT * FROM p0 WHERE (lang, lb, tok1) IN (
+              |  SELECT (lang, lb, tok1) FROM p0
+              |  GROUP BY lang, lb, tok1 HAVING COUNT(*) <= $MaxBlock)),
+              |m AS (SELECT a.doc_id AS i, b.doc_id AS j
+              |  FROM p a JOIN p b
+              |  ON a.lang = b.lang AND a.lb = b.lb AND a.tok1 = b.tok1
+              |  AND a.doc_id < b.doc_id
+              |  WHERE levenshtein(a.pre, b.pre) <= 5),
+              |e AS MATERIALIZED (SELECT i, j FROM m UNION ALL SELECT j, i FROM m),
+              |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+              |${Dedup.ccStepsSql},
+              |g AS (SELECT d.doc_id, d.lang, d.n_chars, l.lbl AS cluster_id
+              |  FROM documents d JOIN l${Dedup.ClusterRounds} l USING (doc_id)),
+              |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |    ORDER BY n_chars DESC, doc_id) rk FROM g)
+              |SELECT cluster_id,
+              |MAX(CASE WHEN rk = 1 THEN doc_id END) AS golden_id,
+              |CAST(COUNT(*) AS BIGINT) AS n_members,
+              |MAX(CASE WHEN rk = 1 THEN n_chars END) AS golden_chars,
+              |CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+              |FROM r GROUP BY 1""".stripMargin))
   )
 }

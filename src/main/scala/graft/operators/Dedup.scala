@@ -504,7 +504,7 @@ object Dedup {
     * previous THRICE; DuckDB inlines CTEs by default, which would
     * expand l$ClusterRounds into 3^$ClusterRounds input scans.
     */
-  private val ccStepsSql = (1 to ClusterRounds).map { k =>
+  private[operators] val ccStepsSql = (1 to ClusterRounds).map { k =>
     s"""l$k AS MATERIALIZED (SELECT doc_id, MIN(lbl) lbl FROM (
        |  SELECT doc_id, lbl FROM l${k - 1}
        |  UNION ALL SELECT e.i AS doc_id, l${k - 1}.lbl

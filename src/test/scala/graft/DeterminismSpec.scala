@@ -63,7 +63,8 @@ class DeterminismSpec extends SparkSpec {
     "e10_key_skew",           // TakeOrdered cut + ppm ratios
     "graph_link_predict",     // capped wedge join + integer Jaccard
     "txt_quality_calibration", // band cut + quantized mean score
-    "ts_rolling_z")           // trailing-frame integer moments
+    "ts_rolling_z",           // trailing-frame integer moments
+    "er_golden")              // match pairs + CC + survivor window
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

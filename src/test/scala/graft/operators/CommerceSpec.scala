@@ -161,6 +161,24 @@ class CommerceSpec extends SparkSpec {
     assert(got.toSeq === Seq((10L, 11L)))
   }
 
+  test("golden records: matched pair merges; survivor is the longest text") {
+    val docs = Seq(
+      (1L, "en", 10L, "alpha beta gamma"),
+      (2L, "en", 300L, "unrelated long text"),
+      (10L, "fr", 40L, "petit texte un"),
+      (11L, "fr", 41L, "petit texte um"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val got = Commerce.goldenRecords(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // 10 and 11 block together and match within edit distance; the
+    // cluster labels with the min id, the longer text survives
+    assert(got.keySet === Set(1L, 2L, 10L))
+    assert(got(10L) === ((10L, 11L, 2L, 41L, 1L)))
+    // singletons are their own golden record
+    assert(got(1L) === ((1L, 1L, 1L, 10L, 1L)))
+  }
+
   test("psi drift: stable distribution scores zero in every band") {
     // midpoint of [jan1, jan3] is jan2: jan1 = reference, jan3 = current;
     // both sides have the same 3-low/1-high value mix

@@ -215,6 +215,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)
+    assert(Commerce.goldenRecords(docs0
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(0L)))
+      .count() === 0)
     assert(TextAnalysis.oovRate(docs0).count() === 0)
     assert(TextAnalysis.qualityPr(docs0).count() === 0)
     assert(TextAnalysis.qualityBands(docs0).count() === 0)

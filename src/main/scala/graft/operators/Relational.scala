@@ -692,6 +692,27 @@ object Relational {
              |WHERE value > 250.0 OR (value = 250.0 AND event_id > 5000)
              |ORDER BY value, event_id LIMIT 100""".stripMargin)),
 
+    // U10 (beyond-ref): weighted sampling WITHOUT replacement
+    // (Efraimidis–Spirakis A-ES) — the training-data sampling op U3's
+    // uniform bucket can't express: P(row in sample) ∝ its weight.
+    // The classic algorithm keeps the k rows minimizing −ln(u)/w for
+    // uniform u; the RNG is replaced by the stable integer-arithmetic
+    // hash (the bucket10 family, modulus 10⁶+3 for fine grain), so
+    // the sample is engine/partitioning/run stable, and the single
+    // −ln runs on one fixed-shape double both engines compute
+    // bit-identically. One scan + one TakeOrdered — no shuffle wider
+    // than the k-row cut, scan-bandwidth at any scale.
+    QueryDef("u10_weighted_sample",
+      (s, d) => weightedSample(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice")),
+        "o_orderkey", "o_totalprice"),
+      Some("""WITH h AS (SELECT o_orderkey, o_totalprice,
+             |  ((o_orderkey % 1000003) * 31 + 7 * 97) % 1000003 AS hv
+             |  FROM orders)
+             |SELECT o_orderkey, o_totalprice FROM h
+             |ORDER BY -ln(CAST(hv + 1 AS DOUBLE) / 1000004.0)
+             |  / o_totalprice, o_orderkey LIMIT 100""".stripMargin)),
+
     // U4: seeded stratified 80/20 split (daily_pipeline.py:217-224).
     // numpy RNG can't be replayed cross-engine, so the seed becomes a
     // stable integer-arithmetic bucket of the row key — same split on
@@ -994,4 +1015,21 @@ object Relational {
              |MIN(day) AS min_day, MAX(day) AS max_day
              |FROM e, cut GROUP BY 1""".stripMargin))
   )
+
+  /** U10: Efraimidis–Spirakis weighted sampling without replacement —
+    * see the u10_weighted_sample QueryDef. `weight` must be a
+    * strictly-positive numeric column; rows keep their original
+    * schema.
+    */
+  def weightedSample(df: DataFrame, key: String, weight: String,
+                     k: Int = 100): DataFrame = {
+    val P = 1000003L
+    df.withColumn("hv", ((col(key) % P) * 31 + lit(7L) * 97) % P)
+      .withColumn("es_key",
+        -log((col("hv") + lit(1L)).cast("double") / lit((P + 1).toDouble))
+          / col(weight))
+      .orderBy(col("es_key"), col(key))
+      .limit(k)
+      .drop("hv", "es_key")
+  }
 }

@@ -64,7 +64,8 @@ class DeterminismSpec extends SparkSpec {
     "graph_link_predict",     // capped wedge join + integer Jaccard
     "txt_quality_calibration", // band cut + quantized mean score
     "ts_rolling_z",           // trailing-frame integer moments
-    "er_golden")              // match pairs + CC + survivor window
+    "er_golden",              // match pairs + CC + survivor window
+    "u10_weighted_sample")    // ES keys + TakeOrdered cut
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

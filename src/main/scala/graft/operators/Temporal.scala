@@ -201,6 +201,62 @@ object Temporal {
         col("is_current"))
   }
 
+  /** T25: incremental SCD2 MERGE — the lakehouse MERGE-INTO shape:
+    * fold a delta batch of events into an existing SCD2 dimension
+    * WITHOUT rebuilding history. Closed base versions pass through
+    * untouched; each key's open version is extended (same type
+    * continues: n_obs accumulates, validity inherits the delta
+    * chain), or closed at the first delta timestamp (type changed),
+    * or left open (no delta for the key); delta-local runs renumber
+    * onto the base version counter. Correctness contract:
+    * merge(build(events < t), events ≥ t) ≡ build(all events) for
+    * EVERY cutoff t — the registered query runs the merge on a
+    * midpoint split while its oracle is the full-rebuild SQL
+    * verbatim, so the equivalence itself is what the driver checks.
+    * Scale: the delta (a day) is run-compacted alone; the only
+    * touch on the big dimension is one key-grain join against the
+    * open rows — closed history is never read, which is the point
+    * of incremental maintenance at 100 TB.
+    */
+  def scd2Merge(dim: DataFrame, delta: DataFrame): DataFrame = {
+    val dl = scd2Build(delta).localCheckpoint(false) // 3 consumers
+    val cur = dim.filter(col("is_current") === 1)
+      .select(col("user_id"), col("version").as("base_ver"),
+        col("event_type").as("base_type"),
+        col("n_obs").as("base_obs"))
+    val dd = dl.join(cur, Seq("user_id"), "left").localCheckpoint(false)
+    // users whose first delta run continues the base's open run
+    val contUsers = dd.filter(col("version") === 1 &&
+        col("base_type").isNotNull &&
+        col("base_type") === col("event_type"))
+      .select(col("user_id"), col("valid_to_us").as("c_to"),
+        col("n_obs").as("c_obs"), col("is_current").as("c_cur"))
+    val firstFrom = dl.filter(col("version") === 1)
+      .select(col("user_id"), col("valid_from_us").as("d_from"))
+    val baseClosed = dim.filter(col("is_current") === 0)
+    val baseCur = dim.filter(col("is_current") === 1)
+      .join(contUsers, Seq("user_id"), "left")
+      .join(firstFrom, Seq("user_id"), "left")
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"),
+        when(col("c_obs").isNotNull, col("c_to"))
+          .otherwise(col("d_from")).as("valid_to_us"),
+        (col("n_obs") + coalesce(col("c_obs"), lit(0L))).as("n_obs"),
+        when(col("c_obs").isNotNull, col("c_cur"))
+          .when(col("d_from").isNotNull, lit(0))
+          .otherwise(lit(1)).cast("int").as("is_current"))
+    val deltaRows = dd
+      .join(contUsers.select(col("user_id"), lit(1L).as("is_cont")),
+        Seq("user_id"), "left")
+      .filter(!(col("version") === 1 && col("is_cont").isNotNull))
+      .select(col("user_id"),
+        (col("version") + coalesce(col("base_ver"), lit(0L))
+          - coalesce(col("is_cont"), lit(0L))).as("version"),
+        col("event_type"), col("valid_from_us"), col("valid_to_us"),
+        col("n_obs"), col("is_current"))
+    baseClosed.unionByName(baseCur).unionByName(deltaRows)
+  }
+
   /** Point-in-time (SCD2) lookup: each fact row joined to the
     * dimension version valid at the fact's timestamp —
     * valid_from ≤ ts < valid_to, open interval for the current row.
@@ -268,6 +324,34 @@ object Temporal {
           col("num").cast(dec) * col("num") >= col("varw") * 9)
           .otherwise(col("num") =!= 0L).cast("long").as("is_anomaly"))
   }
+
+  /** Full-rebuild SCD2 SQL — the oracle for both scd2_history and
+    * scd2_merge (the merge must reproduce the rebuild exactly).
+    */
+  private val scd2HistorySql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+      |  event_type FROM events),
+      |g AS (SELECT user_id, ts_us, event_id, event_type,
+      |  CASE WHEN lag(event_type) OVER w IS NULL
+      |    OR lag(event_type) OVER w <> event_type
+      |    THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |v AS (SELECT user_id, ts_us, event_type,
+      |  CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |  FROM g),
+      |runs AS (SELECT user_id, version,
+      |    MIN(event_type) AS event_type,
+      |    MIN(ts_us) AS valid_from_us,
+      |    COUNT(*) AS n_obs
+      |  FROM v GROUP BY 1, 2)
+      |SELECT user_id, version, event_type, valid_from_us,
+      |lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+      |  AS valid_to_us,
+      |n_obs,
+      |CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+      |  IS NULL AS INT) AS is_current
+      |FROM runs""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -467,29 +551,26 @@ object Temporal {
     // SCD2 history of each user's event_type over time.
     QueryDef("scd2_history",
       (s, d) => scd2Build(ev(s, d)),
-      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
-             |  event_type FROM events),
-             |g AS (SELECT user_id, ts_us, event_id, event_type,
-             |  CASE WHEN lag(event_type) OVER w IS NULL
-             |    OR lag(event_type) OVER w <> event_type
-             |    THEN 1 ELSE 0 END AS chg
-             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-             |v AS (SELECT user_id, ts_us, event_type,
-             |  CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
-             |  FROM g),
-             |runs AS (SELECT user_id, version,
-             |    MIN(event_type) AS event_type,
-             |    MIN(ts_us) AS valid_from_us,
-             |    COUNT(*) AS n_obs
-             |  FROM v GROUP BY 1, 2)
-             |SELECT user_id, version, event_type, valid_from_us,
-             |lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
-             |  AS valid_to_us,
-             |n_obs,
-             |CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
-             |  IS NULL AS INT) AS is_current
-             |FROM runs""".stripMargin)),
+      Some(scd2HistorySql)),
+
+    // T25 (beyond-ref): incremental SCD2 MERGE on a midpoint split of
+    // the stream — the oracle is the FULL-REBUILD SQL verbatim, so
+    // what the driver checks is the maintenance invariant itself:
+    // merge(build(events < t), events ≥ t) ≡ build(all events).
+    QueryDef("scd2_merge",
+      (s, d) => {
+        val e = ev(s, d).localCheckpoint(false) // split both ways
+        val mid = e.agg(
+          expr("(min(ts_us) + max(ts_us)) div 2").as("mid_us"))
+        val withMid = e.crossJoin(broadcast(mid)) // 1-row cutoff
+        val cols = e.columns.map(col(_)).toSeq
+        val base = withMid.filter(col("ts_us") < col("mid_us"))
+          .select(cols: _*)
+        val delta = withMid.filter(col("ts_us") >= col("mid_us"))
+          .select(cols: _*)
+        scd2Merge(scd2Build(base), delta)
+      },
+      Some(scd2HistorySql)),
 
     // Point-in-time lookup: every purchase joined to the SCD2 state
     // (built from the user's non-purchase events) valid at purchase

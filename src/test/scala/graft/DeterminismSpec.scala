@@ -65,7 +65,8 @@ class DeterminismSpec extends SparkSpec {
     "txt_quality_calibration", // band cut + quantized mean score
     "ts_rolling_z",           // trailing-frame integer moments
     "er_golden",              // match pairs + CC + survivor window
-    "u10_weighted_sample")    // ES keys + TakeOrdered cut
+    "u10_weighted_sample",    // ES keys + TakeOrdered cut
+    "scd2_merge")             // incremental merge = rebuild invariant
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -120,6 +120,31 @@ class TemporalSpec extends SparkSpec {
       13L -> Some("B"), 14L -> None))
   }
 
+  test("scd2 merge: equals the full rebuild at every cutoff") {
+    // archetypes: user 1 continues its type across the boundary,
+    // user 2 changes type there, user 3 exists only in the base,
+    // user 4 only in the delta, user 5 flips types repeatedly
+    val e = Seq(
+      (1L, 1L, 100L, "A"), (2L, 1L, 300L, "A"),
+      (3L, 1L, 500L, "A"), (4L, 1L, 700L, "B"),
+      (5L, 2L, 100L, "X"), (6L, 2L, 600L, "Y"),
+      (7L, 3L, 150L, "C"),
+      (8L, 4L, 650L, "D"),
+      (9L, 5L, 100L, "P"), (10L, 5L, 200L, "Q"),
+      (11L, 5L, 550L, "P"), (12L, 5L, 800L, "Q"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val full = Temporal.scd2Build(e)
+      .orderBy("user_id", "version").collect().toSeq
+    // includes the degenerate cutoffs: empty base and empty delta
+    for (cut <- Seq(0L, 120L, 400L, 520L, 640L, 900L)) {
+      val merged = Temporal.scd2Merge(
+        Temporal.scd2Build(e.filter($"ts_us" < cut)),
+        e.filter($"ts_us" >= cut))
+        .orderBy("user_id", "version").collect().toSeq
+      assert(merged === full, s"cutoff $cut diverged from the rebuild")
+    }
+  }
+
   test("rolling z: flat window flags any deviation; exact 3-sigma rule") {
     def mk(tp: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
       case (c, b) => (0 until c).map(i => (tp, b.toLong * 1000L + i))

@@ -125,6 +125,65 @@ object Events {
       unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
 
   val SkewTopK = 20 // before defs: the oracle SQL interpolates it
+  val FreshStaleMin = 60L
+  val PathGapUs = 30L * 60 * 1000000
+  val PathK = 20
+
+  /** E11: data-freshness monitor — per event_type, rows, last-seen
+    * timestamp, and lag behind the freshest type in whole minutes,
+    * with a staleness flag at the SLA bound. The pipeline-health
+    * check every ingestion tier pages on (a type that stops flowing
+    * is a dead producer). One map-side-combined aggregate at type
+    * grain + a 1-row corpus-max broadcast; exact integer lag.
+    */
+  def freshness(events: DataFrame,
+                staleMin: Long = FreshStaleMin): DataFrame = {
+    val tot = events.agg(max(col("ts_us")).as("corpus_max_us"))
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts_us")).as("last_ts_us"))
+      .crossJoin(broadcast(tot)) // 1-row corpus max
+      .select(col("event_type"), col("n_events"), col("last_ts_us"),
+        expr("(corpus_max_us - last_ts_us) div 60000000")
+          .as("lag_minutes"),
+        (expr("(corpus_max_us - last_ts_us) div 60000000") > staleMin)
+          .cast("long").as("is_stale"))
+  }
+
+  /** E12: top session paths — the first three event types of every
+    * gap session (st5's session device), concatenated in order, top-k
+    * by session count: the sequence-mining "how do sessions start"
+    * read next to e3's pairwise transitions. Sessions shorter than
+    * three events keep their shorter path (concat_ws skips the
+    * missing slots identically on both engines). Two window passes
+    * on the same (user, ts) ordering + a path-grain TakeOrdered.
+    */
+  def topSessionPaths(events: DataFrame, gapUs: Long = PathGapUs,
+                      k: Int = PathK): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wSess = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_start",
+        (col("prev").isNull || col("ts_us") - col("prev") > gapUs)
+          .cast("long"))
+      .withColumn("session_id", sum(col("is_start")).over(
+        byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">",
+        max(when(col("rn") === 1, col("event_type"))),
+        max(when(col("rn") === 2, col("event_type"))),
+        max(when(col("rn") === 3, col("event_type")))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -327,6 +386,45 @@ object Events {
               |  x_mean_ppm
               |FROM per, t ORDER BY n_events DESC, user_id
               |LIMIT $SkewTopK""".stripMargin)),
+
+    // E11 (beyond-ref): per-type freshness/staleness — see freshness.
+    QueryDef("e11_freshness",
+      (s, d) => freshness(ev(s, d)),
+      Some(s"""WITH e AS (SELECT event_type, epoch_us(ts) ts_us FROM events),
+              |t AS (SELECT MAX(ts_us) corpus_max_us FROM e),
+              |p AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n_events,
+              |  MAX(ts_us) last_ts_us FROM e GROUP BY 1)
+              |SELECT event_type, n_events, last_ts_us,
+              |(corpus_max_us - last_ts_us) // 60000000 AS lag_minutes,
+              |CAST((corpus_max_us - last_ts_us) // 60000000 > $FreshStaleMin
+              |  AS BIGINT) AS is_stale
+              |FROM p, t""".stripMargin)),
+
+    // E12 (beyond-ref): top session opening paths — see
+    // topSessionPaths.
+    QueryDef("e12_top_paths",
+      (s, d) => topSessionPaths(ev(s, d)),
+      Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+              |  event_type FROM events),
+              |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+              |    OR ts_us - lag(ts_us) OVER w > $PathGapUs
+              |    THEN 1 ELSE 0 END AS is_start
+              |  FROM e WINDOW w AS (PARTITION BY user_id
+              |    ORDER BY ts_us, event_id)),
+              |sess AS (SELECT *, CAST(SUM(is_start) OVER (
+              |    PARTITION BY user_id ORDER BY ts_us, event_id
+              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              |  FROM g),
+              |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id,
+              |    session_id ORDER BY ts_us, event_id) rn FROM sess),
+              |p AS (SELECT user_id, session_id,
+              |    concat_ws('>', MAX(CASE WHEN rn = 1 THEN event_type END),
+              |      MAX(CASE WHEN rn = 2 THEN event_type END),
+              |      MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+              |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+              |SELECT path, CAST(COUNT(*) AS BIGINT) n_sessions FROM p
+              |GROUP BY 1 ORDER BY n_sessions DESC, path
+              |LIMIT $PathK""".stripMargin)),
 
     QueryDef("e9_new_vs_returning",
       (s, d) => newVsReturning(Tables.events(s, d).select(col("user_id"),

@@ -66,7 +66,8 @@ class DeterminismSpec extends SparkSpec {
     "ts_rolling_z",           // trailing-frame integer moments
     "er_golden",              // match pairs + CC + survivor window
     "u10_weighted_sample",    // ES keys + TakeOrdered cut
-    "scd2_merge")             // incremental merge = rebuild invariant
+    "scd2_merge",             // incremental merge = rebuild invariant
+    "e12_top_paths")          // session windows + path top-k
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

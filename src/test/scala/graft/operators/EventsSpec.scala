@@ -135,6 +135,33 @@ class EventsSpec extends SparkSpec {
     assert(got(2) === ((3L, 1L, 16667L, 183333L))) // tie broken by user_id
   }
 
+  test("freshness: lag vs the freshest type in whole minutes, SLA flag") {
+    val us = 60000000L // one minute
+    val df = Seq(
+      (1L, 1L, 100L * us, "a"), (2L, 1L, 50L * us, "a"),
+      (3L, 2L, 20L * us, "b"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Events.freshness(df)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 2L, 100L * us, 0L, 0L)))
+    assert(got("b") === (("b", 1L, 20L * us, 80L, 1L))) // 80 min > 60 SLA
+  }
+
+  test("top paths: first three of each gap session, short sessions keep short paths") {
+    val df = Seq(
+      (1L, 1L, 1000L, "view"), (2L, 1L, 2000L, "click"),
+      (3L, 1L, 3000L, "purchase"), (4L, 1L, 4000L, "view"), // 4th drops
+      (5L, 2L, 1000L, "view"),
+      (6L, 2L, 100000L, "click")) // past the gap: its own session
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Events.topSessionPaths(df, gapUs = 10000L)
+      .as[(String, Long)].collect().toSeq
+    // counts tie at 1 -> path ascending breaks the order
+    assert(got === Seq(("click", 1L), ("view", 1L),
+      ("view>click>purchase", 1L)))
+  }
+
   test("jsonProps: typed extraction from the props JSON") {
     val df = Seq((1L, "view", """{"k": 42}"""), (2L, "click", """{"j": 1}"""))
       .toDF("event_id", "event_type", "props")

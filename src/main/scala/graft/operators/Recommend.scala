@@ -519,7 +519,53 @@ object Recommend {
 
   private val splitCond = "((user_id % 100003) * 31 + item_id * 97) % 10"
 
+  val ContentSizeTol = 5L
+  val ContentTopK = 5
+
+  /** A13''''': content-based item similarity from catalog attributes
+    * — the cold-start FALLBACK the co-occurrence family can't provide
+    * (ml_coldstart_report measures the gap; this fills it): items
+    * with zero interaction history still get neighbors from what the
+    * catalog knows. Candidates block on (brand, type) equality — a
+    * dimension-table key whose occupancy is bounded by catalog
+    * design, the record-linkage blocking discipline — and rank by
+    * size proximity with id tie-break. Exact integer scoring; the
+    * self-join shuffles on the block key, never item pairs.
+    */
+  def contentSimilarity(part: DataFrame, tol: Long = ContentSizeTol,
+                        k: Int = ContentTopK): DataFrame = {
+    val p = part.select(col("p_partkey"), col("p_brand"),
+      col("p_type"), col("p_size"))
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("size_diff"), col("similar_id"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_type") === col("b.p_type") &&
+          col("a.p_partkey") =!= col("b.p_partkey"))
+      .select(col("a.p_partkey").as("item_id"),
+        col("b.p_partkey").as("similar_id"),
+        abs(col("a.p_size") - col("b.p_size")).cast("long").as("size_diff"))
+      .filter(col("size_diff") <= tol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item_id"), col("rank").cast("long").as("rank"),
+        col("similar_id"), col("size_diff"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("ml_content_similarity",
+      (s, d) => contentSimilarity(Tables.part(s, d)),
+      Some(s"""WITH p AS (SELECT p_partkey, p_brand, p_type, p_size FROM part),
+              |pairs AS (SELECT a.p_partkey item_id, b.p_partkey similar_id,
+              |    CAST(ABS(a.p_size - b.p_size) AS BIGINT) size_diff
+              |  FROM p a JOIN p b ON a.p_brand = b.p_brand
+              |    AND a.p_type = b.p_type AND a.p_partkey <> b.p_partkey
+              |  WHERE ABS(a.p_size - b.p_size) <= $ContentSizeTol)
+              |SELECT item_id, CAST(rk AS BIGINT) rank, similar_id, size_diff
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id
+              |  ORDER BY size_diff, similar_id) rk FROM pairs)
+              |WHERE rk <= $ContentTopK""".stripMargin)),
 
     QueryDef("ml_item_similarity",
       (s, d) => itemSimilarity(interactions(s, d).localCheckpoint(false)),

@@ -203,4 +203,16 @@ class RecommendSpec extends SparkSpec {
       .select("user_id", "item_id").as[(Long, Long)].collect()
     assert(got.sorted.toSeq === again.sorted.toSeq)
   }
+
+  test("content similarity: blocks on (brand, type), ranks by size proximity") {
+    val part = Seq(
+      (1L, "B1", "SMALL", 10), (2L, "B1", "SMALL", 12),
+      (3L, "B1", "SMALL", 30),  // same block, outside the tolerance
+      (4L, "B2", "SMALL", 11))  // other brand: never a candidate
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val got = Recommend.contentSimilarity(part)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 1 and 2 are mutual neighbors at distance 2; 3 and 4 get nothing
+    assert(got.toSet === Set((1L, 1L, 2L, 2L), (2L, 1L, 1L, 2L)))
+  }
 }

@@ -218,6 +218,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(Commerce.goldenRecords(docs0
       .withColumn("n_chars", org.apache.spark.sql.functions.lit(0L)))
       .count() === 0)
+    assert(Events.freshness(evv0).count() === 0)
+    assert(Events.topSessionPaths(evv0).count() === 0)
+    assert(Relational.weightedSample(
+      empty("k" -> LongType, "w" -> DoubleType), "k", "w").count() === 0)
+    assert(Temporal.scd2Merge(Temporal.scd2Build(evv0), evv0).count() === 0)
+    assert(Recommend.contentSimilarity(
+      empty("p_partkey" -> LongType, "p_brand" -> StringType,
+        "p_type" -> StringType, "p_size" -> IntegerType)).count() === 0)
     assert(TextAnalysis.oovRate(docs0).count() === 0)
     assert(TextAnalysis.qualityPr(docs0).count() === 0)
     assert(TextAnalysis.qualityBands(docs0).count() === 0)

@@ -624,6 +624,43 @@ object TextAnalysis {
         col("avg_nll"))
   }
 
+  val CoocWindow = 2
+  val CoocTopK = 50
+
+  /** T26: skip-gram window co-occurrence counts — the (center,
+    * context) pair table word2vec/GloVe-style embedding training
+    * consumes, one ring out from collocations' adjacent-bigram PMI:
+    * every token pairs with its neighbors at distances 1..window on
+    * BOTH sides. Pairs come out of one per-row generator over the
+    * token array (offset-o pairs per offset, the bigramArr device —
+    * no positional self-join, which would shuffle the corpus once
+    * per offset), direction symmetry is a unionByName before the
+    * count, the count aggregate groups on 8-byte hashes at
+    * vocab-pair grain, and the cut is a TakeOrdered. Exact integer
+    * counts throughout.
+    */
+  def windowCooc(docs: DataFrame, window: Int = CoocWindow,
+                 k: Int = CoocTopK): DataFrame = {
+    val pairArr =
+      s"""flatten(transform(sequence(1, $window), o ->
+         |  CASE WHEN size(t) > o
+         |    THEN transform(sequence(0, size(t) - 1 - o),
+         |      i -> struct(t[i] AS w, t[i + o] AS c))
+         |    ELSE CAST(array() AS array<struct<w:string,c:string>>)
+         |  END))""".stripMargin
+    val pr = docs.withColumn("t", tokens(lower(col("text"))))
+      .select(explode(expr(pairArr)).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"))
+      .localCheckpoint(false) // both directions of the union
+    pr.unionByName(pr.select(col("c").as("w"), col("w").as("c")))
+      .groupBy(hex60(col("w")).as("wh"), hex60(col("c")).as("ch"))
+      .agg(max(col("w")).as("w"), max(col("c")).as("c"),
+        count(lit(1)).as("n_cooc"))
+      .orderBy(col("n_cooc").desc, col("w"), col("c"))
+      .limit(k)
+      .select(col("w"), col("c"), col("n_cooc"))
+  }
+
   val KnDiscount = 0.75
 
   /** Held-out cross-entropy under interpolated Kneser-Ney — the
@@ -1599,6 +1636,28 @@ object TextAnalysis {
            |CAST(SUM(dzero) AS BIGINT) AS n_discounted_zero,
            |ROUND(FLOOR(CAST(SUM(q_nll) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_nll
            |FROM scored GROUP BY 1""".stripMargin
+      }),
+
+    // T26 (beyond-ref): skip-gram window co-occurrence — see
+    // windowCooc.
+    QueryDef("txt_window_cooc",
+      (s, d) => windowCooc(docs(s, d)),
+      Some {
+        val h = (x: String) =>
+          s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+        s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)),'\\s+') AS t
+           |  FROM documents),
+           |pr AS (SELECT p['w'] AS w, p['c'] AS c FROM (
+           |  SELECT unnest(flatten(list_transform(
+           |    generate_series(1, $CoocWindow), o ->
+           |    list_transform(generate_series(1, greatest(len(t) - o, 0)),
+           |      i -> {'w': t[i], 'c': t[i + o]})))) AS p FROM tk)),
+           |bi AS (SELECT w, c FROM pr UNION ALL SELECT c AS w, w AS c FROM pr),
+           |cnt AS (SELECT ${h("w")} AS wh, ${h("c")} AS ch,
+           |    MAX(w) AS w, MAX(c) AS c, CAST(COUNT(*) AS BIGINT) AS n_cooc
+           |  FROM bi GROUP BY 1, 2)
+           |SELECT w, c, n_cooc FROM cnt
+           |ORDER BY n_cooc DESC, w, c LIMIT $CoocTopK""".stripMargin
       }),
 
     QueryDef("txt_collocations",

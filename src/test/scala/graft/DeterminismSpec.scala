@@ -67,7 +67,8 @@ class DeterminismSpec extends SparkSpec {
     "er_golden",              // match pairs + CC + survivor window
     "u10_weighted_sample",    // ES keys + TakeOrdered cut
     "scd2_merge",             // incremental merge = rebuild invariant
-    "e12_top_paths")          // session windows + path top-k
+    "e12_top_paths",          // session windows + path top-k
+    "txt_window_cooc")        // pair generator + hash-grain top-k
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -226,6 +226,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Recommend.contentSimilarity(
       empty("p_partkey" -> LongType, "p_brand" -> StringType,
         "p_type" -> StringType, "p_size" -> IntegerType)).count() === 0)
+    assert(TextAnalysis.windowCooc(docs0).count() === 0)
     assert(TextAnalysis.oovRate(docs0).count() === 0)
     assert(TextAnalysis.qualityPr(docs0).count() === 0)
     assert(TextAnalysis.qualityBands(docs0).count() === 0)

@@ -113,6 +113,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(_._4 > 0.0))
   }
 
+  test("window cooc: symmetric pairs at distances up to the window") {
+    val corpus = Seq(TDoc(1, "a b c", "en")).toDF()
+    val got = TextAnalysis.windowCooc(corpus)
+      .as[(String, String, Long)].collect().toSet
+    // window 2 over "a b c": every pair co-occurs once, both directions
+    assert(got === Set(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 1L),
+      ("c", "a", 1L), ("b", "c", 1L), ("c", "b", 1L)))
+    // window 1 restricts to adjacency
+    val adj = TextAnalysis.windowCooc(corpus, window = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(adj === Set(("a", "b", 1L), ("b", "a", 1L),
+      ("b", "c", 1L), ("c", "b", 1L)))
+    // repeats accumulate: "a b a" has (a,a) at distance 2
+    val rep = TextAnalysis.windowCooc(Seq(TDoc(2, "a b a", "en")).toDF())
+      .as[(String, String, Long)].collect().toSet
+    assert(rep === Set(("a", "b", 2L), ("b", "a", 2L), ("a", "a", 2L)))
+  }
+
   test("quality calibration: bands, quantized mean score, exact pos rate") {
     // "x y": ttr 1.0 -> 0.5, length 2/100 -> 0.006, no stopwords
     // => quality 0.506, band 5; same text under 'en' and 'fr' labels

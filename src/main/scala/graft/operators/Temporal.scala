@@ -56,6 +56,32 @@ object Temporal {
         col("m_value").as("matched_value"))
   }
 
+  val AsofTolUs = 60L * 60 * 1000000 // 1-hour staleness SLA
+
+  /** J10: as-of join with a staleness bound — the feature-store read
+    * SLA semantic: a match older than `tolUs` is an EXPIRED feature,
+    * no better than no match, so it nulls out and flags. Same
+    * union+window plan as the unbounded as-of (one shuffle, one
+    * ordered pass per key); the bound is a residual expression, and
+    * the `is_expired` flag is the staleness-pressure monitor a
+    * serving tier alerts on.
+    */
+  def asofJoinTol(left: DataFrame, right: DataFrame,
+                  tolUs: Long = AsofTolUs): DataFrame = {
+    val fresh = col("ts_us") - col("matched_ts_us") <= tolUs
+    asofJoin(left, right)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(fresh, col("matched_id")).as("matched_id"),
+        (col("matched_ts_us").isNotNull &&
+          col("ts_us") - col("matched_ts_us") > tolUs).cast("long")
+          .as("is_expired"),
+        when(fresh, col("matched_ts_us")).as("matched_ts_us"),
+        when(fresh, col("matched_value")).as("matched_value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("matched_id"), col("matched_ts_us"), col("matched_value"),
+        col("is_expired"))
+  }
+
   /** Gap sessionization: a new session starts where the gap to the
     * previous event of the same key exceeds `gapUs`; session_id is
     * the running count of starts, sessions then aggregate to
@@ -406,6 +432,39 @@ object Temporal {
              |r.value AS matched_value
              |FROM l ASOF LEFT JOIN r
              |ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin)),
+
+    // J10 (beyond-ref): staleness-bounded as-of — see asofJoinTol.
+    QueryDef("j10_asof_tolerance",
+      (s, d) => {
+        val e = ev(s, d)
+        asofJoinTol(
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us"), col("event_id"), col("value")),
+          e.filter(col("event_type") =!= "purchase")
+            .select(col("user_id"), col("ts_us"), col("event_id"), col("value")))
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+              |  event_type, value FROM events),
+              |l AS (SELECT * FROM e WHERE event_type = 'purchase'),
+              |r AS (SELECT event_id, user_id, ts_us, value FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+              |    ORDER BY event_id DESC) rn
+              |  FROM e WHERE event_type <> 'purchase') WHERE rn = 1),
+              |j AS (SELECT l.event_id, l.user_id, l.ts_us,
+              |  r.event_id AS matched_id, r.ts_us AS matched_ts_us,
+              |  r.value AS matched_value
+              |  FROM l ASOF LEFT JOIN r
+              |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us)
+              |SELECT event_id, user_id, ts_us,
+              |CASE WHEN ts_us - matched_ts_us <= $AsofTolUs
+              |  THEN matched_id END AS matched_id,
+              |CASE WHEN ts_us - matched_ts_us <= $AsofTolUs
+              |  THEN matched_ts_us END AS matched_ts_us,
+              |CASE WHEN ts_us - matched_ts_us <= $AsofTolUs
+              |  THEN matched_value END AS matched_value,
+              |CAST(matched_ts_us IS NOT NULL
+              |  AND ts_us - matched_ts_us > $AsofTolUs AS BIGINT) AS is_expired
+              |FROM j""".stripMargin)),
 
     // Range join: same-user event pairs within 60 seconds — the
     // bucketed form; the oracle states the same relation as a plain

@@ -68,7 +68,8 @@ class DeterminismSpec extends SparkSpec {
     "u10_weighted_sample",    // ES keys + TakeOrdered cut
     "scd2_merge",             // incremental merge = rebuild invariant
     "e12_top_paths",          // session windows + path top-k
-    "txt_window_cooc")        // pair generator + hash-grain top-k
+    "txt_window_cooc",        // pair generator + hash-grain top-k
+    "j10_asof_tolerance")     // as-of carry + staleness residual
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

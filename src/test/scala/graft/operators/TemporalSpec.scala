@@ -120,6 +120,24 @@ class TemporalSpec extends SparkSpec {
       13L -> Some("B"), 14L -> None))
   }
 
+  test("asof tolerance: stale matches null out and flag; fresh pass through") {
+    val left = Seq((10L, 1L, 1000L, 5.0), (11L, 2L, 9000L, 7.0),
+      (12L, 3L, 500L, 9.0))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    val right = Seq((1L, 1L, 900L, 1.0), (2L, 2L, 100L, 2.0))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    val got = Temporal.asofJoinTol(left, right, tolUs = 1000L)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // user 1: match at 900, age 100 <= tol -> kept, not expired
+    assert(got(10L) === ((10L, 1L, 1000L, Some(1L), Some(900L),
+      Some(1.0), 0L)))
+    // user 2: match at 100, age 8900 > tol -> nulled AND flagged
+    assert(got(11L) === ((11L, 2L, 9000L, None, None, None, 1L)))
+    // user 3: no match at all -> nulls, NOT flagged as expired
+    assert(got(12L) === ((12L, 3L, 500L, None, None, None, 0L)))
+  }
+
   test("scd2 merge: equals the full rebuild at every cutoff") {
     // archetypes: user 1 continues its type across the boundary,
     // user 2 changes type there, user 3 exists only in the base,

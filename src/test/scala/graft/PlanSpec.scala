@@ -266,4 +266,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "interval predicate lost its equi-key")
   }
+
+  test("PQ-ADC: codebook and LUT broadcast; scoring is map-side combined") {
+    val p = planOf("sim_knn_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), "LUT/codebook not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "code stream shuffled into a merge join")
+    assert(!p.contains("CartesianProduct"))
+    // the (query, candidate) score sum must combine map-side
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "ADC sum not partial+final")
+  }
+
+  test("key skew / weighted sample: top-k cuts, never a global sort") {
+    for (name <- Seq("e10_key_skew", "u10_weighted_sample")) {
+      val p = planOf(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: full sort instead of a top-k cut")
+    }
+  }
+
+  test("drift PSI: bin aggregate plus 1-row broadcasts, no wide join") {
+    val p = planOf("ops_drift_psi")
+    assert(!p.contains("SortMergeJoin"), "totals joined via shuffle")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "bin counts not map-side combined")
+  }
+
+  test("link prediction: capped wedge join stays an equi-join") {
+    val p = planOf("graph_link_predict")
+    assert(!p.contains("CartesianProduct"), "wedge join fell to cartesian")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k cut missing — global sort instead")
+  }
 }

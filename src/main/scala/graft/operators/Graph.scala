@@ -201,8 +201,17 @@ object Graph {
     cn.join(e, Seq("i", "j"), "left_anti") // predicted = not yet linked
       .join(deg.select(col("v").as("i"), col("deg").as("di")), Seq("i"))
       .join(deg.select(col("v").as("j"), col("deg").as("dj")), Seq("j"))
+      // The cap breaks symmetry: n_common counts wedge CENTERS whose
+      // capped list holds both i and j, which is not bounded by the
+      // capped degrees di/dj — a hub pair kept by hundreds of centers
+      // can exceed di+dj, making the raw union denominator zero or
+      // negative (NULL/engine-divergent division). Clamp the
+      // intersection to its post-cap bound least(di, dj) so the
+      // denominator is ≥ max(di, dj) ≥ 1 by construction; the oracle
+      // applies the identical clamp.
+      .withColumn("nc_eff", least(col("n_common"), col("di"), col("dj")))
       .withColumn("jaccard_ppm",
-        expr("(n_common * 1000000) div (di + dj - n_common)"))
+        expr("(nc_eff * 1000000) div (di + dj - nc_eff)"))
       .orderBy(col("jaccard_ppm").desc, col("i"), col("j"))
       .limit(k)
       .select(col("i"), col("j"), col("n_common"), col("jaccard_ppm"))
@@ -312,7 +321,8 @@ object Graph {
               |  LEFT JOIN e ON cn.i = e.i AND cn.j = e.j
               |  WHERE e.i IS NULL)
               |SELECT c.i, c.j, c.n_common,
-              |(c.n_common * 1000000) // (di.deg + dj.deg - c.n_common)
+              |(LEAST(c.n_common, di.deg, dj.deg) * 1000000)
+              |  // (di.deg + dj.deg - LEAST(c.n_common, di.deg, dj.deg))
               |  AS jaccard_ppm
               |FROM cand c JOIN dg di ON c.i = di.v JOIN dg dj ON c.j = dj.v
               |ORDER BY jaccard_ppm DESC, c.i, c.j LIMIT $LpTopK""".stripMargin))

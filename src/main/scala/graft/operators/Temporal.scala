@@ -338,10 +338,10 @@ object Temporal {
     series
       .withColumn("w_cnt", count(lit(1)).over(win))
       .withColumn("s", sum(col("n")).over(win))
-      .withColumn("ssq", sum((col("n") * col("n")).cast(dec)).over(win))
+      .withColumn("ssq", sum(col("n").cast(dec) * col("n")).over(win))
       .filter(col("w_cnt") === w)
       .withColumn("num", col("n") * w - col("s"))
-      .withColumn("varw", col("ssq") * w - (col("s") * col("s")).cast(dec))
+      .withColumn("varw", col("ssq") * w - col("s").cast(dec) * col("s"))
       .select(col("event_type"),
         (col("bucket") * bucketUs).as("bucket_start_us"), col("n"),
         when(col("varw") > 0, round(col("num").cast("double") /
@@ -392,13 +392,13 @@ object Temporal {
               |win AS (SELECT event_type, bucket, n,
               |    COUNT(*) OVER tw AS w_cnt,
               |    SUM(n) OVER tw AS s,
-              |    SUM(CAST(n * n AS HUGEINT)) OVER tw AS ssq
+              |    SUM(CAST(n AS HUGEINT) * n) OVER tw AS ssq
               |  FROM series WINDOW tw AS (PARTITION BY event_type
               |    ORDER BY bucket ROWS BETWEEN $ZWin PRECEDING
               |    AND 1 PRECEDING)),
               |f AS (SELECT event_type, bucket, n,
               |    n * $ZWin - s AS num,
-              |    ssq * $ZWin - CAST(s * s AS HUGEINT) AS varw
+              |    ssq * $ZWin - CAST(s AS HUGEINT) * s AS varw
               |  FROM win WHERE w_cnt = $ZWin)
               |SELECT event_type, bucket * $HourUs AS bucket_start_us, n,
               |CASE WHEN varw > 0 THEN ROUND(CAST(num AS DOUBLE)

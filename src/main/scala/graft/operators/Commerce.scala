@@ -540,23 +540,40 @@ object Commerce {
     // |brands|×|years| grain, exact-decimal ratio rounded once.
     // ABC / Pareto analysis: parts classified by cumulative revenue
     // share (A carries the first 80%, B to 95%, C the tail) — the
-    // inventory-policy classic. The window runs over the PART-grain
-    // relation (a dim; for an extreme catalog, band by a revenue
-    // bucket first — the value-grain device). Class boundaries are
-    // exact decimal comparisons (cum·5 ≤ total·4 for 80%), so no
-    // float ever decides a boundary row.
+    // inventory-policy classic. The naive plan is ONE unpartitioned
+    // cumulative window over the whole part catalog — a single-task
+    // sort that dies at a few million parts — so the cumulation is
+    // BANDED by whole-unit revenue bucket (the Stats.valueCuts
+    // value-grain device): floor() is monotone, so buckets are
+    // contiguous under the rev-desc order and the global prefix sum
+    // decomposes exactly into (sum of strictly-higher buckets) +
+    // (within-bucket prefix). The only unpartitioned windows left
+    // run over the BUCKET grain (bounded by the value domain, not
+    // the catalog); the part-grain window is partitioned by bucket.
+    // All sums are exact decimals, so the decomposition is
+    // bit-identical to the single-window plan, and the class
+    // boundaries stay exact integer comparisons (cum·5 ≤ total·4).
     QueryDef("bi_abc_analysis",
       (s, d) => {
         val byPart = li(s, d)
           .groupBy(col("l_partkey").as("part_id"))
           .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
             .as("rev"))
-        val w = Window.orderBy(col("rev").desc, col("part_id"))
+          .withColumn("b", floor(col("rev")).cast("long"))
+        val bt = byPart.groupBy(col("b")).agg(sum(col("rev")).as("brev"))
+        val wb = Window.orderBy(col("b").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        byPart
-          .withColumn("cum", sum(col("rev")).over(w))
+        val off = bt
+          .withColumn("cumb", sum(col("brev")).over(wb))
           .withColumn("total",
-            sum(col("rev")).over(Window.partitionBy(lit(1))))
+            sum(col("brev")).over(Window.partitionBy(lit(1))))
+          .select(col("b"), (col("cumb") - col("brev")).as("boff"),
+            col("total"))
+        val wIn = Window.partitionBy(col("b"))
+          .orderBy(col("rev").desc, col("part_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byPart.join(off, Seq("b"))
+          .withColumn("cum", col("boff") + sum(col("rev")).over(wIn))
           .withColumn("abc_class",
             when(col("cum") * 5 <= col("total") * 4, "A")
               .when(col("cum") * 20 <= col("total") * 19, "B")

@@ -270,9 +270,9 @@ object Recommend {
     import org.apache.spark.mllib.linalg.distributed.RowMatrix
     val spark = inter.sparkSession
     import spark.implicits._
-    val itemIdx = inter.select(col("item_id")).distinct()
-      .withColumn("idx",
-        row_number().over(Window.orderBy(col("item_id"))) - 1)
+    val itemIdx = Stats.denseIndex(
+        inter.select(col("item_id")).distinct(), "item_id")
+      .withColumn("idx", col("idx").cast("int"))
     val nItems = itemIdx.count().toInt
     val userRows = inter.join(broadcast(itemIdx), Seq("item_id"))
       .select(col("user_id"), col("idx"))
@@ -1103,17 +1103,15 @@ object Recommend {
     * output carries `n_sampled`, the user's delivered count:
     * training-set consumers filter or re-draw short users instead of
     * discovering the shortfall at batch-assembly time.
-    * The item index below is a global-window rank over the DISTINCT
-    * item catalog — bounded cardinality by precondition (see
-    * Stats.valueCuts for the same contract); never call it on a
-    * row-grain column.
+    * The item index below is Stats.denseIndex — two-phase (range-
+    * partition rank + broadcast prefix offsets), so the item catalog
+    * is never sorted on one task: the catalog is DATA-sized (grows
+    * with the business), not a bounded value grain.
     */
   def negativeSamples(inter: DataFrame, k: Int = NegPerUser,
                       slots: Int = NegSlots): DataFrame = {
-    val items = inter.select(col("item_id")).distinct()
-      .withColumn("idx",
-        row_number().over(Window.orderBy(col("item_id"))).cast("long")
-          - 1L)
+    val items = Stats.denseIndex(
+      inter.select(col("item_id")).distinct(), "item_id")
     val nItems = items.agg(count(lit(1)).as("n_items")) // 1 row
     val cand = inter.select(col("user_id")).distinct()
       .select(col("user_id"),

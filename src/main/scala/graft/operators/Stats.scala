@@ -49,4 +49,33 @@ object Stats {
   def quartileCuts(df: DataFrame, v: String): DataFrame =
     valueCuts(df, v,
       Seq(0.25 -> s"${v}_q1", 0.50 -> s"${v}_q2", 0.75 -> s"${v}_q3"))
+
+  /** Two-phase dense index: (key, idx) with idx = 0-based global rank
+    * of `key` over the (assumed distinct) input — the SAME numbering
+    * `row_number().over(Window.orderBy(key)) - 1` produces, WITHOUT
+    * funneling the whole relation through one task. Phase 1 range-
+    * partitions by key (ordered, non-overlapping ranges) and counts
+    * rows per partition; phase 2 cumulates those counts into prefix
+    * offsets over the PID grain — bounded by the partition count, a
+    * cluster config constant, never by data — and adds the broadcast
+    * offset to the within-partition rank. Range boundaries come from
+    * sampling, but any boundary choice yields the identical global
+    * rank, so the output is deterministic even though the partition
+    * sizes are not. localCheckpoint pins one pid assignment for the
+    * two consumers (counts + rank) of the partitioned relation.
+    */
+  def denseIndex(distinctKeys: DataFrame, key: String): DataFrame = {
+    val parts = distinctKeys.repartitionByRange(col(key))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val wIn = Window.partitionBy(col("pid")).orderBy(col(key))
+    parts.join(broadcast(offs), Seq("pid"))
+      .withColumn("idx", col("off") + row_number().over(wIn) - lit(1L))
+      .select(col(key), col("idx"))
+  }
 }

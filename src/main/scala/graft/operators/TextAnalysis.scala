@@ -1326,17 +1326,35 @@ object TextAnalysis {
              |FROM documents""".stripMargin)),
 
     // Quantile-threshold quality filter: drop the bottom decile by
-    // quality score — the corpus-filtering gate expressed with an
-    // exact rank window (percent_rank with a deterministic tie-break),
-    // so any engine draws the same cut. At extreme scale the same
-    // gate uses approx_percentile on a sample; the exact form is the
-    // oracle-checkable contract.
+    // quality score — the corpus-filtering gate with an exact
+    // percent_rank and a deterministic tie-break, so any engine
+    // draws the same cut. The rank is BANDED (the bi_abc_analysis
+    // device): doc_id is unique, so percent_rank's RANK equals
+    // row_number over (quality, doc_id), which decomposes exactly
+    // into (count of strictly-lower quality values — a value-grain
+    // cumulative, |distinct rounded scores| rows) + (within-value
+    // rank by doc_id, partitioned by quality). No doc-grain relation
+    // ever passes through a single-partition sort, and the double
+    // division (rank-1)/(n-1) is bit-identical to percent_rank's.
     QueryDef("txt_quality_filter",
       (s, d) => {
         val q = qualityScore(docs(s, d))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("quality"), col("doc_id"))
-        q.withColumn("pr", percent_rank().over(w))
+        val wv = org.apache.spark.sql.expressions.Window
+          .orderBy(col("qv"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = q.groupBy(col("quality").as("qv"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(wv), lit(0L)))
+          .withColumn("n",
+            sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(1))))
+          .select(col("qv"), col("off"), col("n"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("quality")).orderBy(col("doc_id"))
+        q.join(offs, col("quality") === col("qv"))
+          .withColumn("rk", col("off") + row_number().over(wIn))
+          .withColumn("pr", (col("rk") - 1L).cast("double")
+            / (col("n") - 1L).cast("double"))
           .filter(col("pr") >= 0.1d)
           .select(col("doc_id"), col("quality"), round(col("pr"), 6).as("pr"))
       },

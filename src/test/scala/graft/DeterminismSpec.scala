@@ -69,7 +69,8 @@ class DeterminismSpec extends SparkSpec {
     "scd2_merge",             // incremental merge = rebuild invariant
     "e12_top_paths",          // session windows + path top-k
     "txt_window_cooc",        // pair generator + hash-grain top-k
-    "j10_asof_tolerance")     // as-of carry + staleness residual
+    "j10_asof_tolerance",     // as-of carry + staleness residual
+    "txt_quality_filter")     // banded percent_rank decomposition
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -300,4 +300,64 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-k cut missing — global sort instead")
   }
+
+  // Queries allowed a single-partition window (empty or all-literal
+  // partitionSpec), each with the documented bounded-grain contract
+  // that makes it safe: the window input is value-grain / day-grain /
+  // k-grain — bounded by a domain, never by catalog or row count.
+  // A NEW name failing this sweep means a data-grain relation is
+  // being funneled through one task: partition it (or band it like
+  // bi_abc_analysis) before adding it here.
+  private val singlePartitionWindowOk: Set[String] = Set(
+    // value-grain (whole units / rounded scores / bounded buckets)
+    "bi_abc_analysis",      // whole-unit revenue buckets
+    "bi_rfm_segments",      // valueCuts over r/f/m bucket grains
+    "p20_winsorize",        // valueCuts over whole-unit price grain
+    "a29_histogram",        // bin grain
+    "u10_weighted_sample",  // valueCuts over weight grain
+    "ops_drift_psi",        // bin grain
+    "txt_quality_calibration", // rounded-score grain
+    "txt_quality_pr",       // rounded-score grain (PR curve)
+    "txt_quality_filter",   // rounded-score grain (banded percent_rank)
+    "mix_quality_bands",    // valueCuts over rounded-score grain
+    "txt_truncation_stats", // length-bucket grain
+    "sim_recall_truncation", // k-grain
+    // day/hour-grain series (bounded by the calendar)
+    "ts_seasonality", "ts_trend_slope", "ts_changepoint",
+    "bi_pareto_days", "a20_moving_avg", "u8_time_split",
+    // k-grain / head-grain (bounded by an explicit constant)
+    "e6_heavy_hitters_cms", "txt_zipf_fit", "dedup_threshold_sweep",
+    "sim_recall_sweep", "txt_ngram_freq", // rank over limit(20)
+    // pid-grain (Stats.denseIndex prefix offsets — bounded by the
+    // partition count, a cluster config constant)
+    "ml_negative_samples"
+  )
+
+  test("single-partition windows run only over bounded-grain inputs " +
+    "(whitelisted, audited)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val wins = fn(spark, d).queryExecution.optimizedPlan.collect {
+          case w: LWindow
+            if w.partitionSpec.isEmpty ||
+              w.partitionSpec.forall(_.foldable) => w
+        }
+        if (wins.nonEmpty) Some(name) else None
+    }
+    val unexpected = offenders.toSet -- singlePartitionWindowOk
+    assert(unexpected.isEmpty,
+      s"unaudited single-partition window in: ${unexpected.toSeq.sorted}")
+    // the banded ABC rewrite: the part-grain window must be
+    // partitioned (by the revenue bucket) — only bucket-grain
+    // relations may pass through a single-partition window
+    val abc = SparkEntry.queries("bi_abc_analysis")(spark, d)
+      .queryExecution.optimizedPlan.collect {
+        case w: LWindow
+          if (w.partitionSpec.isEmpty ||
+            w.partitionSpec.forall(_.foldable)) &&
+            w.child.output.exists(_.name == "part_id") => w
+      }
+    assert(abc.isEmpty, "part-grain relation under an unpartitioned window")
+  }
 }

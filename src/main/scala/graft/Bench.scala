@@ -2,13 +2,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Deterministic synthetic order for the streaming micro-bench: the
-  * shape detectAlerts consumes plus an event-time column for the
-  * session window. */
-case class BenchOrder(order_id: Long, ts: java.sql.Timestamp,
-                      customer_id: Long, total: Double, quantity: Int,
-                      price: Double, product_name: String)
-
 /** Perf surface: every registered query executed to completion through
   * the `noop` sink (computes every output row/column — `count()` would
   * let Catalyst prune the very expressions being measured), timed
@@ -17,52 +10,60 @@ case class BenchOrder(order_id: Long, ts: java.sql.Timestamp,
   */
 object Bench {
 
-  /** Streaming-tier regression guard: one MemoryStream feeds TWO
-    * concurrent micro-batch queries — the stateless detectAlerts
-    * pipeline and a watermarked session_window aggregate (the
-    * stateful tier) — both through the noop sink, `batches`
-    * micro-batches of `rowsPerBatch` deterministic rows. Returns
-    * (wall seconds, total input rows). rows/s covers both consumers,
-    * so a regression in either the stateless codegen path or the
-    * state-store path moves the metric.
+  /** Streaming-tier regression guard: a parquet FILE source (one
+    * staged file per micro-batch, written before the clock starts,
+    * so the bench measures the engine — not the driver serializing
+    * 600 k rows into task binaries, which is what a MemoryStream
+    * feed measured) drives TWO concurrent micro-batch queries — the
+    * stateless detectAlerts pipeline and a watermarked
+    * session_window aggregate (the stateful tier) — both through the
+    * noop sink. Returns (wall seconds, total input rows). rows/s
+    * covers both consumers, so a regression in either the stateless
+    * codegen path or the state-store path moves the metric.
     */
   def benchStreaming(spark: SparkSession, batches: Int = 12,
                      rowsPerBatch: Int = 50000): (Double, Long) = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import spark.implicits._
-    implicit val sqlc = spark.sqlContext
-    val ckpt = java.nio.file.Files
+    val work = java.nio.file.Files
       .createTempDirectory("graft-bench-stream").toString
-    val in = MemoryStream[BenchOrder]
-    val det = graft.streaming.Alerts.detectAlerts(in.toDF())
+    (1 to batches).foreach { b =>
+      // generated ON the executors (spark.range + column exprs — a
+      // local Seq would ship the rows inside the task binary, the
+      // exact overhead this file feed exists to avoid); event time
+      // advances batch over batch so the watermark keeps closing
+      // sessions — state size stays bounded like production
+      val oid = lit(b.toLong << 24) + col("id")
+      spark.range(rowsPerBatch.toLong).select(
+          oid.as("order_id"),
+          timestamp_millis(lit(1700000000000L + b * 60000L)
+            + pmod(col("id"), lit(60000L))).as("ts"),
+          pmod(oid, lit(5000L)).as("customer_id"),
+          (pmod(oid, lit(200L)) * 100.0).as("total"),
+          pmod(oid, lit(70L)).cast("int").as("quantity"),
+          lit(99.0).as("price"),
+          concat(lit("p"), pmod(oid, lit(100L))).as("product_name"))
+        // one file per staged batch → one micro-batch per file below
+        .coalesce(1).write.mode("append").parquet(s"$work/feed")
+    }
+    val schema = spark.read.parquet(s"$work/feed").schema
+    def in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val t0 = System.nanoTime()
+    val det = graft.streaming.Alerts.detectAlerts(in)
       .writeStream.format("noop")
-      .option("checkpointLocation", s"$ckpt/det")
+      .option("checkpointLocation", s"$work/det")
       .outputMode("append").start()
-    val sess = in.toDF()
+    val sess = in
       .withWatermark("ts", "1 minute")
       .groupBy(col("customer_id"),
         session_window(col("ts"), "5 minutes").as("sw"))
       .agg(count(lit(1)).as("n_orders"), sum(col("total")).as("session_total"))
       .writeStream.format("noop")
-      .option("checkpointLocation", s"$ckpt/sess")
+      .option("checkpointLocation", s"$work/sess")
       // session windows stream in append mode only: finalized
       // sessions emit once their watermark passes
       .outputMode("append").start()
-    val t0 = System.nanoTime()
-    (1 to batches).foreach { b =>
-      val data = (0 until rowsPerBatch).map { k =>
-        val id = (b.toLong << 24) + k
-        // event time advances batch over batch so the watermark keeps
-        // closing sessions — state size stays bounded like production
-        BenchOrder(id,
-          new java.sql.Timestamp(1700000000000L + b * 60000L + (k % 60000)),
-          id % 5000L, (id % 200L) * 100.0, (id % 70L).toInt, 99.0,
-          s"p${id % 100L}")
-      }
-      in.addData(data: _*)
-      det.processAllAvailable()
-      sess.processAllAvailable()
-    }
+    det.processAllAvailable()
+    sess.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
     det.stop(); sess.stop()
     (secs, batches.toLong * rowsPerBatch)
@@ -116,7 +117,7 @@ object Bench {
     // Streaming tier (skipped under a local-iteration filter unless
     // asked for by name). Emitted before the final compact line so
     // both land inside the driver's bounded stdout tail.
-    if (only.forall(_.contains("streaming"))) {
+    val streamLine = if (only.forall(_.contains("streaming"))) {
       val (ssecs, srows) =
         try benchStreaming(spark)
         catch { case e: Throwable =>
@@ -124,13 +125,28 @@ object Bench {
           (-1.0, 0L)
         }
       val rps = if (ssecs > 0) math.rint(srows / ssecs) else -1
-      println(s"""{"metric":"streaming","value":$rps,"unit":"rows_per_sec","rows":$srows,"secs":${r3(ssecs)}}""")
-    }
+      val line = s"""{"metric":"streaming","value":$rps,"unit":"rows_per_sec","rows":$srows,"secs":${r3(ssecs)}}"""
+      println(line)
+      Some(line)
+    } else None
     // The driver keeps only the LAST ~2k chars of stdout; with 90+
     // queries the full line's head (metric/value) falls outside that
     // window (BENCH_r02 lost the total). A compact totals-only line
     // emitted LAST is always inside the window and always parseable.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    // The bounded tail also swallows the per-query map, so the FULL
+    // result set is persisted to the repo as an artifact — hot-tail
+    // attribution next round needs the artifact, not the stdout.
+    // Skipped under a local-iteration filter (partial runs would
+    // clobber the round's full map).
+    if (only.isEmpty) {
+      val detail = new StringBuilder
+      detail ++= s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"""
+      streamLine.foreach(l => detail ++= s""""streaming":$l,""")
+      detail ++= s""""failed":$failed,"queries":$qs}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_detail.json"), detail.toString)
+    }
     spark.stop()
   }
 }

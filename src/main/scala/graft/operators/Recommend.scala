@@ -186,6 +186,32 @@ object Recommend {
   /** A14: top-N recommendations. score sums doubles (order-dependent
     * ULPs) → ranked and emitted at 6-decimal precision.
     */
+  /** Model store behind ml_recommendations_from_store: first call per
+    * (JVM, source dir) trains itemSimilarity and registers it under a
+    * ModelRegistry temp dir (versioned parquet + production pointer);
+    * every later call — and every downstream stage of the SAME call's
+    * plan — reads the registered parquet instead of re-deriving the
+    * self-join. Serving metrics are sentinels (the C4 promotion gate
+    * is exercised by MedallionSpec's trainEvalRegister path).
+    */
+  private val simStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def similarityFromStore(s: SparkSession, d: String): DataFrame = {
+    val reg = simStores.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sim-registry").toString
+      val sim = itemSimilarity(interactions(s, d).localCheckpoint(false))
+      graft.plans.ModelRegistry.save(s, dir, "v1", sim,
+        graft.plans.ModelRegistry.Metrics(0.0, 0.0))
+      graft.plans.ModelRegistry.promote(dir, "v1")
+      dir
+    })
+    val v = graft.plans.ModelRegistry.productionVersion(reg)
+      .getOrElse(sys.error("model registry has no production pointer"))
+    s.read.parquet(s"$reg/version=$v/item_similarity")
+  }
+
   def recommend(inter: DataFrame, sim: DataFrame, topN: Int = TopN): DataFrame = {
     val sim2 = sim.select(col("i"), col("j"), col("cos"))
       .unionByName(sim.select(col("j").as("i"), col("i").as("j"), col("cos")))
@@ -594,6 +620,28 @@ object Recommend {
         val inter = interactions(s, d).localCheckpoint(false)
         recommend(inter, itemSimilarity(inter).localCheckpoint(false))
       },
+      Some(s"""WITH inter AS ($interSql),
+              |${recsSql("inter")}
+              |SELECT * FROM recs""".stripMargin)),
+
+    // The PRODUCTION read path: the reference trains the CF model
+    // once per day and serves every request from the stored artifact
+    // (daily_pipeline.py:419-427 persists item_similarity; the
+    // serving API only reads) — re-deriving the similarity self-join
+    // per request is the anti-pattern this entry retires. The model
+    // is materialized ONCE per (JVM, source dir) through the
+    // ModelRegistry's versioned layout + production pointer, and the
+    // query serves from the registry parquet: at scale the scoring
+    // join reads a few GB of model table instead of re-shuffling the
+    // full interaction history. Results are identical to
+    // ml_recommendations (cos is a round(,6) double — parquet
+    // round-trips it bit-exactly), so that oracle re-checks this
+    // path end to end. The registration gate itself (C4 metrics
+    // compare) is MedallionSpec's subject, not this query's: the
+    // serving store registers with sentinel metrics.
+    QueryDef("ml_recommendations_from_store",
+      (s, d) => recommend(interactions(s, d).localCheckpoint(false),
+        similarityFromStore(s, d)),
       Some(s"""WITH inter AS ($interSql),
               |${recsSql("inter")}
               |SELECT * FROM recs""".stripMargin)),

@@ -32,13 +32,22 @@ object Jdbc {
     * connections, `batchSize` rows per JDBC executeBatch — the knobs
     * that replace the reference's `chunksize=1000`.
     */
+  /** `columnTypes` = Spark's createTableColumnTypes DDL fragment
+    * (e.g. "status VARCHAR(10)") for dialects whose default string
+    * mapping is non-comparable (Derby uses CLOB, which rejects
+    * predicates — the same knob a Postgres deployment uses to pick
+    * TEXT vs VARCHAR).
+    */
   def writeTable(df: DataFrame, url: String, table: String,
                  numPartitions: Int = 4, batchSize: Int = 1000,
-                 mode: String = "error"): Unit =
-    df.repartition(numPartitions)
+                 mode: String = "error",
+                 columnTypes: Option[String] = None): Unit = {
+    val w = df.repartition(numPartitions)
       .write.mode(mode)
       .option("batchsize", batchSize.toString)
-      .jdbc(url, table, new Properties())
+    columnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, table, new Properties())
+  }
 
   /** Partitioned parallel scan: `numPartitions` range-bounded queries
     * over `partitionCol` (each executor gets `WHERE col BETWEEN …`

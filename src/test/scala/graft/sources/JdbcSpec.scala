@@ -36,6 +36,30 @@ class JdbcSpec extends SparkSpec {
     assert(canon(back) === canon(src))
   }
 
+  test("S16: filters and projection push into the JDBC scan") {
+    val src = Seq((1L, 10.0, "F"), (2L, 2000.0, "O"), (3L, 3000.0, "F"))
+      .toDF("id", "total", "status")
+    Jdbc.writeTable(src, url, "push_probe", mode = "overwrite",
+      columnTypes = Some("status VARCHAR(10)"))
+    val df = Jdbc.readTable(spark, url, "push_probe", "id", 1L, 3L, 2)
+      .filter(col("total") > 1000.0 && col("status") === "F")
+      .select("id", "total")
+    // the WHERE must reach the database as pushed predicates on the
+    // JDBCRelation — the closest the sandbox gets to asserting the
+    // Postgres-dialect pushdown SQL (Derby stands in; the pushdown
+    // machinery and plan surface are dialect-independent)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters"), plan.take(600))
+    assert(plan.contains("GreaterThan(total,1000.0)"),
+      s"total predicate not pushed:\n${plan.take(600)}")
+    assert(plan.contains("EqualTo(status,F)"),
+      s"status predicate not pushed:\n${plan.take(600)}")
+    // column pruning: the unselected, unfiltered columns never travel
+    assert(plan.contains("ReadSchema: struct<id:bigint,total:double"),
+      s"projection not pruned:\n${plan.take(600)}")
+    assert(df.as[(Long, Double)].collect().toSeq === Seq((3L, 3000.0)))
+  }
+
   test("S16: append mode accumulates batches like the chunk loop") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val b = Seq((3L, "z")).toDF("id", "v")

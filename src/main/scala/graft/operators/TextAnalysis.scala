@@ -296,11 +296,22 @@ object TextAnalysis {
     * is touched once, in the initial word count); the per-step argmax
     * is a 1-row collect like ModelRegistry's metric reads. `k` is
     * therefore the DRIVER-ROUND-TRIP bound — merges are inherently
-    * sequential (step t's pair counts depend on step t−1's rewrite),
-    * so a real 32k-merge vocabulary run schedules 32k tiny jobs; the
-    * standard mitigation is batching non-conflicting merges per
-    * round, which changes the merge table and is deliberately NOT
-    * done here (the oracle mirrors one-merge-per-step semantics).
+    * sequential (step t's pair counts depend on step t−1's rewrite).
+    *
+    * CONTRACT: k ≤ 100 (enforced). Batching "non-conflicting" merges
+    * per round — the folk mitigation for large k — is NOT exact: a
+    * merge (a,b)→ab creates new pairs (x,ab)/(ab,y) whose counts are
+    * bounded by THAT merge's count, not by the next batch member's,
+    * so a created pair can outrank (or lexicographically tie-break
+    * ahead of) a later batch member and the batched merge table
+    * diverges from one-merge-per-step BPE — the semantics the oracle
+    * ladder mirrors and real tokenizers (GPT-2 BPE) define. A 32 k
+    * vocabulary run is a training JOB (sequential by nature, driver
+    * acceptable at 32 k × a vocabulary-grain aggregate), not a query;
+    * this operator is the query-shaped, oracle-checkable form. Each
+    * step localCheckpoints the rewritten vocabulary, so a step's
+    * argmax reads the previous materialization — per-step cost is
+    * constant in `step`, never an O(step) lineage recompute.
     * Output is the merge table itself: k rows, engine-exact
     * strings+integers.
     */
@@ -317,6 +328,10 @@ object TextAnalysis {
     */
   private def bpeCore(docs: DataFrame, k: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(k <= 100,
+      s"bpeTrain is bounded at 100 sequential merge steps (got $k); " +
+        "larger vocabularies are a training job, not a query — see " +
+        "the operator contract in the docstring")
     val pairArr =
       """CASE WHEN size(split(s, ' ')) >= 2
         |  THEN transform(sequence(1, size(split(s, ' ')) - 1),
@@ -349,6 +364,8 @@ object TextAnalysis {
         words = words.select(
           trim(expr(s"replace(concat(' ', s, ' '), ' $l $r ', ' $l$r ')"))
             .as("s"), col("c"))
+          .localCheckpoint(false) // flat lineage: step t reads t-1's
+                                  // materialization, not the chain
         step += 1
       }
     }

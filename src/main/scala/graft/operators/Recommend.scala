@@ -231,6 +231,22 @@ object Recommend {
         col("item_id"), col("score_r"))
   }
 
+  /** Serving-request parameter surface (reference
+    * recommendation/main.py:284,349: the API validates top_n within
+    * [1, 50] before touching the model): slice a precomputed
+    * recommendations table to one request's top_n. The clamp is the
+    * contract — a request outside it is a caller error, not a bigger
+    * scan — and the slice is a rank filter on the stored table
+    * (partition-prunable when the table is bucketed by user).
+    */
+  val ServingTopNMax = 50
+
+  def serveTopN(recs: DataFrame, topN: Int): DataFrame = {
+    require(topN >= 1 && topN <= ServingTopNMax,
+      s"top_n must be in [1, $ServingTopNMax], got $topN")
+    recs.filter(col("rank") <= topN)
+  }
+
   /** A13 weighted variant: interaction strength = number of orders
     * containing the item (the rating proxy the reference's binary
     * matrix throws away). Weighted cosine stays engine-exact because

@@ -204,6 +204,14 @@ class RecommendSpec extends SparkSpec {
     assert(got.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("serving slice: top_n clamp matches the API contract [1, 50]") {
+    val recs = Seq((1L, 1L, 10L, 0.9), (1L, 2L, 11L, 0.8),
+      (1L, 3L, 12L, 0.7)).toDF("user_id", "rank", "item_id", "score_r")
+    assert(Recommend.serveTopN(recs, 2).count() === 2)
+    intercept[IllegalArgumentException](Recommend.serveTopN(recs, 0))
+    intercept[IllegalArgumentException](Recommend.serveTopN(recs, 51))
+  }
+
   test("content similarity: blocks on (brand, type), ranks by size proximity") {
     val part = Seq(
       (1L, "B1", "SMALL", 10), (2L, "B1", "SMALL", 12),

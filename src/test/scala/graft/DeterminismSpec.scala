@@ -70,7 +70,8 @@ class DeterminismSpec extends SparkSpec {
     "e12_top_paths",          // session windows + path top-k
     "txt_window_cooc",        // pair generator + hash-grain top-k
     "j10_asof_tolerance",     // as-of carry + staleness residual
-    "txt_quality_filter")     // banded percent_rank decomposition
+    "txt_quality_filter",     // banded percent_rank decomposition
+    "ml_recommendations_from_store") // registry read + scoring join
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -70,6 +70,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.ahash(media0).count() === 0)
   }
 
+  test("round-5 additions are total on empty input") {
+    import org.apache.spark.sql.functions.col
+    // two-phase dense index: empty distinct-key relation → empty map
+    assert(Stats.denseIndex(
+      inter0.select(col("item_id")), "item_id").count() === 0)
+    assert(Recommend.negativeSamples(inter0).count() === 0)
+    // serving slice of an empty recommendations table
+    val recs0 = empty("user_id" -> LongType, "rank" -> LongType,
+      "item_id" -> LongType, "score_r" -> DoubleType)
+    assert(Recommend.serveTopN(recs0, 10).count() === 0)
+  }
+
   test("similarity family is total on empty embeddings") {
     assert(Dedup.embeddingNearDup(emb0).count() === 0)
     assert(Similarity.knnBrute(emb0).count() === 0)

@@ -34,7 +34,9 @@ object Dedup {
   val JaccardT = 0.5
   val Bands = 8
   val Rows = 4 // Bands*Rows == 32 minhash permutations
-  val HammingT = 6
+  val HammingT = 3
+  val SimBits = 60   // fingerprint width — the full hex60 hash range
+  val SimChunks = 4  // 4 bands of 15 bits ⇒ 2^15 buckets per band
   val CosineT = 0.4
 
   /** doc_id + distinct word-3-gram shingles over case-normalized text
@@ -65,11 +67,18 @@ object Dedup {
   /** Pairwise n-gram Jaccard ≥ t via shingle co-count self-join:
     * |A∩B| from the join, |A∪B| = nA + nB − |A∩B|.
     */
-  def ngramJaccard(docs: DataFrame, t: Double = JaccardT): DataFrame = {
+  def ngramJaccard(docs: DataFrame, t: Double = JaccardT): DataFrame =
+    ngramJaccardFrom(docShingleHashes(docs), t)
+
+  /** Same, over any (doc_id, sh) shingle-hash relation — lets the
+    * capped variant share one body with the exact baseline.
+    */
+  def ngramJaccardFrom(shingleHashes: DataFrame,
+                       t: Double = JaccardT): DataFrame = {
     // referenced 3× below (both self-join sides + the per-doc counts):
     // lazily localCheckpoint so the explode+md5 pipeline materializes
     // once at first execution instead of running per reference
-    val sh = docShingleHashes(docs).localCheckpoint(false)
+    val sh = shingleHashes.localCheckpoint(false)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = sh.as("a")
       .join(sh.as("b"),
@@ -93,16 +102,25 @@ object Dedup {
     * in >maxDf docs carries no dedup signal — it IS template text).
     * The hot set is tiny by construction (few shingles exceed the
     * cap) → broadcast anti-join, no extra shuffle of the corpus.
-    * Not wired into the oracle queries: the synthetic corpus's max
-    * df is single-digit (txt_ngram_freq), so the cap would never
-    * fire there; DedupSpec proves it on planted boilerplate.
+    * Registered oracle-checked as dedup_ngram_jaccard_capped (MaxDf
+    * low enough to fire on the synthetic corpus's df tail); DedupSpec
+    * additionally proves the guard on planted boilerplate.
     */
   def docShingleHashesCapped(docs: DataFrame, maxDf: Long): DataFrame = {
-    val sh = docShingleHashes(docs)
+    // referenced twice (hot derivation + anti-join left side)
+    val sh = docShingleHashes(docs).localCheckpoint(false)
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sh"))
     sh.join(broadcast(hot), Seq("sh"), "left_anti")
   }
+
+  /** The cap the registered capped variant runs with — sized to the
+    * synthetic corpus's df tail (max df 7 at sf0.01) so the guard
+    * demonstrably fires at the gate scale; a production corpus sets
+    * it orders of magnitude higher (the point is bounding f², not
+    * touching real Jaccard mass).
+    */
+  val MaxShingleDf = 5L
 
   val ContainT = 0.6
 
@@ -194,39 +212,51 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
-  /** 32-bit SimHash per doc from token-occurrence hashes: bit k is set
-    * iff Σ_tokens (2·bit_k(h32(token)) − 1) > 0. The 32 bit balances
-    * are 32 conditional-sum aggregates in ONE HashAggregate keyed by
+  /** 60-bit SimHash per doc from token-occurrence hashes: bit k is set
+    * iff Σ_tokens (2·bit_k(hex60(token)) − 1) > 0. The 60 bit balances
+    * are 60 conditional-sum aggregates in ONE HashAggregate keyed by
     * doc_id (the minhashSignaturesFrom shape): each token row is
     * hashed once and consumed in place — no (doc_id, bit) explode, so
-    * the doc_id shuffle carries 32 longs per doc instead of 32× the
-    * token volume. All sums are exact ints.
+    * the doc_id shuffle carries 60 longs per doc instead of 60× the
+    * token volume. All sums are exact ints. 60 bits (not 32) because
+    * the pair-banding below needs the fingerprint wide enough that a
+    * band identifies a meaningfully small bucket: candidate volume is
+    * Σ_buckets n_b² per band, so bucket count is THE scale knob.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("tok"))
-      .withColumn("h", h32(col("tok")))
-    val bals = (0 until 32).map(k =>
+      .withColumn("h", hex60(col("tok")))
+    val bals = (0 until SimBits).map(k =>
       sum(when(expr(s"shiftright(h, $k) % 2") === 1, 1L).otherwise(-1L))
         .as(s"b$k"))
     tok.groupBy(col("doc_id"))
       .agg(bals.head, bals.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(k =>
+        (0 until SimBits).map(k =>
           when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs, hamming ≤ HammingT, candidates via 8-bit
-    * chunk banding (pigeonhole: ≤6 differing bits over 4 chunks ⇒ at
-    * least one chunk equal) — never an all-pairs scan.
+  /** SimHash near-dup pairs, hamming ≤ HammingT = 3, candidates via
+    * 15-bit chunk banding — the Manku-Jain-Sarma (WWW'07) fingerprint
+    * dedup shape. Pigeonhole is EXACT here: ≤3 differing bits cannot
+    * touch all 4 chunks, so every qualifying pair shares at least one
+    * chunk verbatim and recall is 1.0 (the earlier 8-bit/hamming-6
+    * variant silently dropped pairs whose 4–6 diff bits spread across
+    * all chunks). Scale shape: each band has 2^15 bucket values, so
+    * candidate volume is Σ_b n_b²/2 per band ≈ n²/2^15 under a uniform
+    * fingerprint — the sf1 smoke measured the 8-bit variant (256
+    * buckets) at 153 s where this layout is bounded by bucket
+    * occupancy; at corpus scale the same knob widens again (Manku use
+    * 64-bit prints with more tables), never an all-pairs scan.
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sh = simhash(docs)
     val chunks = sh.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("c"))
+      explode(sequence(lit(0), lit(SimChunks - 1))).as("c"))
       .withColumn("chunk",
-        expr("shiftright(simhash, c * 8) % 256"))
+        expr("shiftright(simhash, c * 15) % 32768"))
     val cand = chunks.as("x")
       .join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
@@ -239,6 +269,27 @@ object Dedup {
       .filter(col("hamming") <= HammingT)
       .select(col("i"), col("j"), col("hamming"))
   }
+
+  /** Deterministic 20% doc sample feeding the TUNING/MONITORING
+    * queries (threshold sweep, LSH recall). Their ground-truth side is
+    * the exact co-count join — quadratic in candidate density by
+    * definition — and a knob-tuning curve or a recall estimate does
+    * not need the corpus: a fixed pseudo-random fifth gives the same
+    * elbow and an unbiased per-pair recall estimate at 1/25th the
+    * pair volume (both endpoints must survive doc sampling). Same
+    * bucket10 device as the U4 split, different salt; the PRODUCING
+    * operators (ngram_jaccard, containment, clusters) stay exact —
+    * sampling those would change what consumers receive, not how a
+    * knob is read.
+    */
+  val MonitorSalt = 7L
+  val MonitorBuckets = 4 // 40%: dup-pair survival is the SQUARE of the
+  // doc rate (both endpoints must survive), and the synthetic corpus is
+  // dup-sparse — 40% keeps ground-truth pairs alive at the sf0.01 gate.
+  // A production web corpus is orders of magnitude denser in near-dups,
+  // so the same knob runs at 1–5% there; cost scales with the square.
+  def docSample(docs: DataFrame): DataFrame =
+    docs.filter(bucket10(col("doc_id"), lit(MonitorSalt)) < MonitorBuckets)
 
   val ContamT = 0.8
 
@@ -332,6 +383,21 @@ object Dedup {
     labelComponents(ngramJaccard(docs).select(col("i"), col("j")),
       docs.select(col("doc_id")), rounds)
 
+  /** The 100 TB form of dedupClusters: the edge list comes from the
+    * banded MinHash-LSH pipeline (bucket-keyed candidates, exact
+    * Jaccard verify) instead of the exact all-shingle co-count join,
+    * then the same pointer-jumping CC. This is the composition real
+    * corpus dedup runs — LSH recall < 1 means some true near-dup
+    * edges are missed and a cluster may split (monitored by
+    * dedup_lsh_recall); precision is exact, so no false merges. The
+    * sf1 smoke put the exact edge derivation at ~55 s vs ~12 s for
+    * this path, a gap that widens quadratically with corpus size.
+    */
+  def dedupClustersLsh(docs: DataFrame, t: Double = JaccardT,
+                       rounds: Int = ClusterRounds): DataFrame =
+    labelComponents(minhashLsh(docs, t).select(col("i"), col("j")),
+      docs.select(col("doc_id")), rounds)
+
   /** Min-label CC over an undirected pair list, every vertex of
     * `universe` labeled (isolated docs keep their own id). Each round
     * combines edge relaxation (min over neighbors' labels) with
@@ -351,8 +417,15 @@ object Dedup {
     // truncates lineage into executor storage — the DataFrame analog
     // of GraphX's per-iteration checkpointing; both tables are tiny
     // (one row per doc / per near-dup edge).
-    val edges = pairs
-      .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+    // The symmetric union references `pairs` twice; without its own
+    // checkpoint the pair derivation (the Jaccard/LSH verify join —
+    // the most expensive stage of every cluster query) executes once
+    // PER BRANCH under the eager edges checkpoint. Caching the pair
+    // list first (tiny: one row per near-dup edge) halves the
+    // dominant stage — sf1 probe: dedup_clusters 117→~60 s.
+    val p = pairs.localCheckpoint(false)
+    val edges = p
+      .unionByName(p.select(col("j").as("i"), col("i").as("j")))
       .localCheckpoint()
     // Only vertices incident to a near-dup edge can ever move off
     // their own label — iterate on that (much smaller) subgraph and
@@ -471,14 +544,14 @@ object Dedup {
        |    ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
        |  FROM co JOIN n na ON i = na.doc_id JOIN n nb ON j = nb.doc_id)""".stripMargin
 
-  /** Oracle mirror of the collapsed simhash shape: 32 conditional-sum
+  /** Oracle mirror of the collapsed simhash shape: 60 conditional-sum
     * bit balances in one GROUP BY doc_id, then the bit assembly as a
     * projection.
     */
-  private val simhashBalsSql = (0 until 32).map(k =>
+  private val simhashBalsSql = (0 until SimBits).map(k =>
     s"SUM(CASE WHEN (h >> $k) % 2 = 1 THEN 1 ELSE -1 END) AS b$k")
     .mkString(",\n|    ").stripMargin
-  private val simhashBitsSql = (0 until 32).map(k =>
+  private val simhashBitsSql = (0 until SimBits).map(k =>
     s"(CASE WHEN b$k > 0 THEN CAST(1 AS BIGINT) << $k ELSE 0 END)")
     .mkString(" + ")
 
@@ -521,6 +594,32 @@ object Dedup {
        |      h -> ((2*k+3)*h + (k*k+7)) % 4294967291))) AS sg
        |  FROM hs WHERE len(hl) > 0)""".stripMargin
 
+  /** shSql with the stop-shingle df cap applied — same terminal CTE
+    * names (`sh`, `n`) as shSql so jacSql composes over either chain.
+    */
+  private val shCappedSql =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\\s+') t
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(t)-2, 0)),
+       |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+       |  FROM toks),
+       |shraw AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS sh FROM sh0),
+       |hot AS (SELECT sh FROM shraw GROUP BY sh
+       |  HAVING COUNT(*) > $MaxShingleDf),
+       |sh AS (SELECT * FROM shraw
+       |  WHERE sh NOT IN (SELECT sh FROM hot)),
+       |n AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1)""".stripMargin
+
+  /** shSql over the deterministic monitor sample (docSample's
+    * bucket10 predicate inlined); shSql reads `documents` exactly once,
+    * so the single targeted replace keeps the two strings in lockstep.
+    */
+  private val shSampleSql = shSql.replace("FROM documents",
+    s"FROM documents WHERE ((doc_id % 100003)*31 + $MonitorSalt*97) % 10" +
+      s" < $MonitorBuckets")
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("dedup_exact",
@@ -553,6 +652,19 @@ object Dedup {
     QueryDef("dedup_ngram_jaccard",
       (s, d) => ngramJaccard(docs(s, d)),
       Some(s"""WITH $shSql,
+              |$jacSql
+              |SELECT i, j, common, jaccard FROM jac
+              |WHERE jaccard >= $JaccardT""".stripMargin)),
+
+    // The boilerplate-guarded form of the exact pairwise baseline:
+    // shingles with document frequency > MaxShingleDf (template text —
+    // each contributes df² co-count rows) are dropped before the
+    // self-join, bounding every join group at MaxShingleDf² regardless
+    // of corpus size. The 100 TB posture of the exact path.
+    QueryDef("dedup_ngram_jaccard_capped",
+      (s, d) => ngramJaccardFrom(
+        docShingleHashesCapped(docs(s, d), MaxShingleDf)),
+      Some(s"""WITH $shCappedSql,
               |$jacSql
               |SELECT i, j, common, jaccard FROM jac
               |WHERE jaccard >= $JaccardT""".stripMargin)),
@@ -606,25 +718,32 @@ object Dedup {
 
     // The dedup-index evaluation loop (sim_recall_at_k's analog for
     // near-dup): measured recall of the banded-LSH candidate pipeline
-    // against the exact all-shingle Jaccard ground truth. LSH output
+    // against the exact all-shingle Jaccard ground truth, on the
+    // deterministic 20% monitor sample (the ground-truth side is the
+    // quadratic co-count join; per-pair recall estimated on a fixed
+    // fifth is unbiased and 25× cheaper — docSample). LSH output
     // is exact-verified, so it is a subset of the ground truth and
     // the semi-join count IS the recall numerator. 1-row output; both
     // sides are the registered operators' own pipelines, so this
     // monitors exactly what production would run.
     QueryDef("dedup_lsh_recall",
       (s, d) => {
-        val exact = ngramJaccard(docs(s, d)).select(col("i"), col("j"))
+        val sample = docSample(docs(s, d))
+        val exact = ngramJaccard(sample).select(col("i"), col("j"))
           .localCheckpoint(false)
-        val lsh = minhashLsh(docs(s, d)).select(col("i"), col("j"))
+        val lsh = minhashLsh(sample).select(col("i"), col("j"))
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin( // two 1-row sides
             exact.join(lsh, Seq("i", "j"), "left_semi")
               .agg(count(lit(1)).as("n_recalled")))
           .select(col("n_exact"), col("n_recalled"),
-            round(col("n_recalled").cast("double") / col("n_exact"), 6)
+            // zero ground-truth pairs in the sample → NULL recall on
+            // both engines (ANSI div would throw, DuckDB would NULL)
+            when(col("n_exact") > 0,
+              round(col("n_recalled").cast("double") / col("n_exact"), 6))
               .as("recall"))
       },
-      Some(s"""WITH $shSql,
+      Some(s"""WITH $shSampleSql,
               |$jacSql,
               |exact AS MATERIALIZED (SELECT i, j FROM jac
               |  WHERE jaccard >= $JaccardT),
@@ -648,7 +767,9 @@ object Dedup {
               |nr AS (SELECT CAST(COUNT(*) AS BIGINT) n_recalled
               |  FROM exact JOIN lshv USING (i, j))
               |SELECT n_exact, n_recalled,
-              |ROUND(CAST(n_recalled AS DOUBLE) / n_exact, 6) AS recall
+              |CASE WHEN n_exact > 0
+              |  THEN ROUND(CAST(n_recalled AS DOUBLE) / n_exact, 6)
+              |END AS recall
               |FROM ne, nr""".stripMargin)),
 
     QueryDef("dedup_clusters",
@@ -663,6 +784,35 @@ object Dedup {
            |SELECT doc_id, lbl AS canonical_id,
            |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
 
+    // The production-path composition: CC over LSH-verified edges
+    // (bucketed candidates) instead of the exact co-count join —
+    // dedup_clusters' scale form; see dedupClustersLsh.
+    QueryDef("dedup_clusters_lsh",
+      (s, d) => dedupClustersLsh(docs(s, d)),
+      Some(
+        s"""WITH $shSql,
+           |$sigSql,
+           |bands AS (SELECT doc_id, b.band,
+           |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
+           |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
+           |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
+           |  FROM bands x JOIN bands y ON x.band = y.band
+           |    AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+           |common AS (SELECT c.i, c.j, COUNT(*) common
+           |  FROM cand c JOIN sh a ON c.i = a.doc_id
+           |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
+           |  GROUP BY 1, 2),
+           |p AS (SELECT c.i, c.j
+           |  FROM common c JOIN n na ON c.i = na.doc_id
+           |  JOIN n nb ON c.j = nb.doc_id
+           |  WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6)
+           |    >= $JaccardT),
+           |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+           |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+           |$ccStepsSql
+           |SELECT doc_id, lbl AS canonical_id,
+           |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
+
     // Threshold-sensitivity sweep: near-dup pair volume at each
     // candidate Jaccard cut, from ONE pass over the (already stop-
     // shingle-capped) candidate pairs — conditional sums, no
@@ -671,14 +821,16 @@ object Dedup {
     // real dups.
     QueryDef("dedup_threshold_sweep",
       (s, d) => {
-        val pairs = ngramJaccard(docs(s, d), t = 0.0)
+        // knob tuning reads the CURVE, not the pairs: the exact
+        // co-count join runs over the 20% monitor sample (docSample)
+        val pairs = ngramJaccard(docSample(docs(s, d)), t = 0.0)
         val cuts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
         pairs.agg(
           count(lit(1)).as("n_candidates"),
           cuts.map(t => sum((col("jaccard") >= t).cast("long"))
             .as(s"ge_${(t * 10).toInt}")): _*)
       },
-      Some(s"""WITH $shSql,
+      Some(s"""WITH $shSampleSql,
               |$jacSql
               |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
               |${Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(t =>
@@ -744,7 +896,7 @@ object Dedup {
               |    unnest(string_split_regex(trim(lower(text)),'\\s+')) AS tk
               |  FROM documents),
               |th AS (SELECT doc_id,
-              |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) % 4294967291 AS h
+              |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) AS h
               |  FROM tok),
               |bits AS (SELECT doc_id, $simhashBalsSql
               |  FROM th GROUP BY doc_id)
@@ -757,15 +909,15 @@ object Dedup {
               |    unnest(string_split_regex(trim(lower(text)),'\\s+')) AS tk
               |  FROM documents),
               |th AS (SELECT doc_id,
-              |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) % 4294967291 AS h
+              |    CAST(concat('0x', substr(md5(tk),1,15)) AS BIGINT) AS h
               |  FROM tok),
               |bits AS (SELECT doc_id, $simhashBalsSql
               |  FROM th GROUP BY doc_id),
               |sh2 AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
               |  FROM bits),
               |chunks AS (SELECT doc_id, simhash, c.c,
-              |    (simhash >> (c.c*8)) % 256 AS chunk
-              |  FROM sh2, (SELECT unnest(generate_series(0, 3)) c) c),
+              |    (simhash >> (c.c*15)) % 32768 AS chunk
+              |  FROM sh2, (SELECT unnest(generate_series(0, ${SimChunks - 1})) c) c),
               |cand AS (SELECT DISTINCT x.doc_id i, x.simhash hi,
               |    y.doc_id j, y.simhash hj
               |  FROM chunks x JOIN chunks y ON x.c = y.c

@@ -86,7 +86,10 @@ object Graph {
   }
 
   def pagerank(s: SparkSession, d: String): DataFrame =
-    pagerankFrom(Recommend.interactions(s, d))
+    // checkpoint: bipartiteEdges references its input once per union
+    // branch — uncached, the lineitem⋈orders interactions derivation
+    // would execute twice under the edges materialization
+    pagerankFrom(Recommend.interactions(s, d).localCheckpoint(false))
 
   val TriMinCo = 3L
 
@@ -154,6 +157,9 @@ object Graph {
         col("e2.dst").as("c"))
     val tri = wedge.join(
       eo.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .localCheckpoint(false) // three per-corner references below:
+      // without this the wedge + closing joins (the dominant stages)
+      // execute once per union branch
     val ntri = tri.select(col("a").as("v"))
       .unionByName(tri.select(col("b").as("v")))
       .unionByName(tri.select(col("c").as("v")))

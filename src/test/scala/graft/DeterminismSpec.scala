@@ -71,7 +71,10 @@ class DeterminismSpec extends SparkSpec {
     "txt_window_cooc",        // pair generator + hash-grain top-k
     "j10_asof_tolerance",     // as-of carry + staleness residual
     "txt_quality_filter",     // banded percent_rank decomposition
-    "ml_recommendations_from_store") // registry read + scoring join
+    "ml_recommendations_from_store", // registry read + scoring join
+    "dedup_simhash_pairs",    // 60-bit fingerprint + 15-bit band join
+    "dedup_clusters_lsh",     // LSH-verified edges + pointer-jump CC
+    "dedup_ngram_jaccard_capped") // df-capped co-count self-join
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -38,6 +38,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.simhash(docs0).count() === 0)
     assert(Dedup.simhashPairs(docs0).count() === 0)
     assert(Dedup.dedupClusters(docs0).count() === 0)
+    assert(Dedup.dedupClustersLsh(docs0).count() === 0)
+    assert(Dedup.ngramJaccardFrom(
+      Dedup.docShingleHashesCapped(docs0, Dedup.MaxShingleDf)).count() === 0)
   }
 
   test("CF family is total on empty interactions") {

@@ -24,16 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  /** `events` is written with nanosecond timestamps, which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL] TIMESTAMP(NANOS)).
-    * Read nanos as long and floor-truncate to microseconds — exactly
-    * what DuckDB's reader does natively, so oracle values line up.
+  /** `events.ts` arrives in whichever encoding the generator used:
+    * TIMESTAMP(NANOS) (rejected by Spark's reader — read nanos as long
+    * and floor-truncate to micros, exactly DuckDB's native behavior) or
+    * TIMESTAMP(MICROS) without a UTC flag (read as TIMESTAMP_NTZ —
+    * reinterpret the wall clock in the UTC session, which is also how
+    * the DuckDB oracle treats it). Both normalize to the same
+    * session-TZ TIMESTAMP, so every downstream operator and oracle
+    * value lines up regardless of the writer.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType => df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")

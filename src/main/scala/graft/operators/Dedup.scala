@@ -507,6 +507,56 @@ object Dedup {
       .select(col("doc_id").as("vec_id"), col("canonical_id"),
         col("is_canonical"))
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540) — the cluster-then-prune pass used on
+    * web-scale image/text corpora: coarse-quantize every embedding to
+    * its nearest centroid, then inside each cluster drop every vector
+    * that has a lower-id cluster-mate with cosine ≥ t. The paper
+    * keeps one arbitrary member of each ≥τ pair; greedy min-id makes
+    * that choice deterministic and engine-independent. Centroids are
+    * the strided-seed set shared with `Similarity.knnIvf` (k-means
+    * would add RNG, not plumbing — swap in trained centroids and
+    * nothing else changes).
+    *
+    * Scale shape: assignment is one broadcast-centroid scan; the only
+    * shuffle keys on the cell id; pairwise cosine runs inside a cell
+    * only, so candidate volume is bounded by cell occupancy
+    * (monitored by sim_cell_stats — the same skew lever as IVF). At
+    * 100 TB the knobs are centroid count (cell size) and threshold,
+    * not a rewrite. Complements `embeddingNearDup`: hyperplane-LSH
+    * buckets catch near-identical pairs anywhere in space; the
+    * cluster pass prunes *semantic* redundancy inside neighborhoods.
+    */
+  def semanticDedup(emb: DataFrame, t: Double = CosineT): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cent = e.filter(col("vec_id") % Similarity.QueryStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    // referenced twice (both sides of the in-cell pair join):
+    // materialize the assignment pass once
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      .localCheckpoint(false)
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          round(cosineFast(col("a.v"), col("b.v")), 6) >= t)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup"), lit(0)).equalTo(lit(0)).cast("int")
+          .as("is_kept"))
+  }
+
   /** All-pairs exact reference for the bucketed operator above — spec
     * only (recall measurement); never registered, its self-join is a
     * cartesian.
@@ -939,6 +989,25 @@ object Dedup {
               |l0 AS MATERIALIZED (SELECT vec_id AS doc_id, vec_id AS lbl FROM embeddings),
               |$ccStepsSql
               |SELECT doc_id AS vec_id, lbl AS canonical_id,
-              |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin))
+              |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
+
+    QueryDef("dedup_semantic",
+      (s, d) => semanticDedup(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |cent AS (SELECT vec_id cent_id, v cv FROM e
+              |  WHERE vec_id % ${Similarity.QueryStride} = 0),
+              |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+              |  SELECT e.vec_id, e.v, c.cent_id,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+              |      c.cent_id) rn
+              |  FROM e, cent c) WHERE rn = 1),
+              |dropped AS (SELECT DISTINCT b.vec_id
+              |  FROM assigned a JOIN assigned b
+              |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= $CosineT)
+              |SELECT a.vec_id, a.cell,
+              |  CAST(d.vec_id IS NULL AS INT) AS is_kept
+              |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin))
   )
 }

@@ -2196,8 +2196,113 @@ object TextAnalysis {
               |CAST(SUM(keep) AS BIGINT) AS n_kept,
               |CAST(SUM(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END)
               |  AS BIGINT) AS tokens_kept
-              |FROM k GROUP BY 1""".stripMargin))
+              |FROM k GROUP BY 1""".stripMargin)),
+
+    QueryDef("txt_nb_classifier",
+      (s, d) => nbQualityClassifier(docs(s, d)),
+      Some(s"""WITH ql AS (SELECT doc_id,
+              |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct(string_split_regex(trim(text),'\\s+'))) AS BIGINT) AS n_distinct,
+              |  CAST(${sqlHits(StopEn)} AS BIGINT) AS n_stop
+              |  FROM documents),
+              |lab AS (SELECT doc_id,
+              |  CAST(ROUND(CAST(n_distinct AS DOUBLE)/n_tokens*0.5
+              |    + LEAST(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.3
+              |    + CAST(n_stop AS DOUBLE)/n_tokens*0.2, 6) >= 0.4 AS INT) AS label
+              |  FROM ql),
+              |tok AS (SELECT doc_id,
+              |  unnest(string_split_regex(trim(text),'\\s+')) AS w FROM documents),
+              |dwc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) cnt
+              |  FROM tok GROUP BY 1, 2),
+              |cwc AS (SELECT l.label, d.w, SUM(d.cnt) cwc
+              |  FROM dwc d JOIN lab l USING (doc_id) GROUP BY 1, 2),
+              |ctot AS (SELECT label, SUM(cwc) tot FROM cwc GROUP BY 1),
+              |vs AS (SELECT COUNT(DISTINCT w) v FROM tok),
+              |vw AS (SELECT DISTINCT w FROM tok),
+              |cls AS (SELECT DISTINCT label FROM lab),
+              |grid AS (SELECT vw.w, cls.label,
+              |    CAST(ROUND(ln(CAST(COALESCE(c.cwc, 0) + 1 AS DOUBLE)
+              |      / CAST(ct.tot + vs.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS qll
+              |  FROM vw CROSS JOIN cls
+              |  JOIN ctot ct ON ct.label = cls.label
+              |  LEFT JOIN cwc c ON c.w = vw.w AND c.label = cls.label
+              |  CROSS JOIN vs),
+              |pri AS (SELECT label, CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+              |    / (SELECT COUNT(*) FROM lab)) * 1000000.0) AS BIGINT) AS qp
+              |  FROM lab GROUP BY 1),
+              |sc AS (SELECT d.doc_id, g.label,
+              |    SUM(d.cnt * g.qll) + MAX(p.qp) AS score
+              |  FROM dwc d JOIN grid g ON d.w = g.w
+              |  JOIN pri p ON p.label = g.label
+              |  GROUP BY 1, 2),
+              |prd AS (SELECT doc_id, label AS pred FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |      ORDER BY score DESC, label DESC) rn FROM sc) WHERE rn = 1)
+              |SELECT l.label, p.pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+              |FROM lab l JOIN prd p USING (doc_id) GROUP BY 1, 2""".stripMargin))
   )
+
+  /** Multinomial Naive Bayes quality classifier — the
+    * train-a-cheap-model-on-heuristic-labels shape behind production
+    * quality filters (a fastText-style classifier distilled from rule
+    * labels): the heuristic gate (qualityScore.keep) labels the
+    * corpus, add-one-smoothed token counts train the model, and every
+    * document is re-scored by it. One pass trains AND applies — the
+    * model tables are vocab-grain (class-conditional counts) or
+    * broadcast-sized (priors, vocab size, class list), and the
+    * scoring join shuffles on the word key, never a doc pair, so the
+    * plan is three hash aggregates + one vocab-keyed join at any
+    * corpus size.
+    *
+    * Determinism device: log-likelihoods and priors are quantized to
+    * integer micro-nats (round(ln·10⁶) as int64) BEFORE the
+    * per-document sum, so the argmax is exact integer arithmetic —
+    * no float summation order can flip a prediction between engines.
+    * Ties break toward the higher class id. Output is the ≤2×2
+    * confusion of model prediction vs heuristic label — the artifact
+    * a pipeline inspects before swapping the rule gate for the model.
+    */
+  def nbQualityClassifier(d: DataFrame): DataFrame = {
+    val labeled = qualityScore(d)
+      .select(col("doc_id"), col("keep").as("label"))
+      .localCheckpoint(false) // training labels, priors, AND the confusion join
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val dwc = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // feeds training counts AND the scoring join
+    val cwc = dwc.join(labeled, Seq("doc_id"))
+      .groupBy(col("label"), col("w")).agg(sum(col("cnt")).as("cwc"))
+    val ctot = cwc.groupBy(col("label")).agg(sum(col("cwc")).as("tot"))
+    val vsize = tok.agg(count_distinct(col("w")).as("v"))
+    val grid = tok.select(col("w")).distinct()
+      .crossJoin(broadcast(labeled.select(col("label")).distinct()))
+      .join(cwc, Seq("w", "label"), "left")
+      .join(broadcast(ctot), Seq("label"))
+      .crossJoin(broadcast(vsize))
+      .select(col("w"), col("label"),
+        round(log((coalesce(col("cwc"), lit(0L)) + lit(1L)).cast("double")
+          / (col("tot") + col("v")).cast("double")) * lit(1000000.0d))
+          .cast("long").as("qll"))
+    val prior = labeled.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(labeled.agg(count(lit(1)).as("n_all"))))
+      .select(col("label"), round(log(col("n").cast("double")
+        / col("n_all").cast("double")) * lit(1000000.0d))
+        .cast("long").as("qp"))
+    val wPred = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label").desc)
+    val pred = dwc.join(grid, Seq("w"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("cnt") * col("qll")).as("ll"))
+      .join(broadcast(prior), Seq("label"))
+      .select(col("doc_id"), col("label"),
+        (col("ll") + col("qp")).as("score"))
+      .withColumn("rn", row_number().over(wPred))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred"))
+    labeled.join(pred, Seq("doc_id"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 
   /** Stratified quality-band sampling — the curriculum/mixing pass
     * that keeps ALL of the best-quality quartile and a decaying

@@ -124,6 +124,27 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L)))
   }
 
+  test("semantic dedup: greedy min-id prune invariants on real vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Dedup.semanticDedup(emb)
+    // total: one verdict per vector
+    assert(out.count() === emb.count())
+    // the greedy contract: a vector is dropped iff some LOWER-id
+    // cluster-mate clears the threshold — so within a cell the
+    // minimum id is always kept, and every cell keeps at least one
+    val perCell = out.groupBy("cell")
+      .agg(min(col("vec_id")).as("lo"), sum(col("is_kept")).as("kept"),
+        min(when(col("is_kept") === 1, col("vec_id"))).as("lo_kept"))
+      .collect()
+    perCell.foreach { r =>
+      assert(r.getAs[Long]("kept") >= 1L, s"cell ${r.get(0)} kept nothing")
+      assert(r.getAs[Long]("lo") === r.getAs[Long]("lo_kept"),
+        s"cell ${r.get(0)} dropped its min id")
+    }
+    val nDropped = out.filter(col("is_kept") === 0).count()
+    info(s"semantic dedup dropped $nDropped/${emb.count()}")
+  }
+
   test("bucketed embedding near-dup ⊆ brute; measurable recall on real vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bucketed = Dedup.embeddingNearDup(emb)

@@ -177,17 +177,24 @@ object Dedup {
     * Jaccard ≥ t. Candidate recall < 1 by construction — that is the
     * LSH trade — but verification makes precision exact.
     */
-  def minhashLsh(docs: DataFrame, t: Double = JaccardT): DataFrame = {
-    // ONE shingle-hash pass feeds both the signature path and the
-    // exact-Jaccard verification below
-    val sh = docShingleHashes(docs).localCheckpoint(false)
-    val sig = minhashSignaturesFrom(sh)
-    val bands = sig.select(col("doc_id"),
+  /** Band-signature index rows (doc_id, band, bsig) from minhash
+    * signatures — the LSH index both the batch pass (minhashLsh) and
+    * the incremental pass (incrementalDedup) join on; at scale this
+    * is the table a lake persists per ingest.
+    */
+  private def bandSignaturesFrom(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),
           concat_ws(",", slice(col("sig"), b * Rows + 1, lit(Rows))
             .cast("array<string>")).as("bsig")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bsig"))
+
+  def minhashLsh(docs: DataFrame, t: Double = JaccardT): DataFrame = {
+    // ONE shingle-hash pass feeds both the signature path and the
+    // exact-Jaccard verification below
+    val sh = docShingleHashes(docs).localCheckpoint(false)
+    val bands = bandSignaturesFrom(minhashSignaturesFrom(sh))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -210,6 +217,45 @@ object Dedup {
         (col("na.n") + col("nb.n") - col("common")), 6))
       .filter(col("jaccard") >= t)
       .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** Incremental near-dup — the daily-ingest shape: the corpus side
+    * (deterministic doc_id-hash split here, standing in for the
+    * partition column a production lake filters on) is already
+    * deduped; only the incoming batch needs checking, and only
+    * AGAINST the corpus. Candidates come from the same banded
+    * MinHash index as minhashLsh, but the band join is corpus ×
+    * batch — the corpus×corpus and batch×batch pair spaces never
+    * form. At 100 TB the corpus side's band signatures are a
+    * precomputed index table persisted by this same signature pass
+    * at previous ingests, so the daily cost is batch-sized: sign the
+    * batch, join on the band key, exact-verify the candidates.
+    * (Batch-internal dups run through the ordinary pass at batch
+    * scale first.)
+    */
+  def incrementalDedup(docs: DataFrame, t: Double = JaccardT): DataFrame = {
+    val sh = docShingleHashes(docs).localCheckpoint(false)
+    val bands = bandSignaturesFrom(minhashSignaturesFrom(sh))
+    val cand = bands.filter(col("doc_id") % 10 < 8).as("x")
+      .join(bands.filter(col("doc_id") % 10 >= 8).as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("a"), col("i") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("j") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(n.as("na"), col("i") === col("na.doc_id"))
+      .join(n.as("nb"), col("j") === col("nb.doc_id"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na.n") + col("nb.n") - col("common")), 6))
+      .filter(col("jaccard") >= t)
+      .select(col("i").as("corpus_id"), col("j").as("batch_id"),
+        col("jaccard"))
   }
 
   /** 60-bit SimHash per doc from token-occurrence hashes: bit k is set
@@ -763,6 +809,26 @@ object Dedup {
               |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
               |  GROUP BY 1, 2)
               |SELECT c.i, c.j, ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
+              |FROM common c JOIN n na ON c.i = na.doc_id JOIN n nb ON c.j = nb.doc_id
+              |WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) >= $JaccardT""".stripMargin)),
+
+    QueryDef("dedup_incremental",
+      (s, d) => incrementalDedup(docs(s, d)),
+      Some(s"""WITH $shSql,
+              |$sigSql,
+              |bands AS (SELECT doc_id, b.band,
+              |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
+              |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
+              |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
+              |  FROM bands x JOIN bands y ON x.band = y.band
+              |    AND x.bsig = y.bsig
+              |  WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8),
+              |common AS (SELECT c.i, c.j, COUNT(*) common
+              |  FROM cand c JOIN sh a ON c.i = a.doc_id
+              |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
+              |  GROUP BY 1, 2)
+              |SELECT c.i AS corpus_id, c.j AS batch_id,
+              |ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
               |FROM common c JOIN n na ON c.i = na.doc_id JOIN n nb ON c.j = nb.doc_id
               |WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) >= $JaccardT""".stripMargin)),
 

@@ -75,7 +75,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup_simhash_pairs",    // 60-bit fingerprint + 15-bit band join
     "dedup_clusters_lsh",     // LSH-verified edges + pointer-jump CC
     "dedup_ngram_jaccard_capped", // df-capped co-count self-join
-    "dedup_semantic")         // cell assign + in-cell greedy prune
+    "dedup_semantic",         // cell assign + in-cell greedy prune
+    "dedup_incremental")      // corpus×batch band join + verify
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -124,6 +124,25 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L)))
   }
 
+  test("incremental dedup: cross-side pairs only, consistent with the batch pass") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val inc = Dedup.incrementalDedup(docs)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSet
+    // sides are disjoint by the split rule
+    inc.foreach { case (c, b) =>
+      assert(c % 10 < 8 && b % 10 >= 8, s"pair ($c,$b) crosses the split wrong")
+    }
+    // the incremental pass is the batch pass restricted to cross-side
+    // pairs: same index, same verify, so exactly the cross-side subset
+    val full = Dedup.minhashLsh(docs)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val crossOfFull = full.collect {
+      case (i, j) if i % 10 < 8 && j % 10 >= 8 => (i, j)
+      case (i, j) if j % 10 < 8 && i % 10 >= 8 => (j, i)
+    }
+    assert(inc === crossOfFull)
+  }
+
   test("semantic dedup: greedy min-id prune invariants on real vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Dedup.semanticDedup(emb)

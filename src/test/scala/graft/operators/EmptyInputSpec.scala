@@ -35,6 +35,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.exact(docs0).count() === 0)
     assert(Dedup.ngramJaccard(docs0).count() === 0)
     assert(Dedup.minhashLsh(docs0).count() === 0)
+    assert(Dedup.incrementalDedup(docs0).count() === 0)
     assert(Dedup.simhash(docs0).count() === 0)
     assert(Dedup.simhashPairs(docs0).count() === 0)
     assert(Dedup.dedupClusters(docs0).count() === 0)

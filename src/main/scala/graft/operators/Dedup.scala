@@ -603,6 +603,44 @@ object Dedup {
           .as("is_kept"))
   }
 
+  /** D4-style prototypicality prune (the diversify step that follows
+    * semantic dedup in the D4 recipe, arXiv:2308.12284): vectors
+    * closest to their cluster centroid are over-represented cluster
+    * cores, so dropping a fixed fraction of the most prototypical
+    * members re-weights the corpus toward diverse examples. Same
+    * deterministic strided-seed quantizer as semanticDedup; within
+    * each cell rank by centroid cosine (most prototypical first) and
+    * drop the top ⌈n/5⌉ — the cut count is exact integer arithmetic
+    * ((n+4) div 5), so no float decides a boundary row. The per-cell
+    * window is bounded by cell occupancy (sim_cell_stats monitors the
+    * skew); everything else is the broadcast-centroid assignment scan.
+    */
+  def prototypePrune(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cent = e.filter(col("vec_id") % Similarity.QueryStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("cos_c"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(col("cos_c").desc, col("vec_id"))
+    val wCount = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+    assigned
+      .withColumn("r", row_number().over(wCell))
+      .withColumn("n_cell", count(lit(1)).over(wCount))
+      .select(col("vec_id"), col("cell"), col("cos_c"),
+        (col("r") > expr("(n_cell + 4) div 5")).cast("int").as("is_kept"))
+  }
+
   /** All-pairs exact reference for the bucketed operator above — spec
     * only (recall measurement); never registered, its self-join is a
     * cartesian.
@@ -1074,6 +1112,26 @@ object Dedup {
               |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= $CosineT)
               |SELECT a.vec_id, a.cell,
               |  CAST(d.vec_id IS NULL AS INT) AS is_kept
-              |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin))
+              |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin)),
+
+    QueryDef("mix_prototype_prune",
+      (s, d) => prototypePrune(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |cent AS (SELECT vec_id cent_id, v cv FROM e
+              |  WHERE vec_id % ${Similarity.QueryStride} = 0),
+              |assigned AS (SELECT vec_id, cent_id AS cell, cos_c FROM (
+              |  SELECT e.vec_id, c.cent_id,
+              |    ROUND(list_cosine_similarity(e.v, c.cv), 6) AS cos_c,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+              |      c.cent_id) rn
+              |  FROM e, cent c) WHERE rn = 1),
+              |g AS (SELECT vec_id, cell, cos_c,
+              |    ROW_NUMBER() OVER (PARTITION BY cell
+              |      ORDER BY cos_c DESC, vec_id) r,
+              |    COUNT(*) OVER (PARTITION BY cell) n_cell
+              |  FROM assigned)
+              |SELECT vec_id, cell, cos_c,
+              |CAST(r > (n_cell + 4) // 5 AS INT) AS is_kept FROM g""".stripMargin))
   )
 }

@@ -76,7 +76,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup_clusters_lsh",     // LSH-verified edges + pointer-jump CC
     "dedup_ngram_jaccard_capped", // df-capped co-count self-join
     "dedup_semantic",         // cell assign + in-cell greedy prune
-    "dedup_incremental")      // corpus×batch band join + verify
+    "dedup_incremental",      // corpus×batch band join + verify
+    "mix_prototype_prune")    // per-cell rank + integer cut count
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

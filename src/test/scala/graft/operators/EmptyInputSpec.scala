@@ -89,6 +89,7 @@ class EmptyInputSpec extends SparkSpec {
   test("similarity family is total on empty embeddings") {
     assert(Dedup.embeddingNearDup(emb0).count() === 0)
     assert(Dedup.semanticDedup(emb0).count() === 0)
+    assert(Dedup.prototypePrune(emb0).count() === 0)
     assert(Similarity.knnBrute(emb0).count() === 0)
     assert(Similarity.knnLsh(emb0).count() === 0)
     assert(Similarity.knnIvf(emb0).count() === 0)

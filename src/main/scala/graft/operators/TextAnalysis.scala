@@ -95,6 +95,10 @@ object TextAnalysis {
     */
   val VocabV = 60
 
+  /** DSIR hashed-feature bucket count and selection size (dsirSelect). */
+  val DsirBuckets = 1024
+  val DsirK = 50
+
   /** Quality-band keep rates for mix_quality_bands (percent kept per
     * quartile band, best band first) — the quality-curriculum knob.
     * (Declared before `defs`, which interpolates it.)
@@ -2198,6 +2202,29 @@ object TextAnalysis {
               |  AS BIGINT) AS tokens_kept
               |FROM k GROUP BY 1""".stripMargin)),
 
+    QueryDef("txt_dsir_select",
+      (s, d) => dsirSelect(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT doc_id, CAST(lang = 'en' AS INT) tgt,
+              |    unnest(string_split_regex(trim(text),'\\s+')) AS w FROM documents),
+              |tb AS (SELECT doc_id, tgt,
+              |    CAST(concat('0x', substr(md5(w),1,15)) AS BIGINT)
+              |      % 4294967291 % $DsirBuckets AS b
+              |  FROM tok),
+              |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) ccnt,
+              |    CAST(SUM(tgt) AS BIGINT) tcnt FROM tb GROUP BY 1),
+              |tots AS (SELECT SUM(ccnt) ctot, SUM(tcnt) ttot FROM cb),
+              |qd AS (SELECT b,
+              |    CAST(ROUND(ln(CAST(tcnt + 1 AS DOUBLE)
+              |      / CAST(ttot + $DsirBuckets AS DOUBLE)) * 1000000.0) AS BIGINT)
+              |  - CAST(ROUND(ln(CAST(ccnt + 1 AS DOUBLE)
+              |      / CAST(ctot + $DsirBuckets AS DOUBLE)) * 1000000.0) AS BIGINT) AS qdiff
+              |  FROM cb, tots),
+              |dwc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) cnt
+              |  FROM tb GROUP BY 1, 2)
+              |SELECT d.doc_id, CAST(SUM(d.cnt * q.qdiff) AS BIGINT) AS weight_qnats
+              |FROM dwc d JOIN qd q USING (b)
+              |GROUP BY 1 ORDER BY weight_qnats DESC, doc_id LIMIT $DsirK""".stripMargin)),
+
     QueryDef("txt_nb_classifier",
       (s, d) => nbQualityClassifier(docs(s, d)),
       Some(s"""WITH ql AS (SELECT doc_id,
@@ -2241,6 +2268,53 @@ object TextAnalysis {
               |SELECT l.label, p.pred, CAST(COUNT(*) AS BIGINT) AS n_docs
               |FROM lab l JOIN prd p USING (doc_id) GROUP BY 1, 2""".stripMargin))
   )
+
+  /** DSIR-style importance selection (Data Selection via Importance
+    * Resampling, arXiv:2302.03169) — the canonical pretraining
+    * data-selection method: score every raw document by the
+    * log-ratio of a target-domain bag-of-hashed-features model to
+    * the raw-corpus model, then take the highest-ratio documents.
+    * Features are hashed unigram buckets (h32 mod DsirBuckets — the
+    * paper's hashed n-grams at order 1); the target slice is the
+    * lang='en' subset (any registered domain table slots in); both
+    * bucket LMs are add-one smoothed. The paper samples ∝ weight;
+    * the deterministic contract here is top-k by weight (the greedy
+    * variant), ties on doc_id.
+    *
+    * Scale shape: one token pass feeds both bucket LMs (a single
+    * DsirBuckets-row aggregate carrying the target count as a
+    * conditional sum) and the per-doc score join; the LM table and
+    * totals broadcast; the only data-sized shuffles key on the
+    * bucket id and doc_id; top-k is TakeOrderedAndProject. Bucket
+    * log-probs quantize to integer micro-nats BEFORE the per-doc
+    * sum, so ranking is exact integer arithmetic on both engines.
+    */
+  def dsirSelect(d: DataFrame): DataFrame = {
+    val tb = d.select(col("doc_id"),
+        (col("lang") === lit("en")).cast("int").as("tgt"),
+        explode(tokens(col("text"))).as("w"))
+      .withColumn("b", h32(col("w")) % DsirBuckets)
+      .localCheckpoint(false) // feeds the bucket LMs AND the doc score
+    val cb = tb.groupBy(col("b")).agg(
+      count(lit(1)).as("ccnt"),
+      sum(col("tgt").cast("long")).as("tcnt"))
+    val tots = cb.agg(sum(col("ccnt")).as("ctot"),
+      sum(col("tcnt")).as("ttot"))
+    val qdiff = cb.crossJoin(broadcast(tots))
+      .select(col("b"),
+        (round(log((col("tcnt") + lit(1L)).cast("double")
+            / (col("ttot") + lit(DsirBuckets.toLong)).cast("double"))
+            * lit(1000000.0d)).cast("long")
+          - round(log((col("ccnt") + lit(1L)).cast("double")
+            / (col("ctot") + lit(DsirBuckets.toLong)).cast("double"))
+            * lit(1000000.0d)).cast("long")).as("qdiff"))
+    tb.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(qdiff, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("qdiff")).as("weight_qnats"))
+      .orderBy(col("weight_qnats").desc, col("doc_id"))
+      .limit(DsirK)
+  }
 
   /** Multinomial Naive Bayes quality classifier — the
     * train-a-cheap-model-on-heuristic-labels shape behind production

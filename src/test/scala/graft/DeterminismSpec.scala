@@ -77,7 +77,9 @@ class DeterminismSpec extends SparkSpec {
     "dedup_ngram_jaccard_capped", // df-capped co-count self-join
     "dedup_semantic",         // cell assign + in-cell greedy prune
     "dedup_incremental",      // corpus×batch band join + verify
-    "mix_prototype_prune")    // per-cell rank + integer cut count
+    "mix_prototype_prune",    // per-cell rank + integer cut count
+    "txt_nb_classifier",      // micro-nat integer argmax
+    "txt_dsir_select")        // hashed-bucket LM ratio top-k
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -31,6 +31,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.tokenStats(docs0).count() === 0)
     assert(TextAnalysis.qualityScore(docs0).count() === 0)
     assert(TextAnalysis.langId(docs0).count() === 0)
+    assert(TextAnalysis.nbQualityClassifier(docs0).count() === 0)
+    assert(TextAnalysis.dsirSelect(docs0).count() === 0)
     assert(TextAnalysis.fingerprint(docs0).count() === 0)
     assert(Dedup.exact(docs0).count() === 0)
     assert(Dedup.ngramJaccard(docs0).count() === 0)

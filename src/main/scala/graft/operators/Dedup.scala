@@ -219,6 +219,51 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /** MinHash estimation-error monitor: on the banded candidate pairs,
+    * compare the signature-based Jaccard estimate (matching positions
+    * / 32) with the exact shingle Jaccard the verify step computes
+    * anyway. Production uses this to size the signature: when the
+    * error grows, 32 permutations are no longer enough for the
+    * corpus's similarity regime (the companion to dedup_lsh_recall,
+    * which monitors the *banding*). Candidate pairs only — the
+    * monitor costs one extra signature join over pairs the pipeline
+    * already verifies; match counts and ppm outputs are integers, so
+    * both engines agree bit-exactly.
+    */
+  def minhashEstimate(docs: DataFrame): DataFrame = {
+    val sh = docShingleHashes(docs).localCheckpoint(false)
+    val sig = minhashSignaturesFrom(sh).localCheckpoint(false) // bands + both pair sides
+    val bands = bandSignaturesFrom(sig)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val jac = cand
+      .join(sh.as("a"), col("i") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("j") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+      .join(n.as("na"), col("i") === col("na.doc_id"))
+      .join(n.as("nb"), col("j") === col("nb.doc_id"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na.n") + col("nb.n") - col("common")), 6))
+      .select(col("i"), col("j"), col("jaccard"))
+    jac
+      .join(sig.select(col("doc_id").as("i"), col("sig").as("sig_a")), Seq("i"))
+      .join(sig.select(col("doc_id").as("j"), col("sig").as("sig_b")), Seq("j"))
+      .withColumn("matches", expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, v) -> a + v)")
+        .cast("long"))
+      .select(col("i"), col("j"), col("matches"), col("jaccard"),
+        abs(expr(s"matches * 1000000 div ${Bands * Rows}")
+          - round(col("jaccard") * lit(1000000.0d)).cast("long"))
+          .as("est_err_ppm"))
+  }
+
   /** Incremental near-dup — the daily-ingest shape: the corpus side
     * (deterministic doc_id-hash split here, standing in for the
     * partition column a production lake filters on) is already
@@ -849,6 +894,35 @@ object Dedup {
               |SELECT c.i, c.j, ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
               |FROM common c JOIN n na ON c.i = na.doc_id JOIN n nb ON c.j = nb.doc_id
               |WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) >= $JaccardT""".stripMargin)),
+
+    QueryDef("dedup_minhash_estimate",
+      (s, d) => minhashEstimate(docs(s, d)),
+      Some(s"""WITH $shSql,
+              |$sigSql,
+              |bands AS (SELECT doc_id, b.band,
+              |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
+              |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
+              |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
+              |  FROM bands x JOIN bands y ON x.band = y.band
+              |    AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+              |common AS (SELECT c.i, c.j, COUNT(*) common
+              |  FROM cand c JOIN sh a ON c.i = a.doc_id
+              |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
+              |  GROUP BY 1, 2),
+              |jac AS (SELECT c.i, c.j,
+              |    ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
+              |  FROM common c JOIN n na ON c.i = na.doc_id
+              |  JOIN n nb ON c.j = nb.doc_id),
+              |est AS (SELECT jc.i, jc.j,
+              |    CAST(len(list_filter(generate_series(1, ${Bands * Rows}),
+              |      k -> sa.sg[k] = sb.sg[k])) AS BIGINT) AS matches,
+              |    jc.jaccard
+              |  FROM jac jc JOIN sig sa ON jc.i = sa.doc_id
+              |  JOIN sig sb ON jc.j = sb.doc_id)
+              |SELECT i, j, matches, jaccard,
+              |abs(matches * 1000000 // ${Bands * Rows}
+              |  - CAST(ROUND(jaccard * 1000000.0) AS BIGINT)) AS est_err_ppm
+              |FROM est""".stripMargin)),
 
     QueryDef("dedup_incremental",
       (s, d) => incrementalDedup(docs(s, d)),

@@ -79,7 +79,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup_incremental",      // corpus×batch band join + verify
     "mix_prototype_prune",    // per-cell rank + integer cut count
     "txt_nb_classifier",      // micro-nat integer argmax
-    "txt_dsir_select")        // hashed-bucket LM ratio top-k
+    "txt_dsir_select",        // hashed-bucket LM ratio top-k
+    "dedup_minhash_estimate") // signature-position match counts
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -489,6 +489,27 @@ object Dedup {
     labelComponents(minhashLsh(docs, t).select(col("i"), col("j")),
       docs.select(col("doc_id")), rounds)
 
+  /** Soft-dedup sampling weights: keep every document but weight it
+    * by the inverse of its near-dup cluster size, so each cluster
+    * contributes one document-equivalent of sampling mass — how a
+    * trainer consumes dedup without deleting data (and the knob
+    * between hard dedup and none). Clusters come from the
+    * production-path LSH composition (dedupClustersLsh); the weight
+    * is integer ppm (1e6 div size) so both engines agree exactly.
+    * One size aggregate at cluster grain over the label table the
+    * dedup pass already produced.
+    */
+  def clusterWeights(docs: DataFrame): DataFrame = {
+    val labels = dedupClustersLsh(docs)
+      .select(col("doc_id"), col("canonical_id"))
+      .localCheckpoint(false) // size aggregate + the weight join
+    val sizes = labels.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+  }
+
   /** Min-label CC over an undirected pair list, every vertex of
     * `universe` labeled (isolated docs keep their own id). Each round
     * combines edge relaxation (min over neighbors' labels) with
@@ -1040,6 +1061,36 @@ object Dedup {
            |$ccStepsSql
            |SELECT doc_id, lbl AS canonical_id,
            |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
+
+    QueryDef("dedup_cluster_weights",
+      (s, d) => clusterWeights(docs(s, d)),
+      Some(
+        s"""WITH $shSql,
+           |$sigSql,
+           |bands AS (SELECT doc_id, b.band,
+           |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
+           |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
+           |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
+           |  FROM bands x JOIN bands y ON x.band = y.band
+           |    AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+           |common AS (SELECT c.i, c.j, COUNT(*) common
+           |  FROM cand c JOIN sh a ON c.i = a.doc_id
+           |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
+           |  GROUP BY 1, 2),
+           |p AS (SELECT c.i, c.j
+           |  FROM common c JOIN n na ON c.i = na.doc_id
+           |  JOIN n nb ON c.j = nb.doc_id
+           |  WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6)
+           |    >= $JaccardT),
+           |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+           |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+           |$ccStepsSql,
+           |lf AS MATERIALIZED (SELECT doc_id, lbl FROM l$ClusterRounds),
+           |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) cluster_size
+           |  FROM lf GROUP BY 1)
+           |SELECT c.doc_id, c.lbl AS canonical_id, s.cluster_size,
+           |1000000 // s.cluster_size AS weight_ppm
+           |FROM lf c JOIN sz s ON c.lbl = s.lbl""".stripMargin)),
 
     // Threshold-sensitivity sweep: near-dup pair volume at each
     // candidate Jaccard cut, from ONE pass over the (already stop-

@@ -80,7 +80,8 @@ class DeterminismSpec extends SparkSpec {
     "mix_prototype_prune",    // per-cell rank + integer cut count
     "txt_nb_classifier",      // micro-nat integer argmax
     "txt_dsir_select",        // hashed-bucket LM ratio top-k
-    "dedup_minhash_estimate") // signature-position match counts
+    "dedup_minhash_estimate", // signature-position match counts
+    "dedup_cluster_weights")  // CC labels + inverse-size ppm weights
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -39,6 +39,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.minhashLsh(docs0).count() === 0)
     assert(Dedup.incrementalDedup(docs0).count() === 0)
     assert(Dedup.minhashEstimate(docs0).count() === 0)
+    assert(Dedup.clusterWeights(docs0).count() === 0)
     assert(Dedup.simhash(docs0).count() === 0)
     assert(Dedup.simhashPairs(docs0).count() === 0)
     assert(Dedup.dedupClusters(docs0).count() === 0)

@@ -124,6 +124,27 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L)))
   }
 
+  test("cluster weights: floor(1e6/size) per doc, one weight per cluster") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = Dedup.clusterWeights(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(w.size === docs.count())
+    // weight is exactly floor(1e6 / cluster_size), and size is the
+    // actual member count of the canonical label
+    val bySize = w.groupBy(_._2)
+    w.foreach { case (_, canon, size, ppm) =>
+      assert(size === bySize(canon).size.toLong)
+      assert(ppm === 1000000L / size)
+    }
+    // soft-dedup mass conservation: each cluster contributes ~1e6 ppm
+    // (short only by the integer-floor remainder < size)
+    bySize.foreach { case (_, members) =>
+      val mass = members.map(_._4).sum
+      val size = members.head._3
+      assert(mass <= 1000000L && 1000000L - mass < size)
+    }
+  }
+
   test("incremental dedup: cross-side pairs only, consistent with the batch pass") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val inc = Dedup.incrementalDedup(docs)

@@ -13,6 +13,46 @@ class TextAnalysisSpec extends SparkSpec {
     TDoc(2, "der hund und die katze ist", "de"),
     TDoc(3, "zzz yyy xxx", "xx")).toDF()
 
+  test("nb classifier: separable corpus yields a diagonal confusion") {
+    // keep=1 docs (long, diverse, stopword-rich) share vocabulary;
+    // keep=0 docs (short, repetitive) share a different one — the NB
+    // model trained on the heuristic labels must reproduce them
+    val good = "the curious researchers and their careful students " +
+      "examined many different hypotheses while writing about results " +
+      "that other groups could verify with simple tools they had built"
+    val corpus = Seq(
+      (1L, good + " alpha beta gamma delta epsilon zeta"),
+      (2L, good + " although several reviewers disagreed about methods"),
+      (3L, "spam spam spam spam"),
+      (4L, "buy buy buy spam buy")).toDF("doc_id", "text")
+    val labels = TextAnalysis.qualityScore(corpus)
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    // the fixture must actually be separable at the heuristic gate
+    assert(labels.values.toSet === Set(0, 1))
+    val conf = TextAnalysis.nbQualityClassifier(corpus)
+      .as[(Int, Int, Long)].collect().toSeq
+    // all mass on the diagonal: the model reproduces its labels
+    assert(conf.forall { case (l, p, _) => l === p },
+      s"off-diagonal confusion cells: $conf")
+    assert(conf.map(_._3).sum === 4L)
+  }
+
+  test("dsir select: target-vocabulary docs outrank off-target ones") {
+    val tgt = "shared common words appear here together nicely"
+    val corpus = Seq(
+      (1L, tgt + " extra", "en"),
+      (2L, tgt + " more", "en"),
+      (3L, tgt, "de"),             // target vocabulary, wrong label
+      (4L, "completely unrelated tokens entirely elsewhere", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirSelect(corpus)
+      .as[(Long, Long)].collect().toMap
+    // doc 4 shares no buckets with the en slice → lowest weight
+    assert(out(4L) === out.values.min)
+    // doc 3 writes in the target vocabulary → scores above doc 4
+    assert(out(3L) > out(4L))
+  }
+
   test("inverted index: df floor, ordered capped postings") {
     val docs = Seq(
       (1L, "a a b"), (2L, "a b b"), (3L, "a c")).toDF("doc_id", "text")

@@ -724,8 +724,11 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** Shared oracle CTEs: tokenized docs → distinct 3-gram shingles. */
-  private val shSql =
+  /** Shared oracle CTEs: tokenized docs → distinct 3-gram shingles.
+    * `private[operators]`: the hybrid-retrieval oracle (Similarity)
+    * reuses the exact chain its lexical branch runs on.
+    */
+  private[operators] val shSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') t
       |  FROM documents),
       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -659,6 +659,55 @@ object Similarity {
        |    AND lut.m = k2.m AND lut.code = k2.code
        |  WHERE k2.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    * SIGIR 2009) — the lexical+vector composition every production
+    * search stack ships: an ANN branch (the IVF index) and an exact
+    * lexical branch (3-gram shingle overlap through the SAME
+    * fingerprint pass the dedup family runs, so candidates come from
+    * a shingle-keyed join — query-keyed, never all-pairs), fused per
+    * query as Σ 1e6 div (60 + rank) over the branches that returned
+    * the item. Integer ppm arithmetic end-to-end: ranks are exact on
+    * both engines, so the fusion is too. Queries are the strided id
+    * set shared with the whole ANN family; documents and embeddings
+    * are row-aligned by id (the fixture contract, doc_id = vec_id).
+    *
+    * Scale shape: the lexical branch shuffles on the shingle hash
+    * with the query side pre-filtered to the stride (|Q| ≪ n); the
+    * ANN branch is the audited IVF plan; the fusion join and rank
+    * window are per-query-bounded (≤ 2k rows per query). RRF's k=60
+    * constant is the paper's.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, k: Int = K): DataFrame = {
+    val ann = knnIvf(emb, k)
+      .filter(col("query_id") % QueryStride === 0) // post-rank: per-query ranks unchanged
+      .select(col("query_id"), col("nbr_id").as("id"),
+        col("rank").as("r_ann"))
+    val sh = Dedup.docShingleHashes(docs).localCheckpoint(false) // query + corpus sides
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("common").desc, col("id"))
+    val lex = sh.filter(col("doc_id") % QueryStride === 0)
+      .select(col("doc_id").as("query_id"), col("sh"))
+      .join(sh.select(col("doc_id").as("id"), col("sh")), Seq("sh"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("r_lex", row_number().over(wLex))
+      .filter(col("r_lex") <= k)
+      .select(col("query_id"), col("id"), col("r_lex"))
+    val wFuse = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("id"))
+    ann.join(lex, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
+        (coalesce(expr("1000000 div (60 + r_ann)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)))
+          .as("rrf_ppm"))
+      .withColumn("rank", row_number().over(wFuse).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("rrf_ppm"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("sim_knn_brute",
@@ -893,6 +942,44 @@ object Similarity {
               |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)
+              |WHERE rk <= $K""".stripMargin)),
+
+    QueryDef("sim_hybrid_rrf",
+      (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+              |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+              |  SELECT e.vec_id, e.v, c.cent_id,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+              |      c.cent_id) rn
+              |  FROM e, cent c) WHERE rn = 1),
+              |scored AS (SELECT a.vec_id query_id, b.vec_id id,
+              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM assigned a JOIN assigned b
+              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+              |ann AS (SELECT query_id, id, rk AS r_ann FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, id) rk FROM scored)
+              |  WHERE rk <= $K AND query_id % $QueryStride = 0),
+              |${Dedup.shSql},
+              |q AS (SELECT doc_id AS query_id, sh FROM sh
+              |  WHERE doc_id % $QueryStride = 0),
+              |lexc AS (SELECT q.query_id, s.doc_id AS id, COUNT(*) common
+              |  FROM q JOIN sh s ON q.sh = s.sh AND s.doc_id <> q.query_id
+              |  GROUP BY 1, 2),
+              |lex AS (SELECT query_id, id, rk AS r_lex FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY common DESC, id) rk FROM lexc) WHERE rk <= $K),
+              |u AS (SELECT COALESCE(a.query_id, l.query_id) query_id,
+              |    COALESCE(a.id, l.id) id,
+              |    COALESCE(1000000 // (60 + a.r_ann), 0)
+              |      + COALESCE(1000000 // (60 + l.r_lex), 0) AS rrf_ppm
+              |  FROM ann a FULL OUTER JOIN lex l
+              |    ON a.query_id = l.query_id AND a.id = l.id)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, id, rrf_ppm FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY rrf_ppm DESC, id) rk FROM u)
               |WHERE rk <= $K""".stripMargin)),
 
     QueryDef("sim_cell_stats",

@@ -97,6 +97,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.knnBrute(emb0).count() === 0)
     assert(Similarity.knnLsh(emb0).count() === 0)
     assert(Similarity.knnIvf(emb0).count() === 0)
+    assert(Similarity.hybridRrf(docs0, emb0).count() === 0)
     assert(Similarity.bucketStats(emb0).count() === 0)
     assert(Similarity.pcaProject(emb0).count() === 0)
   }

@@ -14,6 +14,29 @@ class SimilaritySpec extends SparkSpec {
         .map(d => ((i * 31 + d * 17) % 13 - 6).toFloat).toArray, 0)
     }.toDF("vec_id", "embedding", "label")
 
+  test("hybrid rrf: agreement doubles the fused score, exact ppm arithmetic") {
+    // doc/vec 1 is the query's near-dup in BOTH modalities; doc/vec 2
+    // matches in neither. id 0 is the only strided query (and the only
+    // IVF centroid), so everything lands in one cell.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),
+      (2L, "completely different unrelated words here now"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.001f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hybridRrf(docs, emb)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    // id 1: rank 1 in ann AND lex -> 2 * (1e6 div 61); id 2: ann rank
+    // 2 only -> 1e6 div 62
+    assert(out === Seq(
+      (0L, 1L, 1L, 2 * (1000000L / 61)),
+      (0L, 2L, 2L, 1000000L / 62)))
+  }
+
   test("hard negatives: banded, ranked, self-free, k-capped") {
     val got = Similarity.hardNegatives(emb(200))
       .as[(Long, Long, Long, Double)].collect().toSeq

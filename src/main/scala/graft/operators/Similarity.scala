@@ -34,6 +34,10 @@ object Similarity {
   val Dim = 64
   val QueryStride = 50
 
+  /** MMR rerank: candidate pool per query and greedy picks (mmrRerank). */
+  val MmrCand = 10
+  val MmrK = 3
+
   /** Fixed hyperplane weights via the cross-engine md5 hash:
     * w[p][d] = hex60(md5("hp<p>_<d>")) % 2001 − 1000.
     */
@@ -708,6 +712,75 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id"), col("rrf_ppm"))
   }
 
+  /** MMR diversity re-rank (maximal marginal relevance, Carbonell &
+    * Goldstein 1998) — the greedy rerank every retrieval stack puts
+    * between ANN and the consumer: step r picks the candidate
+    * maximizing λ·rel − (1−λ)·max_{s∈chosen} sim(d, s). λ=0.7 is
+    * expressed as the integer split 7·rel_q − 3·maxpen_q over
+    * micro-unit-quantized cosines, so every step's argmax is exact
+    * integer arithmetic (ties to the lower id) and both engines walk
+    * the same greedy path — the same device as the BPE merge ladder,
+    * and like it mirrored in the oracle as an unrolled CTE ladder.
+    *
+    * Scale shape: candidates come from the audited IVF plan (top
+    * `cand` per strided query); the pairwise penalty matrix is
+    * per-query-bounded (≤ cand² rows per query, query-keyed join);
+    * each greedy step is one bounded rank window; `k` steps total.
+    * Everything data-sized stays in the candidate generation the ANN
+    * index already paid for.
+    */
+  def mmrRerank(emb: DataFrame, cand: Int = MmrCand, k: Int = MmrK)
+  : DataFrame = {
+    val e = vecs(emb)
+    val c = knnIvf(emb, cand)
+      .filter(col("query_id") % QueryStride === 0)
+      .join(e.select(col("vec_id").as("nbr_id"), col("v").as("vn")),
+        Seq("nbr_id"))
+      .select(col("query_id"), col("nbr_id").as("id"), col("vn"),
+        round(col("cos") * lit(1000000.0d)).cast("long").as("rel_q"))
+      .localCheckpoint(false) // pairwise penalties + every greedy step
+    val pen = c.as("a")
+      .join(c.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.query_id").as("query_id"), col("a.id").as("id"),
+        col("b.id").as("oid"),
+        round(cosineFast(col("a.vn"), col("b.vn")) * lit(1000000.0d))
+          .cast("long").as("pen_q"))
+      .localCheckpoint(false) // re-read by every step
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("id"))
+    var chosen = c
+      .select(col("query_id"), col("id"),
+        (lit(7L) * col("rel_q")).as("score_q"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("id"), lit(1L).as("rank"),
+        col("score_q"))
+    for (r <- 2 to k) {
+      val mp = pen
+        .join(chosen.select(col("query_id"), col("id").as("oid")),
+          Seq("query_id", "oid"))
+        .groupBy(col("query_id"), col("id"))
+        .agg(max(col("pen_q")).as("maxpen"))
+      val next = c
+        .join(chosen.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_anti")
+        .join(mp, Seq("query_id", "id"))
+        .select(col("query_id"), col("id"),
+          (lit(7L) * col("rel_q") - lit(3L) * col("maxpen"))
+            .as("score_q"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("id"), lit(r.toLong).as("rank"),
+          col("score_q"))
+      chosen = chosen.unionByName(next).localCheckpoint(false)
+    }
+    chosen.select(col("query_id"), col("rank"), col("id"),
+      col("score_q"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("sim_knn_brute",
@@ -943,6 +1016,56 @@ object Similarity {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)
               |WHERE rk <= $K""".stripMargin)),
+
+    QueryDef("sim_mmr_rerank",
+      (s, d) => mmrRerank(Tables.embeddings(s, d)),
+      Some {
+        val steps = (2 to MmrK).map { r =>
+          s"""s$r AS MATERIALIZED (SELECT query_id, id, CAST($r AS BIGINT) rank, score_q FROM (
+             |  SELECT m.query_id, m.id, 7*m.rel_q - 3*m.maxpen AS score_q,
+             |    ROW_NUMBER() OVER (PARTITION BY m.query_id
+             |      ORDER BY 7*m.rel_q - 3*m.maxpen DESC, m.id) rn
+             |  FROM (SELECT c.query_id, c.id, c.rel_q, MAX(p.pen_q) maxpen
+             |    FROM cand c
+             |    JOIN pen p ON p.query_id = c.query_id AND p.id = c.id
+             |    JOIN ch${r - 1} s ON s.query_id = p.query_id AND s.id = p.oid
+             |    WHERE NOT EXISTS (SELECT 1 FROM ch${r - 1} x
+             |      WHERE x.query_id = c.query_id AND x.id = c.id)
+             |    GROUP BY 1, 2, 3) m) WHERE rn = 1),
+             |ch$r AS MATERIALIZED (SELECT * FROM ch${r - 1}
+             |  UNION ALL SELECT * FROM s$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+           |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+           |  SELECT e.vec_id, e.v, c.cent_id,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+           |      c.cent_id) rn
+           |  FROM e, cent c) WHERE rn = 1),
+           |scored AS (SELECT a.vec_id query_id, b.vec_id id,
+           |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+           |cand AS MATERIALIZED (SELECT query_id, id,
+           |    CAST(ROUND(cos * 1000000.0) AS BIGINT) rel_q FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, id) rk FROM scored)
+           |  WHERE rk <= $MmrCand AND query_id % $QueryStride = 0),
+           |pen AS MATERIALIZED (SELECT c1.query_id, c1.id, c2.id oid,
+           |    CAST(ROUND(list_cosine_similarity(va.v, vb.v) * 1000000.0)
+           |      AS BIGINT) pen_q
+           |  FROM cand c1 JOIN cand c2
+           |    ON c1.query_id = c2.query_id AND c1.id <> c2.id
+           |  JOIN e va ON va.vec_id = c1.id
+           |  JOIN e vb ON vb.vec_id = c2.id),
+           |ch1 AS MATERIALIZED (SELECT query_id, id, CAST(1 AS BIGINT) rank,
+           |    7*rel_q AS score_q FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY 7*rel_q DESC, id) rn FROM cand) WHERE rn = 1),
+           |$steps
+           |SELECT query_id, rank, id, score_q FROM ch$MmrK""".stripMargin
+      }),
 
     QueryDef("sim_hybrid_rrf",
       (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)),

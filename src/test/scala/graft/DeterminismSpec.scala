@@ -82,7 +82,8 @@ class DeterminismSpec extends SparkSpec {
     "txt_dsir_select",        // hashed-bucket LM ratio top-k
     "dedup_minhash_estimate", // signature-position match counts
     "dedup_cluster_weights",  // CC labels + inverse-size ppm weights
-    "sim_hybrid_rrf")         // two ranked branches + integer fusion
+    "sim_hybrid_rrf",         // two ranked branches + integer fusion
+    "sim_mmr_rerank")         // greedy integer-argmax ladder
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

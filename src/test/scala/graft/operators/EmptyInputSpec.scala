@@ -98,6 +98,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.knnLsh(emb0).count() === 0)
     assert(Similarity.knnIvf(emb0).count() === 0)
     assert(Similarity.hybridRrf(docs0, emb0).count() === 0)
+    assert(Similarity.mmrRerank(emb0).count() === 0)
     assert(Similarity.bucketStats(emb0).count() === 0)
     assert(Similarity.pcaProject(emb0).count() === 0)
   }

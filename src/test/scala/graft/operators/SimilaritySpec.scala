@@ -14,6 +14,23 @@ class SimilaritySpec extends SparkSpec {
         .map(d => ((i * 31 + d * 17) % 13 - 6).toFloat).toArray, 0)
     }.toDF("vec_id", "embedding", "label")
 
+  test("mmr rerank: diversity flips the greedy order vs pure relevance") {
+    // A (id 1) and its near-clone A' (id 2) sit +25 deg from the
+    // query; B (id 3) sits -25 deg: equal relevance, but A' is ~1.0
+    // similar to A while B is only cos(50 deg) ~ 0.64. Pure relevance
+    // would emit A, A', B; MMR must demote the clone: A, B, A'.
+    val a = (math.cos(0.436), math.sin(0.436))
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(a._1.toFloat, a._2.toFloat, 0.0f)),
+      (2L, Seq(a._1.toFloat, (a._2 + 0.0004).toFloat, 0.0f)),
+      (3L, Seq(a._1.toFloat, -a._2.toFloat, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.mmrRerank(emb)
+      .select("rank", "id").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(picks.map(_._2) === Seq(1L, 3L, 2L))
+  }
+
   test("hybrid rrf: agreement doubles the fused score, exact ppm arithmetic") {
     // doc/vec 1 is the query's near-dup in BOTH modalities; doc/vec 2
     // matches in neither. id 0 is the only strided query (and the only

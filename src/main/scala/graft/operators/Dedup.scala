@@ -182,7 +182,7 @@ object Dedup {
     * the incremental pass (incrementalDedup) join on; at scale this
     * is the table a lake persists per ingest.
     */
-  private def bandSignaturesFrom(sig: DataFrame): DataFrame =
+  private[graft] def bandSignaturesFrom(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),

@@ -51,4 +51,73 @@ object CorpusIngest {
         processBatch(batch, cleanDir, quarantineDir)
       }
       .start()
+
+  // ---- stream-static near-dup filter (Dedup.incrementalDedup's
+  // streaming twin) ----
+
+  /** The two static index tables previous ingests persist to the
+    * lake: MinHash band signatures (the candidate join key) and the
+    * shingle-hash table (the exact-verify side). Built by the SAME
+    * signature pass the batch dedup family runs — at 100 TB these
+    * are parquet tables appended per ingest, and the stream below
+    * only ever reads them.
+    */
+  def corpusBands(corpus: DataFrame): DataFrame =
+    graft.operators.Dedup.bandSignaturesFrom(
+      graft.operators.Dedup.minhashSignaturesFrom(
+        graft.operators.Dedup.docShingleHashes(corpus)))
+
+  def corpusShingles(corpus: DataFrame): DataFrame =
+    graft.operators.Dedup.docShingleHashes(corpus)
+
+  /** One micro-batch of the streaming near-dup gate: sign the batch,
+    * band-join the static corpus index for candidates, exact-verify
+    * candidates against the static shingle table, drop batch docs
+    * with a verified corpus near-dup (Jaccard ≥ t). Identical
+    * semantics to `Dedup.incrementalDedup` restricted to this batch —
+    * CorpusIngestSpec asserts exactly that equivalence. Per batch the
+    * cost is batch-sized: the corpus is touched only through the
+    * band join (index-keyed) and the candidate verify (pair-keyed);
+    * neither corpus² nor batch×corpus scans exist.
+    */
+  def nearDupFilterBatch(batch: DataFrame, bands: DataFrame,
+                         corpusSh: DataFrame,
+                         t: Double = graft.operators.Dedup.JaccardT)
+  : DataFrame = {
+    val D = graft.operators.Dedup
+    val bsh = D.docShingleHashes(batch).localCheckpoint(false)
+    val bBands = D.bandSignaturesFrom(D.minhashSignaturesFrom(bsh))
+    val cand = bands.as("x")
+      .join(bBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val nC = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val nB = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dropIds = cand
+      .join(corpusSh.as("a"), col("i") === col("a.doc_id"))
+      .join(bsh.as("b"),
+        col("j") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+      .join(nC.as("na"), col("i") === col("na.doc_id"))
+      .join(nB.as("nb"), col("j") === col("nb.doc_id"))
+      .filter(round(col("common").cast("double") /
+        (col("na.n") + col("nb.n") - col("common")), 6) >= t)
+      .select(col("j").as("doc_id")).distinct()
+    batch.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** The wired stream: each micro-batch passes the near-dup gate
+    * against the static index, survivors append to the clean corpus.
+    */
+  def runNearDup(docs: DataFrame, bands: DataFrame, corpusSh: DataFrame,
+                 cleanDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = nearDupFilterBatch(batch, bands, corpusSh)
+        if (!kept.isEmpty) kept.write.mode("append").parquet(cleanDir)
+      }
+      .start()
 }

@@ -40,6 +40,42 @@ class CorpusIngestSpec extends SparkSpec {
     assert(dropped.head._2 === 0) // audit flag names the failing gate
   }
 
+  test("stream-static near-dup gate equals the batch incremental pass") {
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("neardup").toString
+    // corpus ids end in 0-7 (the batch operator's split rule), batch
+    // ids end in 8/9 — so the batch-side incrementalDedup run on the
+    // union is exactly this stream's oracle
+    val corpus = Seq(
+      (10L, good), (20L, "some entirely different corpus text " +
+        "discussing completely other topics at length today")).toDF("doc_id", "text")
+    val bands = CorpusIngest.corpusBands(corpus).cache()
+    val corpusSh = CorpusIngest.corpusShingles(corpus).cache()
+    val in = MemoryStream[StreamDoc]
+    val q = CorpusIngest.runNearDup(in.toDF().select($"doc_id", $"text"),
+      bands, corpusSh, s"$root/clean", s"$root/ckpt")
+    in.addData(
+      StreamDoc(18, good + " extra", "en", "web"), // near-dup of corpus 10
+      StreamDoc(19, "fresh unseen material with plenty of new words " +
+        "that match nothing already stored in the lake", "en", "web"))
+    q.processAllAvailable()
+    in.addData(StreamDoc(29, good, "en", "web")) // exact text of corpus 10
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$root/clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(19L), s"stream kept $kept")
+    // equivalence with the batch operator on corpus ∪ stream
+    val union = corpus.unionByName(Seq(
+      (18L, good + " extra"),
+      (19L, "fresh unseen material with plenty of new words " +
+        "that match nothing already stored in the lake"),
+      (29L, good)).toDF("doc_id", "text"))
+    val batchDropped = graft.operators.Dedup.incrementalDedup(union)
+      .select("batch_id").as[Long].collect().toSet
+    assert(batchDropped === Set(18L, 29L))
+  }
+
   test("stream-static mix: yesterday's plan samples the live firehose, " +
     "one codepath with the batch operator") {
     import graft.operators.TextAnalysis

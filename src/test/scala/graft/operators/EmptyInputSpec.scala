@@ -117,6 +117,11 @@ class EmptyInputSpec extends SparkSpec {
         if (name == "overall_metrics") assert(n === 1) // global agg row
         else assert(n === 0, name)
       }
+    // stream-static near-dup gate: empty batch and empty index both
+    val bands0 = graft.streaming.CorpusIngest.corpusBands(docs0)
+    val sh0 = graft.streaming.CorpusIngest.corpusShingles(docs0)
+    assert(graft.streaming.CorpusIngest
+      .nearDupFilterBatch(docs0, bands0, sh0).count() === 0)
   }
 
   test("round-2 operators are total on empty input") {

@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Temporal.defs ++
       operators.Events.defs ++
       operators.Graph.defs ++
-      operators.Commerce.defs
+      operators.Commerce.defs ++
+      operators.Quality.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

@@ -1,0 +1,329 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality / pipeline-ops operators — the contract checks a
+  * production lake runs before promoting a partition (the reference
+  * gates its silver layer with row-level validity filters,
+  * daily_pipeline.py's cleaning step; these are the table-level
+  * acceptance monitors that complement them, in the style of
+  * Deequ/Great Expectations constraint suites).
+  *
+  * Scale design (100 TB):
+  *  - the expectation suite is ONE scan + a two-phase aggregate
+  *    (the uniqueness check's exact distinct adds one shuffle at
+  *    key grain, partial-aggregated map-side); output is constant
+  *    (one row per named check);
+  *  - the KS drift monitor collapses to whole-unit value grain
+  *    BEFORE its cumulative window (the `Stats.valueCuts` device):
+  *    the window input is |distinct dollars| — bounded by the price
+  *    domain, never row count;
+  *  - the MAD outlier monitor is the same device per group: both
+  *    medians (value, then absolute deviation) run over
+  *    (type × distinct centi-value) grain, so no data-sized window
+  *    partition exists — unlike a naive per-type row_number sort;
+  *  - incremental view maintenance merges partial aggregates
+  *    (count/decimal-sum are commutative monoids) — the nightly
+  *    refresh touches only the delta, and the oracle proves the
+  *    merged state equals the full rebuild;
+  *  - the deterministic shuffle is a pure per-row mod-prime mixing
+  *    hash (engine-exact BIGINT arithmetic, no wrap) + one shuffle
+  *    into shard files — the standard global-shuffle-before-
+  *    training materialization, one task per output shard.
+  */
+object Quality {
+
+  private def ord(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_type"), col("value"))
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** Deequ-style expectation suite over `orders`: one aggregate pass
+    * computes every constraint's satisfied-count; each check emits
+    * (check, observed_ppm, pass). observed_ppm is exact integer
+    * floor((n_ok * 1e6) / n) — no float in the metric.
+    */
+  def dqExpectations(orders: DataFrame): DataFrame = {
+    val agg = orders.agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("c_cust"),
+      countDistinct(col("o_orderkey")).as("c_uniq"),
+      sum((col("o_totalprice") >= lit(0d)).cast("long")).as("c_nonneg"),
+      sum(col("o_orderstatus").isin("O", "F", "P").cast("long"))
+        .as("c_status"),
+      sum(col("o_orderpriority").rlike("^[1-5]-").cast("long")).as("c_prio"),
+      sum((col("o_orderdate") >= lit("1990-01-01") &&
+        col("o_orderdate") < lit("2006-01-01")).cast("long")).as("c_date"))
+    agg.selectExpr(
+      "n",
+      """stack(6,
+        | 'completeness_custkey', c_cust,
+        | 'uniqueness_orderkey',  c_uniq,
+        | 'nonneg_totalprice',    c_nonneg,
+        | 'domain_orderstatus',   c_status,
+        | 'pattern_orderpriority', c_prio,
+        | 'bounds_orderdate',     c_date) AS (check_name, n_ok)""".stripMargin)
+      .select(col("check_name"),
+        expr("n_ok * 1000000 div n").as("observed_ppm"),
+        (expr("n_ok * 1000000 div n") === lit(1000000L)).cast("long")
+          .as("pass"))
+  }
+
+  private val dqExpectationsSql: String =
+    """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(COUNT(o_custkey) AS BIGINT) c_cust,
+      |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) c_uniq,
+      |    CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      c_nonneg,
+      |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0
+      |      END) AS BIGINT) c_status,
+      |    CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+      |      THEN 1 ELSE 0 END) AS BIGINT) c_prio,
+      |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+      |      AND o_orderdate < TIMESTAMP '2006-01-01' THEN 1 ELSE 0 END)
+      |      AS BIGINT) c_date
+      |  FROM orders),
+      |s AS (
+      |  SELECT 'completeness_custkey' AS check_name, c_cust AS n_ok, n FROM a
+      |  UNION ALL SELECT 'uniqueness_orderkey', c_uniq, n FROM a
+      |  UNION ALL SELECT 'nonneg_totalprice', c_nonneg, n FROM a
+      |  UNION ALL SELECT 'domain_orderstatus', c_status, n FROM a
+      |  UNION ALL SELECT 'pattern_orderpriority', c_prio, n FROM a
+      |  UNION ALL SELECT 'bounds_orderdate', c_date, n FROM a)
+      |SELECT check_name, CAST(n_ok * 1000000 // n AS BIGINT) AS observed_ppm,
+      |CAST(CASE WHEN n_ok * 1000000 // n = 1000000 THEN 1 ELSE 0 END
+      |  AS BIGINT) AS pass
+      |FROM s""".stripMargin
+
+  /** Exact two-sample Kolmogorov–Smirnov drift between the first and
+    * second half of the order history (same midpoint split as
+    * ops_drift_psi), at whole-dollar value grain: D is the max over
+    * dollar cutpoints of |F_ref - F_cur|, kept as the integer
+    * cross-product |cum_ref·t_cur - cum_cur·t_ref| in DECIMAL(38)
+    * until ONE final double division. Complements PSI: KS is
+    * binning-free at the chosen grain and has distribution-free
+    * critical values.
+    */
+  def ksDrift(orders: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val o = orders.select(to_date(col("o_orderdate")).as("od"),
+      floor(col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("long").as("dollars"))
+    val mid = o.agg(min(col("od")).as("dmin"), max(col("od")).as("dmax"))
+      .select(date_add(col("dmin"),
+        floor(datediff(col("dmax"), col("dmin")) / lit(2)).cast("int"))
+        .as("dmid"))
+    val counts = o.crossJoin(broadcast(mid))
+      .withColumn("cur", (col("od") >= col("dmid")).cast("long"))
+      .groupBy(col("dollars"))
+      .agg(sum(lit(1L) - col("cur")).as("n_ref"),
+        sum(col("cur")).as("n_cur"))
+    // value-grain cumulative CDF counts (bounded by the price domain)
+    val wcum = Window.orderBy(col("dollars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(lit(1))
+    val cum = counts
+      .withColumn("cum_ref", sum(col("n_ref")).over(wcum))
+      .withColumn("cum_cur", sum(col("n_cur")).over(wcum))
+      .withColumn("t_ref", sum(col("n_ref")).over(wall))
+      .withColumn("t_cur", sum(col("n_cur")).over(wall))
+      .withColumn("d_num",
+        abs(col("cum_ref").cast(dec38) * col("t_cur").cast(dec38) -
+          col("cum_cur").cast(dec38) * col("t_ref").cast(dec38)))
+    cum.orderBy(col("d_num").desc, col("dollars"))
+      .limit(1)
+      .select(col("dollars").as("at_dollars"),
+        round(col("d_num").cast("double") * lit(1000000.0d) /
+          (col("t_ref").cast("double") * col("t_cur").cast("double")))
+          .cast("long").as("ks_ppm"),
+        col("t_ref"), col("t_cur"))
+  }
+
+  private val ksDriftSql: String =
+    """WITH o AS (SELECT CAST(o_orderdate AS DATE) od,
+      |    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT)
+      |      AS dollars FROM orders),
+      |mid AS (SELECT MIN(od) + CAST(FLOOR(
+      |    date_diff('day', MIN(od), MAX(od)) / 2) AS INT) AS dmid FROM o),
+      |c AS (SELECT dollars,
+      |    CAST(SUM(CASE WHEN od >= dmid THEN 0 ELSE 1 END) AS BIGINT) n_ref,
+      |    CAST(SUM(CASE WHEN od >= dmid THEN 1 ELSE 0 END) AS BIGINT) n_cur
+      |  FROM o, mid GROUP BY 1),
+      |cum AS (SELECT dollars,
+      |    SUM(n_ref) OVER (ORDER BY dollars ROWS UNBOUNDED PRECEDING)
+      |      AS cum_ref,
+      |    SUM(n_cur) OVER (ORDER BY dollars ROWS UNBOUNDED PRECEDING)
+      |      AS cum_cur,
+      |    SUM(n_ref) OVER () AS t_ref, SUM(n_cur) OVER () AS t_cur
+      |  FROM c),
+      |d AS (SELECT dollars, t_ref, t_cur,
+      |    ABS(CAST(cum_ref AS DECIMAL(38,0)) * t_cur -
+      |        CAST(cum_cur AS DECIMAL(38,0)) * t_ref) AS d_num
+      |  FROM cum)
+      |SELECT dollars AS at_dollars,
+      |CAST(ROUND(CAST(d_num AS DOUBLE) * 1000000.0 /
+      |  (CAST(t_ref AS DOUBLE) * CAST(t_cur AS DOUBLE))) AS BIGINT)
+      |  AS ks_ppm,
+      |CAST(t_ref AS BIGINT) AS t_ref, CAST(t_cur AS BIGINT) AS t_cur
+      |FROM d ORDER BY d_num DESC, dollars LIMIT 1""".stripMargin
+
+  /** Per-event-type robust outlier monitor via median absolute
+    * deviation at centi-value grain. Both medians are the LOWER
+    * discrete median (min value whose cumulative count reaches
+    * (n+1) div 2) — exact integer arithmetic, engine-identical, and
+    * every window runs over (type × distinct centi-value) grain,
+    * bounded by the value domain. Outlier rule: |v - med| > 3·MAD.
+    */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val v = events.select(col("event_type"),
+      round(col("value") * lit(100.0d)).cast("long").as("vc"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String)
+    : DataFrame = {
+      val g = df.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+      val wcum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy(col("event_type"))
+      g.withColumn("cum", sum(col("cnt")).over(wcum))
+        .withColumn("n", sum(col("cnt")).over(wall))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(valueCol)))
+          .as(out))
+    }
+    val med = lowerMedian(v, "vc", "med_c")
+    val dev = v.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("vc") - col("med_c")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("ad")),
+      "ad", "mad_c")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med_c")).as("median_centi"),
+        max(col("mad_c")).as("mad_centi"),
+        sum((col("ad") > lit(3L) * col("mad_c")).cast("long"))
+          .as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n"))
+  }
+
+  private val madOutliersSql: String =
+    """WITH v AS (SELECT event_type,
+      |    CAST(ROUND(value * 100.0) AS BIGINT) AS vc FROM events),
+      |g1 AS (SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) cnt
+      |  FROM v GROUP BY 1, 2),
+      |c1 AS (SELECT event_type, vc,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |      ROWS UNBOUNDED PRECEDING) cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) n
+      |  FROM g1),
+      |med AS (SELECT event_type, MIN(CASE WHEN cum >= (n + 1) // 2
+      |    THEN vc END) AS med_c FROM c1 GROUP BY 1),
+      |dev AS (SELECT v.event_type, vc, med_c, ABS(vc - med_c) AS ad
+      |  FROM v JOIN med ON v.event_type = med.event_type),
+      |g2 AS (SELECT event_type, ad, CAST(COUNT(*) AS BIGINT) cnt
+      |  FROM dev GROUP BY 1, 2),
+      |c2 AS (SELECT event_type, ad,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY ad
+      |      ROWS UNBOUNDED PRECEDING) cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) n
+      |  FROM g2),
+      |mad AS (SELECT event_type, MIN(CASE WHEN cum >= (n + 1) // 2
+      |    THEN ad END) AS mad_c FROM c2 GROUP BY 1),
+      |j AS (SELECT dev.event_type, dev.med_c, mad.mad_c, dev.ad
+      |  FROM dev JOIN mad ON dev.event_type = mad.event_type)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+      |MAX(med_c) AS median_centi, MAX(mad_c) AS mad_centi,
+      |CAST(SUM(CASE WHEN ad > 3 * mad_c THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_outliers,
+      |CAST(SUM(CASE WHEN ad > 3 * mad_c THEN 1 ELSE 0 END) * 1000000
+      |  // COUNT(*) AS BIGINT) AS outlier_ppm
+      |FROM j GROUP BY 1""".stripMargin
+
+  /** Incremental view maintenance of the daily revenue summary:
+    * the order history is split at its date midpoint into a BASE
+    * partial state and a DELTA partial state (the nightly increment);
+    * each side partial-aggregates independently and the merge
+    * combines the monoid states (count-sum, exact DECIMAL sum). The
+    * oracle is the FULL rebuild — proving merged-partials ==
+    * recompute, the contract an incremental refresh relies on.
+    */
+  def ivmDailySummary(orders: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val o = orders.select(to_date(col("o_orderdate")).as("od"),
+      col("o_totalprice").cast(dec).as("price"))
+    val mid = o.agg(min(col("od")).as("dmin"), max(col("od")).as("dmax"))
+      .select(date_add(col("dmin"),
+        floor(datediff(col("dmax"), col("dmin")) / lit(2)).cast("int"))
+        .as("dmid"))
+    val tagged = o.crossJoin(broadcast(mid))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("od"))
+        .agg(count(lit(1)).as("pn"), sum(col("price")).as("psum"))
+    val base = partial(tagged.filter(col("od") < col("dmid")))
+    val delta = partial(tagged.filter(col("od") >= col("dmid")))
+    base.unionAll(delta)
+      .groupBy(col("od"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("psum")).cast("double"), 2).as("revenue"))
+  }
+
+  private val ivmDailySummarySql: String =
+    """SELECT CAST(o_orderdate AS DATE) AS od,
+      |CAST(COUNT(*) AS BIGINT) AS n,
+      |ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |  AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Deterministic global shuffle into training shards: each doc gets
+    * a mod-prime mixing hash (two LCG rounds mod 1e9+7 — engine-exact
+    * BIGINT arithmetic, no 64-bit wrap), shard = h mod NShards, and a
+    * within-shard position. One shuffle; each shard is one writer
+    * task, the standard pre-training materialization (shard count is
+    * the scale knob — raise it with corpus size to bound task size).
+    */
+  val ShufflePrime: Long = 1000000007L
+  val NShards: Int = 8
+
+  def detShuffle(docs: DataFrame, nShards: Int = NShards): DataFrame = {
+    val h1 = (col("doc_id") % lit(ShufflePrime)) * lit(1103515245L) +
+      lit(12345L)
+    val hashed = docs.select(col("doc_id"))
+      .withColumn("h1", h1 % lit(ShufflePrime))
+      .withColumn("h", (col("h1") * lit(69069L) + lit(1234567L)) %
+        lit(ShufflePrime))
+      .withColumn("shard", col("h") % lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    hashed.select(col("doc_id"), col("shard"),
+      row_number().over(w).cast("long").as("pos"))
+  }
+
+  private val detShuffleSql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |    ((doc_id % $ShufflePrime) * 1103515245 + 12345) % $ShufflePrime
+       |      AS h1 FROM documents),
+       |hh AS (SELECT doc_id, (h1 * 69069 + 1234567) % $ShufflePrime AS h
+       |  FROM h)
+       |SELECT doc_id, h % $NShards AS shard,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY h % $NShards
+       |  ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM hh""".stripMargin
+
+  // ---- driver-contract registry ----
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dq_expectations",
+      (s, d) => dqExpectations(ord(s, d)), Some(dqExpectationsSql)),
+    QueryDef("ops_ks_drift",
+      (s, d) => ksDrift(ord(s, d)), Some(ksDriftSql)),
+    QueryDef("dq_mad_outliers",
+      (s, d) => madOutliers(ev(s, d)), Some(madOutliersSql)),
+    QueryDef("ivm_daily_summary",
+      (s, d) => ivmDailySummary(ord(s, d)), Some(ivmDailySummarySql)),
+    QueryDef("u11_det_shuffle",
+      (s, d) => detShuffle(docs(s, d)), Some(detShuffleSql)))
+}

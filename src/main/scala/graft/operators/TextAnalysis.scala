@@ -991,6 +991,47 @@ object TextAnalysis {
                            budgetPpm: Long = MixTempBudgetPpm): DataFrame =
     applyMixPlan(docs, mixTemperature(docs, budgetPpm))
 
+  /** Total training tokens for the epoch plan, as a multiple of the
+    * corpus size (milli: 2000 = train on 2× the corpus token count),
+    * and the per-source repeat ceiling (milli: 4000 = at most 4
+    * epochs of any one source — the data-constrained-scaling rule
+    * that repeating past ~4 epochs stops helping).
+    */
+  val MixTrainBudgetMilli = 2000L
+  val MixMaxEpochsMilli = 4000L
+
+  /** The up-sampling complement of mixTemperature: given the same
+    * α=0.5 temperature shares and a total training budget T =
+    * budget_milli/1000 × corpus tokens, how many EPOCHS of each
+    * source fill its share — epochs_i = min(cap, share_i·T / n_i),
+    * in exact integer milli-epochs (mixTemperature's rate_ppm caps
+    * at 1, selecting WITHIN an epoch; this plans repeats ACROSS
+    * epochs for sources smaller than their target). planned_tokens
+    * is the realized allocation n_i·epochs_i. Same engine-exact
+    * arithmetic and |sources|-row plan as mixTemperature.
+    */
+  def mixEpochPlan(docs: DataFrame,
+                   budgetMilli: Long = MixTrainBudgetMilli,
+                   capMilli: Long = MixMaxEpochsMilli): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("q", expr("CAST(ROUND(sqrt(n_tokens) * 1000) AS BIGINT)"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("q")).as("tot_q"))
+    per.join(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"(q * 1000000 div tot_q) * (tot_tokens * $budgetMilli div 1000)" +
+          " div 1000000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("q * 1000000 div tot_q").as("temp_ppm"),
+        expr(s"LEAST($capMilli, target_tokens * 1000 div n_tokens)")
+          .as("epochs_milli"),
+        expr(s"n_tokens * LEAST($capMilli, target_tokens * 1000 div n_tokens)" +
+          " div 1000").as("planned_tokens"))
+  }
+
   val PackSeqLen = 2048L
 
   /** Sequence packing: assign each document to a fixed-token-budget
@@ -1881,6 +1922,31 @@ object TextAnalysis {
              |CAST(((doc_id % 1000003) * 2654435761 + 12345) % 1000000 AS BIGINT) AS bucket
              |FROM documents JOIN plan USING (source)
              |WHERE ((doc_id % 1000003) * 2654435761 + 12345) % 1000000 < rate_ppm""".stripMargin)),
+
+    QueryDef("mix_epoch_plan",
+      (s, d) => mixEpochPlan(docs(s, d)),
+      Some(s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(len(string_split_regex(trim(text),'\\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |q AS (SELECT source, n_docs, n_tokens,
+             |    CAST(ROUND(sqrt(n_tokens) * 1000) AS BIGINT) AS q
+             |  FROM per WHERE n_tokens > 0),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+             |    CAST(SUM(q) AS BIGINT) AS tot_q FROM q),
+             |t AS (SELECT source, n_docs, n_tokens,
+             |    q * 1000000 // tot_q AS temp_ppm,
+             |    (q * 1000000 // tot_q)
+             |      * (tot_tokens * $MixTrainBudgetMilli // 1000)
+             |      // 1000000 AS target_tokens
+             |  FROM q, tot)
+             |SELECT source, n_docs, n_tokens,
+             |CAST(temp_ppm AS BIGINT) AS temp_ppm,
+             |CAST(LEAST($MixMaxEpochsMilli,
+             |  target_tokens * 1000 // n_tokens) AS BIGINT) AS epochs_milli,
+             |CAST(n_tokens * LEAST($MixMaxEpochsMilli,
+             |  target_tokens * 1000 // n_tokens) // 1000 AS BIGINT)
+             |  AS planned_tokens
+             |FROM t""".stripMargin)),
 
     QueryDef("txt_chunk",
       (s, d) => chunk(docs(s, d)),

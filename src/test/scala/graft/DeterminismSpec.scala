@@ -83,7 +83,11 @@ class DeterminismSpec extends SparkSpec {
     "dedup_minhash_estimate", // signature-position match counts
     "dedup_cluster_weights",  // CC labels + inverse-size ppm weights
     "sim_hybrid_rrf",         // two ranked branches + integer fusion
-    "sim_mmr_rerank")         // greedy integer-argmax ladder
+    "sim_mmr_rerank",         // greedy integer-argmax ladder
+    "ops_ks_drift",           // value-grain CDF cumsum + top-1 cut
+    "dq_mad_outliers",        // two value-grain discrete medians
+    "u11_det_shuffle",        // mod-prime hash + per-shard rank
+    "mix_epoch_plan")         // integer temperature shares + caps
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

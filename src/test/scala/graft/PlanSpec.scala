@@ -316,6 +316,7 @@ class PlanSpec extends SparkSpec {
     "a29_histogram",        // bin grain
     "u10_weighted_sample",  // valueCuts over weight grain
     "ops_drift_psi",        // bin grain
+    "ops_ks_drift",         // whole-dollar value grain (price domain)
     "txt_quality_calibration", // rounded-score grain
     "txt_quality_pr",       // rounded-score grain (PR curve)
     "txt_quality_filter",   // rounded-score grain (banded percent_rank)

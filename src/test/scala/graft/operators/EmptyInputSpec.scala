@@ -90,6 +90,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(Recommend.serveTopN(recs0, 10).count() === 0)
   }
 
+  test("quality/ops family is total on empty input") {
+    val tpch0 = empty("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType)
+    // the expectation suite keeps its 6 constraint rows (n=0 ->
+    // every ppm ratio is null-safe? no: n_ok*1e6 div 0 is NULL) —
+    // totality means no exception; observed over an empty table is
+    // a single all-null metric set per check
+    assert(Quality.dqExpectations(tpch0).count() === 6)
+    assert(Quality.ksDrift(tpch0).count() === 0)
+    assert(Quality.ivmDailySummary(tpch0).count() === 0)
+    val ev0 = empty("event_type" -> StringType, "value" -> DoubleType)
+    assert(Quality.madOutliers(ev0).count() === 0)
+    assert(Quality.detShuffle(docs0).count() === 0)
+    assert(TextAnalysis.mixEpochPlan(docs0).count() === 0)
+  }
+
   test("similarity family is total on empty embeddings") {
     assert(Dedup.embeddingNearDup(emb0).count() === 0)
     assert(Dedup.semanticDedup(emb0).count() === 0)

@@ -49,4 +49,40 @@ class FileStreamSpec extends SparkSpec {
     q2.stop()
     assert(spark.read.parquet(s"$work/alerts").count() === batch.count())
   }
+
+  test("AvailableNow backfill drains in bounded batches, then only the delta") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("an").toString
+    val staged = StreamingBatch.eventsAsOrders(spark, d)
+    val Array(first, rest) = staged.randomSplit(Array(0.7, 0.3), seed = 42)
+    first.repartition(6).write.mode("overwrite").parquet(s"$work/feed")
+
+    def drain(): Long = {
+      val q = Alerts.detectAlerts(
+        spark.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", "2") // catch-up stays bounded
+          .parquet(s"$work/feed"))
+        .writeStream.format("parquet")
+        .option("path", s"$work/alerts")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()) // terminates once drained
+        .start()
+      assert(q.awaitTermination(180000), "AvailableNow did not terminate")
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    val in1 = drain() // backfill: 6 staged files -> >=3 bounded batches
+    assert(in1 === first.count(), "backfill missed rows")
+    val alerts1 = spark.read.parquet(s"$work/alerts").count()
+    assert(alerts1 === Alerts.detectAlerts(first).count())
+
+    // late files land; the next catch-up run reads ONLY the delta
+    rest.repartition(2).write.mode("append").parquet(s"$work/feed")
+    val in2 = drain()
+    assert(in2 === rest.count(), s"delta run reread history: $in2")
+    assert(spark.read.parquet(s"$work/alerts").count() ===
+      Alerts.detectAlerts(staged).count())
+  }
 }

@@ -313,11 +313,58 @@ object Quality {
        |  ORDER BY h, doc_id) AS BIGINT) AS pos
        |FROM hh""".stripMargin
 
+  /** k-anonymity audit over the customer table: quasi-identifier =
+    * (market segment, nation, account-balance band). A release is
+    * k-anonymous when every quasi-identifier group has ≥ k members;
+    * the report counts violating groups and the rows they expose.
+    * The balance band uses an offset-then-integer-divide (balances
+    * can be negative; Spark `div` truncates toward zero while
+    * DuckDB `//` floors, so the offset keeps the operand positive
+    * where both agree). One grouped aggregate at quasi-ID grain +
+    * a constant-size summary — scan bandwidth at any table size.
+    */
+  val KAnonK: Long = 10L
+  val BalOffset: Long = 100000L // keeps the band operand positive
+
+  def kAnonymity(customer: DataFrame, k: Long = KAnonK): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val groups = customer
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr(s"(CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2))) AS BIGINT)" +
+          s" + $BalOffset) div 1000").as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    groups.agg(
+      lit(k).as("k"),
+      count(lit(1)).as("n_groups"),
+      sum((col("sz") < lit(k)).cast("long")).as("n_violating"),
+      sum(when(col("sz") < lit(k), col("sz")).otherwise(lit(0L)))
+        .as("rows_at_risk"),
+      min(col("sz")).as("min_group_size"))
+  }
+
+  private val kAnonymitySql: String =
+    s"""WITH g AS (SELECT c_mktsegment, c_nationkey,
+       |    (CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2))) AS BIGINT)
+       |      + $BalOffset) // 1000 AS bal_band,
+       |    CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM customer GROUP BY 1, 2, 3)
+       |SELECT CAST($KAnonK AS BIGINT) AS k,
+       |CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |CAST(SUM(CASE WHEN sz < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_violating,
+       |CAST(SUM(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END) AS BIGINT)
+       |  AS rows_at_risk,
+       |MIN(sz) AS min_group_size
+       |FROM g""".stripMargin
+
   // ---- driver-contract registry ----
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dq_expectations",
       (s, d) => dqExpectations(ord(s, d)), Some(dqExpectationsSql)),
+    QueryDef("dq_k_anonymity",
+      (s, d) => kAnonymity(Tables.customer(s, d)), Some(kAnonymitySql)),
     QueryDef("ops_ks_drift",
       (s, d) => ksDrift(ord(s, d)), Some(ksDriftSql)),
     QueryDef("dq_mad_outliers",

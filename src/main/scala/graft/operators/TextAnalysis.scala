@@ -184,6 +184,46 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (arXiv:1911.00359): score every
+    * doc with the corpus unigram LM, cut the corpus into head /
+    * middle / tail THIRDS by per-doc cross-entropy, report each
+    * bucket's doc/token mass and mean score. The cutpoints come from
+    * the value-grain cumulative device (`Stats.valueCuts`) over the
+    * MILLI-nat integer score — a bounded score domain (~0–25k
+    * values), never a doc-grain window; scores and averages stay in
+    * exact integer arithmetic end to end. CCNet cuts on a wiki-LM;
+    * the self-corpus LM here keeps the query self-contained — the
+    * bucketing device is identical.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("tk"))
+    val vocab = tok.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val per = tok
+      .join(vocab, Seq("tk"))
+      .join(broadcast(total))
+      .withColumn("q_nll",
+        round(log(col("cnt").cast("double") / col("total")) * -1000000.0d)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("q_nll")).as("q_sum"))
+      .withColumn("s", expr("q_sum div n_tokens div 1000"))
+    val cuts = Stats.valueCuts(per, "s",
+      Seq(1.0 / 3 -> "c1", 2.0 / 3 -> "c2"))
+    per.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("s") <= col("c1"), lit("head"))
+          .when(col("s") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("s")).as("s_sum"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        expr("s_sum div n_docs").as("avg_score_milli"))
+  }
+
   /** Per-row bigram array over the token stream (duplicates kept —
     * unlike shingles this feeds frequency counts, not set overlap).
     * The sequence guard matters: Spark's `sequence(1, 0)` counts DOWN
@@ -1922,6 +1962,38 @@ object TextAnalysis {
              |CAST(((doc_id % 1000003) * 2654435761 + 12345) % 1000000 AS BIGINT) AS bucket
              |FROM documents JOIN plan USING (source)
              |WHERE ((doc_id % 1000003) * 2654435761 + 12345) % 1000000 < rate_ppm""".stripMargin)),
+
+    QueryDef("txt_ppl_buckets",
+      (s, d) => pplBuckets(docs(s, d)),
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(lower(text)),'\s+')) AS tk
+             |  FROM documents),
+             |vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY 1),
+             |tot AS (SELECT SUM(cnt) AS total FROM vocab),
+             |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total)
+             |      * -1000000.0) AS BIGINT)) AS BIGINT) AS q_sum
+             |  FROM tok JOIN vocab USING (tk), tot GROUP BY doc_id),
+             |sc AS (SELECT doc_id, n_tokens,
+             |    q_sum // n_tokens // 1000 AS s FROM per),
+             |g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM sc GROUP BY 1),
+             |c AS (SELECT s,
+             |    SUM(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) cum,
+             |    SUM(cnt) OVER () n FROM g),
+             |cuts AS (SELECT
+             |    MIN(CASE WHEN cum >= CAST(ceil(0.3333333333333333 * n)
+             |      AS BIGINT) THEN s END) AS c1,
+             |    MIN(CASE WHEN cum >= CAST(ceil(0.6666666666666666 * n)
+             |      AS BIGINT) THEN s END) AS c2 FROM c),
+             |lab AS (SELECT n_tokens, s,
+             |    CASE WHEN s <= c1 THEN 'head'
+             |      WHEN s <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+             |  FROM sc, cuts)
+             |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_score_milli
+             |FROM lab GROUP BY 1""".stripMargin)),
 
     QueryDef("mix_epoch_plan",
       (s, d) => mixEpochPlan(docs(s, d)),

@@ -87,7 +87,8 @@ class DeterminismSpec extends SparkSpec {
     "ops_ks_drift",           // value-grain CDF cumsum + top-1 cut
     "dq_mad_outliers",        // two value-grain discrete medians
     "u11_det_shuffle",        // mod-prime hash + per-shard rank
-    "mix_epoch_plan")         // integer temperature shares + caps
+    "mix_epoch_plan",         // integer temperature shares + caps
+    "txt_ppl_buckets")        // milli-nat score cuts + bucket sums
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

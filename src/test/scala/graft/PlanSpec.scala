@@ -321,6 +321,7 @@ class PlanSpec extends SparkSpec {
     "txt_quality_pr",       // rounded-score grain (PR curve)
     "txt_quality_filter",   // rounded-score grain (banded percent_rank)
     "mix_quality_bands",    // valueCuts over rounded-score grain
+    "txt_ppl_buckets",      // valueCuts over milli-nat score grain
     "txt_truncation_stats", // length-bucket grain
     "sim_recall_truncation", // k-grain
     // day/hour-grain series (bounded by the calendar)

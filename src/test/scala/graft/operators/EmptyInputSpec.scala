@@ -105,6 +105,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Quality.madOutliers(ev0).count() === 0)
     assert(Quality.detShuffle(docs0).count() === 0)
     assert(TextAnalysis.mixEpochPlan(docs0).count() === 0)
+    assert(TextAnalysis.pplBuckets(docs0).count() === 0)
+    val cust0 = empty("c_custkey" -> LongType, "c_mktsegment" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType)
+    assert(Quality.kAnonymity(cust0).count() === 1) // null-stat summary row
   }
 
   test("similarity family is total on empty embeddings") {

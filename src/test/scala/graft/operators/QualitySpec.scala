@@ -105,6 +105,20 @@ class QualitySpec extends SparkSpec {
       assert(r.getAs[Long]("sz") < 2 * mean, s"skewed shard: $r"))
   }
 
+  test("k-anonymity flags exactly the under-k quasi-identifier groups") {
+    // group A: 12 members (safe at k=10); group B: 3 members (violates)
+    val rows = (1 to 12).map(i =>
+      (i.toLong, "AUTOMOBILE", 1, 500.0)) ++
+      (13 to 15).map(i => (i.toLong, "FURNITURE", 2, -50.0))
+    val cust = rows.toDF("c_custkey", "c_mktsegment", "c_nationkey",
+      "c_acctbal")
+    val r = Quality.kAnonymity(cust).collect().head
+    assert(r.getAs[Long]("n_groups") == 2L, r.toString)
+    assert(r.getAs[Long]("n_violating") == 1L, r.toString)
+    assert(r.getAs[Long]("rows_at_risk") == 3L, r.toString)
+    assert(r.getAs[Long]("min_group_size") == 3L, r.toString)
+  }
+
   test("ivm merge of base+delta partials equals the full rebuild") {
     val orders = graft.Tables.orders(spark, d)
     val full = orders

@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the native per-key top-k planner rule
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - sequential-fold dot product"),
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))

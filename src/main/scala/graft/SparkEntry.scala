@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Events.defs ++
       operators.Graph.defs ++
       operators.Commerce.defs ++
-      operators.Quality.defs
+      operators.Quality.defs ++
+      operators.TopK.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

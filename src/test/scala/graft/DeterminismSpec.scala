@@ -88,7 +88,8 @@ class DeterminismSpec extends SparkSpec {
     "dq_mad_outliers",        // two value-grain discrete medians
     "u11_det_shuffle",        // mod-prime hash + per-shard rank
     "mix_epoch_plan",         // integer temperature shares + caps
-    "txt_ppl_buckets")        // milli-nat score cuts + bucket sums
+    "txt_ppl_buckets",        // milli-nat score cuts + bucket sums
+    "o6_topk_perkey")         // native two-phase per-key top-k heaps
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

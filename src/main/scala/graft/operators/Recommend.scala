@@ -212,21 +212,50 @@ object Recommend {
     s.read.parquet(s"$reg/version=$v/item_similarity")
   }
 
-  def recommend(inter: DataFrame, sim: DataFrame, topN: Int = TopN): DataFrame = {
+  /** The scored, masked candidate relation recommend() and its
+    * native-top-k twin both rank: symmetric similarity union →
+    * scoring join → per-(user, item) sum → purchased anti-join.
+    */
+  private def scoredCandidates(inter: DataFrame, sim: DataFrame): DataFrame = {
     val sim2 = sim.select(col("i"), col("j"), col("cos"))
       .unionByName(sim.select(col("j").as("i"), col("i").as("j"), col("cos")))
     val scored = inter.as("p")
       .join(sim2.as("s"), col("p.item_id") === col("s.i"))
       .groupBy(col("p.user_id").as("user_id"), col("s.j").as("item_id"))
       .agg(sum(col("s.cos")).as("score"))
-    val cand = scored
+    scored
       .join(inter, Seq("user_id", "item_id"), "left_anti")   // J2 mask
       .filter(col("score") > 0)
       .withColumn("score_r", round(col("score"), 6))
+  }
+
+  def recommend(inter: DataFrame, sim: DataFrame, topN: Int = TopN): DataFrame = {
+    val cand = scoredCandidates(inter, sim)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("score_r").desc, col("item_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
+      .select(col("user_id"), col("rank").cast("long").as("rank"),
+        col("item_id"), col("score_r"))
+  }
+
+  /** A14 through the native per-key top-k operator
+    * (graft.plans.TopKPerKeyPlan): the candidate cut happens in
+    * k-bounded map-side heaps, so the exchange moves ≤ topN rows per
+    * user per partition instead of every scored candidate — at scale
+    * the rank window's full-candidate shuffle is the serving
+    * pipeline's largest avoidable transfer. The rank column is then
+    * a window over the ALREADY-CUT relation (≤ topN rows per user),
+    * bounded work at any corpus size. Identical output to
+    * recommend() — same total order, same oracle.
+    */
+  def recommendTopKNative(inter: DataFrame, sim: DataFrame,
+                          topN: Int = TopN): DataFrame = {
+    val cut = TopK.perKey(scoredCandidates(inter, sim),
+      Seq("user_id"), Seq(("score_r", true), ("item_id", false)), topN)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("score_r").desc, col("item_id"))
+    cut.withColumn("rank", row_number().over(w))
       .select(col("user_id"), col("rank").cast("long").as("rank"),
         col("item_id"), col("score_r"))
   }
@@ -635,6 +664,18 @@ object Recommend {
         // symmetric union — materialize each once
         val inter = interactions(s, d).localCheckpoint(false)
         recommend(inter, itemSimilarity(inter).localCheckpoint(false))
+      },
+      Some(s"""WITH inter AS ($interSql),
+              |${recsSql("inter")}
+              |SELECT * FROM recs""".stripMargin)),
+
+    // A14 again through the native per-key top-k physical operator —
+    // same result set and the same oracle as ml_recommendations; the
+    // candidate shuffle is k-bounded (see recommendTopKNative).
+    QueryDef("ml_recommendations_topk",
+      (s, d) => {
+        val inter = interactions(s, d).localCheckpoint(false)
+        recommendTopKNative(inter, itemSimilarity(inter).localCheckpoint(false))
       },
       Some(s"""WITH inter AS ($interSql),
               |${recsSql("inter")}

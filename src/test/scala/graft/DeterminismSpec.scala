@@ -89,7 +89,8 @@ class DeterminismSpec extends SparkSpec {
     "u11_det_shuffle",        // mod-prime hash + per-shard rank
     "mix_epoch_plan",         // integer temperature shares + caps
     "txt_ppl_buckets",        // milli-nat score cuts + bucket sums
-    "o6_topk_perkey")         // native two-phase per-key top-k heaps
+    "o6_topk_perkey",         // native two-phase per-key top-k heaps
+    "ml_recommendations_topk") // native cut under the scoring join
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

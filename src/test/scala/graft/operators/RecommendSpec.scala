@@ -212,6 +212,17 @@ class RecommendSpec extends SparkSpec {
     intercept[IllegalArgumentException](Recommend.serveTopN(recs, 51))
   }
 
+  test("native-topk recommender is row-identical to the window form") {
+    val inter = Recommend
+      .interactions(spark, "/root/testdata/sf0.001").localCheckpoint(false)
+    val sim = Recommend.itemSimilarity(inter).localCheckpoint(false)
+    val window = Recommend.recommend(inter, sim)
+    val native = Recommend.recommendTopKNative(inter, sim)
+    assert(native.count() === window.count())
+    assert(native.except(window).isEmpty && window.except(native).isEmpty,
+      "native per-key top-k diverged from the rank window")
+  }
+
   test("content similarity: blocks on (brand, type), ranks by size proximity") {
     val part = Seq(
       (1L, "B1", "SMALL", 10), (2L, "B1", "SMALL", 12),

@@ -241,13 +241,14 @@ object Recommend {
 
   /** A14 through the native per-key top-k operator
     * (graft.plans.TopKPerKeyPlan): the candidate cut happens in
-    * k-bounded map-side heaps, so the exchange moves ≤ topN rows per
-    * user per partition instead of every scored candidate — at scale
-    * the rank window's full-candidate shuffle is the serving
-    * pipeline's largest avoidable transfer. The rank column is then
-    * a window over the ALREADY-CUT relation (≤ topN rows per user),
-    * bounded work at any corpus size. Identical output to
-    * recommend() — same total order, same oracle.
+    * k-bounded map-side HEAPS — Spark 4's WindowGroupLimit bounds
+    * the same exchange but sorts every candidate partition first;
+    * the heap partial is O(n log k) with no sort buffer or spill,
+    * which is the difference that matters when a power user's
+    * candidate partition is huge. The rank column is then a window
+    * over the ALREADY-CUT relation (≤ topN rows per user), bounded
+    * work at any corpus size. Identical output to recommend() —
+    * same total order, same oracle.
     */
   def recommendTopKNative(inter: DataFrame, sim: DataFrame,
                           topN: Int = TopN): DataFrame = {

@@ -36,8 +36,8 @@ object TopK {
   val defs: Seq[QueryDef] = Seq(
     // O6: top-3 events by value per event type through the native
     // operator — same result set as the rank-window idiom (the
-    // oracle), but the shuffle carries at most 3·partitions rows
-    // per type instead of the whole events relation.
+    // oracle), via heap partials instead of WindowGroupLimit's
+    // sorted partials (see TopKPerKey.scala for the trade).
     QueryDef("o6_topk_perkey",
       (s, d) => perKey(
         Tables.events(s, d)

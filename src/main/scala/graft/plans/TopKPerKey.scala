@@ -9,16 +9,18 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Native per-key top-k — the whole-operator Catalyst extension
   * (logical node → planner strategy → physical exec, injected via
-  * GraftExtensions). The DataFrame idiom for "top k rows per key"
-  * is row_number().over(Window.partitionBy(key).orderBy(...)) <= k,
-  * which shuffles EVERY row of the relation into a per-key sort.
-  * This operator runs like partial aggregation instead: a map-side
-  * pass keeps at most k rows per key per partition in a bounded
-  * heap, the exchange moves only those survivors (≤ k·partitions
-  * rows per key, independent of row count), and a reduce-side pass
-  * merges heaps to the exact per-key top k. At 100 TB the shuffle
-  * shrinks from the full relation to a k-bounded sliver — the same
-  * reason Spark aggregates partial-first.
+  * GraftExtensions). Spark 4's own rank-window idiom already bounds
+  * the shuffle with WindowGroupLimit (a partial group-limit below
+  * the exchange), but that partial SORTS every input partition
+  * first — O(n log n) per partition plus sort-buffer/spill pressure
+  * on skewed partitions — and the final phase sorts again to run
+  * the Window. This operator runs like partial aggregation instead:
+  * a map-side pass keeps at most k rows per key per partition in a
+  * bounded HEAP — O(n log k), constant memory per key, no sort, no
+  * spill — the exchange moves only those survivors (≤ k·partitions
+  * rows per key), and a reduce-side heap pass merges to the exact
+  * per-key top k with no rank column materialized when only the
+  * rows are wanted.
   *
   * Semantics: the k FIRST rows of each key group under `order`
   * (total order required for determinism — callers append a unique

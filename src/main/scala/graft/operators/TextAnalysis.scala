@@ -1995,6 +1995,35 @@ object TextAnalysis {
              |CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_score_milli
              |FROM lab GROUP BY 1""".stripMargin)),
 
+    // T26 (beyond-ref): tokenizer fertility by language — BPE-ish
+    // regex tokens per whitespace word, the standard tokenizer-health
+    // metric (a vocabulary that fragments one language inflates its
+    // effective sequence length and training cost). Pure per-row
+    // counting + a lang-grain aggregate; exact integer milli ratio.
+    QueryDef("txt_tokenizer_fertility",
+      (s, d) => docs(s, d)
+        .select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("w"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))).cast("long")
+            .as("t"))
+        .filter(col("w") > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("t")).as("n_bpe_tokens"))
+        .withColumn("fertility_milli",
+          expr("n_bpe_tokens * 1000 div n_words")),
+      Some("""WITH per AS (SELECT lang,
+             |    CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) w,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) t
+             |  FROM documents)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |CAST(SUM(w) AS BIGINT) AS n_words,
+             |CAST(SUM(t) AS BIGINT) AS n_bpe_tokens,
+             |CAST(SUM(t) * 1000 // SUM(w) AS BIGINT) AS fertility_milli
+             |FROM per WHERE w > 0 GROUP BY 1""".stripMargin)),
+
     QueryDef("mix_epoch_plan",
       (s, d) => mixEpochPlan(docs(s, d)),
       Some(s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -25,6 +25,40 @@ object Relational {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
 
+  /** J11: bloom-prefiltered selective join. The urgent-priority order
+    * keys are collapsed to a broadcast bloom sketch (one distributed
+    * aggregate; ~1.2 MB per 10⁶ keys at fpp 1%), the fact scan probes
+    * it locally, and only surviving rows enter the shuffle join —
+    * which then removes the fpp false positives, so the result is
+    * EXACT and the sketch is pure shuffle-volume savings (~5× here:
+    * one priority class of five). The two passes over the key side
+    * (count to size, aggregate to build) are column-pruned single-
+    * int64 scans; at 100 TB the count comes from table stats instead.
+    * The probe UDF is the one warranted kind (BloomFilter has no
+    * Column algebra) and sits behind the scan filter, off the
+    * codegen'd join+agg hot path.
+    */
+  def bloomPrefilterJoin(orders: DataFrame, lineitem: DataFrame,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = orders.sparkSession
+    val keys = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val nKeys = keys.count()
+    val pre =
+      if (nKeys == 0) lineitem.filter(lit(false))
+      else {
+        val bf = keys.stat.bloomFilter("o_orderkey", nKeys, fpp)
+        val bc = spark.sparkContext.broadcast(bf)
+        val probe = udf((k: Long) => bc.value.mightContainLong(k))
+        lineitem.filter(probe(col("l_orderkey")))
+      }
+    pre.join(keys, pre("l_orderkey") === keys("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("revenue"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // S1/P1/P10: filtered+projected scan, pushdown-friendly
@@ -261,6 +295,22 @@ object Relational {
              |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
              |AND o_orderdate < TIMESTAMP '1998-01-01'
              |GROUP BY n_name""".stripMargin)),
+
+    // J11 (beyond-ref): bloom-prefiltered join — the shuffle-volume
+    // device for a selective join whose key side is too big to
+    // broadcast-hash-join but whose KEY SET fits a few-MB bloom
+    // sketch (what Spark's own runtime InjectRuntimeFilter automates
+    // when stats line up; here it is explicit and deterministic).
+    // See bloomPrefilterJoin.
+    QueryDef("j11_bloom_prefilter",
+      (s, d) => bloomPrefilterJoin(ord(s, d), li(s, d)),
+      Some("""SELECT l_returnflag,
+             |COUNT(*) AS n_items,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1""".stripMargin)),
 
     // A4-salted: the skew-mitigation pattern — two-stage aggregation
     // through an explicit salt so one hot key spreads over 16 partial

@@ -488,6 +488,49 @@ object Similarity {
       e.select(col("vec_id"),
         expr(s"slice(embedding, 1, $dims)").as("embedding")), kk))
 
+  val RpDim = 16
+
+  /** Deterministic ±1 sign matrix for the sparse Johnson–Lindenstrauss
+    * projection (Achlioptas 2001: Rademacher entries preserve pairwise
+    * distances like Gaussian ones). The sign is the parity of a
+    * multiplicative hash mod the Fermat prime 65537 — the mod breaks
+    * the odd·odd parity structure a raw linear form would have, and
+    * the closed form is one CASE expression in any engine (no RNG, no
+    * stored matrix).
+    */
+  lazy val rpSigns: Seq[Seq[Long]] = (0 until RpDim).map { j =>
+    (0 until Dim).map { i =>
+      if (((i * 48271L + j * 16807L) % 65537L) % 2L == 0L) 1L else -1L }
+  }
+
+  /** V5: random projection Dim → RpDim — the data-independent
+    * compression axis beside truncation (needs MRL training) and
+    * PQ/SQ8 (need a codebook/scale pass): p_j = Σ_i sign(i,j)·xq_i
+    * over micro-quantized components, computed per row by RpDim calls
+    * to the codegen'd integer dot against literal sign vectors — pure
+    * scan bandwidth, no training job, no shuffle. Projected values
+    * are exact integers (|p| ≤ Dim·10⁶·max|x| ≪ 2⁵³), so the cast to
+    * double is lossless and the downstream cosine is the established
+    * engine-exact kernel.
+    */
+  def rpProject(emb: DataFrame, dims: Int = RpDim): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), " +
+          "x -> cast(round(x * 1000000.0D) as bigint))").as("xq"))
+      .select(col("vec_id"),
+        array((0 until dims).map(j =>
+          dotiFast(col("xq"), typedLit(rpSigns(j))).cast("double")): _*)
+          .as("embedding"))
+
+  /** Measured recall of brute top-k in the RpDim-projected space vs
+    * the full-dim baseline — the monitor that prices the 4× shuffle/
+    * storage saving (the JL tradeoff is dimension-count vs distortion,
+    * and on near-random synthetic vectors distortion at 16 dims is
+    * large — the monitor reporting that honestly is the point).
+    */
+  def rpRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
+    annRecallAtK(emb, k, (e, kk) => knnBrute(rpProject(e), kk))
+
   /** Int8 quantization of the embedding column — the storage/serving
     * compression pass every vector store applies before ANN at scale:
     * per-vector min/max range, code = round((v−mn)·255/(mx−mn)),
@@ -908,6 +951,44 @@ object Similarity {
               |      CAST(c.embedding AS DOUBLE[])[1:$TruncDim]), 6) AS cos
               |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
               |  WHERE q.vec_id % $QueryStride = 0),
+              |ap AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM apsc) WHERE rk <= $K),
+              |hits AS (SELECT e.query_id, COUNT(*) n_hit FROM ex e
+              |  JOIN ap ON e.query_id = ap.query_id AND e.nbr_id = ap.nbr_id
+              |  GROUP BY 1),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1)
+              |SELECT COUNT(*) AS n_queries,
+              |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6) AS avg_recall
+              |FROM base LEFT JOIN hits USING (query_id)""".stripMargin)),
+
+    // V5 (beyond-ref): Johnson–Lindenstrauss ±1 random projection to
+    // RpDim dims + measured recall vs the full-dim baseline — the
+    // data-independent member of the compression family.
+    QueryDef("sim_rp_recall",
+      (s, d) => rpRecallAtK(Tables.embeddings(s, d)),
+      Some(s"""WITH xq AS (SELECT vec_id, embedding,
+              |    list_transform(CAST(embedding AS DOUBLE[]),
+              |      x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) q
+              |  FROM embeddings),
+              |proj AS (SELECT vec_id,
+              |    list_transform(generate_series(0, ${RpDim - 1}), j ->
+              |      CAST(list_sum(list_transform(generate_series(0, ${Dim - 1}), i ->
+              |        q[i + 1] * (CASE WHEN ((i * 48271 + j * 16807) % 65537) % 2 = 0
+              |          THEN 1 ELSE -1 END))) AS DOUBLE)) p
+              |  FROM xq),
+              |exsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |apsc AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(a.p, b.p), 6) AS cos
+              |  FROM proj a JOIN proj b ON a.vec_id <> b.vec_id
+              |  WHERE a.vec_id % $QueryStride = 0),
               |ap AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM apsc) WHERE rk <= $K),

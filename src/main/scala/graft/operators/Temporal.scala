@@ -351,6 +351,47 @@ object Temporal {
           .otherwise(col("num") =!= 0L).cast("long").as("is_anomaly"))
   }
 
+  val EwmaK = 8
+
+  /** TS4 (beyond-ref): truncated exponential smoothing of the
+    * per-type hourly volume series — the trend line every ops
+    * dashboard draws next to the TS3 anomaly flags. The half-life
+    * kernel is powers of two over the trailing `kk` OBSERVED buckets
+    * (weight 2^(kk-1-age)), so every weighted sum is exact 64-bit
+    * integer arithmetic — no float recursion, hence engine-identical
+    * by construction (a classic α-recursive EWMA accumulates float
+    * error and is order-dependent; the truncated kernel ≥ 99.6% of
+    * the mass at kk=8 and is embarrassingly parallel).
+    *
+    * Shape, not a window: each source bucket EXPLODES its kk forward
+    * contributions (scan-bandwidth, fan-out = kk) and one map-side-
+    * combinable aggregate per (type, target bucket) sums kernel mass.
+    * The adaptive denominator Σw over buckets actually observed
+    * handles both series warm-up and gaps without a dense axis. At
+    * 100 TB the shuffle carries series-grain rows × kk — independent
+    * of event volume.
+    */
+  def ewmaSmooth(events: DataFrame, bucketUs: Long = HourUs,
+                 kk: Int = EwmaK): DataFrame = {
+    val weights = (0 until kk).map(o => 1L << (kk - 1 - o))
+    val series = events
+      .groupBy(col("event_type"), expr(s"ts_us div $bucketUs").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val contrib = series
+      .select(col("event_type"), col("bucket"), col("n"),
+        posexplode(typedLit(weights)).as(Seq("o", "w")))
+      .select(col("event_type"), (col("bucket") + col("o")).as("bucket"),
+        (col("n") * col("w")).as("wn"), col("w"))
+    val sums = contrib.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("wn")).as("num"), sum(col("w")).as("den"))
+    // Inner join back to the observed series: only real buckets emit
+    // (a bucket's own weight is always present, so den ≥ 1).
+    series.join(sums, Seq("event_type", "bucket"))
+      .select(col("event_type"),
+        (col("bucket") * bucketUs).as("bucket_start_us"), col("n"),
+        expr("1000 * num div den").as("ewma_milli"))
+  }
+
   /** Full-rebuild SCD2 SQL — the oracle for both scd2_history and
     * scd2_merge (the merge must reproduce the rebuild exactly).
     */
@@ -407,6 +448,26 @@ object Temporal {
               |  THEN CAST(num AS HUGEINT) * num >= varw * 9
               |  ELSE num <> 0 END AS BIGINT) AS is_anomaly
               |FROM f""".stripMargin)),
+
+    // TS4 (beyond-ref): truncated-kernel EWMA — see ewmaSmooth for
+    // the exact-integer forward-contribution shape.
+    QueryDef("ts_ewma",
+      (s, d) => ewmaSmooth(ev(s, d)),
+      Some(s"""WITH series AS (SELECT event_type,
+              |    epoch_us(ts) // $HourUs AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1, 2),
+              |c AS (SELECT event_type, bucket + o.o AS bucket,
+              |    n * (1 << (${EwmaK - 1} - o.o)) AS wn,
+              |    CAST(1 << (${EwmaK - 1} - o.o) AS BIGINT) AS w
+              |  FROM series,
+              |    (SELECT unnest(generate_series(0, ${EwmaK - 1})) AS o) o),
+              |sums AS (SELECT event_type, bucket,
+              |    SUM(wn) AS num, SUM(w) AS den
+              |  FROM c GROUP BY 1, 2)
+              |SELECT s.event_type, s.bucket * $HourUs AS bucket_start_us,
+              |s.n, CAST(1000 * num // den AS BIGINT) AS ewma_milli
+              |FROM series s JOIN sums USING (event_type, bucket)""".stripMargin)),
 
     // As-of: each purchase matched to the user's most recent
     // non-purchase event at-or-before it. Oracle uses DuckDB's native

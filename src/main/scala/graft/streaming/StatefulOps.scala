@@ -50,6 +50,13 @@ case class AttributedPurchase(event_id: Long, user_id: Long, ts_us: Long,
 /** Input row for the streaming anomaly detector. */
 case class BucketEvent(event_type: String, ts_us: Long)
 
+/** One item interaction for the streaming trending counter. */
+case class ItemHit(item_id: Long)
+
+/** One shard's current top-k row after a micro-batch. */
+case class TrendingItem(bucket: Long, item_id: Long, n_total: Long,
+                        rank: Int)
+
 /** Trailing-window state for one event_type: the open (latest)
   * bucket with its running count, plus the last ≤w CLOSED buckets as
   * two parallel primitive Seqs, oldest first (flat state blob — a
@@ -240,6 +247,54 @@ object StatefulOps {
     implicit val ke = Encoders.scalaLong
     events.groupByKey(_.user_id)
       .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** ST19: streaming trending top-k — the continuous twin of the
+    * native TopKPerKey batch operator (and of A4's grouped top-k):
+    * "what's hot right now" without re-aggregating history each
+    * refresh. Item counts shard by item_id mod nBuckets, each shard
+    * holds its counters in a MapState (RocksDB; one point-update per
+    * hit, never a rewritten blob) and emits its CURRENT top-k after
+    * every batch it appears in. The exact global top-k is the k best
+    * of the ≤ k·nBuckets shard rows — valid because each item's total
+    * lives in exactly one shard, so a global top-k member is
+    * necessarily in its shard's top-k (the TopKPerKeyExec partial
+    * argument, with shards as the partitions).
+    *
+    * Scale: nBuckets is the parallelism knob; state is the item
+    * catalog spread over shards; per-batch emission is k·(shards
+    * touched), independent of hit volume.
+    */
+  class TrendingTopKProcessor(k: Int)
+      extends StatefulProcessor[Long, ItemHit, TrendingItem] {
+    @transient private var counts: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("counts",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ItemHit],
+        timerValues: TimerValues): Iterator[TrendingItem] = {
+      rows.foreach { h =>
+        val n = if (counts.containsKey(h.item_id))
+          counts.getValue(h.item_id) else 0L
+        counts.updateValue(h.item_id, n + 1L)
+      }
+      val top = counts.iterator().map(p => (p._1, p._2)).toIndexedSeq
+        .sortBy { case (item, n) => (-n, item) }.take(k)
+      top.iterator.zipWithIndex.map { case ((item, n), i) =>
+        TrendingItem(key, item, n, i + 1)
+      }
+    }
+  }
+
+  def trendingTopK(hits: Dataset[ItemHit], k: Int = 5,
+                   nBuckets: Int = 8): Dataset[TrendingItem] = {
+    implicit val te = Encoders.product[TrendingItem]
+    implicit val ke = Encoders.scalaLong
+    hits.groupByKey(_.item_id % nBuckets)
+      .transformWithState(new TrendingTopKProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
 

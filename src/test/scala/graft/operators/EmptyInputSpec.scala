@@ -88,6 +88,15 @@ class EmptyInputSpec extends SparkSpec {
     val recs0 = empty("user_id" -> LongType, "rank" -> LongType,
       "item_id" -> LongType, "score_r" -> DoubleType)
     assert(Recommend.serveTopN(recs0, 10).count() === 0)
+    // session-5 continuation: EWMA / RP recall / bloom prefilter
+    val series0 = empty("event_type" -> StringType, "ts_us" -> LongType)
+    assert(Temporal.ewmaSmooth(series0).count() === 0)
+    assert(Similarity.rpProject(emb0).count() === 0)
+    assert(Similarity.rpRecallAtK(emb0).count() === 1) // null-recall summary
+    val ord0 = empty("o_orderkey" -> LongType, "o_orderpriority" -> StringType)
+    val li0 = empty("l_orderkey" -> LongType, "l_returnflag" -> StringType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType)
+    assert(Relational.bloomPrefilterJoin(ord0, li0).count() === 0)
   }
 
   test("quality/ops family is total on empty input") {

@@ -25,4 +25,24 @@ class RelationalSpec extends SparkSpec {
     // without-replacement: no duplicates
     assert(got.map(_._1).distinct.length === got.length)
   }
+
+  test("bloom prefilter join: exact vs direct join; empty key set is total") {
+    val orders = Seq(
+      (1L, "1-URGENT"), (2L, "3-MEDIUM"), (3L, "1-URGENT"), (4L, "5-LOW"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val li = Seq(
+      (1L, "A", 2.0, 10.0), (1L, "R", 1.0, 5.0), (2L, "A", 4.0, 20.0),
+      (3L, "A", 3.0, 30.0), (9L, "R", 7.0, 70.0)) // 9 matches no order
+      .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    val got = Relational.bloomPrefilterJoin(orders, li)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // urgent orders 1,3 -> lineitems (1,A),(1,R),(3,A); order 2 and
+    // the orphan 9 excluded even if the bloom passes them
+    assert(got("A") === (("A", 2L, 5.0, 40.0)))
+    assert(got("R") === (("R", 1L, 1.0, 5.0)))
+    // no urgent keys: empty result, no NPE from stat.bloomFilter
+    val none = orders.filter($"o_orderpriority" === "never")
+    assert(Relational.bloomPrefilterJoin(none, li).count() === 0L)
+  }
 }

@@ -299,6 +299,46 @@ class SimilaritySpec extends SparkSpec {
     assert(rec === ((3L, 1.0)))
   }
 
+  test("rp project: RpDim whole-integer dims; scalar multiples stay parallel") {
+    val base = (0 until Similarity.Dim).map(d => ((d * 17) % 13 - 6).toFloat)
+    val e = Seq(
+      (1L, base.toArray),
+      (2L, base.map(_ * 3f).toArray)) // positive scalar multiple
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.rpProject(e)
+      .select("vec_id", "embedding").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(rows(1L).size === Similarity.RpDim)
+    // exact integer projections (micro-quantized components, ±1 signs)
+    rows.values.flatten.foreach(p => assert(p === math.rint(p)))
+    // projection is linear: p(3v) = 3·p(v) exactly
+    assert(rows(2L) === rows(1L).map(_ * 3d))
+  }
+
+  test("rp signs: balanced, pairwise-distinct projection rows") {
+    Similarity.rpSigns.foreach { row =>
+      assert(row.contains(1L) && row.contains(-1L)) // never degenerate
+    }
+    assert(Similarity.rpSigns.distinct.size === Similarity.RpDim)
+  }
+
+  test("rp recall: parallel clusters survive projection, recall 1.0") {
+    // two near-orthogonal clusters of exact scalar multiples: every
+    // within-cluster cosine is exactly 1.0 in BOTH spaces (linearity),
+    // ties break on nbr_id identically, so top-5 sets coincide
+    val baseA = (0 until Similarity.Dim).map(d =>
+      if (d < 32) ((d * 17) % 13 - 6).toFloat else 0f)
+    val baseB = (0 until Similarity.Dim).map(d =>
+      if (d >= 32) ((d * 29) % 11 - 5).toFloat else 0f)
+    val e = (0 until 120).map { i =>
+      val b = if (i < 60) baseA else baseB
+      (i.toLong, b.map(_ * (1 + (i % 60)).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.rpRecallAtK(e).as[(Long, Double)].head()
+    assert(got._1 === 3L) // strided queries 0, 50, 100
+    assert(got._2 === 1.0)
+  }
+
   test("normalize: mean-centered unit vectors, exact symmetric case") {
     // mean = (1,1); centered v1=(1,-1), v2=(-1,1); both normalize to
     // ±1/√2 = ±0.707107 (rounded)

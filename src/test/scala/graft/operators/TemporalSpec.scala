@@ -183,4 +183,24 @@ class TemporalSpec extends SparkSpec {
     val r5 = got(("noisy", 5000L))
     assert(r5._5 === 1L && r5._4.get > 16.0)
   }
+
+  test("ewma: hand-computed kernel sums, adaptive warm-up, gap skipped") {
+    def mk(tp: String, atN: Seq[(Long, Int)]) = atN.flatMap {
+      case (b, c) => (0 until c).map(_ => (tp, b))
+    }
+    // buckets 0 (n=2), 1 (n=4), 3 (n=8); bucket 2 is a gap
+    val df = mk("a", Seq((0L, 2), (1L, 4), (3L, 8)))
+      .toDF("event_type", "ts_us")
+    val got = Temporal.ewmaSmooth(df, bucketUs = 1L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    // only observed buckets emit — the gap bucket 2 is absent
+    assert(got.keySet === Set(0L, 1L, 3L))
+    // K=8 kernel weights 2^(7-age): bucket 0 alone -> exact mean
+    assert(got(0L) === (("a", 0L, 2L, 2000L)))
+    // bucket 1: (4*128 + 2*64)*1000 div (128+64) = 640000 div 192
+    assert(got(1L) === (("a", 1L, 4L, 3333L)))
+    // bucket 3: ages 0,2,3 -> (8*128+4*32+2*16)*1000 div 176
+    assert(got(3L) === (("a", 3L, 8L, 6727L)))
+  }
 }

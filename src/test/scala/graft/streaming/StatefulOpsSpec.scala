@@ -299,4 +299,48 @@ class StatefulOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("trending top-k: counts chain across batches, shard merge is exact") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[ItemHit]
+      val q = StatefulOps.trendingTopK(in.toDS(), k = 2, nBuckets = 2)
+        .writeStream.format("memory").queryName("trend_out")
+        .outputMode("append").start()
+      def hits(ids: Long*) = in.addData(ids.map(ItemHit(_)))
+      // batch 1: even shard {10:2, 12:1}, odd shard {11:1}
+      hits(10L, 10L, 12L, 11L)
+      q.processAllAvailable()
+      val b1 = spark.table("trend_out").as[TrendingItem].collect()
+      assert(b1.filter(_.bucket == 0L).map(t => (t.item_id, t.n_total, t.rank))
+        .sortBy(_._3).toSeq === Seq((10L, 2L, 1), (12L, 1L, 2)))
+      assert(b1.filter(_.bucket == 1L).map(t => (t.item_id, t.n_total, t.rank))
+        .toSeq === Seq((11L, 1L, 1)))
+      // batch 2: item 12 surges past 10 (cross-batch accumulation);
+      // item 11's shard untouched -> emits nothing this batch
+      hits(12L, 12L, 12L)
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("trend_out").as[TrendingItem].collect()
+      val b2 = all.drop(b1.length)
+      assert(b2.forall(_.bucket == 0L))
+      assert(b2.map(t => (t.item_id, t.n_total, t.rank)).sortBy(_._3).toSeq
+        === Seq((12L, 4L, 1), (10L, 2L, 2)))
+      // exact global top-2 from the last emission per shard: the
+      // best 2 of (12:4, 10:2, 11:1)
+      val latest = (b2 ++ b1.filter(_.bucket == 1L))
+        .sortBy(t => (-t.n_total, t.item_id)).take(2).map(_.item_id).toSeq
+      assert(latest === Seq(12L, 10L))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -499,6 +499,156 @@ object TextAnalysis {
     sb.toString
   }
 
+  val UniMaxWord = 12
+  val UniMaxPiece = 4
+  val UniVocab = 200
+
+  /** T27: unigram-LM (SentencePiece-style) Viterbi segmentation — the
+    * probabilistic alternative to BPE's greedy merges (Kudo 2018,
+    * arXiv:1804.10959): pieces carry corpus log-probabilities and each
+    * word type takes its MINIMUM-COST segmentation by dynamic
+    * programming, instead of replaying a merge history. Flavor, not
+    * the full trainer: piece scores come from one substring-count
+    * pass (the EM loop re-estimates them; each EM step IS this
+    * operator with re-derived scores), vocabulary = all single chars
+    * (coverage floor) + the top-`UniVocab` multi-char substrings by
+    * the oov-rate value-grain cut.
+    *
+    * Exactness: costs are micro-nat integers (the LM-ladder quantized
+    * -ln device), so every DP comparison is 64-bit integer arithmetic
+    * and the tie rule (cost asc, then SMALLEST start — longest last
+    * piece, SentencePiece's own bias) is a total order both engines
+    * share. The oracle unrolls the DP as `UniMaxWord` MATERIALIZED
+    * rungs (the BPE-ladder device).
+    *
+    * Scale: the corpus is touched once (the word count); candidates,
+    * vocabulary, scores, and all `UniMaxWord` DP rungs run at
+    * word-type × ≤`UniMaxPiece` grain — shuffles carry the word
+    * string, never the corpus stream. Words longer than `UniMaxWord`
+    * chars are out of contract (dropped identically on both engines);
+    * production word-length caps are exactly this shape.
+    */
+  def unigramViterbi(docs: DataFrame): DataFrame = {
+    val words = docs.select(explode(tokens(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$") &&
+        length(col("w")) <= UniMaxWord)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val cand = words
+      .select(col("w"), col("c"),
+        explode(expr(s"sequence(0, ${UniMaxWord - 1})")).as("j"))
+      .filter(col("j") < length(col("w")))
+      .select(col("w"), col("c"), col("j"),
+        explode(expr(s"sequence(1, $UniMaxPiece)")).as("l"))
+      .filter(col("j") + col("l") <= length(col("w")))
+      .withColumn("piece", expr("substring(w, j + 1, l)"))
+      .localCheckpoint(false)
+    val pcnt = cand.groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+    val topv = pcnt.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(UniVocab)
+    val vocab = pcnt.filter(length(col("piece")) === 1)
+      .unionByName(topv).localCheckpoint(false)
+    val tot = vocab.agg(sum(col("cnt")).as("t"))
+    val scores = vocab.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        round(log(col("cnt").cast("double") / col("t")) * -1000000.0d)
+          .cast("long").as("q"))
+    val edges = cand.join(scores, Seq("piece"))
+      .select(col("w"), col("j"), (col("j") + col("l")).as("i"), col("q"))
+      .localCheckpoint(false)
+    // DP rungs: level i's best cost/piece-count per word, candidates
+    // drawn from the ≤ UniMaxPiece previous levels. Every level gets
+    // a FRESH leaf plan (new expression ids over the checkpointed
+    // rows): the rungs re-join and re-union one another, and shared
+    // attribute ids across those unions trip Catalyst's Union
+    // constraint rewrite.
+    val spark = docs.sparkSession
+    def leaf(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint(false).rdd, df.schema)
+    var levels: Vector[DataFrame] = Vector(leaf(
+      words.select(col("w"), lit(0).as("pos"),
+        lit(0L).as("tot"), lit(0L).as("np"))))
+    for (i <- 1 to UniMaxWord) {
+      val prev = levels.slice(math.max(0, i - UniMaxPiece), i)
+        .reduce(_ unionByName _)
+      val cands = edges.filter(col("i") === i).as("e")
+        .join(prev.as("b"),
+          col("e.w") === col("b.w") && col("e.j") === col("b.pos"))
+        .select(col("e.w").as("w"), (col("b.tot") + col("e.q")).as("tot"),
+          (col("b.np") + 1L).as("np"), col("e.j").as("j"))
+      val wspec = Window.partitionBy(col("w"))
+        .orderBy(col("tot"), col("j"))
+      levels = levels :+ leaf(cands
+        .withColumn("rn", row_number().over(wspec))
+        .filter(col("rn") === 1)
+        .select(col("w"), lit(i).as("pos"), col("tot"), col("np")))
+    }
+    val all = levels.tail.reduce(_ unionByName _).as("b")
+    words.as("wt")
+      .join(all, col("b.w") === col("wt.w") &&
+        col("b.pos") === length(col("wt.w")))
+      .select(col("wt.w").as("word"), col("c").as("n_occurrences"),
+        length(col("wt.w")).cast("long").as("n_chars"),
+        col("np").as("n_pieces"), col("tot").as("q_cost"))
+      .withColumn("fertility_milli", expr("1000 * n_pieces div n_chars"))
+  }
+
+  /** Unrolled DuckDB mirror of unigramViterbi: candidate generation,
+    * vocabulary cut, integer scores, then one MATERIALIZED rung per
+    * DP level.
+    */
+  private def unigramViterbiSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(text)),'\\s+')) AS w
+         |    FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$') AND len(w) <= $UniMaxWord
+         |  GROUP BY 1),
+         |cand AS MATERIALIZED (SELECT w.w, w.c, j.j, l.l,
+         |    substr(w.w, j.j + 1, l.l) AS piece
+         |  FROM w,
+         |    (SELECT unnest(generate_series(0, ${UniMaxWord - 1})) AS j) j,
+         |    (SELECT unnest(generate_series(1, $UniMaxPiece)) AS l) l
+         |  WHERE j.j < len(w.w) AND j.j + l.l <= len(w.w)),
+         |pcnt AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt
+         |  FROM cand GROUP BY 1),
+         |topv AS (SELECT piece, cnt FROM pcnt WHERE len(piece) > 1
+         |  ORDER BY cnt DESC, piece LIMIT $UniVocab),
+         |vocab AS (SELECT piece, cnt FROM pcnt WHERE len(piece) = 1
+         |  UNION ALL SELECT piece, cnt FROM topv),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+         |scores AS (SELECT piece,
+         |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / t) * -1000000.0) AS BIGINT) AS q
+         |  FROM vocab, tot),
+         |edges AS MATERIALIZED (SELECT c.w, c.j, c.j + c.l AS i, s.q
+         |  FROM cand c JOIN scores s USING (piece)),
+         |b0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS tot,
+         |  CAST(0 AS BIGINT) AS np FROM w)""".stripMargin)
+    for (i <- 1 to UniMaxWord) {
+      val prev = (math.max(0, i - UniMaxPiece) until i)
+        .map(j => s"SELECT * FROM b$j").mkString(" UNION ALL ")
+      sb.append(s""",
+        |b$i AS MATERIALIZED (SELECT w, $i AS pos, tot, np FROM (
+        |  SELECT e.w, b.tot + e.q AS tot, b.np + 1 AS np,
+        |    ROW_NUMBER() OVER (PARTITION BY e.w
+        |      ORDER BY b.tot + e.q, e.j) AS rn
+        |  FROM edges e JOIN ($prev) b
+        |    ON e.w = b.w AND e.j = b.pos
+        |  WHERE e.i = $i) WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s""",
+      |lv AS (${(1 to UniMaxWord).map(i => s"SELECT * FROM b$i")
+        .mkString(" UNION ALL ")})
+      |SELECT w.w AS word, w.c AS n_occurrences,
+      |CAST(len(w.w) AS BIGINT) AS n_chars,
+      |b.np AS n_pieces, b.tot AS q_cost,
+      |CAST(1000 * b.np // CAST(len(w.w) AS BIGINT) AS BIGINT)
+      |  AS fertility_milli
+      |FROM w JOIN lv b ON b.w = w.w AND b.pos = len(w.w)""".stripMargin)
+    sb.toString
+  }
+
   val CollocMinCount = 5L
   val CollocTopK = 50
 
@@ -1653,6 +1803,12 @@ object TextAnalysis {
     QueryDef("txt_bpe_encode",
       (s, d) => bpeEncode(docs(s, d)),
       Some(bpeEncodeSql(BpeMergeSteps))),
+
+    // T27 (beyond-ref): unigram-LM Viterbi segmentation — see
+    // unigramViterbi for the integer-cost DP and vocabulary cut.
+    QueryDef("txt_unigram_viterbi",
+      (s, d) => unigramViterbi(docs(s, d)),
+      Some(unigramViterbiSql)),
 
     QueryDef("txt_backoff_heldout",
       (s, d) => backoffHeldout(docs(s, d)),

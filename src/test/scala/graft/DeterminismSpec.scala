@@ -93,7 +93,8 @@ class DeterminismSpec extends SparkSpec {
     "ml_recommendations_topk", // native cut under the scoring join
     "ts_ewma",                // kernel-sum explode + integer division
     "sim_rp_recall",          // ±1-projection brute top-k vs baseline
-    "j11_bloom_prefilter")    // sketch prefilter + exact verify join
+    "j11_bloom_prefilter",    // sketch prefilter + exact verify join
+    "txt_unigram_viterbi")    // integer-cost DP rungs + vocab cut
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

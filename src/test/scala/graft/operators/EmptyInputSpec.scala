@@ -97,6 +97,7 @@ class EmptyInputSpec extends SparkSpec {
     val li0 = empty("l_orderkey" -> LongType, "l_returnflag" -> StringType,
       "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType)
     assert(Relational.bloomPrefilterJoin(ord0, li0).count() === 0)
+    assert(TextAnalysis.unigramViterbi(docs0).count() === 0)
   }
 
   test("quality/ops family is total on empty input") {

@@ -249,6 +249,33 @@ class TextAnalysisSpec extends SparkSpec {
       3L -> ((3L, 1L, 3L, 1L))))
   }
 
+  test("unigram viterbi: min-cost DP, in-vocab word stays whole, " +
+    "over-length pieces force a split") {
+    val corpus = Seq(TDoc(1, "ababab", "en"), TDoc(2, "ab", "en")).toDF()
+    val got = TextAnalysis.unigramViterbi(corpus)
+      .select("word", "n_occurrences", "n_chars", "n_pieces",
+        "fertility_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("ababab", "ab"))
+    // 'ab' is a vocabulary piece: one piece beats a+b (costs add)
+    assert(got("ab") === (("ab", 1L, 2L, 1L, 500L)))
+    // 'ababab' exceeds UniMaxPiece=4, must split; min-cost split is
+    // [ab][abab] / [abab][ab] (2 pieces) over [aba][bab] and chars
+    assert(got("ababab") === (("ababab", 1L, 6L, 2L, 333L)))
+    // a word longer than UniMaxWord is out of contract -> dropped
+    val long = Seq(TDoc(1, "abcdefghijklm", "en")).toDF() // 13 chars
+    assert(TextAnalysis.unigramViterbi(long).count() === 0L)
+    // q_cost is the exact integer micro-nat sum of the chosen pieces
+    val q = TextAnalysis.unigramViterbi(corpus)
+      .select("word", "q_cost").as[(String, Long)].collect().toMap
+    // vocab mass t = 21 (a:4 b:4 ab:4 ba:2 aba:2 bab:2 abab:2 baba:1)
+    assert(q("ab") === math.round(-math.log(4.0 / 21.0) * 1e6))
+    assert(q("ababab") ===
+      math.round(-math.log(4.0 / 21.0) * 1e6) +
+        math.round(-math.log(2.0 / 21.0) * 1e6))
+  }
+
   test("collocations: exclusive pair beats promiscuous pair, floor filters") {
     // 'new york' always co-occurs (exclusive); 'of the' is frequent but
     // both words roam widely → lower PMI. 'rare pair' appears once →

@@ -531,6 +531,105 @@ object Similarity {
   def rpRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
     annRecallAtK(emb, k, (e, kk) => knnBrute(rpProject(e), kk))
 
+  val LloydRounds = 3
+
+  /** V6: k-means by `rounds` full Lloyd iterations — the actual IVF
+    * coarse-quantizer trainer (sim_centroids is the label-supervised
+    * mean pass; knnIvf uses raw strided seeds; this is the loop that
+    * turns those seeds into a real codebook). Every iteration is
+    * engine-exact integer arithmetic end to end: components micro-
+    * quantize once, assignment minimizes the squared-L2 surrogate
+    * s = |c|² − 2·x·c (|x|² is constant per vector) via the codegen'd
+    * integer dot, ties break (s, cell), and the new centroid is the
+    * established floor-of-exact-double micro-unit mean — so both
+    * engines walk IDENTICAL centroid sequences and the final
+    * assignment is hash-exact. A cell that loses all members simply
+    * drops from the next codebook (both engines, by construction).
+    *
+    * Scale: the codebook broadcasts every round (cells = |V|/stride);
+    * assignment is a scan × broadcast pass (|V|·cells integer dots,
+    * the knnBrute shape); the recompute shuffles (cell, dim)-grain
+    * partial sums with map-side combine. Rounds are the driver-loop
+    * bound, as in any distributed k-means.
+    */
+  def kmeansLloyd(emb: DataFrame, rounds: Int = LloydRounds): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xq = emb.select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), " +
+          "x -> cast(round(x * 1000000.0D) as bigint))").as("q"))
+      .localCheckpoint(false)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("s"), col("cell"))
+    def assign(c: DataFrame): DataFrame =
+      xq.join(broadcast(c.withColumn("cc", dotiFast(col("cq"), col("cq")))))
+        .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+    var cent = xq.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("cell"), col("q").as("cq"))
+    for (_ <- 1 to rounds) {
+      cent = assign(cent)
+        .select(col("cell"), posexplode(col("q")).as(Seq("idx", "xi")))
+        .groupBy(col("cell"), col("idx"))
+        .agg(sum(col("xi").cast(dec38)).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cqi",
+          floor(col("sx").cast("double") / col("n")).cast("long"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(idx, cqi)))," +
+          " p -> p.cqi)").as("cq"))
+        .localCheckpoint(false)
+    }
+    assign(cent)
+      .withColumn("d", dotiFast(col("q"), col("q")) + col("s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d").cast(dec38)).as("iq"))
+      .select(col("cell"), col("n_vecs"),
+        round(col("iq").cast("double") / 1.0e12, 6).as("inertia_e12"))
+  }
+
+  /** Unrolled DuckDB mirror of kmeansLloyd: one MATERIALIZED
+    * (distance, argmin, mean, codebook) block per round.
+    */
+  private def kmeansLloydSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH xq AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT vec_id AS cell, q AS cq FROM xq
+         |  WHERE vec_id % $QueryStride = 0)""".stripMargin)
+    def distBlock(tag: String, cin: String): String =
+      s""",
+        |s$tag AS MATERIALIZED (SELECT x.vec_id, c.cell, x.q,
+        |    CAST(list_sum(list_transform(c.cq, v -> v * v))
+        |      - 2 * list_sum(list_transform(generate_series(1, $Dim),
+        |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS s
+        |  FROM xq x, $cin c),
+        |a$tag AS MATERIALIZED (SELECT vec_id, cell, q, s FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY s, cell) AS rn FROM s$tag) WHERE rn = 1)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb.append(distBlock(r.toString, s"c${r - 1}"))
+      sb.append(s""",
+        |m$r AS (SELECT cell, i.i,
+        |    CAST(FLOOR(CAST(SUM(q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |      AS cqi
+        |  FROM a$r, (SELECT unnest(generate_series(1, $Dim)) AS i) i
+        |  GROUP BY 1, 2),
+        |c$r AS MATERIALIZED (SELECT cell, list(cqi ORDER BY i) AS cq
+        |  FROM m$r GROUP BY cell)""".stripMargin)
+    }
+    sb.append(distBlock("F", s"c$rounds"))
+    sb.append(s"""
+      |SELECT cell, COUNT(*) AS n_vecs,
+      |ROUND(CAST(SUM(CAST(list_sum(list_transform(q, v -> v * v)) + s
+      |  AS HUGEINT)) AS DOUBLE) / 1e12, 6) AS inertia_e12
+      |FROM aF GROUP BY cell""".stripMargin)
+    sb.toString
+  }
+
   /** Int8 quantization of the embedding column — the storage/serving
     * compression pass every vector store applies before ANN at scale:
     * per-vector min/max range, code = round((v−mn)·255/(mx−mn)),
@@ -999,6 +1098,12 @@ object Similarity {
               |SELECT COUNT(*) AS n_queries,
               |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6) AS avg_recall
               |FROM base LEFT JOIN hits USING (query_id)""".stripMargin)),
+
+    // V6 (beyond-ref): Lloyd-iteration k-means — the IVF codebook
+    // trainer; see kmeansLloyd for the integer-exact round structure.
+    QueryDef("sim_kmeans_lloyd",
+      (s, d) => kmeansLloyd(Tables.embeddings(s, d)),
+      Some(kmeansLloydSql(LloydRounds))),
 
     QueryDef("sim_quantize_int8",
       (s, d) => quantizeInt8(Tables.embeddings(s, d)),

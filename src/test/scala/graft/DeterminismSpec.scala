@@ -94,7 +94,8 @@ class DeterminismSpec extends SparkSpec {
     "ts_ewma",                // kernel-sum explode + integer division
     "sim_rp_recall",          // ±1-projection brute top-k vs baseline
     "j11_bloom_prefilter",    // sketch prefilter + exact verify join
-    "txt_unigram_viterbi")    // integer-cost DP rungs + vocab cut
+    "txt_unigram_viterbi",    // integer-cost DP rungs + vocab cut
+    "sim_kmeans_lloyd")       // integer Lloyd rounds + floor means
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -98,6 +98,7 @@ class EmptyInputSpec extends SparkSpec {
       "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType)
     assert(Relational.bloomPrefilterJoin(ord0, li0).count() === 0)
     assert(TextAnalysis.unigramViterbi(docs0).count() === 0)
+    assert(Similarity.kmeansLloyd(emb0).count() === 0)
   }
 
   test("quality/ops family is total on empty input") {

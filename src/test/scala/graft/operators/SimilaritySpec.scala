@@ -339,6 +339,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got._2 === 1.0)
   }
 
+  test("kmeans lloyd: separable clusters never mix; counts partition") {
+    // cluster A (ids 0-59) near bA, cluster B (ids 60-119) near bB,
+    // far apart; strided seeds 0,50 (both in A) and 100 (in B) — Lloyd
+    // may keep A split across its two seeds, but no cell may ever mix
+    // members of A and B, and B's lone seed must take all 60 B vectors
+    val e = (0 until 120).map { i =>
+      val base = if (i < 60) 0f else 100f
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        base + ((i * 13 + d * 7) % 5).toFloat * 0.1f
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(e)
+      .select("cell", "n_vecs").as[(Long, Long)].collect().toMap
+    assert(got.keySet.subsetOf(Set(0L, 50L, 100L)))
+    assert(got.values.sum === 120L)
+    assert(got(100L) === 60L) // all of B, nothing but B
+    assert(got.getOrElse(0L, 0L) + got.getOrElse(50L, 0L) === 60L)
+  }
+
   test("normalize: mean-centered unit vectors, exact symmetric case") {
     // mean = (1,1); centered v1=(1,-1), v2=(-1,1); both normalize to
     // ±1/√2 = ±0.707107 (rounded)

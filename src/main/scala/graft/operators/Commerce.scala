@@ -380,9 +380,59 @@ object Commerce {
           .cast("long").as("psi_ppm"))
   }
 
+  /** BI8: day-of-week seasonality index of order volume — the weekly
+    * pattern every staffing/forecast dashboard starts from. The DOW
+    * is pure integer calendar arithmetic (epoch-day mod 7, 0 =
+    * Thursday), sidestepping engine dayofweek() convention skew; the
+    * index is exact integer ppm of (per-day-of-week daily mean) /
+    * (overall daily mean), i.e. n_orders·t_days·10⁶ div
+    * (n_days·t_orders) — the Long products stay exact to ~10⁹ orders
+    * (3.8e18 < 2⁶³); beyond that the same expression moves to
+    * DECIMAL(38). One dow-grain aggregate + a 1-row broadcast.
+    */
+  def dowSeasonality(orders: DataFrame): DataFrame = {
+    val base = orders.select(
+      expr("((datediff(cast(o_orderdate as date), date '1970-01-01') % 7)" +
+        " + 7) % 7").as("dow"),
+      to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+    val perDow = base.groupBy(col("dow"))
+      .agg(countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+    val tot = perDow.agg(sum(col("n_days")).as("t_days"),
+      sum(col("n_orders")).as("t_orders"))
+    perDow.crossJoin(broadcast(tot))
+      .select(col("dow").cast("long").as("dow"), col("n_days"),
+        col("n_orders"), col("revenue"),
+        expr("n_orders * t_days * 1000000 div (n_days * t_orders)")
+          .as("index_ppm"))
+  }
+
+  private val dowSeasonalitySql =
+    """WITH b AS (SELECT
+      |    ((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      % 7) + 7) % 7 AS dow,
+      |    CAST(o_orderdate AS DATE) AS day, o_totalprice FROM orders),
+      |pd AS (SELECT dow, COUNT(DISTINCT day) AS n_days,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS revenue
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT SUM(n_days) AS t_days, SUM(n_orders) AS t_orders
+      |  FROM pd)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+      |CAST(n_orders AS BIGINT) AS n_orders, revenue,
+      |CAST(CAST(n_orders AS HUGEINT) * t_days * 1000000
+      |  // (CAST(n_days AS HUGEINT) * t_orders) AS BIGINT) AS index_ppm
+      |FROM pd, t""".stripMargin
+
   // ---- driver-contract registry ----
 
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("bi_dow_seasonality",
+      (s, d) => dowSeasonality(ord(s, d)),
+      Some(dowSeasonalitySql)),
 
     QueryDef("ops_drift_psi",
       (s, d) => driftPsi(ord(s, d)),

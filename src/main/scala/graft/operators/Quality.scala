@@ -360,7 +360,58 @@ object Quality {
 
   // ---- driver-contract registry ----
 
+  /** DQ6: referential-integrity audit across the lake's FK edges —
+    * the orphan monitor every warehouse runs after a load: child rows
+    * whose parent key is missing (broken FK), and parents with no
+    * children where children are expected (dead rows). Each edge is
+    * one left-anti join on the key — at 100 TB these are the same
+    * shuffles the production joins already pay, and the audit's
+    * output is a constant few rows. A clean load reports zeros, which
+    * IS the signal (the reference loads via truncate+insert with no
+    * FK enforcement — daily_pipeline.py writes lineitem and orders
+    * independently, so a partial failure leaves exactly these
+    * orphans).
+    */
+  def refIntegrity(orders: DataFrame, lineitem: DataFrame,
+                   customer: DataFrame): DataFrame = {
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check"), col("n_violations"))
+    val liOrphans = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val emptyOrders = orders.select(col("o_orderkey"))
+      .join(lineitem.select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+    val custOrphans = orders.select(col("o_custkey"))
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+    cnt(liOrphans, "lineitem_without_order")
+      .unionByName(cnt(emptyOrders, "order_without_lineitem"))
+      .unionByName(cnt(custOrphans, "order_without_customer"))
+  }
+
+  private val refIntegritySql =
+    """SELECT 'lineitem_without_order' AS check,
+      |  CAST(COUNT(*) AS BIGINT) AS n_violations
+      |FROM lineitem WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |UNION ALL
+      |SELECT 'order_without_lineitem',
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM orders WHERE NOT EXISTS
+      |  (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |UNION ALL
+      |SELECT 'order_without_customer',
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM orders WHERE NOT EXISTS
+      |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dq_ref_integrity",
+      (s, d) => refIntegrity(ord(s, d), Tables.lineitem(s, d),
+        Tables.customer(s, d)),
+      Some(refIntegritySql)),
     QueryDef("dq_expectations",
       (s, d) => dqExpectations(ord(s, d)), Some(dqExpectationsSql)),
     QueryDef("dq_k_anonymity",

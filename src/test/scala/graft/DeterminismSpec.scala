@@ -95,7 +95,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_rp_recall",          // ±1-projection brute top-k vs baseline
     "j11_bloom_prefilter",    // sketch prefilter + exact verify join
     "txt_unigram_viterbi",    // integer-cost DP rungs + vocab cut
-    "sim_kmeans_lloyd")       // integer Lloyd rounds + floor means
+    "sim_kmeans_lloyd",       // integer Lloyd rounds + floor means
+    "bi_dow_seasonality")     // calendar-arithmetic dow + ppm index
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -213,4 +213,21 @@ class CommerceSpec extends SparkSpec {
     assert(got(0L)._6 > 0L && got(1L)._6 > 0L)
     assert(got.values.map(_._6).sum > 250000L)
   }
+
+  test("dow seasonality: epoch-day dow, exact ppm index vs daily mean") {
+    // 1970-01-01 was a Thursday -> dow 0; Jan 2 -> dow 1
+    val orders = Seq(
+      ("1970-01-01 00:00:00", 10.0), ("1970-01-01 12:00:00", 20.0),
+      ("1970-01-02 00:00:00", 30.0))
+      .toDF("d", "o_totalprice")
+      .select(col("d").cast("timestamp").as("o_orderdate"),
+        col("o_totalprice"))
+    val got = Commerce.dowSeasonality(orders)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // dow 0: 2 orders over 1 day vs overall 3 over 2 days ->
+    // (2*2*1e6) div (1*3) = 1333333 ppm; dow 1: (1*2*1e6) div 3
+    assert(got(0L) === ((0L, 1L, 2L, 30.0, 1333333L)))
+    assert(got(1L) === ((1L, 1L, 1L, 30.0, 666666L)))
+  }
 }

@@ -99,6 +99,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.bloomPrefilterJoin(ord0, li0).count() === 0)
     assert(TextAnalysis.unigramViterbi(docs0).count() === 0)
     assert(Similarity.kmeansLloyd(emb0).count() === 0)
+    val fkOrd0 = empty("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderdate" -> TimestampType, "o_totalprice" -> DoubleType)
+    val fkLi0 = empty("l_orderkey" -> LongType)
+    val fkCust0 = empty("c_custkey" -> LongType)
+    // the audit keeps its three check rows (all-zero) on an empty lake
+    assert(Quality.refIntegrity(fkOrd0, fkLi0, fkCust0).count() === 3)
+    assert(Commerce.dowSeasonality(fkOrd0).count() === 0)
   }
 
   test("quality/ops family is total on empty input") {

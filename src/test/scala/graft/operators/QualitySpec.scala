@@ -132,4 +132,23 @@ class QualitySpec extends SparkSpec {
     assert(ivm.unionAll(full).distinct().count() == full.count(),
       "merged partials differ from the full rebuild")
   }
+
+  test("ref integrity: planted orphans on every FK edge are counted") {
+    val orders = Seq((1L, 10L), (2L, 99L)) // order 2 -> missing customer
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(1L, 1L, 9L) // 9 -> missing order; order 2 childless
+      .toDF("l_orderkey")
+    val cust = Seq(10L).toDF("c_custkey")
+    val got = Quality.refIntegrity(orders, li, cust)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "lineitem_without_order" -> 1L,
+      "order_without_lineitem" -> 1L,
+      "order_without_customer" -> 1L))
+    // a referentially clean lake reports zeros, not missing rows
+    val clean = Quality.refIntegrity(orders.filter($"o_orderkey" === 1L),
+      li.filter($"l_orderkey" === 1L), cust)
+      .as[(String, Long)].collect().toMap
+    assert(clean.values.toSeq === Seq(0L, 0L, 0L))
+  }
 }

@@ -124,6 +124,61 @@ object Events {
     Tables.events(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
 
+  /** E13: conversion-latency quartiles — the funnel's time dimension
+    * (e2 counts who converts; this prices HOW LONG the view→purchase
+    * hop takes, the metric behind "checkout friction" pages). Per
+    * user: first view, first purchase at-or-after it, latency in
+    * whole minutes; the report is one row of exact discrete quartiles
+    * (PERCENTILE_DISC convention: smallest value whose cumulative
+    * count reaches ⌈q·n⌉, compared as cum·den ≥ n·num in integers —
+    * the a28 device on a single group). The quartile window runs over
+    * the latency-minute VALUE grain (bounded by the corpus time span,
+    * never user count) and every other step is a user-grain aggregate
+    * or a 1-row broadcast.
+    */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v"))
+      .localCheckpoint(false)
+    val firstPurch = events.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts_us") >= col("v"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p"),
+        min(col("v")).as("v"))
+    val lat = firstPurch
+      .select(expr("(p - v) div 60000000").as("m"))
+      .localCheckpoint(false)
+    val g = lat.groupBy(col("m")).agg(count(lit(1)).as("c"))
+    val cum = g.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("m"))))
+      .crossJoin(broadcast(lat.agg(count(lit(1)).as("n"))))
+    val q = cum.agg(
+      min(when(col("cum") * 4 >= col("n"), col("m"))).as("p25_min"),
+      min(when(col("cum") * 2 >= col("n"), col("m"))).as("p50_min"),
+      min(when(col("cum") * 4 >= col("n") * 3, col("m"))).as("p75_min"))
+    firstView.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(lat.agg(count(lit(1)).as("n_converted")))
+      .crossJoin(q)
+  }
+
+  private val conversionLatencySql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+      |  FROM events),
+      |v AS (SELECT user_id, MIN(t) AS v FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.t) AS p, MIN(v.v) AS v
+      |  FROM e JOIN v ON e.user_id = v.user_id AND e.t >= v.v
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |lat AS (SELECT (p - v) // 60000000 AS m FROM p),
+      |g AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY 1),
+      |cum AS (SELECT m, SUM(c) OVER (ORDER BY m) AS cum,
+      |  (SELECT COUNT(*) FROM lat) AS n FROM g)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_viewers,
+      |(SELECT COUNT(*) FROM lat) AS n_converted,
+      |(SELECT MIN(m) FROM cum WHERE cum * 4 >= n) AS p25_min,
+      |(SELECT MIN(m) FROM cum WHERE cum * 2 >= n) AS p50_min,
+      |(SELECT MIN(m) FROM cum WHERE cum * 4 >= n * 3) AS p75_min""".stripMargin
+
   val SkewTopK = 20 // before defs: the oracle SQL interpolates it
   val FreshStaleMin = 60L
   val PathGapUs = 30L * 60 * 1000000
@@ -192,6 +247,12 @@ object Events {
       Some("""SELECT event_id, event_type,
              |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
              |FROM events""".stripMargin)),
+
+    // E13 (beyond-ref): view→purchase latency quartiles — see
+    // conversionLatency for the value-grain percentile device.
+    QueryDef("e13_conversion_latency",
+      (s, d) => conversionLatency(evv(s, d)),
+      Some(conversionLatencySql)),
 
     QueryDef("e2_funnel",
       (s, d) => funnel(ev(s, d).drop("props")),

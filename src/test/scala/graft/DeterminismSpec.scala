@@ -96,7 +96,8 @@ class DeterminismSpec extends SparkSpec {
     "j11_bloom_prefilter",    // sketch prefilter + exact verify join
     "txt_unigram_viterbi",    // integer-cost DP rungs + vocab cut
     "sim_kmeans_lloyd",       // integer Lloyd rounds + floor means
-    "bi_dow_seasonality")     // calendar-arithmetic dow + ppm index
+    "bi_dow_seasonality",     // calendar-arithmetic dow + ppm index
+    "e13_conversion_latency") // per-user anchors + discrete quartiles
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

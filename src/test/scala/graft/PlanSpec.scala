@@ -317,6 +317,7 @@ class PlanSpec extends SparkSpec {
     "u10_weighted_sample",  // valueCuts over weight grain
     "ops_drift_psi",        // bin grain
     "ops_ks_drift",         // whole-dollar value grain (price domain)
+    "e13_conversion_latency", // latency-minute value grain (time span)
     "txt_quality_calibration", // rounded-score grain
     "txt_quality_pr",       // rounded-score grain (PR curve)
     "txt_quality_filter",   // rounded-score grain (banded percent_rank)

@@ -106,6 +106,9 @@ class EmptyInputSpec extends SparkSpec {
     // the audit keeps its three check rows (all-zero) on an empty lake
     assert(Quality.refIntegrity(fkOrd0, fkLi0, fkCust0).count() === 3)
     assert(Commerce.dowSeasonality(fkOrd0).count() === 0)
+    val lat0 = empty("event_id" -> LongType, "user_id" -> LongType,
+      "ts_us" -> LongType, "event_type" -> StringType)
+    assert(Events.conversionLatency(lat0).count() === 1) // all-zero row
   }
 
   test("quality/ops family is total on empty input") {

@@ -170,4 +170,25 @@ class EventsSpec extends SparkSpec {
     assert(got(1L) === Some(42L))
     assert(got(2L) === None) // key absent -> null, not error
   }
+
+  test("conversion latency: first-view anchor, discrete quartiles exact") {
+    val min = 60000000L
+    val e = ev(
+      (1L, 1L, 0L, "view"), (2L, 1L, 2 * min, "purchase"),
+      (3L, 2L, 0L, "view"), (4L, 2L, 60 * min, "purchase"),
+      (5L, 3L, 0L, "view"), // never converts
+      // u4: a purchase BEFORE the first view must not count
+      (6L, 4L, 0L, "purchase"), (7L, 4L, 100L, "view"),
+      (8L, 4L, 100L + min, "purchase"))
+    val got = Events.conversionLatency(e)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].head()
+    // latencies {2, 60, 1} min (u4's anchor is its post-view buy,
+    // one minute after the first view); sorted [1,2,60]:
+    // p25 -> 1 (cum 1*4 >= 3), p50 -> 2 (cum 2*2 >= 3), p75 -> 60
+    assert(got === ((4L, 3L, Some(1L), Some(2L), Some(60L))))
+    // no purchases at all: count row survives with null quartiles
+    val none = Events.conversionLatency(ev((1L, 1L, 0L, "view")))
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].head()
+    assert(none === ((1L, 0L, None, None, None)))
+  }
 }

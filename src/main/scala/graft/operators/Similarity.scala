@@ -529,7 +529,11 @@ object Similarity {
     * large — the monitor reporting that honestly is the point).
     */
   def rpRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
-    annRecallAtK(emb, k, (e, kk) => knnBrute(rpProject(e), kk))
+    // checkpoint the projected table: without it Catalyst collapses
+    // the 16-dot projection into the brute join and recomputes it per
+    // PAIR (measured 18× at sf1) instead of once per vector
+    annRecallAtK(emb, k,
+      (e, kk) => knnBrute(rpProject(e).localCheckpoint(false), kk))
 
   val LloydRounds = 3
 
@@ -558,13 +562,18 @@ object Similarity {
         expr("transform(cast(embedding as array<double>), " +
           "x -> cast(round(x * 1000000.0D) as bigint))").as("q"))
       .localCheckpoint(false)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("s"), col("cell"))
+    // argmin as a map-side-combinable min_by aggregate, not a rank
+    // window: the window form sorts |V|·cells candidate rows per
+    // round (measured 2× the whole operator at sf1); the aggregate
+    // reduces them to partial minima before the vec-grain shuffle,
+    // and the q re-join co-partitions with that shuffle
     def assign(c: DataFrame): DataFrame =
       xq.join(broadcast(c.withColumn("cc", dotiFast(col("cq"), col("cq")))))
         .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
+          min(struct(col("s"), col("cell"))).getField("s").as("s"))
+        .join(xq, Seq("vec_id"))
     var cent = xq.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("cell"), col("q").as("cq"))
     for (_ <- 1 to rounds) {

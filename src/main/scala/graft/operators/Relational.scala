@@ -59,6 +59,26 @@ object Relational {
         dsum(col("l_extendedprice")).as("revenue"))
   }
 
+  /** S26: snapshot diff — the change-data-feed EXPORT (Delta's
+    * table_changes / CDC-out shape, the inverse of the S12 ingest
+    * side): given two keyed snapshots, emit one row per changed key
+    * with op ∈ insert/update/delete. One full-outer shuffle join on
+    * the key; payload comparison happens on caller-built canonical
+    * payload strings (exact-integer encodings, never float formatting)
+    * so the diff is engine-exact. Output is |changed keys| rows —
+    * a daily diff of a 100 TB table is change-sized, not table-sized,
+    * after partition pruning limits both reads to touched partitions.
+    */
+  def snapshotDiff(oldS: DataFrame, newS: DataFrame): DataFrame =
+    oldS.select(col("k"), col("payload").as("p_old"))
+      .join(newS.select(col("k"), col("payload").as("p_new")),
+        Seq("k"), "full_outer")
+      .withColumn("op", when(col("p_old").isNull, "insert")
+        .when(col("p_new").isNull, "delete")
+        .when(col("p_old") =!= col("p_new"), "update"))
+      .filter(col("op").isNotNull)
+      .select(col("k").as("key"), col("op"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // S1/P1/P10: filtered+projected scan, pushdown-friendly
@@ -311,6 +331,41 @@ object Relational {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY 1""".stripMargin)),
+
+    // S26 (beyond-ref): CDC-out snapshot diff. The two snapshots
+    // derive deterministically from orders in-query (yesterday =
+    // keys%10≠3, today = keys%10≠9 with %10==7 repriced), so both
+    // engines diff identical tables; payloads encode money as exact
+    // cents, never float strings.
+    QueryDef("cdc_snapshot_diff",
+      (s, d) => {
+        val base = ord(s, d).select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val oldS = base.filter(col("k") % 10 =!= 3)
+          .select(col("k"), concat_ws("|", col("st"), col("cents"))
+            .as("payload"))
+        val newS = base.filter(col("k") % 10 =!= 9)
+          .select(col("k"), concat_ws("|", col("st"),
+            when(col("k") % 10 === 7, col("cents") + 100L)
+              .otherwise(col("cents"))).as("payload"))
+        snapshotDiff(oldS, newS)
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+             |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |o AS (SELECT k, st || '|' || cents AS payload FROM base
+             |  WHERE k % 10 <> 3),
+             |n AS (SELECT k, st || '|' ||
+             |    (CASE WHEN k % 10 = 7 THEN cents + 100 ELSE cents END)
+             |    AS payload FROM base WHERE k % 10 <> 9)
+             |SELECT COALESCE(o.k, n.k) AS key,
+             |CASE WHEN o.k IS NULL THEN 'insert'
+             |  WHEN n.k IS NULL THEN 'delete'
+             |  WHEN o.payload <> n.payload THEN 'update' END AS op
+             |FROM o FULL OUTER JOIN n ON o.k = n.k
+             |WHERE o.k IS NULL OR n.k IS NULL
+             |  OR o.payload <> n.payload""".stripMargin)),
 
     // A4-salted: the skew-mitigation pattern — two-stage aggregation
     // through an explicit salt so one hot key spreads over 16 partial

@@ -97,7 +97,8 @@ class DeterminismSpec extends SparkSpec {
     "txt_unigram_viterbi",    // integer-cost DP rungs + vocab cut
     "sim_kmeans_lloyd",       // integer Lloyd rounds + floor means
     "bi_dow_seasonality",     // calendar-arithmetic dow + ppm index
-    "e13_conversion_latency") // per-user anchors + discrete quartiles
+    "e13_conversion_latency", // per-user anchors + discrete quartiles
+    "cdc_snapshot_diff")      // full-outer diff + payload compare
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -45,4 +45,16 @@ class RelationalSpec extends SparkSpec {
     val none = orders.filter($"o_orderpriority" === "never")
     assert(Relational.bloomPrefilterJoin(none, li).count() === 0L)
   }
+
+  test("snapshot diff: insert/update/delete classified, unchanged silent") {
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "payload")
+    val newS = Seq((1L, "a"), (2L, "B"), (4L, "d"))
+      .toDF("k", "payload")
+    val got = Relational.snapshotDiff(oldS, newS)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+    // identical snapshots: an empty feed, not a table-sized one
+    assert(Relational.snapshotDiff(oldS, oldS).count() === 0L)
+  }
 }

@@ -329,19 +329,24 @@ object Similarity {
     * only shuffle keys on cell id. Recall improves with multiprobe
     * (assign to top-P cells) — a parameter, not new plumbing.
     */
-  def knnIvf(emb: DataFrame, k: Int = K): DataFrame = {
+  /** The IVF index table: every vector with its home cell. */
+  def ivfAssign(emb: DataFrame): DataFrame = {
     val e = vecs(emb)
     val cent = e.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cent_id"))
-    val assigned = e.join(broadcast(cent))
+    e.join(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cent_id"),
         round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+  }
+
+  /** Exact search within cells of a prebuilt index table. */
+  def searchAssigned(assigned: DataFrame, k: Int = K): DataFrame = {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
@@ -355,6 +360,54 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("nbr_id"), col("cos"))
+  }
+
+  def knnIvf(emb: DataFrame, k: Int = K): DataFrame =
+    searchAssigned(ivfAssign(emb), k)
+
+  /** V7: the persisted-index serving path — build the IVF assignment
+    * table ONCE per (JVM, source), write it cell-partitioned to a
+    * store directory, and serve every later query from the store
+    * read (the ml_recommendations_from_store pattern on the vector
+    * tier: a production ANN index is built by an indexing job and
+    * read by the query fleet, not re-derived per query; the
+    * cell-partitioned layout means a single-cell probe reads one
+    * directory). Results are row-identical to the inline knnIvf by
+    * construction — same index relation, same search — so the
+    * registered query shares sim_knn_ivf's oracle.
+    */
+  private val ivfStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shared oracle for sim_knn_ivf and its from-store twin. */
+  private lazy val ivfSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+       |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+       |  SELECT e.vec_id, e.v, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+       |      c.cent_id) rn
+       |  FROM e, cent c) WHERE rn = 1),
+       |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
+       |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, nbr_id) rk FROM scored)
+       |WHERE rk <= $K""".stripMargin
+
+  def knnIvfFromStore(s: SparkSession, d: String, k: Int = K): DataFrame = {
+    val dir = ivfStores.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index").toString + "/idx"
+      ivfAssign(Tables.embeddings(s, d)).write
+        .partitionBy("cell").parquet(out)
+      out
+    })
+    searchAssigned(s.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cell")), k)
   }
 
   /** IVF with multi-cell probing: every vector still LIVES in its one
@@ -1195,22 +1248,14 @@ object Similarity {
 
     QueryDef("sim_knn_ivf",
       (s, d) => knnIvf(Tables.embeddings(s, d)),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
-              |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
-              |  SELECT e.vec_id, e.v, c.cent_id,
-              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-              |      c.cent_id) rn
-              |  FROM e, cent c) WHERE rn = 1),
-              |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
-              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-              |  FROM assigned a JOIN assigned b
-              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
-              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY cos DESC, nbr_id) rk FROM scored)
-              |WHERE rk <= $K""".stripMargin)),
+      Some(ivfSql)),
+
+    // V7 (beyond-ref): same index relation served from the persisted
+    // cell-partitioned store — row-identical to sim_knn_ivf, so it
+    // shares the oracle (the driver independently re-verifies that).
+    QueryDef("sim_knn_ivf_from_store",
+      (s, d) => knnIvfFromStore(s, d),
+      Some(ivfSql)),
 
     QueryDef("sim_mmr_rerank",
       (s, d) => mmrRerank(Tables.embeddings(s, d)),

@@ -98,7 +98,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_kmeans_lloyd",       // integer Lloyd rounds + floor means
     "bi_dow_seasonality",     // calendar-arithmetic dow + ppm index
     "e13_conversion_latency", // per-user anchors + discrete quartiles
-    "cdc_snapshot_diff")      // full-outer diff + payload compare
+    "cdc_snapshot_diff",      // full-outer diff + payload compare
+    "sim_knn_ivf_from_store") // persisted-index read + in-cell search
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -358,6 +358,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getOrElse(0L, 0L) + got.getOrElse(50L, 0L) === 60L)
   }
 
+  test("ivf from store: the persisted index serves identical rows") {
+    val d = "/root/testdata/sf0.001"
+    val inline = Similarity.knnIvf(graft.Tables.embeddings(spark, d))
+      .collect().map(_.toString).sorted.toSeq
+    val stored = Similarity.knnIvfFromStore(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored === inline)
+    assert(stored.nonEmpty)
+  }
+
   test("normalize: mean-centered unit vectors, exact symmetric case") {
     // mean = (1,1); centered v1=(1,-1), v2=(-1,1); both normalize to
     // ±1/√2 = ±0.707107 (rounded)

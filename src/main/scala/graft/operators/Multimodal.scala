@@ -146,6 +146,76 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** MM8: DCT perceptual hash (the classic pHash) — the frequency-
+    * domain sibling of aHash: decode, bilinear 32×32 grayscale, 2-D
+    * DCT-II, keep the top-left 8×8 LOW-frequency block (minus the DC
+    * term), bit k set iff coefficient k exceeds the block median.
+    * Robust to the brightness/contrast shifts that flip aHash bits
+    * (they scale coefficients but largely preserve the
+    * above/below-median pattern); the standard near-dup key for
+    * re-encoded and mildly edited images. Same mapPartitions batch
+    * shape; None for undecodable payloads.
+    */
+  def phashImage(payload: Array[Byte]): Option[Long] = {
+    if (!looksLikePng(payload) && !looksLikeJpeg(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val n = 32
+      val small = new java.awt.image.BufferedImage(n, n,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, n, n, null)
+      } finally g.dispose()
+      val px = Array.tabulate(n, n) { (y, x) =>
+        val rgb = small.getRGB(x, y)
+        (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000).toDouble
+      }
+      // separable DCT-II: rows then columns, only the first 8 output
+      // frequencies of each pass are ever read
+      val cosTab = Array.tabulate(8, n) { (u, i) =>
+        math.cos((2 * i + 1) * u * math.Pi / (2.0 * n))
+      }
+      val rows = Array.tabulate(n, 8) { (y, u) =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += px(y)(i) * cosTab(u)(i); i += 1 }
+        s
+      }
+      val freq = Array.tabulate(8, 8) { (v, u) =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += rows(i)(u) * cosTab(v)(i); i += 1 }
+        s
+      }
+      val coeffs = (0 until 64).filter(_ != 0)
+        .map(k => freq(k / 8)(k % 8))
+      val median = coeffs.sorted.apply(coeffs.size / 2)
+      Some((0 until 64).filterNot(_ == 0).foldLeft(0L) { (h, k) =>
+        if (freq(k / 8)(k % 8) > median) h | (1L << k) else h
+      })
+    } catch { case _: Exception => None }
+  }
+
+  /** pHash pass: real DCT hash for decodable images, md5 stub
+    * otherwise — mm_ahash's registration shape.
+    */
+  def phash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val h = if (r.kind == "image") phashImage(r.payload)
+          .getOrElse(ahashStub(r.payload))
+        else ahashStub(r.payload)
+        (r.media_id, r.kind, h)
+      }
+    }.toDF("media_id", "kind", "phash")
+  }
+
   /** Stub hash for non-image payloads: the 60-bit md5 prefix, exactly
     * the oracle's CAST(concat('0x', substr(md5(payload),1,15)) AS
     * BIGINT) — so the registered query stays hash-checkable on the
@@ -313,6 +383,17 @@ object Multimodal {
               |SELECT media_id, kind,
               |CAST(concat('0x', substr(md5(payload),1,15)) AS BIGINT)
               |  AS ahash
+              |FROM media""".stripMargin)),
+
+    // MM8 (beyond-ref): DCT pHash — real frequency-domain hash for
+    // decodable images (spec-checked), md5 stub on the synthetic
+    // text payloads the oracle models.
+    QueryDef("mm_phash",
+      (s, d) => phash(media(s, d)),
+      Some(s"""WITH $mediaSql
+              |SELECT media_id, kind,
+              |CAST(concat('0x', substr(md5(payload),1,15)) AS BIGINT)
+              |  AS phash
               |FROM media""".stripMargin)),
 
     // Modality-mix corpus report: asset counts and payload bytes per

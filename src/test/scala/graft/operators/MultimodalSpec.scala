@@ -103,6 +103,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) === expect && got(3L) === expect)
   }
 
+  test("phash: DCT key survives codec AND brightness shift; " +
+    "patterns stay apart") {
+    def pattern(f: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // textured pattern: a broad, well-separated DCT spectrum (a hard
+    // step edge leaves most coefficients ~0, where the median compare
+    // is pure noise — pathological for ANY pHash, not just this one)
+    def gray(v: Int) = { val c = v & 0xff; (c << 16) | (c << 8) | c }
+    def tex(scale: Int)(x: Int, y: Int) =
+      gray(((x * 7 + (y * y) / 3 + ((x * y) % 31) * 5) % 200 + 28)
+        * scale / 100)
+    val texB = tex(100) _
+    val texDim = tex(60) _ // same picture at 60% brightness
+    val topBright = (_: Int, y: Int) => if (y < 32) 0xffffff else 0x000000
+    val pngL = Multimodal.phashImage(pattern(texB, "png")).get
+    val jpgL = Multimodal.phashImage(pattern(texB, "jpg")).get
+    val pngDim = Multimodal.phashImage(pattern(texDim, "png")).get
+    val pngT = Multimodal.phashImage(pattern(topBright, "png")).get
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(pngL, jpgL) <= 10, "codec moved the DCT hash")
+    assert(hamming(pngL, pngDim) <= 10, "brightness moved the DCT hash")
+    assert(hamming(pngL, pngT) >= 16, "different pictures too close")
+    // non-image: None real path; pass stubs like ahash
+    val txt = "not an image".getBytes("UTF-8")
+    assert(Multimodal.phashImage(txt).isEmpty)
+    val got = Multimodal.phash(Seq(
+      (1L, "image", pattern(texB, "png")),
+      (2L, "audio", txt)).toDF("media_id", "kind", "payload"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) === pngL)
+    assert(got(2L) === Multimodal.ahashStub(txt))
+  }
+
   test("resize: integer aspect math") {
     val out = Multimodal.resizePlan(Multimodal.decode(Multimodal.mediaTable(docs)))
       .select("media_id", "width", "height", "out_width", "out_height")

@@ -329,11 +329,16 @@ object Similarity {
     * only shuffle keys on cell id. Recall improves with multiprobe
     * (assign to top-P cells) — a parameter, not new plumbing.
     */
-  /** The IVF index table: every vector with its home cell. */
-  def ivfAssign(emb: DataFrame): DataFrame = {
+  /** The IVF index table: every vector with its home cell. Centroids
+    * default to the strided seeds of `emb`; pass `centOpt` to assign
+    * against a FIXED codebook (the incremental-append contract).
+    */
+  def ivfAssign(emb: DataFrame,
+                centOpt: Option[DataFrame] = None): DataFrame = {
     val e = vecs(emb)
-    val cent = e.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cent = centOpt.getOrElse(
+      e.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cent_id"))
@@ -343,6 +348,27 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+  }
+
+  /** V8: incremental index maintenance — the daily-ingest shape on
+    * the vector tier (dedup_incremental's ANN sibling): a new batch
+    * assigns against the STORE's existing codebook (the centroid
+    * rows, recoverable as vec_id == cell since a seed's own cosine
+    * is 1.0) and appends to the cell-partitioned store — no rebuild,
+    * no reshuffle of the existing index; per-ingest cost is
+    * batch-sized. Centroids stay fixed across appends (the production
+    * contract: FAISS/IVF indexes retrain the coarse quantizer
+    * offline, not per ingest), so an appended store answers queries
+    * exactly as a batch build over the union with the same codebook
+    * would — spec-proven.
+    */
+  def ivfAppend(s: SparkSession, dir: String, newEmb: DataFrame): Unit = {
+    val cents = s.read.parquet(dir)
+      .filter(col("vec_id") === col("cell"))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .localCheckpoint(false)
+    ivfAssign(newEmb, Some(cents))
+      .write.mode("append").partitionBy("cell").parquet(dir)
   }
 
   /** Exact search within cells of a prebuilt index table. */

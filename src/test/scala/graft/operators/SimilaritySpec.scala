@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpec {
 
@@ -366,6 +367,37 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(stored === inline)
     assert(stored.nonEmpty)
+  }
+
+  test("ivf append: fixed-codebook ingest equals the batch build") {
+    // base half includes the strided seeds (0 and 50); the appended
+    // batch must assign against THOSE centroids, not reseed
+    val all = (0 until 120).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 31 + d * 17) % 13 - 6).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val base = all.filter($"vec_id" < 80)
+    val batch = all.filter($"vec_id" >= 80)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/i"
+    Similarity.ivfAssign(base).write.partitionBy("cell").parquet(dir)
+    Similarity.ivfAppend(spark, dir, batch)
+    val stored = Similarity.searchAssigned(
+      spark.read.parquet(dir).select(col("vec_id"), col("v"), col("cell")))
+      .collect().map(_.toString).sorted.toSeq
+    // reference: batch build over the union with base's codebook
+    val cents = Similarity.ivfAssign(base)
+      .filter($"vec_id" === $"cell")
+      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val direct = Similarity.searchAssigned(
+      Similarity.ivfAssign(all, Some(cents)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored === direct)
+    assert(stored.nonEmpty)
+    // appended vectors really landed in existing cells
+    val cells = spark.read.parquet(dir).filter($"vec_id" >= 80)
+      .select("cell").distinct().as[Long].collect().toSet
+    assert(cells.subsetOf(Set(0L, 50L)))
   }
 
   test("normalize: mean-centered unit vectors, exact symmetric case") {

@@ -240,6 +240,71 @@ object Events {
       .limit(k)
   }
 
+  val CovisGapUs: Long = 30L * 60 * 1000000
+  val CovisCap = 32
+  val CovisTopK = 10
+
+  /** E14 (beyond-ref): session covisitation — the candidate generator
+    * modern large-scale recommenders lead with (the OTTO/Merlin
+    * "co-visitation matrix"): two items are related when the same
+    * user touches both in one browsing session. Complements the CF
+    * family (order-grain co-purchase needs a transaction; this fires
+    * on views) and bi_basket_lift (whose basket IS the order): the
+    * session is the behavioral basket.
+    *
+    * Pipeline: gap-sessionize (the st5 device, same one-shuffle
+    * (user, ts) ordering) → DISTINCT items per session in first-seen
+    * order → per-session cap (row_number ≤ cap: a crawler session
+    * touching 10⁴ items contributes cap², not 10⁸, pairs — the CF
+    * CapPerUser device at session grain) → canonical i<j pairs
+    * counted at pair grain → symmetric top-k neighbors per anchor
+    * (WindowGroupLimit bounds the rank window's shuffle).
+    *
+    * Scale: the only data-sized shuffles are the session sort and the
+    * (session-grain)² ≤ cap² pair explosion keyed on item pairs;
+    * the top-k window runs at item grain. Deterministic: ties break
+    * (n_co desc, nbr asc); the cap keeps FIRST-seen items (min ts,
+    * then item id) so reruns and repartitions agree.
+    */
+  def covisitation(events: DataFrame, gapUs: Long = CovisGapUs,
+                   cap: Int = CovisCap, k: Int = CovisTopK): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val sess = events
+      .withColumn("item",
+        get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_start",
+        (col("prev").isNull || col("ts_us") - col("prev") > gapUs)
+          .cast("long"))
+      .withColumn("session_id",
+        sum(col("is_start")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val items = sess.filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("session_id"), col("item"))
+      .agg(min(col("ts_us")).as("first_us"))
+    val wCap = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("first_us"), col("item"))
+    val capped = items.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= cap)
+      .select(col("user_id"), col("session_id"), col("item"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.session_id") === col("y.session_id") &&
+          col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("i"), col("y.item").as("j"))
+      .agg(count(lit(1)).as("n_co"))
+    val sym = pairs
+      .select(col("i").as("item"), col("j").as("nbr"), col("n_co"))
+      .unionByName(pairs
+        .select(col("j").as("item"), col("i").as("nbr"), col("n_co")))
+    val wTop = Window.partitionBy(col("item"))
+      .orderBy(col("n_co").desc, col("nbr"))
+    sym.withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("item"), col("nbr"), col("n_co"), col("rnk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("e1_json_extract",
@@ -486,6 +551,40 @@ object Events {
               |SELECT path, CAST(COUNT(*) AS BIGINT) n_sessions FROM p
               |GROUP BY 1 ORDER BY n_sessions DESC, path
               |LIMIT $PathK""".stripMargin)),
+
+    // E14 (beyond-ref): session covisitation candidates — see
+    // covisitation for the cap/top-k scale devices.
+    QueryDef("ml_covisitation",
+      (s, d) => covisitation(ev(s, d)),
+      Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+              |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+              |  FROM events),
+              |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+              |    OR ts_us - lag(ts_us) OVER w > $CovisGapUs
+              |    THEN 1 ELSE 0 END AS is_start
+              |  FROM e WINDOW w AS (PARTITION BY user_id
+              |    ORDER BY ts_us, event_id)),
+              |sess AS (SELECT *, CAST(SUM(is_start) OVER (
+              |    PARTITION BY user_id ORDER BY ts_us, event_id
+              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              |  FROM g),
+              |it AS (SELECT user_id, session_id, item, MIN(ts_us) first_us
+              |  FROM sess WHERE item IS NOT NULL GROUP BY 1, 2, 3),
+              |cap AS (SELECT user_id, session_id, item FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id,
+              |      session_id ORDER BY first_us, item) rn FROM it)
+              |  WHERE rn <= $CovisCap),
+              |p AS (SELECT x.item AS i, y.item AS j,
+              |    CAST(COUNT(*) AS BIGINT) AS n_co
+              |  FROM cap x JOIN cap y ON x.user_id = y.user_id
+              |    AND x.session_id = y.session_id AND x.item < y.item
+              |  GROUP BY 1, 2),
+              |sym AS (SELECT i AS item, j AS nbr, n_co FROM p
+              |  UNION ALL SELECT j AS item, i AS nbr, n_co FROM p)
+              |SELECT item, nbr, n_co, CAST(rnk AS BIGINT) AS rnk FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+              |    ORDER BY n_co DESC, nbr) AS rnk FROM sym)
+              |WHERE rnk <= $CovisTopK""".stripMargin)),
 
     QueryDef("e9_new_vs_returning",
       (s, d) => newVsReturning(Tables.events(s, d).select(col("user_id"),

@@ -371,6 +371,78 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(dir)
   }
 
+  /** V10: deletion on the persisted index — the other half of the
+    * index lifecycle (build → serve → append → DELETE → compact).
+    * FAISS semantics: a delete tombstones the vector id (an O(batch)
+    * parquet append beside the index — no index rewrite, no
+    * reshuffle); serving anti-joins the tombstone table so deleted
+    * vectors vanish from BOTH roles (query and candidate) at read
+    * time. Coarse-quantizer seed rows are index infrastructure, not
+    * payload — deleting one would orphan every later ivfAppend, so
+    * the call refuses them (retrain the codebook to remove a
+    * centroid, as FAISS does).
+    */
+  def ivfDelete(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "refusing to delete with an empty id list")
+    import s.implicits._
+    val seeds = s.read.parquet(dir)
+      .filter(col("vec_id") === col("cell") &&
+        col("vec_id").isin(ids: _*))
+      .select("vec_id").as[Long].collect()
+    require(seeds.isEmpty,
+      s"ids ${seeds.mkString(",")} are codebook seeds; retrain instead")
+    ids.toDF("vec_id").write.mode("append").parquet(s"$dir.tombstones")
+  }
+
+  private def tombstones(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir.tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+  }
+
+  /** Serving read over the tombstoned store: live rows only. */
+  def searchStoreLive(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val idx = s.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val live = tombstones(s, dir)
+      .map(t => idx.join(t, Seq("vec_id"), "left_anti")).getOrElse(idx)
+    searchAssigned(live, k)
+  }
+
+  /** Compaction: physically drop tombstoned rows, rewriting ONLY the
+    * cells that hold them (the Erasure copy-on-write device on the
+    * cell axis — untouched cell directories are never read or
+    * written), then clear the tombstone table. Idempotent; returns
+    * rows removed. After compaction the serving read is
+    * tombstone-free, and results are unchanged by construction.
+    */
+  def ivfCompact(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    val tomb = tombstones(s, dir).getOrElse(return 0L)
+      .select("vec_id").distinct().localCheckpoint(false)
+    val idx = s.read.parquet(dir)
+    val nRemoved = idx.join(tomb, Seq("vec_id"), "left_semi").count()
+    val touched = idx.join(tomb, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().as[Long].collect().sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (touched.nonEmpty) {
+      val remaining = idx.filter(col("cell").isin(touched: _*))
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .localCheckpoint() // materialize off the files being replaced
+      val keptCells = remaining.select("cell").distinct()
+        .as[Long].collect().toSet
+      remaining.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(dir)
+      touched.filterNot(keptCells).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"cell=$c"), true)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir.tombstones"), true)
+    nRemoved
+  }
+
   /** Exact search within cells of a prebuilt index table. */
   def searchAssigned(assigned: DataFrame, k: Int = K): DataFrame = {
     val wRank = org.apache.spark.sql.expressions.Window
@@ -472,6 +544,77 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("nbr_id"), col("cos"))
+  }
+
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4)
+
+  /** V9: nprobe sensitivity sweep — recall@k at every nprobe in
+    * `NprobeSweep` against the brute baseline, from ONE assignment +
+    * ONE scoring pass (the dedup_threshold_sweep device on the index
+    * axis: the candidate set at the largest probe count contains
+    * every smaller one, so each candidate row carries its query's
+    * cell_rank and the per-p top-k is a rank window over the
+    * cell_rank ≤ p restriction — no re-probe, no re-score). This is
+    * how the nprobe knob actually gets picked: the monitors price one
+    * operating point each; the sweep draws the recall-vs-cost curve
+    * in a single job.
+    *
+    * Scale: candidate generation is the knnIvfProbe shape at max(p)
+    * (cell-keyed shuffle, queries replicated ≤ max(p)×); the sweep
+    * adds only |sweep|-way replication of CANDIDATE rows (bounded by
+    * probes × cell occupancy), and every aggregate is query-grain.
+    */
+  def nprobeSweep(emb: DataFrame, k: Int = K): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = vecs(emb)
+    val cent = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val ranked = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .localCheckpoint(false) // one assignment serves home + probes
+    val home = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val probeSide = ranked
+      .filter(col("rn") <= NprobeSweep.max &&
+        col("vec_id") % QueryStride === 0)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"),
+        col("rn").as("cell_rank"))
+    val cand = probeSide.as("a")
+      .join(home.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("a.cell_rank"),
+        col("b.vec_id").as("nbr_id"),
+        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
+      .localCheckpoint(false) // one scoring pass serves every p
+    val ps = NprobeSweep.map(_.toLong).toDF("nprobe")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    val ap = cand.join(broadcast(ps), col("cell_rank") <= col("nprobe"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+      .select(col("nprobe"), col("query_id"), col("nbr_id"))
+    val exact = knnBrute(emb, k)
+      .select(col("query_id"), col("nbr_id")).localCheckpoint(false)
+    val hits = ap.join(exact,
+        Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val base = exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    base.crossJoin(broadcast(ps))
+      .join(hits, Seq("nprobe", "query_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_exact")), 6).as("avg_recall"))
   }
 
   /** IVF cell histogram — sim_bucket_stats' counterpart for the
@@ -1402,6 +1545,51 @@ object Similarity {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)
               |WHERE rk <= $K""".stripMargin)),
+
+    // V9 (beyond-ref): recall-vs-nprobe curve from one pass — see
+    // nprobeSweep for the shared-candidate-set device.
+    QueryDef("sim_nprobe_sweep",
+      (s, d) => nprobeSweep(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+              |ranked AS (SELECT e.vec_id, e.v, c.cent_id AS cell,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+              |      c.cent_id) rn
+              |  FROM e, cent c),
+              |home AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+              |probe AS (SELECT vec_id, v, cell, rn AS cell_rank FROM ranked
+              |  WHERE rn <= ${NprobeSweep.max} AND vec_id % $QueryStride = 0),
+              |cand AS (SELECT a.vec_id query_id, a.cell_rank, b.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM probe a JOIN home b
+              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+              |ps AS (SELECT CAST(unnest([${NprobeSweep.mkString(", ")}]) AS BIGINT)
+              |  AS nprobe),
+              |ap AS (SELECT nprobe, query_id, nbr_id FROM (
+              |  SELECT ps.nprobe, c.query_id, c.nbr_id,
+              |    ROW_NUMBER() OVER (PARTITION BY ps.nprobe, c.query_id
+              |      ORDER BY c.cos DESC, c.nbr_id) rk
+              |  FROM cand c JOIN ps ON c.cell_rank <= ps.nprobe)
+              |  WHERE rk <= $K),
+              |exsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
+              |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id % $QueryStride = 0),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |hits AS (SELECT ap.nprobe, ap.query_id, COUNT(*) n_hit
+              |  FROM ap JOIN ex ON ap.query_id = ex.query_id
+              |    AND ap.nbr_id = ex.nbr_id
+              |  GROUP BY 1, 2),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1),
+              |grid AS (SELECT nprobe, query_id, n_exact FROM base, ps)
+              |SELECT nprobe, COUNT(*) AS n_queries,
+              |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6)
+              |  AS avg_recall
+              |FROM grid LEFT JOIN hits USING (nprobe, query_id)
+              |GROUP BY 1""".stripMargin)),
 
     // V4 (beyond-ref): product quantization — the third compression
     // family beside SQ8 (per-dim bits) and truncation (fewer dims):

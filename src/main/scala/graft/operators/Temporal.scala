@@ -392,6 +392,59 @@ object Temporal {
         expr("1000 * num div den").as("ewma_milli"))
   }
 
+  /** TS5 (beyond-ref): CUSUM mean-shift detection over the per-type
+    * hourly volume series — the change-point monitor that catches a
+    * SUSTAINED drift the TS3 z-score (pointwise, trailing baseline)
+    * re-absorbs into its own window after `w` buckets: CUSUM
+    * accumulates every bucket's excess over (reference mean + slack),
+    * so a persistent +60% shift keeps climbing until the alarm, no
+    * matter how long ago it started.
+    *
+    * The recursion S_t = max(0, S_{t-1} + y_t) looks inherently
+    * sequential, but has the closed form
+    *   S_t = cs_t − min(0, min_{j≤t} cs_j),   cs = running Σy
+    * (induction: subtracting the running minimum is exactly the
+    * last reset-to-zero) — so the whole detector is ONE ordered
+    * window pass per event_type at series grain: cumsum + running
+    * min, both over the same (type, bucket) ordering, one shuffle.
+    *
+    * Exact integers end to end: the reference window is the series'
+    * first half of buckets per type (the ops_drift_psi midpoint
+    * device); with refN its bucket count and refS its row sum, the
+    * per-bucket deviation is scaled by refN —
+    *   y_t = n_t·refN − refS − refS div 2
+    * (= refN·(n_t − μ·1.5) without any division by refN), slack =
+    * half the reference mean, alarm at S > 5·refS (≈ five reference-
+    * mean-buckets of accumulated excess). Engine-identical: every
+    * quantity is BIGINT arithmetic on non-negatives (div == //);
+    * |cs| ≤ total_rows·refN, so a 10¹²-row series with a 10⁴-bucket
+    * reference stays < 2⁶³.
+    */
+  def cusumShift(events: DataFrame, bucketUs: Long = HourUs): DataFrame = {
+    val series = events
+      .groupBy(col("event_type"), expr(s"ts_us div $bucketUs").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val ref = series
+      .groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .join(series, Seq("event_type"))
+      .filter(col("bucket") <= expr("(mn + mx) div 2"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("refn"), sum(col("n")).as("refs"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.join(ref, Seq("event_type"))
+      .withColumn("y",
+        col("n") * col("refn") - col("refs") - expr("refs div 2"))
+      .withColumn("cs", sum(col("y")).over(w))
+      .withColumn("lo", least(lit(0L), min(col("cs")).over(w)))
+      .select(col("event_type"),
+        (col("bucket") * bucketUs).as("bucket_start_us"), col("n"),
+        (col("cs") - col("lo")).as("cusum"),
+        (col("cs") - col("lo") > col("refs") * 5).cast("long")
+          .as("is_alarm"))
+  }
+
   /** Full-rebuild SCD2 SQL — the oracle for both scd2_history and
     * scd2_merge (the merge must reproduce the rebuild exactly).
     */
@@ -468,6 +521,39 @@ object Temporal {
               |SELECT s.event_type, s.bucket * $HourUs AS bucket_start_us,
               |s.n, CAST(1000 * num // den AS BIGINT) AS ewma_milli
               |FROM series s JOIN sums USING (event_type, bucket)""".stripMargin)),
+
+    // TS5 (beyond-ref): CUSUM sustained-shift detection — see
+    // cusumShift for the closed-form reset identity and the
+    // exact-integer scaling.
+    QueryDef("ts_cusum",
+      (s, d) => cusumShift(ev(s, d)),
+      Some(s"""WITH series AS (SELECT event_type,
+              |    epoch_us(ts) // $HourUs AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1, 2),
+              |b AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+              |  FROM series GROUP BY 1),
+              |ref AS (SELECT s.event_type,
+              |    CAST(COUNT(*) AS BIGINT) AS refn,
+              |    CAST(SUM(n) AS BIGINT) AS refs
+              |  FROM series s JOIN b USING (event_type)
+              |  WHERE bucket <= (mn + mx) // 2 GROUP BY 1),
+              |y AS (SELECT s.event_type, bucket, n, refs,
+              |    n * refn - refs - refs // 2 AS y
+              |  FROM series s JOIN ref USING (event_type)),
+              |c AS (SELECT event_type, bucket, n, refs,
+              |    CAST(SUM(y) OVER w AS BIGINT) AS cs
+              |  FROM y WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+              |    ROWS UNBOUNDED PRECEDING)),
+              |m AS (SELECT event_type, bucket, n, refs, cs,
+              |    LEAST(CAST(0 AS BIGINT), CAST(MIN(cs) OVER w AS BIGINT))
+              |      AS lo
+              |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+              |    ROWS UNBOUNDED PRECEDING))
+              |SELECT event_type, bucket * $HourUs AS bucket_start_us, n,
+              |cs - lo AS cusum,
+              |CAST(cs - lo > refs * 5 AS BIGINT) AS is_alarm
+              |FROM m""".stripMargin)),
 
     // As-of: each purchase matched to the user's most recent
     // non-purchase event at-or-before it. Oracle uses DuckDB's native

@@ -99,7 +99,10 @@ class DeterminismSpec extends SparkSpec {
     "bi_dow_seasonality",     // calendar-arithmetic dow + ppm index
     "e13_conversion_latency", // per-user anchors + discrete quartiles
     "cdc_snapshot_diff",      // full-outer diff + payload compare
-    "sim_knn_ivf_from_store") // persisted-index read + in-cell search
+    "sim_knn_ivf_from_store", // persisted-index read + in-cell search
+    "ts_cusum",               // prefix-sum − running-min reset identity
+    "ml_covisitation",        // session pairs + capped first-seen order
+    "sim_nprobe_sweep")       // shared candidate set × per-p rank cuts
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

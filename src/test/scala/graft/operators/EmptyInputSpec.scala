@@ -109,6 +109,14 @@ class EmptyInputSpec extends SparkSpec {
     val lat0 = empty("event_id" -> LongType, "user_id" -> LongType,
       "ts_us" -> LongType, "event_type" -> StringType)
     assert(Events.conversionLatency(lat0).count() === 1) // all-zero row
+    // session-5 continuation: CUSUM / covisitation / nprobe sweep
+    assert(Temporal.cusumShift(series0).count() === 0)
+    val cov0 = empty("event_id" -> LongType, "user_id" -> LongType,
+      "ts_us" -> LongType, "props" -> StringType)
+    assert(Events.covisitation(cov0).count() === 0)
+    // recall summary over zero queries: one row per sweep point with
+    // zero queries would be vacuous — empty base gives empty output
+    assert(Similarity.nprobeSweep(emb0).count() === 0)
   }
 
   test("quality/ops family is total on empty input") {

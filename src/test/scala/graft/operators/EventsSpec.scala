@@ -191,4 +191,32 @@ class EventsSpec extends SparkSpec {
       .as[(Long, Long, Option[Long], Option[Long], Option[Long])].head()
     assert(none === ((1L, 0L, None, None, None)))
   }
+
+  test("covisitation: session pairs, repeat dedup, cap keeps first-seen") {
+    def row(e: Long, u: Long, t: Long, item: Long) =
+      (e, u, t, s"""{"k": $item}""")
+    val e = Seq(
+      // u1 session A: items 1,2,3 (+ a repeat of 1 — dedups)
+      row(1, 1, 0, 1), row(2, 1, 10, 2), row(3, 1, 20, 3), row(4, 1, 25, 1),
+      // u1 session B (gap > 1000): items 1,2 again
+      row(5, 1, 5000, 1), row(6, 1, 5010, 2),
+      // u2 one session: items 2,3
+      row(7, 2, 0, 2), row(8, 2, 10, 3),
+      // u3: three items under cap=2 -> only first-seen (9, 8) pair
+      row(9, 3, 0, 9), row(10, 3, 1, 8), row(11, 3, 2, 7))
+      .toDF("event_id", "user_id", "ts_us", "props")
+    val got = Events.covisitation(e, gapUs = 1000L, cap = 2, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // cap=2 also trims u1 session A to items {1,2} (first-seen order)
+    // pair counts: (1,2)=2, (2,3)=1, (8,9)=1
+    assert(got === Set(
+      (1L, 2L, 2L, 1L), (2L, 1L, 2L, 1L), (2L, 3L, 1L, 2L),
+      (3L, 2L, 1L, 1L), (8L, 9L, 1L, 1L), (9L, 8L, 1L, 1L)))
+    // wider cap admits the full session-A triangle
+    val wide = Events.covisitation(e, gapUs = 1000L, cap = 32, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(wide((1L, 3L)) === 1L && wide((2L, 3L)) === 2L
+      && wide((1L, 2L)) === 2L && wide((7L, 8L)) === 1L)
+  }
 }

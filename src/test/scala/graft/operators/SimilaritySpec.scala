@@ -413,4 +413,71 @@ class SimilaritySpec extends SparkSpec {
     assert(got((2L, 0)) === -0.707107)
     assert(got((2L, 1)) === 0.707107)
   }
+
+  test("ivf delete+compact: tombstoned rows vanish; compaction is physical") {
+    val all = (0 until 120).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 31 + d * 17) % 13 - 6).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfd").toString + "/i"
+    Similarity.ivfAssign(all).write.partitionBy("cell").parquet(dir)
+
+    val before = Similarity.searchStoreLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before.nonEmpty)
+
+    // codebook seeds (vec_id == cell) are refused
+    val seed = spark.read.parquet(dir)
+      .filter($"vec_id" === $"cell").select("vec_id")
+      .as[Long].head()
+    intercept[IllegalArgumentException] {
+      Similarity.ivfDelete(spark, dir, Seq(seed))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfDelete(spark, dir, Seq.empty)
+    }
+
+    // tombstone two payload rows: they disappear from both roles
+    val dead = Seq(7L, 23L)
+    Similarity.ivfDelete(spark, dir, dead)
+    val served = Similarity.searchStoreLive(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(served.forall(r => !dead.contains(r._1) && !dead.contains(r._3)))
+    // served rows equal the index rebuilt WITHOUT the dead rows
+    val expect = Similarity.searchAssigned(
+      spark.read.parquet(dir)
+        .select(col("vec_id"), col("v"), col("cell"))
+        .filter(!$"vec_id".isin(dead: _*)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(served.map(_.toString).sorted.toSeq.nonEmpty)
+    assert(Similarity.searchStoreLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === expect)
+
+    // compaction: physical removal, tombstones cleared, same answers
+    assert(Similarity.ivfCompact(spark, dir) === 2L)
+    assert(!new java.io.File(s"$dir.tombstones").exists())
+    assert(spark.read.parquet(dir)
+      .filter($"vec_id".isin(dead: _*)).count() === 0L)
+    assert(Similarity.searchStoreLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === expect)
+    // idempotent
+    assert(Similarity.ivfCompact(spark, dir) === 0L)
+  }
+
+  test("nprobe sweep: monotone recall, separable clusters saturate at 1") {
+    val e = protoEmb(120)
+    val got = Similarity.nprobeSweep(e)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Similarity.NprobeSweep.map(_.toLong).toSet)
+    // every sweep point scores the same 3 strided queries
+    assert(got.values.forall(_._1 == 3L))
+    // recall can only grow with probes...
+    val sorted = Similarity.NprobeSweep.map(p => got(p.toLong)._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    // ...and on cells == clusters the home cell already holds the
+    // true top-k: recall is 1.0 at every operating point
+    assert(sorted.forall(_ == 1.0))
+  }
 }

@@ -184,6 +184,34 @@ class TemporalSpec extends SparkSpec {
     assert(r5._5 === 1L && r5._4.get > 16.0)
   }
 
+  test("cusum: sustained shift accumulates to the alarm; dips clamp at 0") {
+    def mk(tp: String, atN: Seq[(Long, Int)]) = atN.flatMap {
+      case (b, c) => (0 until c).map(i => (tp, b * 1000L + i))
+    }
+    // "shift": flat n=2 over buckets 0..9 (the reference half:
+    // mid=(0+19) div 2=9 -> refn=10, refs=20, slack=10), then n=5
+    // from bucket 10. y = 10n-30: flat -10/bucket, shifted +20.
+    // cusum climbs 20/bucket from 10; threshold 5*refs=100 -> first
+    // alarm at bucket 15 (cusum 120).
+    // "flat": constant series never alarms and clamps at 0
+    // (y = 3*5-15-7 = -7 < 0 every bucket).
+    val df = (mk("shift", (0L to 9L).map(_ -> 2) ++ (10L to 19L).map(_ -> 5))
+      ++ mk("flat", (0L to 9L).map(_ -> 3)))
+      .toDF("event_type", "ts_us")
+    val got = Temporal.cusumShift(df, bucketUs = 1000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2 / 1000L) -> r).toMap
+    assert(got.size === 30)
+    assert((0L to 9L).forall(b => got(("flat", b))._4 == 0L))
+    assert(got.filter(_._1._1 == "flat").values.forall(_._5 == 0L))
+    // reference half of "shift" sits at 0 too (monotone-down cs)
+    assert((0L to 9L).forall(b => got(("shift", b))._4 == 0L))
+    assert(got(("shift", 10L))._4 === 20L)
+    assert(got(("shift", 14L)) === (("shift", 14000L, 5L, 100L, 0L)))
+    assert(got(("shift", 15L)) === (("shift", 15000L, 5L, 120L, 1L)))
+    assert(got(("shift", 19L))._5 === 1L) // alarm LATCHES while high
+  }
+
   test("ewma: hand-computed kernel sums, adaptive warm-up, gap skipped") {
     def mk(tp: String, atN: Seq[(Long, Int)]) = atN.flatMap {
       case (b, c) => (0 until c).map(_ => (tp, b))

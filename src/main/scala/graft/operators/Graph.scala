@@ -173,6 +173,50 @@ object Graph {
           .otherwise(lit(0L)))
   }
 
+  val LpaIters = 4
+
+  /** G4 (beyond-ref): community detection by synchronous label
+    * propagation (Raghavan 2007) over the co-purchase graph — the
+    * category-discovery companion to triangleStats' local clustering
+    * monitor: each round every node adopts the most frequent label
+    * among its neighbors AND itself (count desc, label asc ties).
+    * Self-inclusion is load-bearing twice over: it breaks the classic
+    * two-cycle oscillation of synchronous LPA on bipartite-ish
+    * structures (a lone edge converges to the min endpoint instead of
+    * swapping forever), and it lets a weakly-attached node keep its
+    * own label against a single intruding neighbor. Fixed rounds +
+    * deterministic ties → both engines walk the IDENTICAL label
+    * sequence, so the result is oracle-hashable (the float-free
+    * analog of the PageRank device; on tie-dominated sparse regions
+    * the rule degenerates toward min-label components, on dense
+    * overlapping structure the counts decide — that is LPA).
+    *
+    * Scale shape: each round is one equi-join of the label vector
+    * (|V| rows) with the adjacency (2|E|+|V| rows with self-loops) on
+    * the neighbor key, a map-side-combinable (node, label) count, and
+    * a node-grain argmax window — the PageRank iteration cost with a
+    * bounded-fanout window instead of a sum. Labels are node ids
+    * (8 bytes), never strings.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = LpaIters): DataFrame = {
+    val nbrs = edges.select(col("i").as("v"), col("j").as("n"))
+      .unionByName(edges.select(col("j").as("v"), col("i").as("n")))
+    val nodes = nbrs.select(col("v")).distinct()
+    val adj = nbrs.unionByName(nodes.select(col("v"), col("v").as("n")))
+      .localCheckpoint(false) // reused every round
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("c").desc, col("label"))
+    var lab = nodes.select(col("v").as("node"), col("v").as("label"))
+    for (_ <- 1 to iters) {
+      lab = adj.join(lab, adj("n") === lab("node"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("label"))
+    }
+    lab.select(col("node").as("item_id"), col("label").as("community"))
+  }
+
   val LpMaxNbr = 64L
   val LpTopK = 100
 
@@ -222,6 +266,15 @@ object Graph {
       .limit(k)
       .select(col("i"), col("j"), col("n_common"), col("jaccard_ppm"))
   }
+
+  /** One unrolled LPA oracle round over the self-loop adjacency. */
+  private def lpaCte(name: String, prev: String): String =
+    s"""$name AS MATERIALIZED (SELECT node, label FROM (
+       |  SELECT a.v AS node, l.label, COUNT(*) AS c,
+       |    ROW_NUMBER() OVER (PARTITION BY a.v
+       |      ORDER BY COUNT(*) DESC, l.label) AS rn
+       |  FROM adj a JOIN $prev l ON a.n = l.node
+       |  GROUP BY a.v, l.label) WHERE rn = 1)""".stripMargin
 
   /** One unrolled oracle iteration; `prev` names the previous level's
     * CTE. MATERIALIZED is load-bearing: DuckDB inlines CTEs, so an
@@ -292,6 +345,40 @@ object Graph {
               |    CAST(0 AS BIGINT)) * 1000000) // (deg * (deg - 1))
               |  ELSE CAST(0 AS BIGINT) END AS clustering_ppm
               |FROM dg LEFT JOIN nt ON dg.v = nt.v""".stripMargin)),
+
+    // G4 (beyond-ref): LPA communities — see labelPropagation for
+    // the self-inclusion and determinism devices.
+    QueryDef("graph_communities",
+      (s, d) => labelPropagation(
+        itemEdges(Recommend.interactionsCapped(s, d)
+          .localCheckpoint(false))),
+      Some {
+        val ladder = (1 to LpaIters)
+          .map(i => lpaCte(s"l$i", if (i == 1) "l0" else s"l${i - 1}"))
+          .mkString(",\n")
+        s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+           |    MAX(o_orderdate) AS last_ts
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |capped AS (SELECT user_id, item_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+           |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+           |  WHERE rn <= ${Recommend.CapPerUser}),
+           |e AS MATERIALIZED (SELECT i, j FROM (
+           |  SELECT a.item_id i, b.item_id j, COUNT(*) co
+           |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+           |    AND a.item_id < b.item_id
+           |  GROUP BY 1, 2) WHERE co >= $TriMinCo),
+           |nodes AS MATERIALIZED (SELECT i AS v FROM e
+           |  UNION SELECT j FROM e),
+           |adj AS MATERIALIZED (SELECT i AS v, j AS n FROM e
+           |  UNION ALL SELECT j, i FROM e
+           |  UNION ALL SELECT v, v FROM nodes),
+           |l0 AS MATERIALIZED (SELECT v AS node, v AS label FROM nodes),
+           |$ladder
+           |SELECT node AS item_id, label AS community
+           |FROM l$LpaIters""".stripMargin
+      }),
 
     // G3 (beyond-ref): common-neighbor link prediction — see
     // linkPredict for the adjacency-cap scale argument.

@@ -407,6 +407,64 @@ object Quality {
       |FROM orders WHERE NOT EXISTS
       |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin
 
+  /** DQ7 (beyond-ref): join-cardinality explosion audit — the
+    * pre-flight check for the classic 100 TB pipeline killer: a join
+    * two tables share a key on turns out many-to-many and the output
+    * is quadratic in the hot key's multiplicity. The audit prices the
+    * join WITHOUT running it: per-side key-grain counts, then the
+    * EXACT predicted output Σ_k ca(k)·cb(k), the worst single key's
+    * pair volume, and the output-vs-larger-input amplification in
+    * whole milli. Cost is two key-grain aggregates + a key-grain
+    * join — the multiplicities move, never the rows.
+    *
+    * Overflow: per-key pairs and their sum route through DECIMAL(38)
+    * before the BIGINT cast — two 10⁹-row hot sides predict 10¹⁸
+    * pairs, exactly the case the audit exists to catch, and exactly
+    * where naive Long math would wrap. Empty inputs emit the one
+    * all-zero row (a monitor that vanishes when its subject is empty
+    * pages nobody).
+    */
+  def joinExplosion(left: DataFrame, right: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ca = left.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val cb = right.groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    val j = ca.join(cb, Seq("k"))
+      .select((col("ca").cast(dec) * col("cb")).as("pairs"))
+    val agg = j.agg(count(lit(1)).as("n_keys"),
+      coalesce(sum(col("pairs")), lit(0L).cast(dec)).as("out_dec"),
+      coalesce(max(col("pairs")), lit(0L).cast(dec)).as("max_dec"))
+    val tl = left.agg(count(lit(1)).as("n_left"))
+    val tr = right.agg(count(lit(1)).as("n_right"))
+    tl.crossJoin(tr).crossJoin(agg)
+      .select(col("n_left"), col("n_right"), col("n_keys"),
+        col("out_dec").cast("long").as("out_rows"),
+        col("max_dec").cast("long").as("max_key_pairs"),
+        expr("case when greatest(n_left, n_right) = 0 then 0L else " +
+          "cast((out_dec * 1000) div greatest(n_left, n_right) " +
+          "as bigint) end").as("amplification_milli"))
+  }
+
+  private val joinExplosionSql =
+    """WITH ca AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ca
+      |  FROM events GROUP BY 1),
+      |cb AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+      |  FROM orders GROUP BY 1),
+      |j AS (SELECT CAST(ca AS HUGEINT) * cb AS pairs
+      |  FROM ca JOIN cb USING (k)),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    COALESCE(SUM(pairs), 0) AS out_dec,
+      |    COALESCE(MAX(pairs), 0) AS max_dec
+      |  FROM j),
+      |tl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_left FROM events),
+      |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_right FROM orders)
+      |SELECT n_left, n_right, n_keys,
+      |CAST(out_dec AS BIGINT) AS out_rows,
+      |CAST(max_dec AS BIGINT) AS max_key_pairs,
+      |CASE WHEN GREATEST(n_left, n_right) = 0 THEN CAST(0 AS BIGINT)
+      |  ELSE CAST((out_dec * 1000) // GREATEST(n_left, n_right)
+      |    AS BIGINT) END AS amplification_milli
+      |FROM tl, tr, agg""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dq_ref_integrity",
       (s, d) => refIntegrity(ord(s, d), Tables.lineitem(s, d),
@@ -423,5 +481,12 @@ object Quality {
     QueryDef("ivm_daily_summary",
       (s, d) => ivmDailySummary(ord(s, d)), Some(ivmDailySummarySql)),
     QueryDef("u11_det_shuffle",
-      (s, d) => detShuffle(docs(s, d)), Some(detShuffleSql)))
+      (s, d) => detShuffle(docs(s, d)), Some(detShuffleSql)),
+    // DQ7: the user-grain events⋈orders join is the lake's one
+    // genuinely many-to-many edge — priced before anyone runs it.
+    QueryDef("dq_join_explosion",
+      (s, d) => joinExplosion(
+        Tables.events(s, d).select(col("user_id").as("k")),
+        ord(s, d).select(col("o_custkey").as("k"))),
+      Some(joinExplosionSql)))
 }

@@ -117,6 +117,10 @@ class EmptyInputSpec extends SparkSpec {
     // recall summary over zero queries: one row per sweep point with
     // zero queries would be vacuous — empty base gives empty output
     assert(Similarity.nprobeSweep(emb0).count() === 0)
+    val k0 = empty("k" -> LongType)
+    assert(Quality.joinExplosion(k0, k0).count() === 1) // all-zero row
+    val e0 = empty("i" -> LongType, "j" -> LongType)
+    assert(Graph.labelPropagation(e0).count() === 0)
   }
 
   test("quality/ops family is total on empty input") {

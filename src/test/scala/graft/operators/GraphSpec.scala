@@ -96,6 +96,38 @@ class GraphSpec extends SparkSpec {
     assert(capped === Seq((1L, 2L, 1L, 1000000L)))
   }
 
+  test("lpa: cliques cohere to one label; frequency beats an intruding min") {
+    // two disjoint triangles: each converges to its min id in round 1
+    // (self-inclusion: every member sees all three labels, min wins)
+    val twoCliques = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("i", "j")
+    val got = Graph.labelPropagation(twoCliques)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+
+    // K4 {10..13} + pendant node 1 on 10: the min label 1 invades 10
+    // in round 1, but the K4's label frequency expels it in round 2
+    // and the pendant keeps its own label (hand-walked sequence)
+    val k4 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L), (1L, 10L)).toDF("i", "j")
+    val got2 = Graph.labelPropagation(k4)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 1L, 10L -> 10L, 11L -> 10L,
+      12L -> 10L, 13L -> 10L))
+
+    // lone edge: self-inclusion kills the sync-LPA two-cycle — both
+    // endpoints settle on the min instead of swapping forever
+    val edge = Seq((5L, 7L)).toDF("i", "j")
+    assert(Graph.labelPropagation(edge).as[(Long, Long)]
+      .collect().toMap === Map(5L -> 5L, 7L -> 5L))
+
+    // partition invariance
+    val a = Graph.labelPropagation(k4.repartition(5))
+      .as[(Long, Long)].collect().toMap
+    assert(a === got2)
+  }
+
   test("iteration is a fixpoint map: rank vector is deterministic") {
     val a = Graph.pagerankFrom(starInter, iters = 4)
       .orderBy("node_type", "id").as[(String, Long, Long)].collect().toSeq

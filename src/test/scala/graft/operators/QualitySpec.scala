@@ -151,4 +151,19 @@ class QualitySpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(clean.values.toSeq === Seq(0L, 0L, 0L))
   }
+
+  test("join explosion: exact pair prediction, hot key, amplification") {
+    val left = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val right = Seq(1L, 1L, 3L).toDF("k")
+    val got = Quality.joinExplosion(left, right)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // shared key 1: 3×2 = 6 predicted rows; amplification 6000/4 = 1500
+    assert(got === ((4L, 3L, 1L, 6L, 6L, 1500L)))
+    // the prediction IS the join's cardinality
+    assert(left.join(right, "k").count() === got._4)
+    // disjoint keys: a zero-row prediction, not a missing monitor row
+    val none = Quality.joinExplosion(Seq(5L).toDF("k"), Seq(7L).toDF("k"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(none === ((1L, 1L, 0L, 0L, 0L, 0L)))
+  }
 }

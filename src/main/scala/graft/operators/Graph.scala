@@ -194,9 +194,12 @@ object Graph {
     * Scale shape: each round is one equi-join of the label vector
     * (|V| rows) with the adjacency (2|E|+|V| rows with self-loops) on
     * the neighbor key, a map-side-combinable (node, label) count, and
-    * a node-grain argmax window — the PageRank iteration cost with a
-    * bounded-fanout window instead of a sum. Labels are node ids
-    * (8 bytes), never strings.
+    * a node-grain argmax as a SECOND hash aggregate — max over
+    * struct(count, −label) encodes the (count desc, label asc) rule
+    * with no sort and no window, so both phases partial-aggregate
+    * map-side (the rank-window form would sort every node's label
+    * candidates per round). Labels are node ids (8 bytes), never
+    * strings.
     */
   def labelPropagation(edges: DataFrame, iters: Int = LpaIters): DataFrame = {
     val nbrs = edges.select(col("i").as("v"), col("j").as("n"))
@@ -204,15 +207,13 @@ object Graph {
     val nodes = nbrs.select(col("v")).distinct()
     val adj = nbrs.unionByName(nodes.select(col("v"), col("v").as("n")))
       .localCheckpoint(false) // reused every round
-    val wArg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("v")).orderBy(col("c").desc, col("label"))
     var lab = nodes.select(col("v").as("node"), col("v").as("label"))
     for (_ <- 1 to iters) {
       lab = adj.join(lab, adj("n") === lab("node"))
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wArg))
-        .filter(col("rn") === 1)
-        .select(col("v").as("node"), col("label"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v").as("node"), (-col("m.nl")).as("label"))
     }
     lab.select(col("node").as("item_id"), col("label").as("community"))
   }

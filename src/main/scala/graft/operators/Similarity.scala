@@ -546,6 +546,49 @@ object Similarity {
         col("nbr_id"), col("cos"))
   }
 
+  val CollapseT = 0.9
+
+  /** V11: corpus diversity / embedding-collapse monitor — the
+    * training-health metric the curation tier reads next to the dedup
+    * rate: when an encoder collapses (or a corpus narrows), pairwise
+    * cosines drift toward 1 and retrieval/contrastive training decay
+    * long before any single dup detector fires. Over the strided
+    * sample (the established query set): mean pairwise cosine,
+    * min/max, and the share of pairs above `CollapseT` — the
+    * near-collapse mass. Exact cross-engine: each round-6 cosine
+    * re-quantizes to integer ppm units and every aggregate is an
+    * integer sum/extreme (mean is one floor division at emission).
+    *
+    * Scale: sample × sample with the sample broadcast — |V|/stride
+    * squared pairs, the knnBrute bounded-baseline posture; the stride
+    * is the cost knob and the metric is stride-stable by design
+    * (it estimates a corpus-level mean).
+    */
+  def corpusDiversity(emb: DataFrame): DataFrame = {
+    val e = vecs(emb).filter(col("vec_id") % QueryStride === 0)
+    broadcast(e.as("a"))
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
+      .select(round(col("cos") * 1000000.0d).cast("long").as("q"),
+        col("cos"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("q")), lit(0L)).as("sq"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"),
+        coalesce(sum(when(col("cos") > CollapseT, 1L).otherwise(0L)),
+          lit(0L)).as("n_hi"))
+      .select(col("n_pairs"),
+        // offset-then-divide: sq can be negative (cosines in [-1,1])
+        // and Spark `div` truncates while DuckDB `//` floors; adding
+        // 2e6 per pair (> |q| bound 1e6) makes the dividend positive
+        // so both engines agree, then the offset subtracts back out
+        expr("case when n_pairs = 0 then 0L else " +
+          "(sq + 2000000 * n_pairs) div n_pairs - 2000000 end")
+          .as("mean_cos_ppm"),
+        col("min_cos"), col("max_cos"),
+        expr("case when n_pairs = 0 then 0L else " +
+          "(n_hi * 1000000) div n_pairs end").as("collapse_share_ppm"))
+  }
+
   val NprobeSweep: Seq[Int] = Seq(1, 2, 4)
 
   /** V9: nprobe sensitivity sweep — recall@k at every nprobe in
@@ -1545,6 +1588,32 @@ object Similarity {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)
               |WHERE rk <= $K""".stripMargin)),
+
+    // V11 (beyond-ref): embedding-collapse monitor — see
+    // corpusDiversity for the integer-ppm device.
+    QueryDef("sim_corpus_diversity",
+      (s, d) => corpusDiversity(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+              |  FROM embeddings WHERE vec_id % $QueryStride = 0),
+              |p AS (SELECT ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+              |q AS (SELECT cos, CAST(ROUND(cos * 1000000) AS BIGINT) AS q
+              |  FROM p),
+              |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |    CAST(COALESCE(SUM(q), 0) AS BIGINT) AS sq,
+              |    MIN(cos) AS min_cos, MAX(cos) AS max_cos,
+              |    CAST(COALESCE(SUM(CASE WHEN cos > $CollapseT
+              |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hi
+              |  FROM q)
+              |SELECT n_pairs,
+              |CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT)
+              |  ELSE (sq + 2000000 * n_pairs) // n_pairs - 2000000
+              |  END AS mean_cos_ppm,
+              |min_cos, max_cos,
+              |CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT)
+              |  ELSE (n_hi * 1000000) // n_pairs END
+              |  AS collapse_share_ppm
+              |FROM agg""".stripMargin)),
 
     // V9 (beyond-ref): recall-vs-nprobe curve from one pass — see
     // nprobeSweep for the shared-candidate-set device.

@@ -121,6 +121,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Quality.joinExplosion(k0, k0).count() === 1) // all-zero row
     val e0 = empty("i" -> LongType, "j" -> LongType)
     assert(Graph.labelPropagation(e0).count() === 0)
+    assert(Similarity.corpusDiversity(emb0).count() === 1) // zero row
   }
 
   test("quality/ops family is total on empty input") {

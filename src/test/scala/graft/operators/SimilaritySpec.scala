@@ -465,6 +465,24 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfCompact(spark, dir) === 0L)
   }
 
+  test("corpus diversity: exact ppm mean, collapse share, negative-safe") {
+    // strided sample = ids 0, 50, 100; cosines: (0,50)=1, (0,100)=0,
+    // (50,100)=0 -> mean (1e6+0+0) div 3, one pair above 0.9
+    val e = Seq((0L, Seq(1.0f, 0.0f)), (50L, Seq(1.0f, 0.0f)),
+      (100L, Seq(0.0f, 1.0f)), (3L, Seq(9.0f, 9.0f))) // off-stride: ignored
+      .toDF("vec_id", "embedding")
+    val got = Similarity.corpusDiversity(e)
+      .as[(Long, Long, Double, Double, Long)].head()
+    assert(got === ((3L, 333333L, 0.0, 1.0, 333333L)))
+    // antipodal pair: the mean is negative and still engine-exact
+    // under the offset-then-divide device (-1e6 div 1 = -1e6)
+    val anti = Seq((0L, Seq(1.0f, 0.0f)), (50L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val g2 = Similarity.corpusDiversity(anti)
+      .as[(Long, Long, Double, Double, Long)].head()
+    assert(g2 === ((1L, -1000000L, -1.0, -1.0, 0L)))
+  }
+
   test("nprobe sweep: monotone recall, separable clusters saturate at 1") {
     val e = protoEmb(120)
     val got = Similarity.nprobeSweep(e)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** S26: re-aggregatable QUANTILE sketch store — the percentile
+/** S28: re-aggregatable QUANTILE sketch store — the percentile
   * sibling of the S25 HLL store: "p95 order value over an arbitrary
   * date range" as an O(partitions) store read instead of an
   * O(events) scan. Each day's values collapse to one Datasketches

@@ -71,6 +71,19 @@ case class AnomalyState(open: Long, openN: Long,
 case class AnomalyFlag(event_type: String, bucket_start_us: Long,
                        n: Long, z: Option[Double], is_anomaly: Long)
 
+/** CUSUM carry for one event_type: the open bucket + its running
+  * count, and the two closed-form accumulators (running Σy and its
+  * running floor min(0, min prefix)) — O(1) state per key, the whole
+  * point of the prefix-sum − running-min identity.
+  */
+case class CusumState(open: Long, openN: Long, cs: Long, lo: Long)
+
+/** One scored closed bucket — same fields and arithmetic as the
+  * batch `Temporal.cusumShift` row.
+  */
+case class CusumFlag(event_type: String, bucket_start_us: Long,
+                     n: Long, cusum: Long, is_alarm: Long)
+
 /** A closed [valid_from, valid_to) SCD2 interval (append-mode-final). */
 case class Scd2Interval(user_id: Long, version: Long, event_type: String,
                         valid_from_us: Long, valid_to_us: Long, n_obs: Long)
@@ -488,6 +501,64 @@ object StatefulOps {
     implicit val ke = Encoders.STRING
     events.groupByKey(_.event_type)
       .transformWithState(new AnomalyProcessor(bucketUs, w),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** ST20: streaming CUSUM — `Temporal.cusumShift`'s twin, and the
+    * payoff of its closed form: S_t = cs_t − min(0, min prefix cs)
+    * needs only TWO longs of keyed state (running Σy and its running
+    * floor), so the detector runs forever at O(1) memory per series —
+    * no trailing window to carry, unlike the z-score's w buckets.
+    * The reference stats (refn, refs) arrive as parameters (the
+    * production contract: a drift baseline is trained offline from a
+    * reference period, not re-derived from the unbounded stream —
+    * the batch operator's midpoint split is exactly that trainer).
+    * Open-bucket semantics mirror AnomalyProcessor: a bucket scores
+    * when a LATER bucket first arrives; stragglers behind the open
+    * bucket are dropped (closed history is immutable, append mode).
+    */
+  class CusumProcessor(bucketUs: Long, refn: Long, refs: Long)
+      extends StatefulProcessor[String, BucketEvent, CusumFlag] {
+    @transient private var st: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("carry",
+        Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BucketEvent],
+        timerValues: TimerValues): Iterator[CusumFlag] = {
+      val counts = rows.map(_.ts_us / bucketUs).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var state = if (st.exists()) st.get() else null
+      val out = Seq.newBuilder[CusumFlag]
+      def close(s: CusumState): CusumState = {
+        val y = s.openN * refn - refs - refs / 2
+        val cs = s.cs + y
+        val lo = math.min(s.lo, cs)
+        val cusum = cs - lo
+        out += CusumFlag(key, s.open * bucketUs, s.openN, cusum,
+          if (cusum > refs * 5) 1L else 0L)
+        CusumState(s.open, 0L, cs, lo)
+      }
+      counts.foreach { case (b, c) =>
+        if (state == null) state = CusumState(b, c, 0L, 0L)
+        else if (b < state.open) () // straggler: closed history is immutable
+        else if (b == state.open) state = state.copy(openN = state.openN + c)
+        else state = close(state).copy(open = b, openN = c)
+      }
+      if (state != null) st.update(state)
+      out.result().iterator
+    }
+  }
+
+  def cusumStream(events: Dataset[BucketEvent], refn: Long, refs: Long,
+                  bucketUs: Long = graft.operators.Temporal.HourUs)
+      : Dataset[CusumFlag] = {
+    implicit val fe = Encoders.product[CusumFlag]
+    implicit val ke = Encoders.STRING
+    events.groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor(bucketUs, refn, refs),
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -247,6 +247,56 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming cusum: two-long carry crosses batches, matches the batch twin") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the TemporalSpec "shift" series: flat n=2 buckets 0..9, n=5
+      // from 10..19 (ref half: refn=10, refs=20 — exactly what the
+      // batch midpoint trainer derives); bucket 20 is the sentinel
+      // that closes 19 and stays open. Split mid-shift so the carry
+      // crosses the batch boundary.
+      def rows(counts: Seq[(Int, Int)]) = counts.flatMap { case (b, c) =>
+        (0 until c).map(i => BucketEvent("shift", b.toLong * 1000L + i))
+      }
+      val b1 = rows((0 to 9).map(_ -> 2) ++ Seq(10 -> 5, 11 -> 5))
+      val b2 = rows((12 to 19).map(_ -> 5) ++ Seq(20 -> 1))
+      val in = MemoryStream[BucketEvent]
+      val q = StatefulOps.cusumStream(in.toDS(), refn = 10L, refs = 20L,
+          bucketUs = 1000L)
+        .writeStream.format("memory").queryName("cusum_out")
+        .outputMode("append").start()
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("cusum_out").as[CusumFlag].collect()
+        .map(f => f.bucket_start_us -> f).toMap
+      // every bucket but the open sentinel scored
+      assert(got.keySet === (0L to 19L).map(_ * 1000L).toSet)
+      assert(got(14000L) === CusumFlag("shift", 14000L, 5L, 100L, 0L))
+      assert(got(15000L) === CusumFlag("shift", 15000L, 5L, 120L, 1L))
+      // one recurrence: the batch operator over the same closed rows
+      // (its midpoint trainer re-derives refn=10, refs=20) emits
+      // identical rows
+      val batch = graft.operators.Temporal.cusumShift(
+        (b1 ++ b2).filter(_.ts_us < 20000L).toDF(), bucketUs = 1000L)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val streamSet = got.values
+        .map(f => (f.event_type, f.bucket_start_us, f.n, f.cusum,
+          f.is_alarm)).toSet
+      assert(batch === streamSet)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming attribution: channel chains across batches, matches batch op") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

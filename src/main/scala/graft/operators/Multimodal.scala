@@ -216,6 +216,70 @@ object Multimodal {
     }.toDF("media_id", "kind", "phash")
   }
 
+  val PhashBands = 4
+  val PhashBandBits = 15
+  val PhashHammingT = 6
+
+  /** MM9: image near-dup pairing over the pHash — the multimodal
+    * sibling of dedup_simhash_pairs: the 60-bit hash splits into 4
+    * disjoint 15-bit bands, assets sharing ANY band become candidate
+    * pairs (a near-dup differing in ≤ PhashHammingT of 60 bits keeps
+    * at least one band intact unless its flips hit 4 distinct bands —
+    * at T=6 a miss needs flips spread 2+2+1+1, the standard banded
+    * recall tradeoff), and candidates verify on exact Hamming
+    * distance via bit_count(xor). Registered output is the summary
+    * row (assets, candidates, verified near-dups) — on the synthetic
+    * text-payload corpus the md5-stub hashes make candidate counts
+    * exact on both engines while real-image pairing is spec-proven
+    * on PNG/JPEG re-encodings of one picture.
+    *
+    * Scale: the shuffle carries (band, 15-bit value) keys — band
+    * occupancy is the LSH-style knob; candidate volume is
+    * Σ_bucket n², monitored exactly like sim_bucket_stats; the
+    * verify is a per-pair integer popcount.
+    */
+  /** Banded candidate pairs with both hashes (hi, hj), one row per
+    * unordered pair; `h` must be (media_id, phash).
+    */
+  private def phashCandidates(h: DataFrame): DataFrame = {
+    val bands = h.select(col("media_id"), col("phash"),
+      explode(array((0 until PhashBands).map(k =>
+        struct(lit(k).as("b"),
+          expr(s"shiftright(phash, ${k * PhashBandBits}) & 32767")
+            .as("v"))): _*)).as("band"))
+      .select(col("media_id"), col("phash"),
+        col("band.b").as("b"), col("band.v").as("v"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("i"), col("y.media_id").as("j"))
+      .agg(max(col("x.phash")).as("hi"), max(col("y.phash")).as("hj"))
+  }
+
+  def phashPairs(media: DataFrame): DataFrame = {
+    val h = phash(media).select(col("media_id"), col("phash"))
+      .localCheckpoint(false) // both join sides + the asset count
+    val agg = phashCandidates(h)
+      .withColumn("ham", expr("bit_count(hi ^ hj)"))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        coalesce(sum(when(col("ham") <= PhashHammingT, 1L)
+          .otherwise(0L)), lit(0L)).as("n_near_dups"))
+    h.agg(count(lit(1)).as("n_assets")).crossJoin(agg)
+  }
+
+  /** Verified near-dup PAIRS from the same banded candidates — the
+    * row-level form the spec drives on real re-encoded images.
+    */
+  def phashDupPairs(media: DataFrame,
+                    hammingT: Int = PhashHammingT): DataFrame = {
+    val h = phash(media).select(col("media_id"), col("phash"))
+      .localCheckpoint(false)
+    phashCandidates(h)
+      .withColumn("hamming", expr("bit_count(hi ^ hj)").cast("long"))
+      .filter(col("hamming") <= hammingT)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+
   /** Stub hash for non-image payloads: the 60-bit md5 prefix, exactly
     * the oracle's CAST(concat('0x', substr(md5(payload),1,15)) AS
     * BIGINT) — so the registered query stays hash-checkable on the
@@ -395,6 +459,32 @@ object Multimodal {
               |CAST(concat('0x', substr(md5(payload),1,15)) AS BIGINT)
               |  AS phash
               |FROM media""".stripMargin)),
+
+    // MM9 (beyond-ref): banded pHash near-dup pairing — see
+    // phashPairs; real-image recall is MultimodalSpec's job, the
+    // oracle checks the banding/verify machinery on the stub hashes.
+    QueryDef("mm_phash_pairs",
+      (s, d) => phashPairs(media(s, d)),
+      Some(s"""WITH $mediaSql,
+              |h AS (SELECT media_id,
+              |  CAST(concat('0x', substr(md5(payload),1,15)) AS BIGINT)
+              |    AS phash FROM media),
+              |b AS (SELECT media_id, phash, k.k AS bnd,
+              |    (phash >> (${PhashBandBits} * k.k)) & 32767 AS v
+              |  FROM h, (SELECT unnest([0, 1, 2, 3]) AS k) k),
+              |cand AS (SELECT x.media_id i, y.media_id j,
+              |    MAX(x.phash) hi, MAX(y.phash) hj
+              |  FROM b x JOIN b y ON x.bnd = y.bnd AND x.v = y.v
+              |    AND x.media_id < y.media_id
+              |  GROUP BY 1, 2),
+              |na AS (SELECT CAST(COUNT(*) AS BIGINT) n_assets FROM h),
+              |agg AS (SELECT CAST(COUNT(*) AS BIGINT) n_candidate_pairs,
+              |    CAST(COALESCE(SUM(CASE WHEN
+              |      bit_count(xor(hi, hj)) <= $PhashHammingT
+              |      THEN 1 ELSE 0 END), 0) AS BIGINT) n_near_dups
+              |  FROM cand)
+              |SELECT n_assets, n_candidate_pairs, n_near_dups
+              |FROM na, agg""".stripMargin)),
 
     // Modality-mix corpus report: asset counts and payload bytes per
     // (kind, source) — the first dashboard a multimodal training-data

@@ -257,6 +257,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.resizePlan(Multimodal.decode(m)).count() === 0)
     assert(Multimodal.frameSample(Multimodal.decode(m)).count() === 0)
     assert(Multimodal.features(m).count() === 0)
+    assert(Multimodal.phashPairs(m).count() === 1) // all-zero summary
+    assert(Multimodal.phashDupPairs(m).count() === 0)
   }
 
   test("commerce/eval family is total on empty inputs") {

@@ -142,6 +142,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) === Multimodal.ahashStub(txt))
   }
 
+  test("phash pairs: re-encoded picture pairs up, different stays apart") {
+    def pattern(f: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = { val c = v & 0xff; (c << 16) | (c << 8) | c }
+    def tex(scale: Int)(x: Int, y: Int) =
+      gray(((x * 7 + (y * y) / 3 + ((x * y) % 31) * 5) % 200 + 28)
+        * scale / 100)
+    val topBright = (_: Int, y: Int) => if (y < 32) 0xffffff else 0x000000
+    val media = Seq(
+      (1L, "image", pattern(tex(100), "png")),
+      (2L, "image", pattern(tex(100), "jpg")), // same picture, re-encoded
+      (3L, "image", pattern(topBright, "png"))) // different picture
+      .toDF("media_id", "kind", "payload")
+    // hamming tolerance mirrors the phash codec bound asserted above
+    val pairs = Multimodal.phashDupPairs(media, hammingT = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 <= 10L)
+    // the summary row agrees: 3 assets, the one verified near-dup
+    val sum = Multimodal.phashPairs(media)
+      .as[(Long, Long, Long)].head()
+    assert(sum._1 === 3L)
+    assert(sum._2 >= 1L) // banding surfaced at least the true pair
+  }
+
   test("resize: integer aspect math") {
     val out = Multimodal.resizePlan(Multimodal.decode(Multimodal.mediaTable(docs)))
       .select("media_id", "width", "height", "out_width", "out_height")

@@ -313,6 +313,21 @@ object Events {
              |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
              |FROM events""".stripMargin)),
 
+    // P17' (beyond-ref): the same extraction through Spark 4's
+    // VARIANT type — parse once into the binary semi-structured
+    // encoding, then typed variant_get paths (the modern replacement
+    // for per-path get_json_object string re-parsing: one parse
+    // serves any number of field reads, and the encoding is the
+    // shredding-ready columnar form). Same oracle as e1 — the two
+    // paths must agree row-for-row.
+    QueryDef("e1_variant_extract",
+      (s, d) => ev(s, d).select(col("event_id"), col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')")
+          .as("k_val")),
+      Some("""SELECT event_id, event_type,
+             |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+             |FROM events""".stripMargin)),
+
     // E13 (beyond-ref): view→purchase latency quartiles — see
     // conversionLatency for the value-grain percentile device.
     QueryDef("e13_conversion_latency",

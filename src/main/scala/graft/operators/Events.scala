@@ -266,8 +266,11 @@ object Events {
     * (n_co desc, nbr asc); the cap keeps FIRST-seen items (min ts,
     * then item id) so reruns and repartitions agree.
     */
-  def covisitation(events: DataFrame, gapUs: Long = CovisGapUs,
-                   cap: Int = CovisCap, k: Int = CovisTopK): DataFrame = {
+  /** The symmetric (item, nbr, n_co) candidate table both top-k
+    * forms consume.
+    */
+  private def covisSym(events: DataFrame, gapUs: Long,
+                       cap: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val sess = events
@@ -294,16 +297,71 @@ object Events {
           col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("i"), col("y.item").as("j"))
       .agg(count(lit(1)).as("n_co"))
-    val sym = pairs
+    pairs
       .select(col("i").as("item"), col("j").as("nbr"), col("n_co"))
       .unionByName(pairs
         .select(col("j").as("item"), col("i").as("nbr"), col("n_co")))
+  }
+
+  def covisitation(events: DataFrame, gapUs: Long = CovisGapUs,
+                   cap: Int = CovisCap, k: Int = CovisTopK): DataFrame = {
     val wTop = Window.partitionBy(col("item"))
       .orderBy(col("n_co").desc, col("nbr"))
-    sym.withColumn("rnk", row_number().over(wTop).cast("long"))
+    covisSym(events, gapUs, cap)
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("item"), col("nbr"), col("n_co"), col("rnk"))
   }
+
+  /** E14 through the native per-key top-k physical operator (the
+    * ml_recommendations_topk adoption pattern): the anchor-grain cut
+    * runs as TopKPerKeyExec's heap partials — O(n log k) map-side,
+    * no per-partition sort — and only the ≤ k·partitions survivors
+    * shuffle; the tiny rank window at the end runs over ≤ k rows per
+    * anchor. Same rows and same oracle as ml_covisitation.
+    */
+  def covisitationTopKNative(events: DataFrame, gapUs: Long = CovisGapUs,
+                             cap: Int = CovisCap,
+                             k: Int = CovisTopK): DataFrame = {
+    val cut = TopK.perKey(covisSym(events, gapUs, cap),
+      Seq("item"), Seq(("n_co", true), ("nbr", false)), k)
+    val wTop = Window.partitionBy(col("item"))
+      .orderBy(col("n_co").desc, col("nbr"))
+    cut.withColumn("rnk", row_number().over(wTop).cast("long"))
+      .select(col("item"), col("nbr"), col("n_co"), col("rnk"))
+  }
+
+  /** Shared oracle for both covisitation forms. */
+  private lazy val covisSql =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |  FROM events),
+       |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+       |    OR ts_us - lag(ts_us) OVER w > $CovisGapUs
+       |    THEN 1 ELSE 0 END AS is_start
+       |  FROM e WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id)),
+       |sess AS (SELECT *, CAST(SUM(is_start) OVER (
+       |    PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM g),
+       |it AS (SELECT user_id, session_id, item, MIN(ts_us) first_us
+       |  FROM sess WHERE item IS NOT NULL GROUP BY 1, 2, 3),
+       |cap AS (SELECT user_id, session_id, item FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id,
+       |      session_id ORDER BY first_us, item) rn FROM it)
+       |  WHERE rn <= $CovisCap),
+       |p AS (SELECT x.item AS i, y.item AS j,
+       |    CAST(COUNT(*) AS BIGINT) AS n_co
+       |  FROM cap x JOIN cap y ON x.user_id = y.user_id
+       |    AND x.session_id = y.session_id AND x.item < y.item
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT i AS item, j AS nbr, n_co FROM p
+       |  UNION ALL SELECT j AS item, i AS nbr, n_co FROM p)
+       |SELECT item, nbr, n_co, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+       |    ORDER BY n_co DESC, nbr) AS rnk FROM sym)
+       |WHERE rnk <= $CovisTopK""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -570,36 +628,12 @@ object Events {
     // E14 (beyond-ref): session covisitation candidates — see
     // covisitation for the cap/top-k scale devices.
     QueryDef("ml_covisitation",
-      (s, d) => covisitation(ev(s, d)),
-      Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
-              |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
-              |  FROM events),
-              |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-              |    OR ts_us - lag(ts_us) OVER w > $CovisGapUs
-              |    THEN 1 ELSE 0 END AS is_start
-              |  FROM e WINDOW w AS (PARTITION BY user_id
-              |    ORDER BY ts_us, event_id)),
-              |sess AS (SELECT *, CAST(SUM(is_start) OVER (
-              |    PARTITION BY user_id ORDER BY ts_us, event_id
-              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-              |  FROM g),
-              |it AS (SELECT user_id, session_id, item, MIN(ts_us) first_us
-              |  FROM sess WHERE item IS NOT NULL GROUP BY 1, 2, 3),
-              |cap AS (SELECT user_id, session_id, item FROM (
-              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id,
-              |      session_id ORDER BY first_us, item) rn FROM it)
-              |  WHERE rn <= $CovisCap),
-              |p AS (SELECT x.item AS i, y.item AS j,
-              |    CAST(COUNT(*) AS BIGINT) AS n_co
-              |  FROM cap x JOIN cap y ON x.user_id = y.user_id
-              |    AND x.session_id = y.session_id AND x.item < y.item
-              |  GROUP BY 1, 2),
-              |sym AS (SELECT i AS item, j AS nbr, n_co FROM p
-              |  UNION ALL SELECT j AS item, i AS nbr, n_co FROM p)
-              |SELECT item, nbr, n_co, CAST(rnk AS BIGINT) AS rnk FROM (
-              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
-              |    ORDER BY n_co DESC, nbr) AS rnk FROM sym)
-              |WHERE rnk <= $CovisTopK""".stripMargin)),
+      (s, d) => covisitation(ev(s, d)), Some(covisSql)),
+
+    // E14 through TopKPerKeyExec — same rows, same oracle; the
+    // anchor cut is heap partials instead of a rank-window sort.
+    QueryDef("ml_covisitation_topk",
+      (s, d) => covisitationTopKNative(ev(s, d)), Some(covisSql)),
 
     QueryDef("e9_new_vs_returning",
       (s, d) => newVsReturning(Tables.events(s, d).select(col("user_id"),

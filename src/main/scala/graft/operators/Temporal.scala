@@ -445,6 +445,58 @@ object Temporal {
           .as("is_alarm"))
   }
 
+  val DayUs: Long = 24L * 3600 * 1000000
+  val TrendW = 7
+
+  /** TS6 (beyond-ref): classical seasonal decomposition of the
+    * per-type DAILY volume series — n = trend + seasonal + residual,
+    * the read that separates "we're growing" (trend) from "it's
+    * Saturday" (seasonal) from "something happened" (residual, the
+    * input TS3/TS5 would rather monitor). Textbook additive
+    * decomposition, each phase an established exact-integer device:
+    * trend = centered 7-day moving average in milli (full windows
+    * only — edge days emit null trend/seasonal/residual), seasonal =
+    * per-day-of-week mean of the detrended series (epoch-day mod-7
+    * DOW, offset-then-divide for the negative means), residual =
+    * detrended − seasonal. Windows and aggregates run at (type, day)
+    * grain — bounded by the calendar, never row count.
+    */
+  def decompose(events: DataFrame): DataFrame = {
+    val series = events
+      .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val half = TrendW / 2
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-half, half)
+    val trended = series
+      .withColumn("w_cnt", count(lit(1)).over(w))
+      .withColumn("tsum", sum(col("n")).over(w))
+      .withColumn("trend_milli",
+        when(col("w_cnt") === TrendW,
+          expr(s"(tsum * 1000) div $TrendW")))
+      .withColumn("detr",
+        when(col("trend_milli").isNotNull,
+          col("n") * 1000 - col("trend_milli")))
+    // per-(type, dow) seasonal mean over the fully-trended days;
+    // detr can be negative -> offset-then-divide (|detr| < 2^40·1000
+    // comfortably, offset 2^50 per row keeps the dividend positive)
+    val off = 1L << 50
+    val seasonal = trended.filter(col("detr").isNotNull)
+      .withColumn("dow", expr("day % 7"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("sc"), sum(col("detr")).as("sd"))
+      .select(col("event_type"), col("dow"),
+        (expr(s"(sd + $off * sc) div sc") - off).as("seasonal_milli"))
+    trended.withColumn("dow", expr("day % 7"))
+      .join(seasonal, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), (col("day") * DayUs).as("day_start_us"),
+        col("n"), col("trend_milli"),
+        when(col("detr").isNotNull, col("seasonal_milli"))
+          .as("seasonal_milli"),
+        when(col("detr").isNotNull,
+          col("detr") - col("seasonal_milli")).as("residual_milli"))
+  }
+
   /** Full-rebuild SCD2 SQL — the oracle for both scd2_history and
     * scd2_merge (the merge must reproduce the rebuild exactly).
     */
@@ -554,6 +606,42 @@ object Temporal {
               |cs - lo AS cusum,
               |CAST(cs - lo > refs * 5 AS BIGINT) AS is_alarm
               |FROM m""".stripMargin)),
+
+    // TS6 (beyond-ref): classical additive decomposition — see
+    // decompose for the trend/seasonal/residual devices.
+    QueryDef("ts_decompose",
+      (s, d) => decompose(ev(s, d)),
+      Some(s"""WITH series AS (SELECT event_type,
+              |    epoch_us(ts) // $DayUs AS day,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1, 2),
+              |t AS (SELECT event_type, day, n,
+              |    COUNT(*) OVER cw AS w_cnt,
+              |    CAST(SUM(n) OVER cw AS BIGINT) AS tsum
+              |  FROM series WINDOW cw AS (PARTITION BY event_type
+              |    ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              |d AS (SELECT event_type, day, n,
+              |    CASE WHEN w_cnt = $TrendW
+              |      THEN (tsum * 1000) // $TrendW END AS trend_milli,
+              |    CASE WHEN w_cnt = $TrendW
+              |      THEN n * 1000 - (tsum * 1000) // $TrendW END AS detr
+              |  FROM t),
+              |seas AS (SELECT event_type, day % 7 AS dow,
+              |    CAST(COUNT(*) AS BIGINT) sc,
+              |    CAST(SUM(detr) AS BIGINT) sd
+              |  FROM d WHERE detr IS NOT NULL GROUP BY 1, 2),
+              |s2 AS (SELECT event_type, dow,
+              |    (sd + ${1L << 50} * sc) // sc - ${1L << 50}
+              |      AS seasonal_milli
+              |  FROM seas)
+              |SELECT d.event_type, day * $DayUs AS day_start_us, n,
+              |trend_milli,
+              |CASE WHEN detr IS NOT NULL THEN seasonal_milli END
+              |  AS seasonal_milli,
+              |CASE WHEN detr IS NOT NULL THEN detr - seasonal_milli END
+              |  AS residual_milli
+              |FROM d LEFT JOIN s2 ON d.event_type = s2.event_type
+              |  AND day % 7 = s2.dow""".stripMargin)),
 
     // As-of: each purchase matched to the user's most recent
     // non-purchase event at-or-before it. Oracle uses DuckDB's native

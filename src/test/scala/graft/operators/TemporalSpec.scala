@@ -212,6 +212,31 @@ class TemporalSpec extends SparkSpec {
     assert(got(("shift", 19L))._5 === 1L) // alarm LATCHES while high
   }
 
+  test("decompose: perfect weekly pattern leaves zero residuals") {
+    val dayUs = Temporal.DayUs
+    // 21 days, n(d) = 10 + (d mod 7): a pure trend+season series
+    val df = (0 until 21).flatMap { d =>
+      (0 until 10 + d % 7).map(i => ("a", d * dayUs + i))
+    }.toDF("event_type", "ts_us")
+    val got = Temporal.decompose(df)
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._2 / dayUs -> r).toMap
+    assert(got.size === 21)
+    // edge days (incomplete centered window) stay null
+    Seq(0L, 1L, 2L, 18L, 19L, 20L).foreach { d =>
+      assert(got(d)._4.isEmpty && got(d)._5.isEmpty && got(d)._6.isEmpty)
+    }
+    // interior: trend is the exact week mean 13.000, the seasonal
+    // component recovers (dow-3)*1000, and residuals vanish
+    (3L to 17L).foreach { d =>
+      val r = got(d)
+      assert(r._3 === 10L + d % 7)
+      assert(r._4 === Some(13000L), s"day $d trend")
+      assert(r._5 === Some((d % 7 - 3) * 1000L), s"day $d seasonal")
+      assert(r._6 === Some(0L), s"day $d residual")
+    }
+  }
+
   test("ewma: hand-computed kernel sums, adaptive warm-up, gap skipped") {
     def mk(tp: String, atN: Seq[(Long, Int)]) = atN.flatMap {
       case (b, c) => (0 until c).map(_ => (tp, b))

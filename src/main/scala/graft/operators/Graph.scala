@@ -218,6 +218,50 @@ object Graph {
     lab.select(col("node").as("item_id"), col("label").as("community"))
   }
 
+  // k=2 (the cycle core): on the co≥3-filtered co-purchase graph the
+  // edge set THINS as SF grows (the TPC-H key space outruns
+  // co-occurrence), and the 3-core is already empty past sf0.001;
+  // the 2-core keeps real structure at the correctness-gate scale
+  // (81 items at sf0.01) and honestly reports the sf0.1 co-graph as
+  // forest-like (empty core) — both engines agree either way.
+  val KCoreK = 2L
+  val KCoreRounds = 5
+
+  /** G5 (beyond-ref): k-core peeling over the co-purchase graph —
+    * the degeneracy prune that separates a dense engaged core from
+    * drive-by periphery (candidate quality for CF, community
+    * seeding, fraud-ring shells): repeatedly drop every node whose
+    * degree in the SURVIVING subgraph is < k. Fixed `rounds` of
+    * synchronous peeling (each round one degree aggregate + two
+    * semi-joins on the surviving edge list), deterministic by
+    * construction, so the oracle's unrolled ladder walks the
+    * identical subgraph sequence; at 100 TB each round's cost is an
+    * edge-grain aggregate and the edge list only shrinks. A graph's
+    * true k-core is the fixpoint; `rounds` bounds the driver loop
+    * exactly as in PageRank/Lloyd — the registered query documents
+    * rounds=5, and the spec proves fixpoints reached inside the
+    * bound survive extra rounds unchanged.
+    */
+  def kCore(edges: DataFrame, k: Long = KCoreK,
+            rounds: Int = KCoreRounds): DataFrame = {
+    var e = edges.select(col("i"), col("j")).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("i").as("v"))
+        .unionByName(e.select(col("j").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("v"))
+        .localCheckpoint(false) // both semi-joins below
+      e = e.join(keep.select(col("v").as("i")), Seq("i"), "left_semi")
+        .join(keep.select(col("v").as("j")), Seq("j"), "left_semi")
+        .select(col("i"), col("j"))
+        .localCheckpoint(false) // next round's degree + the joins
+    }
+    e.select(col("i").as("v")).unionByName(e.select(col("j").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k) // final peel: emit settled members
+      .select(col("v").as("item_id"), col("core_deg"))
+  }
+
   val LpMaxNbr = 64L
   val LpTopK = 100
 
@@ -266,6 +310,17 @@ object Graph {
       .orderBy(col("jaccard_ppm").desc, col("i"), col("j"))
       .limit(k)
       .select(col("i"), col("j"), col("n_common"), col("jaccard_ppm"))
+  }
+
+  /** One unrolled k-core peel round; edges `e<prev>` → `e<r>`. */
+  private def kcoreCte(r: Int): String = {
+    val prev = if (r == 1) "e" else s"e${r - 1}"
+    s"""d$r AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) deg
+       |  FROM (SELECT i AS v FROM $prev UNION ALL SELECT j FROM $prev)
+       |  GROUP BY 1),
+       |k$r AS MATERIALIZED (SELECT v FROM d$r WHERE deg >= $KCoreK),
+       |e$r AS MATERIALIZED (SELECT i, j FROM $prev
+       |  WHERE i IN (SELECT v FROM k$r) AND j IN (SELECT v FROM k$r))""".stripMargin
   }
 
   /** One unrolled LPA oracle round over the self-loop adjacency. */
@@ -346,6 +401,35 @@ object Graph {
               |    CAST(0 AS BIGINT)) * 1000000) // (deg * (deg - 1))
               |  ELSE CAST(0 AS BIGINT) END AS clustering_ppm
               |FROM dg LEFT JOIN nt ON dg.v = nt.v""".stripMargin)),
+
+    // G5 (beyond-ref): k-core peeling — see kCore for the bounded
+    // synchronous-rounds device.
+    QueryDef("graph_kcore",
+      (s, d) => kCore(
+        itemEdges(Recommend.interactionsCapped(s, d)
+          .localCheckpoint(false))),
+      Some {
+        val ladder = (1 to KCoreRounds).map(kcoreCte).mkString(",\n")
+        s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+           |    MAX(o_orderdate) AS last_ts
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |capped AS (SELECT user_id, item_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+           |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+           |  WHERE rn <= ${Recommend.CapPerUser}),
+           |e AS MATERIALIZED (SELECT i, j FROM (
+           |  SELECT a.item_id i, b.item_id j, COUNT(*) co
+           |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+           |    AND a.item_id < b.item_id
+           |  GROUP BY 1, 2) WHERE co >= $TriMinCo),
+           |$ladder
+           |SELECT v AS item_id, deg AS core_deg FROM (
+           |  SELECT v, CAST(COUNT(*) AS BIGINT) deg FROM (
+           |    SELECT i AS v FROM e$KCoreRounds
+           |    UNION ALL SELECT j FROM e$KCoreRounds) GROUP BY 1)
+           |WHERE deg >= $KCoreK""".stripMargin
+      }),
 
     // G4 (beyond-ref): LPA communities — see labelPropagation for
     // the self-inclusion and determinism devices.

@@ -128,6 +128,28 @@ class GraphSpec extends SparkSpec {
     assert(a === got2)
   }
 
+  test("kcore: pendant and under-k triangle peel away; fixpoint stable") {
+    // K4 {10..13} (3-core) + triangle {20..22} (only a 2-core) +
+    // pendant 1-10: round 1 drops 1 and the whole triangle, K4 stays
+    val e = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L),
+      (20L, 21L), (20L, 22L), (21L, 22L),
+      (1L, 10L)).toDF("i", "j")
+    val got = Graph.kCore(e, k = 3L).as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+    // a fixpoint reached inside the bound survives extra rounds
+    val more = Graph.kCore(e, k = 3L, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(more === got)
+    // k=2 (the registered knob) keeps every cycle: triangle + K4
+    val two = Graph.kCore(e, k = 2L).as[(Long, Long)].collect().toMap
+    assert(two.keySet === Set(10L, 11L, 12L, 13L, 20L, 21L, 22L))
+    assert(two(20L) === 2L)
+    // partition invariance
+    assert(Graph.kCore(e.repartition(5), k = 3L).as[(Long, Long)]
+      .collect().toMap === got)
+  }
+
   test("iteration is a fixpoint map: rank vector is deterministic") {
     val a = Graph.pagerankFrom(starInter, iters = 4)
       .orderBy("node_type", "id").as[(String, Long, Long)].collect().toSeq

@@ -474,6 +474,25 @@ object Dedup {
     labelComponents(ngramJaccard(docs).select(col("i"), col("j")),
       docs.select(col("doc_id")), rounds)
 
+  val SplitFolds = 5
+
+  /** U12: leakage-safe cluster-aware split — the Lee et al.
+    * "Deduplicating Training Data" lesson applied to the SPLIT: a
+    * row-level fold assignment (U4/U6/U9) puts near-duplicates of a
+    * training document into eval, silently inflating every metric.
+    * Here the fold key is the near-dup CLUSTER's canonical id
+    * (pointer-jumping CC), so every member of a cluster rides the
+    * same fold by construction — the doc-grain hash device applied
+    * one level up. Cost over dedupClusters: one scan-bandwidth
+    * integer expression.
+    */
+  def clusterSplit(docs: DataFrame,
+                   nFolds: Int = SplitFolds): DataFrame =
+    dedupClusters(docs)
+      .withColumn("fold",
+        expr(s"((canonical_id % 100003) * 31 + 17) % $nFolds"))
+      .select(col("doc_id"), col("canonical_id"), col("fold"))
+
   /** The 100 TB form of dedupClusters: the edge list comes from the
     * banded MinHash-LSH pipeline (bucket-keyed candidates, exact
     * Jaccard verify) instead of the exact all-shingle co-count join,
@@ -1035,6 +1054,21 @@ object Dedup {
            |$ccStepsSql
            |SELECT doc_id, lbl AS canonical_id,
            |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
+
+    // U12 (beyond-ref): cluster-aware leakage-safe split — see
+    // clusterSplit; fold rides the cluster's canonical id.
+    QueryDef("u12_cluster_split",
+      (s, d) => clusterSplit(docs(s, d)),
+      Some(
+        s"""WITH $shSql,
+           |$jacSql,
+           |p AS (SELECT i, j FROM jac WHERE jaccard >= $JaccardT),
+           |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+           |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+           |$ccStepsSql
+           |SELECT doc_id, lbl AS canonical_id,
+           |((lbl % 100003) * 31 + 17) % $SplitFolds AS fold
+           |FROM l$ClusterRounds""".stripMargin)),
 
     // The production-path composition: CC over LSH-verified edges
     // (bucketed candidates) instead of the exact co-count join —

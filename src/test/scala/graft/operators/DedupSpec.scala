@@ -145,6 +145,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster split: every near-dup cluster rides one fold") {
+    // docs 1,2,3 are one near-dup cluster; 4 is a singleton
+    val got = Dedup.clusterSplit(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size === 4)
+    // one canonical id, hence ONE fold for the whole cluster
+    val cluster = Seq(1L, 2L, 3L).map(got(_))
+    assert(cluster.map(_._2).distinct.size === 1)
+    assert(cluster.map(_._3).distinct.size === 1)
+    // folds are in range and the arithmetic is the documented device
+    got.values.foreach { case (_, canon, fold) =>
+      assert(fold === ((canon % 100003) * 31 + 17) % Dedup.SplitFolds)
+      assert(fold >= 0 && fold < Dedup.SplitFolds)
+    }
+  }
+
   test("incremental dedup: cross-side pairs only, consistent with the batch pass") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val inc = Dedup.incrementalDedup(docs)

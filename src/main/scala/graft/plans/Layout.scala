@@ -99,4 +99,34 @@ object Layout {
     fs.delete(bak, true)
     (parts.length, nOut)
   }
+
+  final case class LayoutHealth(n_files: Long, total_bytes: Long,
+                                min_bytes: Long, max_bytes: Long,
+                                avg_bytes: Long, n_small: Long,
+                                small_share_ppm: Long,
+                                target_files: Long)
+
+  /** S21's monitor: the file-layout health report that DECIDES when
+    * compaction runs — small-file count against the byte target,
+    * size extremes, and the file count a compaction would produce.
+    * Pure filesystem LISTING (O(files), zero data read — the
+    * Retention device), so it is safe to run on every table every
+    * hour at 100 TB. A file counts as small below half the target
+    * (Delta's OPTIMIZE heuristic).
+    */
+  def layoutReport(spark: SparkSession, dir: String,
+                   targetBytes: Long = 128L * 1024 * 1024): LayoutHealth = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(path)
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)
+    if (sizes.isEmpty) return LayoutHealth(0, 0, 0, 0, 0, 0, 0, 0)
+    val total = sizes.sum
+    val small = sizes.count(_ < targetBytes / 2).toLong
+    LayoutHealth(sizes.length.toLong, total, sizes.min, sizes.max,
+      total / sizes.length, small,
+      small * 1000000L / sizes.length,
+      math.max(1, math.ceil(total.toDouble / targetBytes).toLong))
+  }
 }

@@ -95,4 +95,32 @@ class LayoutSpec extends SparkSpec {
     // cheap path stays available when the reader doesn't need drift
     assert(spark.read.parquet(root).count() === 3)
   }
+
+  test("layout report: small files counted, compaction heals the report") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lh").toString + "/t"
+    (0 until 2000).map(i => (i.toLong, s"row-$i"))
+      .toDF("id", "s").repartition(16).write.parquet(dir)
+    val target = 64L * 1024
+    val before = Layout.layoutReport(spark, dir, target)
+    assert(before.n_files === 16L)
+    assert(before.total_bytes ===
+      before.n_files * before.avg_bytes +
+        before.total_bytes % before.n_files)
+    assert(before.min_bytes <= before.max_bytes)
+    // 16 tiny files against a 64 KiB target: all small, report says so
+    assert(before.n_small === 16L)
+    assert(before.small_share_ppm === 1000000L)
+    assert(before.target_files < 16L)
+    // compaction to the same target heals the small-file pressure
+    Layout.compact(spark, dir, target)
+    val after = Layout.layoutReport(spark, dir, target)
+    assert(after.n_files === before.target_files)
+    assert(after.total_bytes > 0)
+    assert(spark.read.parquet(dir).count() === 2000L)
+    // empty dir: all-zero report, no crash
+    val empty = java.nio.file.Files.createTempDirectory("lh0").toString
+    assert(Layout.layoutReport(spark, empty, target)
+      === Layout.LayoutHealth(0, 0, 0, 0, 0, 0, 0, 0))
+  }
 }

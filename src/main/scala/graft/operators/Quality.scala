@@ -358,6 +358,162 @@ object Quality {
        |MIN(sz) AS min_group_size
        |FROM g""".stripMargin
 
+  /** Benford first-significant-digit audit over order totals — the
+    * classic fraud/synthetic-data screen: naturally occurring
+    * multi-magnitude amounts follow P(d) = log10(1 + 1/d); fabricated
+    * or truncated feeds don't. The expected shares are fixed
+    * round-to-ppm literals (they sum to exactly 1e6), the observed
+    * shares are exact integer floor-div ppm, and the per-digit
+    * deviation is their absolute difference — no float anywhere, so
+    * both engines emit identical rows. One aggregate at 9-digit
+    * grain + a broadcast total: scan bandwidth at any table size.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  def benford(orders: DataFrame): DataFrame = {
+    val amounts = orders
+      .filter(col("o_totalprice") >= lit(1.0d))
+      .select(substring(floor(col("o_totalprice")).cast("bigint")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+    val obs = amounts.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = amounts.agg(count(lit(1)).as("total")) // 1 row
+    val expected = BenfordPpm
+      .map { case (d, p) => s"($d, ${p}L)" }
+      .mkString("VALUES ", ", ", " AS t(digit, expected_ppm)")
+    val exp = obs.sparkSession.sql(
+      s"SELECT CAST(digit AS BIGINT) AS digit, expected_ppm FROM ($expected)")
+    exp.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("total") === 0L, lit(0L))
+          .otherwise(expr("coalesce(n, 0L) * 1000000 div total"))
+          .as("observed_ppm"),
+        col("expected_ppm"))
+      .withColumn("dev_ppm", abs(col("observed_ppm") - col("expected_ppm")))
+  }
+
+  private val benfordSql: String = {
+    val values = BenfordPpm
+      .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH amt AS (SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders WHERE o_totalprice >= 1),
+       |obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM amt
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM amt),
+       |e(digit, expected_ppm) AS (VALUES $values)
+       |SELECT CAST(e.digit AS BIGINT) AS digit,
+       |COALESCE(obs.n, CAST(0 AS BIGINT)) AS n,
+       |CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+       |  ELSE CAST(COALESCE(obs.n, 0) * 1000000 // total AS BIGINT)
+       |  END AS observed_ppm,
+       |CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+       |CAST(ABS(CASE WHEN total = 0 THEN 0
+       |  ELSE COALESCE(obs.n, 0) * 1000000 // total END
+       |  - e.expected_ppm) AS BIGINT) AS dev_ppm
+       |FROM e LEFT JOIN obs ON e.digit = obs.digit, tot""".stripMargin
+  }
+
+  /** Distinct l-diversity audit — k-anonymity's complement: a group
+    * can be large (k-safe) yet still leak if every member shares one
+    * sensitive value. Quasi-identifier = (market segment, nation);
+    * sensitive attribute = the account-balance band (the attacker
+    * model: segment+nation are linkable from the outside, balance is
+    * the secret). A group is l-diverse when it contains ≥ l DISTINCT
+    * sensitive values. One aggregate at quasi-ID grain (the exact
+    * distinct adds the usual two-phase expand) + a constant summary.
+    */
+  val LDiversityL: Long = 5L
+
+  def lDiversity(customer: DataFrame, l: Long = LDiversityL): DataFrame = {
+    val groups = customer
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr(s"(CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2))) AS BIGINT)" +
+          s" + $BalOffset) div 1000").as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("bal_band")).as("l_dist"))
+    groups.agg(
+      lit(l).as("l"),
+      count(lit(1)).as("n_groups"),
+      sum((col("l_dist") < lit(l)).cast("long")).as("n_violating"),
+      sum(when(col("l_dist") < lit(l), col("sz")).otherwise(lit(0L)))
+        .as("rows_at_risk"),
+      min(col("l_dist")).as("min_l"))
+  }
+
+  private val lDiversitySql: String =
+    s"""WITH g AS (SELECT c_mktsegment, c_nationkey,
+       |    CAST(COUNT(*) AS BIGINT) AS sz,
+       |    CAST(COUNT(DISTINCT (CAST(FLOOR(CAST(c_acctbal AS
+       |      DECIMAL(18,2))) AS BIGINT) + $BalOffset) // 1000)
+       |      AS BIGINT) AS l_dist
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT CAST($LDiversityL AS BIGINT) AS l,
+       |CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |CAST(SUM(CASE WHEN l_dist < $LDiversityL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS n_violating,
+       |CAST(SUM(CASE WHEN l_dist < $LDiversityL THEN sz ELSE 0 END)
+       |  AS BIGINT) AS rows_at_risk,
+       |MIN(l_dist) AS min_l
+       |FROM g""".stripMargin
+
+  /** Size-balanced contiguous shard packing — the OTHER shard
+    * materialization next to u11's hash shuffle: training-data export
+    * wants shards of roughly equal BYTES in a stable document order
+    * (contiguous doc-id runs keep source-locality and make resume
+    * offsets trivial). shard = exclusive-prefix-bytes div target — the exact
+    * greedy next-fit pack over the doc_id order.
+    *
+    * Scale shape: the global prefix sum uses the Stats.denseIndex
+    * two-phase device — range-partition by doc_id, per-partition byte
+    * totals, ONE bounded window over pid grain (≤ partition count, a
+    * cluster config constant) for the offsets, then a partition-local
+    * cumulative window. No data-sized window partition anywhere; the
+    * result depends only on the global doc_id order, so it is
+    * partition-count invariant (DeterminismSpec).
+    */
+  val ShardChars: Long = 65536L
+
+  def shardPack(docs: DataFrame, target: Long = ShardChars): DataFrame = {
+    val parts = docs.select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .localCheckpoint(false)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.groupBy(col("pid"))
+      .agg(sum(col("n_chars")).as("pbytes"))
+      .withColumn("off", coalesce(sum(col("pbytes")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(offs), Seq("pid"))
+      .withColumn("cum_excl",
+        col("off") + coalesce(sum(col("n_chars")).over(wIn), lit(0L)))
+      .withColumn("shard", expr(s"cum_excl div $target"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("shard_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  private val shardPackSql: String =
+    s"""WITH c AS (SELECT doc_id, n_chars,
+       |    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_excl
+       |  FROM documents)
+       |SELECT CAST(cum_excl // $ShardChars AS BIGINT) AS shard,
+       |CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+       |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
   // ---- driver-contract registry ----
 
   /** DQ6: referential-integrity audit across the lake's FK edges —
@@ -488,5 +644,16 @@ object Quality {
       (s, d) => joinExplosion(
         Tables.events(s, d).select(col("user_id").as("k")),
         ord(s, d).select(col("o_custkey").as("k"))),
-      Some(joinExplosionSql)))
+      Some(joinExplosionSql)),
+    // DQ8: Benford first-digit screen over the money column.
+    QueryDef("dq_benford",
+      (s, d) => benford(ord(s, d)), Some(benfordSql)),
+    // DQ9: l-diversity beside DQ5's k-anonymity — group size is not
+    // privacy when the sensitive value is constant within the group.
+    QueryDef("dq_l_diversity",
+      (s, d) => lDiversity(Tables.customer(s, d)), Some(lDiversitySql)),
+    // U13: size-balanced contiguous shard packing (export planning);
+    // the hash-shuffle shards are u11_det_shuffle.
+    QueryDef("u13_shard_pack",
+      (s, d) => shardPack(docs(s, d)), Some(shardPackSql)))
 }

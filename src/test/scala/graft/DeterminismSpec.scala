@@ -102,7 +102,9 @@ class DeterminismSpec extends SparkSpec {
     "sim_knn_ivf_from_store", // persisted-index read + in-cell search
     "ts_cusum",               // prefix-sum − running-min reset identity
     "ml_covisitation",        // session pairs + capped first-seen order
-    "sim_nprobe_sweep")       // shared candidate set × per-p rank cuts
+    "sim_nprobe_sweep",       // shared candidate set × per-p rank cuts
+    "u13_shard_pack",         // two-phase global prefix sum + pack
+    "dq_benford")             // digit shares under a broadcast total
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -333,7 +333,8 @@ class PlanSpec extends SparkSpec {
     "sim_recall_sweep", "txt_ngram_freq", // rank over limit(20)
     // pid-grain (Stats.denseIndex prefix offsets — bounded by the
     // partition count, a cluster config constant)
-    "ml_negative_samples"
+    "ml_negative_samples",
+    "u13_shard_pack"        // pid-grain prefix offsets (shardPack)
   )
 
   test("single-partition windows run only over bounded-grain inputs " +

@@ -525,6 +525,81 @@ object Temporal {
       |  IS NULL AS INT) AS is_current
       |FROM runs""".stripMargin
 
+  val AcfMaxLag = 7
+
+  /** TS7 (beyond-ref): lag-1..7 autocorrelation of the per-type daily
+    * volume series — the seasonality detector that DECIDES ts_decompose's
+    * period (a weekly-cycled series shows the lag-7 peak) and whether
+    * TS3's independence assumption holds at all. Pearson r over the
+    * aligned (day, day+lag) pairs from exact sufficient statistics:
+    * counts and cross-products sum in DECIMAL(38) (HUGEINT on the
+    * oracle — a 10⁹-rows/day series squares to 10¹⁸ per pair, past
+    * Long), then ONE double division + sqrt per (type, lag) — the
+    * trendSlope closed form with the series joined to itself.
+    *
+    * Scale shape: the series aggregate is the decompose shuffle; the
+    * lag join runs at (type, day) grain — calendar-bounded — times a
+    * 7-row broadcast lag relation. Output is |types|·7 rows always.
+    * Degenerate series (under 2 pairs, or zero variance on either
+    * side — engines disagree on 0/0) are filtered, as in trendSlope.
+    */
+  def autocorr(events: DataFrame, maxLag: Int = AcfMaxLag): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = events
+      .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // referenced by both sides of the lag join
+    val lags = series.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val pairs = series.as("a")
+      .crossJoin(broadcast(lags))
+      .join(series.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") === col("a.day") + col("lag"))
+      .select(col("a.event_type").as("event_type"), col("lag"),
+        col("a.n").as("x"), col("b.n").as("y"))
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+      .withColumn("vx",
+        col("sxx") * col("m") - col("sx").cast(dec) * col("sx"))
+      .withColumn("vy",
+        col("syy") * col("m") - col("sy").cast(dec) * col("sy"))
+      .filter(col("m") >= 2 && col("vx") > 0 && col("vy") > 0)
+      .select(col("event_type"), col("lag"), col("m").as("n_pairs"),
+        round((col("sxy") * col("m") - col("sx").cast(dec) * col("sy"))
+          .cast("double") /
+          sqrt(col("vx").cast("double") * col("vy").cast("double")), 6)
+          .as("r"))
+  }
+
+  private val autocorrSql: String =
+    s"""WITH series AS (SELECT event_type,
+       |    epoch_us(ts) // $DayUs AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |p AS (SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+       |  FROM series a
+       |  CROSS JOIN generate_series(1, $AcfMaxLag) l(lag)
+       |  JOIN series b ON a.event_type = b.event_type
+       |    AND b.day = a.day + l.lag),
+       |st AS (SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM p GROUP BY 1, 2),
+       |v AS (SELECT *, sxx * m - CAST(sx AS HUGEINT) * sx AS vx,
+       |    syy * m - CAST(sy AS HUGEINT) * sy AS vy
+       |  FROM st)
+       |SELECT event_type, CAST(lag AS BIGINT) AS lag, m AS n_pairs,
+       |ROUND(CAST(sxy * m - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |  / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) AS r
+       |FROM v WHERE m >= 2 AND vx > 0 AND vy > 0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // TS3 (beyond-ref): trailing-window anomaly flags — see
@@ -904,6 +979,11 @@ object Temporal {
              |  WHERE event_type = 'purchase') f
              |LEFT JOIN dim ON f.user_id = dim.user_id
              |  AND f.ts_us >= dim.valid_from_us
-             |  AND (dim.valid_to_us IS NULL OR f.ts_us < dim.valid_to_us)""".stripMargin))
+             |  AND (dim.valid_to_us IS NULL OR f.ts_us < dim.valid_to_us)""".stripMargin)),
+
+    // TS7 (beyond-ref): lag-1..7 autocorrelation — see autocorr for
+    // the exact-sufficient-statistics closed form.
+    QueryDef("ts_autocorr",
+      (s, d) => autocorr(ev(s, d)), Some(autocorrSql))
   )
 }

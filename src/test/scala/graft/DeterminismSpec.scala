@@ -104,7 +104,8 @@ class DeterminismSpec extends SparkSpec {
     "ml_covisitation",        // session pairs + capped first-seen order
     "sim_nprobe_sweep",       // shared candidate set × per-p rank cuts
     "u13_shard_pack",         // two-phase global prefix sum + pack
-    "dq_benford")             // digit shares under a broadcast total
+    "dq_benford",             // digit shares under a broadcast total
+    "ts_autocorr")            // decimal cross-products + one division
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -2589,7 +2589,17 @@ object TextAnalysis {
               |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
               |      ORDER BY score DESC, label DESC) rn FROM sc) WHERE rn = 1)
               |SELECT l.label, p.pred, CAST(COUNT(*) AS BIGINT) AS n_docs
-              |FROM lab l JOIN prd p USING (doc_id) GROUP BY 1, 2""".stripMargin))
+              |FROM lab l JOIN prd p USING (doc_id) GROUP BY 1, 2""".stripMargin)),
+
+    // T23 (beyond-ref): Heaps-law vocabulary growth curve — see
+    // heapsLaw for the first-occurrence device.
+    QueryDef("txt_heaps_law",
+      (s, d) => heapsLaw(docs(s, d)), Some(heapsLawSql)),
+
+    // T24 (beyond-ref): Zipf rank-frequency fit over the head
+    // vocabulary — see zipfFit for the quantized-log closed form.
+    QueryDef("txt_zipf_fit",
+      (s, d) => zipfFit(docs(s, d)), Some(zipfFitSql))
   )
 
   /** DSIR-style importance selection (Data Selection via Importance
@@ -2817,4 +2827,142 @@ object TextAnalysis {
           round(col("tp").cast("double") / col("p_total"), 6))
           .as("recall"))
   }
+
+  /** Heaps-law vocabulary growth: V(n) at ten doc-id checkpoints —
+    * the curve that sizes a tokenizer vocabulary and predicts how
+    * much NEW vocabulary the next corpus doubling brings (V ≈ K·nᵝ;
+    * a flattening curve means the crawl is saturating). The device is
+    * first-occurrence reduction: each token type collapses to its
+    * MIN doc_id once (one vocab-grain aggregate), so every checkpoint
+    * count is a conditional sum over that bounded relation — never a
+    * re-scan per checkpoint, and no data-sized window. Checkpoints
+    * are integer-arithmetic doc-id cuts from a 1-row bounds
+    * broadcast; all counts exact.
+    */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("tk"))
+    val firsts = tok.groupBy(col("tk")).agg(min(col("doc_id")).as("fd"))
+    val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
+    val b = docs.agg(min(col("doc_id")).as("dmin"),
+      max(col("doc_id")).as("dmax")) // 1 row
+    def cut(k: Int) = expr(s"dmin + ((dmax - dmin + 1) * $k) div 10")
+    val vCols = (1 to 10).map(k =>
+      sum((col("fd") < cut(k)).cast("long")).as(s"v$k"))
+    val vAgg = firsts.crossJoin(broadcast(b))
+      .agg(vCols.head, vCols.tail: _*)
+    val dCols = (1 to 10).flatMap(k => Seq(
+      sum((col("doc_id") < cut(k)).cast("long")).as(s"d$k"),
+      sum(when(col("doc_id") < cut(k), col("ntok")).otherwise(0L))
+        .as(s"t$k")))
+    val dAgg = perDoc.crossJoin(broadcast(b))
+      .agg(dCols.head, dCols.tail: _*)
+    val stacked = vAgg.crossJoin(dAgg).selectExpr(
+      s"""stack(10, ${(1 to 10).map(k =>
+        s"${k}L, d$k, t$k, v$k").mkString(", ")})
+         | AS (k, n_docs, n_tokens, vocab)""".stripMargin)
+    stacked.select(col("k"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+      coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+      coalesce(col("vocab"), lit(0L)).as("vocab"))
+  }
+
+  private lazy val heapsLawSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)),'\s+')) AS tk
+      |  FROM documents),
+      |f AS (SELECT tk, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+      |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+      |  FROM tok GROUP BY 1),
+      |b AS (SELECT MIN(doc_id) AS dmin, MAX(doc_id) AS dmax
+      |  FROM documents),
+      |ks AS (SELECT unnest(generate_series(1, 10)) AS k),
+      |cuts AS (SELECT k, dmin + ((dmax - dmin + 1) * k) // 10 AS cut
+      |  FROM ks, b),
+      |v AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS vocab
+      |  FROM f, cuts WHERE fd < cut GROUP BY 1),
+      |d AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      |  FROM pd, cuts WHERE doc_id < cut GROUP BY 1)
+      |SELECT CAST(ks.k AS BIGINT) AS k,
+      |COALESCE(d.n_docs, CAST(0 AS BIGINT)) AS n_docs,
+      |COALESCE(d.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+      |COALESCE(v.vocab, CAST(0 AS BIGINT)) AS vocab
+      |FROM ks LEFT JOIN d ON ks.k = d.k
+      |LEFT JOIN v ON ks.k = v.k""".stripMargin
+
+  final val ZipfHead = 1000
+
+  /** Zipf rank-frequency fit over the head vocabulary: least-squares
+    * slope of ln(freq) on ln(rank) across the top `ZipfHead` tokens —
+    * natural text sits near −1; a flat slope flags templated or
+    * machine-generated corpora (the txt_repetition signal at corpus
+    * rather than document grain). Logs quantize to micro-nat integers
+    * (the LM-ladder device) so the sufficient statistics are exact
+    * sums; slope and intercept are then ONE identical IEEE division
+    * sequence on both engines. The head cut is a TakeOrdered top-k,
+    * and the rank window runs over k rows — bounded by the explicit
+    * constant (PlanSpec whitelist: k-grain).
+    */
+  def zipfFit(docs: DataFrame, topK: Int = ZipfHead): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tok = docs.select(explode(tokens(lower(col("text")))).as("tk"))
+    val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+    val top = freq.orderBy(col("cnt").desc, col("tk")).limit(topK)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("tk")))
+        .cast("long"))
+      .select(
+        round(log(col("rank").cast("double")) * 1000000.0d)
+          .cast("long").as("qx"),
+        round(log(col("cnt").cast("double")) * 1000000.0d)
+          .cast("long").as("qy"))
+    val st = ranked.agg(count(lit(1)).as("n"),
+      sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+      sum(col("qx").cast(dec) * col("qx")).as("sxx"),
+      sum(col("qx").cast(dec) * col("qy")).as("sxy"))
+    val num = (col("sxy") * col("n") -
+      col("sx").cast(dec) * col("sy")).cast("double")
+    val den = (col("sxx") * col("n") -
+      col("sx").cast(dec) * col("sx")).cast("double")
+    st.filter(col("n") >= 2)
+      .select(col("n").as("n_head"),
+        round(num / den, 6).as("slope"),
+        // intercept in micro-nats back to nats: same unrounded slope
+        // double on both engines, one shared expression shape
+        round((col("sy").cast("double") -
+          (num / den) * col("sx").cast("double")) /
+          col("n").cast("double") / 1000000.0d, 6).as("intercept"))
+  }
+
+  private lazy val zipfFitSql: String =
+    s"""WITH tok AS (SELECT
+       |    unnest(string_split_regex(trim(lower(text)),'\\s+')) AS tk
+       |  FROM documents),
+       |freq AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY 1),
+       |top AS (SELECT tk, cnt FROM freq
+       |  ORDER BY cnt DESC, tk LIMIT $ZipfHead),
+       |rk AS (SELECT cnt,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tk) AS BIGINT)
+       |      AS rank FROM top),
+       |q AS (SELECT
+       |    CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |      AS qx,
+       |    CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |      AS qy FROM rk),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+       |    SUM(CAST(qx AS HUGEINT) * qx) AS sxx,
+       |    SUM(CAST(qx AS HUGEINT) * qy) AS sxy
+       |  FROM q)
+       |SELECT n AS n_head,
+       |ROUND(CAST(sxy * n - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |  / CAST(sxx * n - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+       |  AS slope,
+       |ROUND((CAST(sy AS DOUBLE)
+       |  - (CAST(sxy * n - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |    / CAST(sxx * n - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+       |  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0, 6)
+       |  AS intercept
+       |FROM st WHERE n >= 2""".stripMargin
 }

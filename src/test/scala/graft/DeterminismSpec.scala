@@ -105,7 +105,9 @@ class DeterminismSpec extends SparkSpec {
     "sim_nprobe_sweep",       // shared candidate set × per-p rank cuts
     "u13_shard_pack",         // two-phase global prefix sum + pack
     "dq_benford",             // digit shares under a broadcast total
-    "ts_autocorr")            // decimal cross-products + one division
+    "ts_autocorr",            // decimal cross-products + one division
+    "txt_zipf_fit",           // head top-k cut + quantized-log fit
+    "txt_heaps_law")          // first-occurrence conditional sums
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -332,6 +332,67 @@ object Graph {
        |  FROM adj a JOIN $prev l ON a.n = l.node
        |  GROUP BY a.v, l.label) WHERE rn = 1)""".stripMargin
 
+  val BfsSeeds = 5
+  val BfsDepth = 3
+
+  /** G6 (beyond-ref): bounded multi-source BFS — hop-distance
+    * neighborhoods of the top-degree hub items over the co-purchase
+    * graph (the "how far does influence reach" read: ego-network
+    * sizing for the hubs PageRank ranks, and the candidate-pool
+    * radius a graph-expansion recommender would use). Per (seed,
+    * depth ≤ 3), the count of nodes first reached at that depth.
+    *
+    * Scale shape: textbook frontier BFS — each round is ONE equi-join
+    * of the frontier against the adjacency list, a distinct at
+    * (seed, node) grain, and an anti-join against the visited set;
+    * per-round cost is frontier-edge-grain, never |V|². The seed set
+    * is a TakeOrdered top-k (constant), so the whole state is
+    * |seeds|·|reached| rows. Depth is bounded by the constant — at
+    * hub degrees, depth 3 already covers the component's bulk, and
+    * each extra hop is one more join, exactly as in PageRank's
+    * bounded lineage. Determinism: seeds tie-break on (deg desc, id),
+    * reachability and counts are set facts — no float anywhere.
+    */
+  def bfsHops(edges: DataFrame, nSeeds: Int = BfsSeeds,
+              depth: Int = BfsDepth): DataFrame = {
+    val e = edges.localCheckpoint(false)
+    val adj = e.select(col("i").as("v"), col("j").as("n"))
+      .unionByName(e.select(col("j").as("v"), col("i").as("n")))
+      .localCheckpoint(false) // reused every round
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val seeds = deg.orderBy(col("deg").desc, col("v")).limit(nSeeds)
+      .select(col("v").as("seed"))
+    var visited = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("depth"))
+      .localCheckpoint(false)
+    var frontier = visited.select(col("seed"), col("node"))
+    for (r <- 1 to depth) {
+      val nxt = frontier.join(adj, frontier("node") === adj("v"))
+        .select(col("seed"), col("n").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .withColumn("depth", lit(r.toLong))
+        .localCheckpoint(false) // visited union + next frontier
+      visited = visited.unionByName(nxt).localCheckpoint(false)
+      frontier = nxt.select(col("seed"), col("node"))
+    }
+    visited.groupBy(col("seed"), col("depth"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** One unrolled BFS oracle round: the new frontier f<r> is the
+    * distinct neighbor set minus everything already visited; v<r>
+    * accumulates.
+    */
+  private def bfsCte(r: Int): String =
+    s"""f$r AS MATERIALIZED (SELECT x.seed, x.node, $r AS depth FROM (
+       |    SELECT DISTINCT f.seed, a.n AS node
+       |    FROM f${r - 1} f JOIN adj a ON f.node = a.v) x
+       |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} vv
+       |    WHERE vv.seed = x.seed AND vv.node = x.node)),
+       |v$r AS MATERIALIZED (SELECT seed, node, depth FROM v${r - 1}
+       |  UNION ALL SELECT seed, node, depth FROM f$r)""".stripMargin
+
   /** One unrolled oracle iteration; `prev` names the previous level's
     * CTE. MATERIALIZED is load-bearing: DuckDB inlines CTEs, so an
     * un-materialized ladder re-scans the base 3^iters times.
@@ -503,6 +564,42 @@ object Graph {
               |  // (di.deg + dj.deg - LEAST(c.n_common, di.deg, dj.deg))
               |  AS jaccard_ppm
               |FROM cand c JOIN dg di ON c.i = di.v JOIN dg dj ON c.j = dj.v
-              |ORDER BY jaccard_ppm DESC, c.i, c.j LIMIT $LpTopK""".stripMargin))
+              |ORDER BY jaccard_ppm DESC, c.i, c.j LIMIT $LpTopK""".stripMargin)),
+
+    // G6 (beyond-ref): bounded multi-source BFS from the hub items —
+    // see bfsHops for the frontier/anti-join shape.
+    QueryDef("graph_bfs_hops",
+      (s, d) => bfsHops(
+        itemEdges(Recommend.interactionsCapped(s, d)
+          .localCheckpoint(false))),
+      Some {
+        val ladder = (1 to BfsDepth).map(bfsCte).mkString(",\n")
+        s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+           |    MAX(o_orderdate) AS last_ts
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |capped AS (SELECT user_id, item_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+           |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+           |  WHERE rn <= ${Recommend.CapPerUser}),
+           |e AS MATERIALIZED (SELECT i, j FROM (
+           |  SELECT a.item_id i, b.item_id j, COUNT(*) co
+           |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+           |    AND a.item_id < b.item_id
+           |  GROUP BY 1, 2) WHERE co >= $TriMinCo),
+           |adj AS MATERIALIZED (SELECT i AS v, j AS n FROM e
+           |  UNION ALL SELECT j, i FROM e),
+           |dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM adj GROUP BY 1),
+           |seeds AS MATERIALIZED (SELECT v AS seed FROM dg
+           |  ORDER BY deg DESC, v LIMIT $BfsSeeds),
+           |v0 AS MATERIALIZED (SELECT seed, seed AS node, 0 AS depth
+           |  FROM seeds),
+           |f0 AS MATERIALIZED (SELECT seed, node, depth FROM v0),
+           |$ladder
+           |SELECT seed, CAST(depth AS BIGINT) AS depth,
+           |CAST(COUNT(*) AS BIGINT) AS n_nodes
+           |FROM v$BfsDepth GROUP BY 1, 2""".stripMargin
+      })
   )
 }

@@ -107,7 +107,8 @@ class DeterminismSpec extends SparkSpec {
     "dq_benford",             // digit shares under a broadcast total
     "ts_autocorr",            // decimal cross-products + one division
     "txt_zipf_fit",           // head top-k cut + quantized-log fit
-    "txt_heaps_law")          // first-occurrence conditional sums
+    "txt_heaps_law",          // first-occurrence conditional sums
+    "graph_bfs_hops")         // seed top-k + frontier set algebra
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

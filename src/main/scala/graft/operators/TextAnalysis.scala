@@ -2842,8 +2842,14 @@ object TextAnalysis {
   def heapsLaw(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("tk"))
-    val firsts = tok.groupBy(col("tk")).agg(min(col("doc_id")).as("fd"))
-    val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
+    // ONE corpus explode: both grains derive from the (doc, term)
+    // matrix — far smaller than the token stream — so the scan and
+    // the explode run once, not once per aggregate.
+    val dtm = tok.groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val firsts = dtm.groupBy(col("tk")).agg(min(col("doc_id")).as("fd"))
+    val perDoc = dtm.groupBy(col("doc_id")).agg(sum(col("c")).as("ntok"))
     val b = docs.agg(min(col("doc_id")).as("dmin"),
       max(col("doc_id")).as("dmax")) // 1 row
     def cut(k: Int) = expr(s"dmin + ((dmax - dmin + 1) * $k) div 10")

@@ -426,9 +426,79 @@ object Commerce {
       |  // (CAST(n_days AS HUGEINT) * t_orders) AS BIGINT) AS index_ppm
       |FROM pd, t""".stripMargin
 
+  /** BI8 (beyond-ref): demand elasticity against the discount ladder —
+    * per brand, the least-squares slope of ln(quantity sold) on
+    * ln(price multiplier), over the DISCRETE discount levels (TPC-H
+    * discounts are whole percents, so the x-grain is ≤ ~11 points —
+    * a domain, never row count). Elasticity ≈ −2 means a 1% price cut
+    * lifts volume ~2%; the promotions dashboard read. Device chain:
+    * discount → integer percent (one IEEE multiply + round, identical
+    * on both engines), quantities sum exactly, both logs quantize to
+    * micro-nats, the slope is exact-integer sufficient statistics +
+    * ONE double division (trendSlope's closed form). One (brand,
+    * pct) aggregate — scan bandwidth — then a |brands|-row reduce.
+    */
+  def priceElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        round(col("l_discount") * lit(100.0d)).cast("long").as("dpct"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("brand"), col("dpct"))
+      .agg(sum(col("q")).as("qty"))
+      .select(col("brand"),
+        round(log((lit(100L) - col("dpct")).cast("double")) * 1000000.0d)
+          .cast("long").as("qx"),
+        round(log(col("qty").cast("double")) * 1000000.0d).cast("long")
+          .as("qy"))
+    pts.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+        sum(col("qx").cast(dec) * col("qx")).as("sxx"),
+        sum(col("qx").cast(dec) * col("qy")).as("sxy"))
+      .withColumn("den",
+        col("sxx") * col("n") - col("sx").cast(dec) * col("sx"))
+      .filter(col("n") >= 2 && col("den") > 0)
+      .select(col("brand"), col("n").as("n_points"),
+        round((col("sxy") * col("n") - col("sx").cast(dec) * col("sy"))
+          .cast("double") / col("den").cast("double"), 6)
+          .as("elasticity"))
+  }
+
+  private val priceElasticitySql: String =
+    """WITH pts AS (SELECT p_brand AS brand,
+      |    CAST(ROUND(l_discount * 100.0) AS BIGINT) AS dpct,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |q AS (SELECT brand,
+      |    CAST(ROUND(ln(CAST(100 - dpct AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT) AS qx,
+      |    CAST(ROUND(ln(CAST(qty AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT) AS qy FROM pts),
+      |st AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+      |    SUM(CAST(qx AS HUGEINT) * qx) AS sxx,
+      |    SUM(CAST(qx AS HUGEINT) * qy) AS sxy
+      |  FROM q GROUP BY 1),
+      |v AS (SELECT *, sxx * n - CAST(sx AS HUGEINT) * sx AS den
+      |  FROM st)
+      |SELECT brand, n AS n_points,
+      |ROUND(CAST(sxy * n - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |  / CAST(den AS DOUBLE), 6) AS elasticity
+      |FROM v WHERE n >= 2 AND den > 0""".stripMargin
+
   // ---- driver-contract registry ----
 
   val defs: Seq[QueryDef] = Seq(
+
+    // BI8 (beyond-ref): discount-ladder demand elasticity — see
+    // priceElasticity for the quantized-log closed form.
+    QueryDef("bi_price_elasticity",
+      (s, d) => priceElasticity(li(s, d), Tables.part(s, d)),
+      Some(priceElasticitySql)),
 
     QueryDef("bi_dow_seasonality",
       (s, d) => dowSeasonality(ord(s, d)),

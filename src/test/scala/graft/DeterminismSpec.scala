@@ -108,7 +108,8 @@ class DeterminismSpec extends SparkSpec {
     "ts_autocorr",            // decimal cross-products + one division
     "txt_zipf_fit",           // head top-k cut + quantized-log fit
     "txt_heaps_law",          // first-occurrence conditional sums
-    "graph_bfs_hops")         // seed top-k + frontier set algebra
+    "graph_bfs_hops",         // seed top-k + frontier set algebra
+    "bi_price_elasticity")    // discount-grain quantized-log slope
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

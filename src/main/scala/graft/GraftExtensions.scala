@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: the native per-key top-k planner rule
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    // exact-match materialized-view substitution at analysis time —
+    // before the optimizer can push predicates through the aggregate
+    // (no-op while the registry is empty)
+    ext.injectPostHocResolutionRule(spark =>
+      graft.plans.MvRewriteRule(spark))
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - sequential-fold dot product"),
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))

@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Graph.defs ++
       operators.Commerce.defs ++
       operators.Quality.defs ++
-      operators.TopK.defs
+      operators.TopK.defs ++
+      plans.MvRewrite.defs
 
   /** Flagship: the reference's daily medallion slice
     * (extract S1 → clean P2–P6 → daily summary A1) on sf0.001;

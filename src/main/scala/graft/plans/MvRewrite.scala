@@ -1,0 +1,198 @@
+package graft.plans
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact-match materialized-view substitution — the lakehouse serving
+  * accelerator (what Databricks/BigQuery MV rewrite does in its safe
+  * subset): a registered MV is a (definition plan, parquet artifact)
+  * pair; whenever a query contains an Aggregate subtree that is
+  * semantically IDENTICAL to a registered definition (Catalyst
+  * `canonicalized` comparison — the engine's own `sameResult`
+  * machinery, so column order, aliases and exprIds don't matter), the
+  * optimizer swaps the whole subtree for a scan of the artifact.
+  *
+  * At 100 TB this turns every dashboard refresh of a standing
+  * aggregate from a fact-table scan into a summary-file read — the
+  * single biggest serving win a lake gets, and the reason the
+  * medallion Gold layer exists. Exact match is the deliberately
+  * conservative subset: no containment reasoning, so a rewrite can
+  * never change results (the spec proves both the firing and the
+  * not-firing side).
+  *
+  * Staleness contract: the artifact reflects its registration time —
+  * refresh = re-register (the reference's daily Gold rebuild,
+  * dags/daily_pipeline.py's summary step, has exactly this
+  * semantics; `ivm_daily_summary` is the incremental refresh path).
+  */
+object MvRegistry {
+
+  final case class Entry(fingerprint: String, scan: LogicalPlan)
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  /** Structural fingerprint of a canonicalized plan. Catalyst's
+    * `canonicalized ==` cannot match two scans of the same path from
+    * different `spark.read` calls (the FileIndex compares by
+    * reference), so the fingerprint renders each node's shape +
+    * canonicalized expressions and names file scans by their ROOT
+    * PATHS — same-path same-shape plans match, different paths or any
+    * expression difference cannot.
+    */
+  def fingerprint(plan: LogicalPlan): String = {
+    val c = plan.canonicalized
+    c.map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val src = lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString).sorted.mkString(",")
+          case other => other.toString
+        }
+        s"scan[$src](${lr.output.map(a => a.name + ":" + a.dataType.sql)
+          .mkString(",")})"
+      case n =>
+        n.nodeName + "(" +
+          n.expressions.map(_.canonicalized.toString).mkString(";") + ")"
+    }.mkString("|")
+  }
+
+  /** All file-scan root paths under a plan — the spec's and the
+    * serving path's "did the rewrite fire" probe.
+    */
+  def scanPaths(plan: LogicalPlan): Seq[String] = plan.collect {
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+  }.flatten
+
+  /** Refresh/maintenance bypass: substitution happens at ANALYSIS
+    * time, i.e. at DataFrame creation — so a refresh that re-derives
+    * the definition would be substituted with its own stale artifact.
+    * `register` therefore takes the definition BY NAME and analyzes
+    * it under this thread-local, which the rule checks.
+    */
+  private val bypassFlag: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+  def bypassed: Boolean = bypassFlag.get
+  def withBypass[T](f: => T): T = {
+    bypassFlag.set(true)
+    try f finally bypassFlag.set(false)
+  }
+
+  /** Materialize `definition` to `mvPath` and arm the rewrite. The
+    * definition is evaluated (and thus analyzed) under the rewrite
+    * bypass, so a refresh always recomputes from the base tables.
+    * Any entry with the same fingerprint is dropped BEFORE the write
+    * (its files are about to disappear).
+    */
+  def register(spark: SparkSession, name: String, mvPath: String)
+              (definition: => DataFrame): Unit = {
+    val df = withBypass(definition)
+    val f = fingerprint(df.queryExecution.analyzed)
+    import scala.jdk.CollectionConverters._
+    entries.asScala.filter(_._2.fingerprint == f).keys
+      .foreach(entries.remove)
+    df.write.mode("overwrite").parquet(mvPath)
+    // drop any cached file listing for the overwritten path — the
+    // shared FileStatusCache would otherwise serve the OLD part files
+    // to the fresh scan below
+    spark.catalog.refreshByPath(mvPath)
+    val scan = spark.read.parquet(mvPath).queryExecution.analyzed
+    entries.put(name, Entry(f, scan))
+  }
+
+  def deregister(name: String): Unit = entries.remove(name)
+  def clear(): Unit = entries.clear()
+  def isEmpty: Boolean = entries.isEmpty
+
+  def lookup(plan: LogicalPlan): Option[Entry] = {
+    if (entries.isEmpty) return None
+    val f = fingerprint(plan)
+    import scala.jdk.CollectionConverters._
+    entries.values.asScala.find(_.fingerprint == f)
+  }
+}
+
+/** The substitution rule, injected as a POST-HOC RESOLUTION rule
+  * (analysis time) — deliberately before the optimizer: predicate
+  * pushdown would otherwise push a group-key filter through the
+  * Aggregate in the same fixpoint batch and break the exact match
+  * (view substitution engines all rewrite pre-optimization for this
+  * reason). Only Aggregate nodes are candidates — an exact-match MV
+  * is an aggregate — so the per-query overhead with an empty registry
+  * is nothing and with an armed registry is one fingerprint per
+  * Aggregate node. The replacement projects the MV scan's columns
+  * back onto the original output attributes (same exprIds), so
+  * parents resolve unchanged.
+  */
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MvRegistry.isEmpty || MvRegistry.bypassed) return plan
+    plan.transformUp {
+      case agg: Aggregate if agg.resolved && MvRegistry.lookup(agg).isDefined =>
+        val e = MvRegistry.lookup(agg).get
+        val byName = e.scan.output.map(a => a.name -> a).toMap
+        Project(agg.output.map { o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId)
+        }, e.scan)
+    }
+  }
+}
+
+/** Registered serving path: the daily revenue summary query, served
+  * through the MV. The function registers (materializing once per
+  * (JVM, sf) — the production shape: Gold build writes, dashboards
+  * read), re-issues the ORIGINAL aggregate, and REQUIRES the rewrite
+  * to have fired (a scan of the artifact in the optimized plan) — so
+  * the driver's correctness gate fails loudly if the rule ever stops
+  * matching, rather than silently falling back to the base scan.
+  */
+object MvRewrite {
+
+  private def dailySummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      .groupBy(col("od"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("price")).cast("double"), 2).as("revenue"))
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def dailySummaryMv(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = new java.io.File(sfDir).getName
+    val mvPath = s"${sys.props("java.io.tmpdir")}/graft-mv/$tag/daily_summary"
+    val name = s"daily_summary_$tag"
+    if (registered.add(name))
+      MvRegistry.register(spark, name, mvPath)(dailySummary(spark, sfDir))
+    val served = dailySummary(spark, sfDir)
+    val hit = MvRegistry.scanPaths(served.queryExecution.analyzed)
+      .exists(_.contains("graft-mv"))
+    if (!hit) throw new IllegalStateException(
+      "MV rewrite did not fire for daily_summary")
+    served
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // S17 (beyond-ref): exact-match MV substitution on the serving
+    // path; oracle = the direct aggregate (the rewrite must be
+    // result-invariant by construction).
+    QueryDef("s17_mv_rewrite",
+      (s, d) => dailySummaryMv(s, d),
+      Some("""SELECT CAST(o_orderdate AS DATE) AS od,
+             |CAST(COUNT(*) AS BIGINT) AS n,
+             |ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |  AS DOUBLE), 2) AS revenue
+             |FROM orders GROUP BY 1""".stripMargin))
+  )
+}

@@ -32,7 +32,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object MvRegistry {
 
-  final case class Entry(fingerprint: String, scan: LogicalPlan)
+  final case class Entry(fingerprint: String, scan: LogicalPlan,
+                         nGroup: Int, nAgg: Int)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -107,18 +108,31 @@ object MvRegistry {
     // to the fresh scan below
     spark.catalog.refreshByPath(mvPath)
     val scan = spark.read.parquet(mvPath).queryExecution.analyzed
-    entries.put(name, Entry(f, scan))
+    val (ng, na) = df.queryExecution.analyzed.collectFirst {
+      case a: Aggregate =>
+        (a.groupingExpressions.size, a.aggregateExpressions.size)
+    }.getOrElse((-1, -1))
+    entries.put(name, Entry(f, scan, ng, na))
   }
 
   def deregister(name: String): Unit = entries.remove(name)
   def clear(): Unit = entries.clear()
   def isEmpty: Boolean = entries.isEmpty
 
-  def lookup(plan: LogicalPlan): Option[Entry] = {
+  /** Constant-time prefilter (grouping/aggregate arity) before the
+    * O(subtree) fingerprint — the rule visits every Aggregate of
+    * every analyzed plan while armed, so the common case must be a
+    * two-int compare, not a canonicalization.
+    */
+  def lookup(agg: Aggregate): Option[Entry] = {
     if (entries.isEmpty) return None
-    val f = fingerprint(plan)
     import scala.jdk.CollectionConverters._
-    entries.values.asScala.find(_.fingerprint == f)
+    val arity = entries.values.asScala.filter(e =>
+      e.nGroup == agg.groupingExpressions.size &&
+        e.nAgg == agg.aggregateExpressions.size)
+    if (arity.isEmpty) return None
+    val f = fingerprint(agg)
+    arity.find(_.fingerprint == f)
   }
 }
 

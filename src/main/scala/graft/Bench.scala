@@ -103,6 +103,14 @@ object Bench {
           false
         }
       val secs = (System.nanoTime() - t0) / 1e9
+      // Release the query's localCheckpoint blocks: they are
+      // intra-query state, but the RDDs stay registered until the
+      // ContextCleaner happens to GC them — across ~250 queries the
+      // debris squeezes execution memory and inflates the
+      // shuffle-heavy tail 3-6x (measured: ml_recommendations_
+      // user_based 31s in-run vs 9s isolated before this).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, if (ok) secs else -secs, ok)
     }
     // millisecond precision keeps the per-query map compact (the
@@ -144,8 +152,14 @@ object Bench {
       detail ++= s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"""
       streamLine.foreach(l => detail ++= s""""streaming":$l,""")
       detail ++= s""""failed":$failed,"queries":$qs}"""
+      // the 10x scale smoke gets its own artifact — it must not
+      // clobber the round's sf0.1 map
+      val detailPath =
+        if (new java.io.File(sfDir).getName.startsWith("sf1"))
+          "BENCH_sf1.json"
+        else "BENCH_detail.json"
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_detail.json"), detail.toString)
+        java.nio.file.Paths.get(detailPath), detail.toString)
     }
     spark.stop()
   }

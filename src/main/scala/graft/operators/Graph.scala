@@ -92,6 +92,7 @@ object Graph {
     pagerankFrom(Recommend.interactions(s, d).localCheckpoint(false))
 
   val TriMinCo = 3L
+  val AssortMinCo = 2L
 
   /** Item co-occurrence graph: canonical i<j edges between items at
     * least `minCo` users share, from per-user-CAPPED interactions —
@@ -331,6 +332,47 @@ object Graph {
        |      ORDER BY COUNT(*) DESC, l.label) AS rn
        |  FROM adj a JOIN $prev l ON a.n = l.node
        |  GROUP BY a.v, l.label) WHERE rn = 1)""".stripMargin
+
+  /** G7 (beyond-ref): degree assortativity of the co-purchase graph —
+    * Pearson correlation between endpoint degrees over the directed
+    * edge incidence (each undirected edge counted in both directions,
+    * the standard Newman formulation, which also makes the two
+    * marginals identical). Positive = hubs buy with hubs (a
+    * wholesale-like graph), negative = hub-and-spoke retail — the
+    * one-number structure read next to clustering and k-core.
+    * Exactness: degrees are exact longs, the five sufficient sums run
+    * in DECIMAL(38)/HUGEINT (hub degrees square past 2³¹ easily), ONE
+    * double division + sqrt at the end. Shape: a degree aggregate +
+    * two broadcast-friendly joins onto the edge list + a scalar
+    * reduce — scan bandwidth at any graph size.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.localCheckpoint(false)
+    val inc = e.select(col("i").as("u"), col("j").as("w"))
+      .unionByName(e.select(col("j").as("u"), col("i").as("w")))
+      .localCheckpoint(false) // degree aggregate + the two joins
+    val deg = inc.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val pairs = inc
+      .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("w"), col("d").as("dw")), Seq("w"))
+      .select(col("du").as("x"), col("dw").as("y"))
+    pairs.agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+      .withColumn("vx",
+        col("sxx") * col("m") - col("sx").cast(dec) * col("sx"))
+      .withColumn("vy",
+        col("syy") * col("m") - col("sy").cast(dec) * col("sy"))
+      .filter(col("m") >= 2 && col("vx") > 0 && col("vy") > 0)
+      .select(col("m").as("n_incidences"),
+        round((col("sxy") * col("m") - col("sx").cast(dec) * col("sy"))
+          .cast("double") /
+          sqrt(col("vx").cast("double") * col("vy").cast("double")), 6)
+          .as("assortativity"))
+  }
 
   val BfsSeeds = 5
   val BfsDepth = 3
@@ -600,6 +642,51 @@ object Graph {
            |SELECT seed, CAST(depth AS BIGINT) AS depth,
            |CAST(COUNT(*) AS BIGINT) AS n_nodes
            |FROM v$BfsDepth GROUP BY 1, 2""".stripMargin
-      })
+      }),
+
+    // G7 (beyond-ref): degree assortativity — see assortativity for
+    // the Newman-formulation exact-statistics chain. Runs at a lower
+    // co-purchase threshold than the triangle family (2 vs 3): the
+    // tri-grade graph thins to disjoint degree-1 edges at sf0.1
+    // (variance 0 → correlation undefined, guard emits nothing); the
+    // denser grade keeps the hub structure the statistic measures.
+    QueryDef("graph_assortativity",
+      (s, d) => assortativity(
+        itemEdges(Recommend.interactionsCapped(s, d)
+          .localCheckpoint(false), minCo = AssortMinCo)),
+      Some(s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |capped AS (SELECT user_id, item_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+              |  WHERE rn <= ${Recommend.CapPerUser}),
+              |e AS MATERIALIZED (SELECT i, j FROM (
+              |  SELECT a.item_id i, b.item_id j, COUNT(*) co
+              |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+              |    AND a.item_id < b.item_id
+              |  GROUP BY 1, 2) WHERE co >= $AssortMinCo),
+              |inc AS MATERIALIZED (SELECT i AS u, j AS w FROM e
+              |  UNION ALL SELECT j, i FROM e),
+              |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+              |  FROM inc GROUP BY 1),
+              |p AS (SELECT du.d AS x, dw.d AS y FROM inc
+              |  JOIN dg du ON inc.u = du.u
+              |  JOIN dg dw ON inc.w = dw.u),
+              |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+              |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+              |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+              |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+              |  FROM p),
+              |v AS (SELECT *, sxx * m - CAST(sx AS HUGEINT) * sx AS vx,
+              |    syy * m - CAST(sy AS HUGEINT) * sy AS vy
+              |  FROM st)
+              |SELECT m AS n_incidences,
+              |ROUND(CAST(sxy * m - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              |  / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
+              |  AS assortativity
+              |FROM v WHERE m >= 2 AND vx > 0 AND vy > 0""".stripMargin))
   )
 }

@@ -92,6 +92,39 @@ object Similarity {
         col("nbr_id"), col("cos"))
   }
 
+  /** V12 (beyond-ref): metadata-filtered kNN — the vector-DB feature
+    * every RAG deployment needs (search only the English corpus, only
+    * one tenant, only fresh docs): the predicate lives on the
+    * `documents` table and restricts the CANDIDATE side via a
+    * left-semi join BEFORE any scoring — the pre-filter shape, which
+    * keeps k results guaranteed-filtered (a post-filter top-k can
+    * return fewer than k and silently loses recall; that trap is why
+    * filtered search is a distinct operator, not a WHERE clause on
+    * the output). Queries stay the strided subset, broadcast; the
+    * filtered candidate scan is one scan-bandwidth semi-join. With
+    * the IVF index the same composition becomes cell ∧ filter — the
+    * semi-join commutes with the cell restriction.
+    */
+  def knnFiltered(emb: DataFrame, docs: DataFrame, lang: String = "en",
+                  k: Int = K): DataFrame = {
+    val e = vecs(emb)
+    val allowed = docs.filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+    val cand = e.join(allowed, Seq("vec_id"), "left_semi")
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val scored = broadcast(q.as("q"))
+      .join(cand.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("nbr_id"),
+        round(cosineFast(col("q.v"), col("c.v")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: all vectors, neighbors searched only within
     * the same hyperplane bucket.
     */
@@ -1767,7 +1800,25 @@ object Similarity {
               |ROUND(CAST(cq AS DOUBLE) / sqrt(CAST(ssq AS DOUBLE)), 6)
               |  + 0.0 AS nval
               |FROM c JOIN norms ON c.vec_id = norms.vec_id
-              |WHERE ssq > 0""".stripMargin))
+              |WHERE ssq > 0""".stripMargin)),
+
+    // V12 (beyond-ref): metadata-filtered kNN — see knnFiltered for
+    // the pre-filter-vs-post-filter argument.
+    QueryDef("sim_knn_filtered",
+      (s, d) => knnFiltered(Tables.embeddings(s, d),
+        Tables.documents(s, d)),
+      Some(s"""WITH allowed AS (SELECT doc_id FROM documents
+              |  WHERE lang = 'en'),
+              |scored AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  JOIN allowed ON c.vec_id = allowed.doc_id
+              |  WHERE q.vec_id % $QueryStride = 0)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM scored)
+              |WHERE rk <= $K""".stripMargin))
   )
 
   /** See the sim_normalize QueryDef. */

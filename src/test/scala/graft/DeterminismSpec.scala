@@ -109,7 +109,9 @@ class DeterminismSpec extends SparkSpec {
     "txt_zipf_fit",           // head top-k cut + quantized-log fit
     "txt_heaps_law",          // first-occurrence conditional sums
     "graph_bfs_hops",         // seed top-k + frontier set algebra
-    "bi_price_elasticity")    // discount-grain quantized-log slope
+    "bi_price_elasticity",    // discount-grain quantized-log slope
+    "sim_knn_filtered",       // semi-join prefilter + float top-k
+    "graph_assortativity")    // decimal moments + one division
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

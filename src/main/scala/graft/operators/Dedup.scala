@@ -483,12 +483,18 @@ object Dedup {
     * Here the fold key is the near-dup CLUSTER's canonical id
     * (pointer-jumping CC), so every member of a cluster rides the
     * same fold by construction — the doc-grain hash device applied
-    * one level up. Cost over dedupClusters: one scan-bandwidth
-    * integer expression.
+    * one level up. Cost over the cluster pass: one scan-bandwidth
+    * integer expression. Clusters come from the production LSH edge
+    * derivation (dedupClustersLsh) — a training-data split is a
+    * full-corpus operator, so it must ride the linear path; the
+    * exact edge form stays available as the dedup_clusters ground
+    * truth (LSH misses only lower recall — a missed edge can split a
+    * cluster across folds, monitored by dedup_lsh_recall; it never
+    * merges unrelated docs, so no false leakage is introduced).
     */
   def clusterSplit(docs: DataFrame,
                    nFolds: Int = SplitFolds): DataFrame =
-    dedupClusters(docs)
+    dedupClustersLsh(docs)
       .withColumn("fold",
         expr(s"((canonical_id % 100003) * 31 + 17) % $nFolds"))
       .select(col("doc_id"), col("canonical_id"), col("fold"))
@@ -816,6 +822,28 @@ object Dedup {
        |      h -> ((2*k+3)*h + (k*k+7)) % 4294967291))) AS sg
        |  FROM hs WHERE len(hl) > 0)""".stripMargin
 
+  /** The LSH near-dup edge derivation as a CTE chain (banded MinHash
+    * candidates, exact-Jaccard verify) — terminal CTE `p(i, j)`, the
+    * production edge list every cluster-consuming oracle composes
+    * over. Expects `sh`/`n` (shSql) and `sig` (sigSql) upstream.
+    */
+  private val lshEdgesSql =
+    s"""bands AS (SELECT doc_id, b.band,
+       |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
+       |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
+       |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
+       |  FROM bands x JOIN bands y ON x.band = y.band
+       |    AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |common AS (SELECT c.i, c.j, COUNT(*) common
+       |  FROM cand c JOIN sh a ON c.i = a.doc_id
+       |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
+       |  GROUP BY 1, 2),
+       |p AS (SELECT c.i, c.j
+       |  FROM common c JOIN n na ON c.i = na.doc_id
+       |  JOIN n nb ON c.j = nb.doc_id
+       |  WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6)
+       |    >= $JaccardT)""".stripMargin
+
   /** shSql with the stop-shingle df cap applied — same terminal CTE
     * names (`sh`, `n`) as shSql so jacSql composes over either chain.
     */
@@ -1061,8 +1089,8 @@ object Dedup {
       (s, d) => clusterSplit(docs(s, d)),
       Some(
         s"""WITH $shSql,
-           |$jacSql,
-           |p AS (SELECT i, j FROM jac WHERE jaccard >= $JaccardT),
+           |$sigSql,
+           |$lshEdgesSql,
            |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
            |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
            |$ccStepsSql
@@ -1078,21 +1106,7 @@ object Dedup {
       Some(
         s"""WITH $shSql,
            |$sigSql,
-           |bands AS (SELECT doc_id, b.band,
-           |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
-           |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
-           |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
-           |  FROM bands x JOIN bands y ON x.band = y.band
-           |    AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-           |common AS (SELECT c.i, c.j, COUNT(*) common
-           |  FROM cand c JOIN sh a ON c.i = a.doc_id
-           |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
-           |  GROUP BY 1, 2),
-           |p AS (SELECT c.i, c.j
-           |  FROM common c JOIN n na ON c.i = na.doc_id
-           |  JOIN n nb ON c.j = nb.doc_id
-           |  WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6)
-           |    >= $JaccardT),
+           |$lshEdgesSql,
            |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
            |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
            |$ccStepsSql
@@ -1104,21 +1118,7 @@ object Dedup {
       Some(
         s"""WITH $shSql,
            |$sigSql,
-           |bands AS (SELECT doc_id, b.band,
-           |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
-           |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
-           |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
-           |  FROM bands x JOIN bands y ON x.band = y.band
-           |    AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-           |common AS (SELECT c.i, c.j, COUNT(*) common
-           |  FROM cand c JOIN sh a ON c.i = a.doc_id
-           |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
-           |  GROUP BY 1, 2),
-           |p AS (SELECT c.i, c.j
-           |  FROM common c JOIN n na ON c.i = na.doc_id
-           |  JOIN n nb ON c.j = nb.doc_id
-           |  WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6)
-           |    >= $JaccardT),
+           |$lshEdgesSql,
            |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
            |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
            |$ccStepsSql,
@@ -1178,16 +1178,19 @@ object Dedup {
     // Curation-grade canonicalization: within each near-dup cluster
     // keep the LONGEST document (ties to the lower doc_id) instead of
     // the arbitrary min-id — the "most complete version survives"
-    // rule real dedup passes apply. Same CC labels as dedup_clusters;
-    // the survivor pick is one (cluster)-keyed rank window over the
-    // doc-grain relation.
+    // rule real dedup passes apply. A production curation operator, so
+    // the CC labels ride the LSH edge derivation (dedupClustersLsh's
+    // linear path — the exact co-count join is the dedup_clusters
+    // ground-truth monitor, not this consumer's input); the survivor
+    // pick is one (cluster)-keyed rank window over the doc-grain
+    // relation.
     QueryDef("dedup_best_of_cluster",
       (s, d) => {
         val dd = docs(s, d)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("canonical_id"))
           .orderBy(col("n_chars").desc, col("doc_id"))
-        dedupClusters(dd)
+        dedupClustersLsh(dd)
           .join(dd.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
           .withColumn("keep", (row_number().over(w) === 1).cast("int"))
           .select(col("doc_id"), col("canonical_id"), col("n_chars"),
@@ -1195,8 +1198,8 @@ object Dedup {
       },
       Some(
         s"""WITH $shSql,
-           |$jacSql,
-           |p AS (SELECT i, j FROM jac WHERE jaccard >= $JaccardT),
+           |$sigSql,
+           |$lshEdgesSql,
            |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
            |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
            |$ccStepsSql,

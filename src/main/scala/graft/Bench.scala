@@ -17,12 +17,17 @@ object Bench {
     * feed measured) drives TWO concurrent micro-batch queries — the
     * stateless detectAlerts pipeline and a watermarked
     * session_window aggregate (the stateful tier) — both through the
-    * noop sink. Returns (wall seconds, total input rows). rows/s
-    * covers both consumers, so a regression in either the stateless
-    * codegen path or the state-store path moves the metric.
+    * noop sink. Returns (staging seconds, stream seconds, total input
+    * rows) — staged-feed writing is timed SEPARATELY from the stream
+    * so the artifact distinguishes a slow box (both inflate) from a
+    * streaming-engine regression (only stream_secs moves); rows/s is
+    * computed over stream seconds only. The rate covers both
+    * consumers, so a regression in either the stateless codegen path
+    * or the state-store path moves the metric.
     */
   def benchStreaming(spark: SparkSession, batches: Int = 12,
-                     rowsPerBatch: Int = 50000): (Double, Long) = {
+                     rowsPerBatch: Int = 50000): (Double, Double, Long) = {
+    val tStage0 = System.nanoTime()
     val work = java.nio.file.Files
       .createTempDirectory("graft-bench-stream").toString
     (1 to batches).foreach { b =>
@@ -48,6 +53,7 @@ object Bench {
     def in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
     val t0 = System.nanoTime()
+    val stageSecs = (t0 - tStage0) / 1e9
     val det = graft.streaming.Alerts.detectAlerts(in)
       .writeStream.format("noop")
       .option("checkpointLocation", s"$work/det")
@@ -66,7 +72,7 @@ object Bench {
     sess.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
     det.stop(); sess.stop()
-    (secs, batches.toLong * rowsPerBatch)
+    (stageSecs, secs, batches.toLong * rowsPerBatch)
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,6 +101,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // snapshot FIRST: only RDDs the query itself registered get
+      // released — blanket unpersist would also destroy any future
+      // cross-query cached state (an unpersisted shared
+      // localCheckpoint is unrecoverable: "checkpoint block not
+      // found"); today's cross-query stores are parquet paths, but
+      // the loop must not depend on that staying true
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -109,8 +122,9 @@ object Bench {
       // debris squeezes execution memory and inflates the
       // shuffle-heavy tail 3-6x (measured: ml_recommendations_
       // user_based 31s in-run vs 9s isolated before this).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!before.contains(id)) rdd.unpersist(blocking = false) }
       (name, if (ok) secs else -secs, ok)
     }
     // millisecond precision keeps the per-query map compact (the
@@ -126,14 +140,14 @@ object Bench {
     // asked for by name). Emitted before the final compact line so
     // both land inside the driver's bounded stdout tail.
     val streamLine = if (only.forall(_.contains("streaming"))) {
-      val (ssecs, srows) =
+      val (stsecs, ssecs, srows) =
         try benchStreaming(spark)
         catch { case e: Throwable =>
           System.err.println(s"[bench] streaming failed: ${e.getMessage}")
-          (-1.0, 0L)
+          (-1.0, -1.0, 0L)
         }
       val rps = if (ssecs > 0) math.rint(srows / ssecs) else -1
-      val line = s"""{"metric":"streaming","value":$rps,"unit":"rows_per_sec","rows":$srows,"secs":${r3(ssecs)}}"""
+      val line = s"""{"metric":"streaming","value":$rps,"unit":"rows_per_sec","rows":$srows,"secs":${r3(ssecs)},"stage_secs":${r3(stsecs)}}"""
       println(line)
       Some(line)
     } else None
@@ -152,12 +166,13 @@ object Bench {
       detail ++= s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"""
       streamLine.foreach(l => detail ++= s""""streaming":$l,""")
       detail ++= s""""failed":$failed,"queries":$qs}"""
-      // the 10x scale smoke gets its own artifact — it must not
-      // clobber the round's sf0.1 map
+      // scale smokes get their own artifact — they must not clobber
+      // the round's sf0.1 map; the name derives from the basename so
+      // a future sf10 run lands in BENCH_sf10.json, not sf1's
+      val base = new java.io.File(sfDir).getName
       val detailPath =
-        if (new java.io.File(sfDir).getName.startsWith("sf1"))
-          "BENCH_sf1.json"
-        else "BENCH_detail.json"
+        if (base == "sf0.1" || base.startsWith("sf0.0")) "BENCH_detail.json"
+        else s"BENCH_$base.json"
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(detailPath), detail.toString)
     }

@@ -24,6 +24,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // snapshot first — release only THIS query's checkpoint blocks
+      // (see Bench: a blanket unpersist would destroy any shared
+      // cached state a future cross-query store might hold)
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -31,8 +35,9 @@ object Verify {
       }
       // drop the query's localCheckpoint blocks (see Bench — the
       // debris of ~250 queries squeezes execution memory)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!before.contains(id)) rdd.unpersist(blocking = false) }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -33,7 +33,8 @@ import org.apache.spark.sql.types.DecimalType
 object MvRegistry {
 
   final case class Entry(fingerprint: String, scan: LogicalPlan,
-                         nGroup: Int, nAgg: Int)
+                         nGroup: Int, nAgg: Int,
+                         basePaths: Seq[String], baseSig: String)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -44,11 +45,16 @@ object MvRegistry {
     * reference), so the fingerprint renders each node's shape +
     * canonicalized expressions and names file scans by their ROOT
     * PATHS — same-path same-shape plans match, different paths or any
-    * expression difference cannot.
+    * expression difference cannot. The rendering is RECURSIVE with
+    * bracketed child lists (not a flat preorder join): tree structure
+    * is encoded, so P(A(C),B) and P(A,C,B) with identical node names
+    * cannot collide — a false-positive here would silently serve the
+    * MV's rows for a different query.
     */
-  def fingerprint(plan: LogicalPlan): String = {
-    val c = plan.canonicalized
-    c.map {
+  def fingerprint(plan: LogicalPlan): String = render(plan.canonicalized)
+
+  private def render(n: LogicalPlan): String = {
+    val self = n match {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         val src = lr.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -57,11 +63,51 @@ object MvRegistry {
         }
         s"scan[$src](${lr.output.map(a => a.name + ":" + a.dataType.sql)
           .mkString(",")})"
-      case n =>
+      case _ =>
         n.nodeName + "(" +
           n.expressions.map(_.canonicalized.toString).mkString(";") + ")"
-    }.mkString("|")
+    }
+    if (n.children.isEmpty) self
+    else self + "[" + n.children.map(render).mkString(",") + "]"
   }
+
+  /** Snapshot signature of the base tables: digest of every data
+    * file's (path, length, mtime) under the given roots. Computed at
+    * registration and re-checked before a substitution fires — a base
+    * write after registration makes the artifact STALE, and the
+    * Databricks-grade behavior is to decline the rewrite rather than
+    * silently serve old rows. The listing runs only on a fingerprint
+    * HIT (not per Aggregate visited), so the common case stays a
+    * two-int compare; on a hit it is the same file-listing cost the
+    * substituted scan's planning would pay anyway.
+    */
+  def snapshotSig(spark: SparkSession, roots: Seq[String]): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    roots.distinct.sorted.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.toString
+          // metadata sidecars (_SUCCESS, _committed…) don't change rows
+          if (!f.getPath.getName.startsWith("_"))
+            names += s"$n:${f.getLen}:${f.getModificationTime}"
+        }
+      }
+    }
+    names.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** True iff the registered base snapshot still matches the files on
+    * disk — the substitution freshness gate.
+    */
+  def fresh(spark: SparkSession, e: Entry): Boolean =
+    snapshotSig(spark, e.basePaths) == e.baseSig
 
   /** All file-scan root paths under a plan — the spec's and the
     * serving path's "did the rewrite fire" probe.
@@ -112,7 +158,9 @@ object MvRegistry {
       case a: Aggregate =>
         (a.groupingExpressions.size, a.aggregateExpressions.size)
     }.getOrElse((-1, -1))
-    entries.put(name, Entry(f, scan, ng, na))
+    val basePaths = scanPaths(df.queryExecution.analyzed)
+    entries.put(name,
+      Entry(f, scan, ng, na, basePaths, snapshotSig(spark, basePaths)))
   }
 
   def deregister(name: String): Unit = entries.remove(name)
@@ -152,12 +200,29 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvRegistry.isEmpty || MvRegistry.bypassed) return plan
     plan.transformUp {
-      case agg: Aggregate if agg.resolved && MvRegistry.lookup(agg).isDefined =>
-        val e = MvRegistry.lookup(agg).get
-        val byName = e.scan.output.map(a => a.name -> a).toMap
-        Project(agg.output.map { o =>
-          Alias(byName(o.name), o.name)(exprId = o.exprId)
-        }, e.scan)
+      // lookup exactly ONCE per candidate (a concurrent deregister
+      // between a guard-lookup and a body-lookup would throw mid-
+      // analysis); decline when the base snapshot drifted — a stale
+      // artifact must fall back to the base scan, never serve.
+      case agg: Aggregate if agg.resolved =>
+        MvRegistry.lookup(agg) match {
+          case Some(e) if MvRegistry.fresh(spark, e) =>
+            // fresh exprIds PER substitution site: a query containing
+            // the matching aggregate twice (self-join/union of the
+            // served view) must not carry duplicate attribute ids —
+            // DeduplicateRelations no longer runs after post-hoc
+            // resolution, so the rule dedups by construction
+            val scan = e.scan.transform {
+              case m: LogicalPlan
+                with org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+                m.newInstance()
+            }
+            val byName = scan.output.map(a => a.name -> a).toMap
+            Project(agg.output.map { o =>
+              Alias(byName(o.name), o.name)(exprId = o.exprId)
+            }, scan)
+          case _ => agg
+        }
     }
   }
 }
@@ -184,7 +249,12 @@ object MvRewrite {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def dailySummaryMv(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = new java.io.File(sfDir).getName
+    // key by the CANONICAL full path: two sfDirs sharing a basename
+    // in one JVM must register (and serve) independently — a
+    // basename key would skip the second registration and its
+    // never-matching fingerprint would throw below instead of serving
+    val canon = new java.io.File(sfDir).getCanonicalPath
+    val tag = canon.replaceAll("[^A-Za-z0-9._-]", "_")
     val mvPath = s"${sys.props("java.io.tmpdir")}/graft-mv/$tag/daily_summary"
     val name = s"daily_summary_$tag"
     if (registered.add(name))

@@ -74,7 +74,8 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRegistry.deregister("spec_neg")
   }
 
-  test("re-register refreshes the artifact (staleness contract)") {
+  test("a base write after registration DECLINES the rewrite " +
+    "(staleness guard); re-register re-arms it") {
     val dir = tmp("wh")
     val mvDir = s"$dir/mvspec-refresh"
     base.write.mode("overwrite").parquet(s"$dir/base")
@@ -82,14 +83,39 @@ class MvRewriteSpec extends SparkSpec {
       .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
     MvRegistry.register(spark, "spec_refresh", mvDir)(q)
     try {
+      assert(scansMv(q), "fresh registration must serve")
       base.withColumn("v", col("v") * 2)
         .write.mode("overwrite").parquet(s"$dir/base")
-      // stale until re-registered: still serves the old artifact
+      spark.catalog.refreshByPath(s"$dir/base")
+      // base snapshot drifted: the rule must fall back to the base
+      // scan (current rows), never silently serve the stale artifact
+      assert(!scansMv(q), "stale artifact must not be substituted")
       assert(q.filter(col("k") === "a").select(col("s"))
-        .collect().head.getDouble(0) === 15.0)
+        .collect().head.getDouble(0) === 30.0)
       MvRegistry.register(spark, "spec_refresh", mvDir)(q)
+      assert(scansMv(q), "re-registration must re-arm the rewrite")
       assert(q.filter(col("k") === "a").select(col("s"))
         .collect().head.getDouble(0) === 30.0)
     } finally MvRegistry.deregister("spec_refresh")
+  }
+
+  test("two substitution sites in one query get fresh exprIds " +
+    "(self-join of the served view)") {
+    val dir = tmp("wh")
+    val mvDir = s"$dir/mvspec-dup"
+    base.write.mode("overwrite").parquet(s"$dir/base")
+    def q = spark.read.parquet(s"$dir/base")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    MvRegistry.register(spark, "spec_dup", mvDir)(q)
+    try {
+      val j = q.as("l").join(q.as("r"), Seq("k"))
+        .select(col("k"), col("l.n").as("ln"), col("r.s").as("rs"))
+      assert(MvRegistry.scanPaths(j.queryExecution.analyzed)
+        .count(_.contains("mvspec")) === 2,
+        "both aggregate sites must substitute")
+      // duplicate attribute ids across the two scan instances would
+      // fail analysis or misresolve the join — collect must succeed
+      assert(j.collect().length === 3)
+    } finally MvRegistry.deregister("spec_dup")
   }
 }

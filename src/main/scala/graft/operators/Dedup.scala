@@ -613,14 +613,17 @@ object Dedup {
     * the oracle; DedupSpec measures it against the brute reference.
     */
   def embeddingNearDup(emb: DataFrame, t: Double = CosineT): DataFrame = {
+    // occupancy-scaled plane count (Similarity.planesFor) — a fixed
+    // 2^8-bucket partition is the n²/256 cliff the sf1 smoke flagged
+    val p = Similarity.planesFor(emb.count())
     // referenced twice (probe side + candidate side): materialize the
     // bucket pass once
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", Similarity.bucketCol(col("v")))
+      .withColumn("bucket", Similarity.bucketCol(col("v"), p))
       .localCheckpoint(false)
     val probes = e.withColumn("probe", explode(array(
-      col("bucket") +: Similarity.probeMasks2
+      col("bucket") +: Similarity.probeMasks2(p)
         .map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     probes.as("a")
       .join(e.as("b"),
@@ -651,9 +654,11 @@ object Dedup {
     * that has a lower-id cluster-mate with cosine ≥ t. The paper
     * keeps one arbitrary member of each ≥τ pair; greedy min-id makes
     * that choice deterministic and engine-independent. Centroids are
-    * the strided-seed set shared with `Similarity.knnIvf` (k-means
-    * would add RNG, not plumbing — swap in trained centroids and
-    * nothing else changes).
+    * the Lloyd-TRAINED codebook shared with `Similarity.knnIvf`
+    * (integer-exact training, so no RNG enters the oracle); the
+    * codebook size (Similarity.CentCount) is the cell-occupancy knob
+    * — SemDeDup at corpus scale raises it (the paper uses n/occ
+    * clusters) and pays the same assignment scan per extra centroid.
     *
     * Scale shape: assignment is one broadcast-centroid scan; the only
     * shuffle keys on the cell id; pairwise cosine runs inside a cell
@@ -667,8 +672,7 @@ object Dedup {
   def semanticDedup(emb: DataFrame, t: Double = CosineT): DataFrame = {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val cent = e.filter(col("vec_id") % Similarity.QueryStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cent = Similarity.ivfCodebook(emb)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cent_id"))
@@ -699,7 +703,7 @@ object Dedup {
     * closest to their cluster centroid are over-represented cluster
     * cores, so dropping a fixed fraction of the most prototypical
     * members re-weights the corpus toward diverse examples. Same
-    * deterministic strided-seed quantizer as semanticDedup; within
+    * deterministic Lloyd-trained quantizer as semanticDedup; within
     * each cell rank by centroid cosine (most prototypical first) and
     * drop the top ⌈n/5⌉ — the cut count is exact integer arithmetic
     * ((n+4) div 5), so no float decides a boundary row. The per-cell
@@ -709,8 +713,7 @@ object Dedup {
   def prototypePrune(emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val cent = e.filter(col("vec_id") % Similarity.QueryStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cent = Similarity.ivfCodebook(emb)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cent_id"))
@@ -789,10 +792,15 @@ object Dedup {
     */
   private val embCandSql =
     s"""${Similarity.planesSql},
-       |probes AS (SELECT vec_id, v,
-       |    unnest([bucket] || list_transform([${Similarity.probeMasks2.mkString(", ")}],
-       |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
-       |  FROM buckets),
+       |probes AS (SELECT vec_id, v, bucket AS probe FROM buckets
+       |  UNION ALL
+       |  SELECT b.vec_id, b.v, xor(b.bucket, CAST(1 AS BIGINT) << s.p)
+       |  FROM buckets b, srs s WHERE s.p < (SELECT np FROM npl)
+       |  UNION ALL
+       |  SELECT b.vec_id, b.v, xor(b.bucket,
+       |    (CAST(1 AS BIGINT) << s1.p) | (CAST(1 AS BIGINT) << s2.p))
+       |  FROM buckets b, srs s1, srs s2
+       |  WHERE s1.p < s2.p AND s2.p < (SELECT np FROM npl)),
        |ecand AS (SELECT a.vec_id AS i, b.vec_id AS j,
        |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
        |  FROM probes a JOIN buckets b
@@ -1263,8 +1271,7 @@ object Dedup {
     QueryDef("dedup_semantic",
       (s, d) => semanticDedup(Tables.embeddings(s, d)),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |cent AS (SELECT vec_id cent_id, v cv FROM e
-              |  WHERE vec_id % ${Similarity.QueryStride} = 0),
+              |${Similarity.lloydCentSql()},
               |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
               |  SELECT e.vec_id, e.v, c.cent_id,
               |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1282,8 +1289,7 @@ object Dedup {
     QueryDef("mix_prototype_prune",
       (s, d) => prototypePrune(Tables.embeddings(s, d)),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |cent AS (SELECT vec_id cent_id, v cv FROM e
-              |  WHERE vec_id % ${Similarity.QueryStride} = 0),
+              |${Similarity.lloydCentSql()},
               |assigned AS (SELECT vec_id, cent_id AS cell, cos_c FROM (
               |  SELECT e.vec_id, c.cent_id,
               |    ROUND(list_cosine_similarity(e.v, c.cv), 6) AS cos_c,

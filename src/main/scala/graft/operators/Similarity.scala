@@ -32,53 +32,146 @@ object Similarity {
   val K = 5
   val Planes = 8
   val Dim = 64
-  val QueryStride = 50
+
+  /** Coarse-codebook size (IVF cells, PQ codebook entries) — a FIXED
+    * config knob, independent of corpus size. Round 5's stride device
+    * coupled the codebook to n (entries = n/50), which made centroid
+    * assignment O(n²/50); real IVF fixes K (or ≈√n) and retrains the
+    * quantizer offline. 64 ≈ √n at the bench scale; at 100 TB this is
+    * the cell-size lever (K up → smaller cells, costlier assignment).
+    */
+  val CentCount = 64
+
+  /** Small-corpus floor for the trained codebook: K shrinks to n/5
+    * when the corpus can't fill CentCount cells (k-means with more
+    * centroids than points-per-cell degenerates to singleton cells —
+    * FAISS warns below ~39 train points per centroid; the floor is
+    * the same contract). At n ≥ 5·CentCount, K is the fixed knob.
+    */
+  val MinCellFill = 5
+
+  /** Bounded query-batch size — the "score this batch of queries
+    * against the corpus" shape every serving fleet runs. A FIXED
+    * deterministic sample (top-`QueryCount` vec_ids by md5), not a
+    * stride: a stride's query set grows with n and turns every
+    * brute/ADC baseline O(n²). Recall monitors run on this same
+    * bounded batch (their brute ground truth stays O(QueryCount·n)).
+    *
+    * 125 = 5³, NOT a round 128: recall averages are sums of n_hit/k
+    * ratios over the batch, and with k = 5 a power-of-two batch size
+    * makes denominators like 640 whose values can land EXACTLY on a
+    * 6-decimal half-tie (observed: 301/640 = 0.4703125 — Spark
+    * HALF_UP and DuckDB disagree). With 5³ the possible averages
+    * have denominators dividing 5⁴·LCM(1..5) = 7500; a 6-decimal tie
+    * needs an odd numerator over 2·10⁶, and 2·10⁶·m = 7500·odd has
+    * no integer solution — so every recall average rounds
+    * identically on both engines, structurally.
+    */
+  val QueryCount = 125
+
+  /** Lloyd iterations for the default IVF coarse quantizer (fewer
+    * than sim_kmeans_lloyd's monitor setting — the in-query trainer
+    * is a cost/quality knob; production trains offline and serves
+    * from the store, which knnIvfFromStore demonstrates).
+    */
+  val IvfTrainRounds = 2
+
+  /** Deterministic fixed-size corpus sample: top-`n` rows by
+    * md5(salt || vec_id) — engine-exact (md5 of the decimal string),
+    * pseudo-random (hash order ≈ uniform), and O(scan + top-n heap)
+    * distributed (TakeOrdered, no full sort). Salt separates the
+    * query batch ("q") from codebook seeds ("c").
+    */
+  def hashSample(df: DataFrame, salt: String, n: Int): DataFrame =
+    df.orderBy(md5(concat(lit(salt), col("vec_id").cast("string"))),
+      col("vec_id")).limit(n)
+
+  /** SQL twin of hashSample over a CTE named `src`. */
+  private def sampleSql(src: String, salt: String, n: Int): String =
+    s"SELECT vec_id FROM $src ORDER BY " +
+      s"md5('$salt' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $n"
+
+  /** Bounded query-id set — shared by every oracle that restricts a
+    * query/anchor side (samples the base table directly so it
+    * composes under any CTE context).
+    */
+  private[operators] val qsetSql =
+    s"qset AS MATERIALIZED (${sampleSql("embeddings", "q", QueryCount)})"
 
   /** MMR rerank: candidate pool per query and greedy picks (mmrRerank). */
   val MmrCand = 10
   val MmrK = 3
 
-  /** Fixed hyperplane weights via the cross-engine md5 hash:
-    * w[p][d] = hex60(md5("hp<p>_<d>")) % 2001 − 1000.
-    */
-  lazy val planeWeights: Seq[Seq[Double]] =
-    (0 until Planes).map { p =>
-      (0 until Dim).map { d =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"hp${p}_$d".getBytes("UTF-8"))
-        val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
-        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble
-      }
-    }
-
   private def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** XOR masks for Hamming-≤2 multiprobe: all single-plane and
-    * two-plane sign flips (8 + 28 = 36 probes beyond the home bucket).
-    * Dedup's embedding near-dup probes this wider set — at its low
-    * cosine threshold the angle is wide, so Hamming-1 alone recalls
-    * poorly; masks are distinct, so a pair still meets in at most one
-    * probe bucket.
+  /** Bucket-occupancy target for the hyperplane LSH partition: the
+    * plane count SCALES with the corpus — p(n) = smallest p ≥ Planes
+    * with TargetOcc·2^p ≥ n — so expected occupancy stays ≈ TargetOcc
+    * and in-bucket candidate volume stays ≈ TargetOcc·n (linear). A
+    * fixed plane count is the n²/2^p cliff the round-4 simhash rework
+    * already fixed once (256 buckets → 17-24× on 10× data at sf1);
+    * sim_bucket_stats monitors the realized occupancy. Pure integer
+    * arithmetic (no log2 floats), so both engines agree at every n.
     */
-  val probeMasks2: Seq[Long] =
-    (0 until Planes).map(p => 1L << p) ++
-      (for { p <- 0 until Planes; q <- p + 1 until Planes }
-        yield (1L << p) | (1L << q))
+  val TargetOcc = 8
+  val MaxPlanes = 30
 
-  /** LSH bucket id: bit p set iff v·w_p > 0. Pure per-row expression
-    * — bucketing is a scan-speed pass, the only shuffle is the
-    * bucket-keyed candidate join.
+  def planesFor(n: Long): Int = {
+    var p = Planes
+    while (p < MaxPlanes && (TargetOcc.toLong << p) < n) p += 1
+    p
+  }
+
+  /** XOR masks for Hamming-1 multiprobe at `p` planes. */
+  def probeMasks1(p: Int): Seq[Long] = (0 until p).map(b => 1L << b)
+
+  /** XOR masks for Hamming-≤2 multiprobe: all single-plane and
+    * two-plane sign flips (p + p·(p−1)/2 probes beyond the home
+    * bucket). Dedup's embedding near-dup probes this wider set — at
+    * its low cosine threshold the angle is wide, so Hamming-1 alone
+    * recalls poorly; masks are distinct, so a pair still meets in at
+    * most one probe bucket.
     */
-  def bucketCol(v: Column): Column =
-    planeWeights.zipWithIndex.map { case (w, p) =>
-      when(dotFast(v, typedLit(w)) > 0d, lit(1 << p)).otherwise(lit(0))
+  def probeMasks2(p: Int): Seq[Long] =
+    probeMasks1(p) ++
+      (for { a <- 0 until p; b <- a + 1 until p }
+        yield (1L << a) | (1L << b))
+
+  private val pwCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[Seq[Double]]]()
+
+  /** First `p` hyperplanes (prefix-stable: plane i's weights depend
+    * only on i, so growing the corpus EXTENDS the bucket id bits —
+    * the first Planes bits never change).
+    */
+  def planeWeightsFor(p: Int): Seq[Seq[Double]] =
+    pwCache.computeIfAbsent(p, _ =>
+      (0 until p).map { i =>
+        (0 until Dim).map { d =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"hp${i}_$d".getBytes("UTF-8"))
+          val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+          ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble
+        }
+      })
+
+  /** LSH bucket id over `p` planes: bit i set iff v·w_i > 0. Pure
+    * per-row expression — bucketing is a scan-speed pass, the only
+    * shuffle is the bucket-keyed candidate join.
+    */
+  def bucketCol(v: Column, p: Int = Planes): Column =
+    planeWeightsFor(p).zipWithIndex.map { case (w, i) =>
+      when(dotFast(v, typedLit(w)) > 0d, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _).cast("long")
 
-  /** Exact top-k cosine neighbors for the strided query subset. */
+  /** Exact top-k cosine neighbors for the bounded query batch —
+    * O(QueryCount·n) pairs: the broadcast query side is fixed-size,
+    * the corpus streams once.
+    */
   def knnBrute(emb: DataFrame, k: Int = K): DataFrame = {
     val e = vecs(emb)
-    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val q = hashSample(e, "q", QueryCount)
     val scored = broadcast(q.as("q"))
       .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("nbr_id"),
@@ -100,7 +193,7 @@ object Similarity {
     * keeps k results guaranteed-filtered (a post-filter top-k can
     * return fewer than k and silently loses recall; that trap is why
     * filtered search is a distinct operator, not a WHERE clause on
-    * the output). Queries stay the strided subset, broadcast; the
+    * the output). Queries are the bounded batch, broadcast; the
     * filtered candidate scan is one scan-bandwidth semi-join. With
     * the IVF index the same composition becomes cell ∧ filter — the
     * semi-join commutes with the cell restriction.
@@ -111,7 +204,7 @@ object Similarity {
     val allowed = docs.filter(col("lang") === lang)
       .select(col("doc_id").as("vec_id"))
     val cand = e.join(allowed, Seq("vec_id"), "left_semi")
-    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val q = hashSample(e, "q", QueryCount)
     val scored = broadcast(q.as("q"))
       .join(cand.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("nbr_id"),
@@ -126,10 +219,12 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: all vectors, neighbors searched only within
-    * the same hyperplane bucket.
+    * the same hyperplane bucket (occupancy-targeted plane count —
+    * in-bucket pair volume ≈ TargetOcc·n at any corpus size).
     */
   def knnLsh(emb: DataFrame, k: Int = K): DataFrame = {
-    val e = vecs(emb).withColumn("bucket", bucketCol(col("v")))
+    val p = planesFor(emb.count())
+    val e = vecs(emb).withColumn("bucket", bucketCol(col("v"), p))
     val scored = e.as("a")
       .join(e.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -154,10 +249,11 @@ object Similarity {
     * still the bucket id, never a vector pair.
     */
   def knnLshMultiprobe(emb: DataFrame, k: Int = K): DataFrame = {
-    val e = vecs(emb).withColumn("bucket", bucketCol(col("v")))
+    val p = planesFor(emb.count())
+    val e = vecs(emb).withColumn("bucket", bucketCol(col("v"), p))
     val probes = e.withColumn("probe", explode(array(
       col("bucket") +:
-        (0 until Planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+        probeMasks1(p).map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     val scored = probes.as("a")
       .join(e.as("b"),
         col("a.probe") === col("b.bucket") &&
@@ -190,11 +286,12 @@ object Similarity {
     */
   def hardNegatives(emb: DataFrame, lo: Double = HardNegLo,
                     hi: Double = HardNegHi, k: Int = HardNegK): DataFrame = {
-    val e = vecs(emb).withColumn("bucket", bucketCol(col("v")))
+    val p = planesFor(emb.count())
+    val e = vecs(emb).withColumn("bucket", bucketCol(col("v"), p))
       .localCheckpoint(false) // probe side + candidate side
     val probes = e.withColumn("probe", explode(array(
       col("bucket") +:
-        (0 until Planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+        probeMasks1(p).map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     val scored = probes.as("a")
       .join(e.as("b"),
         col("a.probe") === col("b.bucket") &&
@@ -216,7 +313,8 @@ object Similarity {
     * scale).
     */
   def bucketStats(emb: DataFrame): DataFrame =
-    vecs(emb).withColumn("bucket", bucketCol(col("v")))
+    vecs(emb)
+      .withColumn("bucket", bucketCol(col("v"), planesFor(emb.count())))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
 
   // ---- product quantization (PQ) ----
@@ -237,9 +335,12 @@ object Similarity {
 
   /** PQ code assignment: for each vector and subspace, the nearest
     * codebook entry by squared L2 distance. The codebook is the
-    * strided seed set (the IVF-centroid device — deterministic, no
-    * k-means RNG): codebook entry c's sub-vector for subspace m is
-    * slice(c, m). d² is computed by the fixed-shape identity
+    * FIXED-size "c" seed sample (CentCount entries — per-subspace
+    * Lloyd, the production trainer, is lloydCodebookQ on slices; the
+    * sampled codebook keeps the oracle one CTE and the assignment
+    * cost n·CentCount·PqM — linear): codebook entry c's sub-vector
+    * for subspace m is slice(c, m). d² is computed by the fixed-shape
+    * identity
     * x·x − 2·x·c + c·c so both engines see identical double bits;
     * round-6 + cent_id tie-break make the argmin total.
     *
@@ -252,7 +353,7 @@ object Similarity {
     */
   def pqCodes(emb: DataFrame): DataFrame = {
     val e = vecs(emb)
-    val cent = e.filter(col("vec_id") % QueryStride === 0)
+    val cent = hashSample(e, "c", CentCount)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val xs = subSlices(e, "vec_id", "v", "x")
     val cs = subSlices(cent, "cent_id", "cv", "c")
@@ -282,11 +383,11 @@ object Similarity {
     */
   def knnPqAdc(emb: DataFrame, k: Int = K): DataFrame = {
     val e = vecs(emb)
-    val cent = e.filter(col("vec_id") % QueryStride === 0)
+    val cent = hashSample(e, "c", CentCount)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val cs = subSlices(cent, "cent_id", "cv", "c")
     val codes = pqCodes(emb)
-    val qs = subSlices(e.filter(col("vec_id") % QueryStride === 0)
+    val qs = subSlices(hashSample(e, "q", QueryCount)
       .withColumnRenamed("vec_id", "query_id"), "query_id", "v", "qx")
     val lut = qs.join(cs, Seq("m"))
       .select(col("query_id"), col("m"), col("cent_id").as("code"),
@@ -317,27 +418,24 @@ object Similarity {
     */
   def knnIvfPq(emb: DataFrame, k: Int = K): DataFrame = {
     val e = vecs(emb)
-    val cent = e.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id"))
-    val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"),
-        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    // coarse quantizer: the trained IVF codebook; fine quantizer: the
+    // sampled PQ codebook (pqCodes) — independent, as in FAISS IVFPQ
+    val assigned = ivfAssign(emb)
+      .select(col("vec_id"), col("cell"))
       .localCheckpoint(false) // candidate cells + query cells
+    val cent = hashSample(e, "c", CentCount)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val codes = pqCodes(emb)
     val cs = subSlices(cent, "cent_id", "cv", "c")
-    val qs = subSlices(e.filter(col("vec_id") % QueryStride === 0)
+    val qs = subSlices(hashSample(e, "q", QueryCount)
       .withColumnRenamed("vec_id", "query_id"), "query_id", "v", "qx")
     val lut = qs.join(cs, Seq("m"))
       .select(col("query_id"), col("m"), col("cent_id").as("code"),
         round(dotFast(col("qx"), col("c")) * lit(1000000.0d))
           .cast("long").as("qp"))
-    val qcell = assigned.filter(col("vec_id") % QueryStride === 0)
+    val qcell = assigned
+      .join(hashSample(e, "q", QueryCount).select("vec_id"),
+        Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"), col("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -355,23 +453,40 @@ object Similarity {
         round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
   }
 
-  /** IVF-Flat ANN: coarse quantization to the nearest of the strided
-    * seed centroids (every `QueryStride`-th vector — deterministic, no
-    * k-means RNG), then exact search inside the cell. The centroid
-    * set is tiny → broadcast; assignment is a scan-speed pass; the
-    * only shuffle keys on cell id. Recall improves with multiprobe
-    * (assign to top-P cells) — a parameter, not new plumbing.
+  /** The default IVF coarse quantizer: the Lloyd-TRAINED codebook
+    * (CentCount cells, IvfTrainRounds iterations from the "c" seed
+    * sample) — real IVF trains its quantizer; round 5's raw strided
+    * seeds both skipped training and scaled the codebook with n.
+    * Training runs under the integer L2 surrogate; serving assigns by
+    * round-6 cosine (the FAISS IP-on-trained-L2-codebook shape) —
+    * both steps engine-exact, so the whole index is oracle-checkable.
+    * Cost: IvfTrainRounds+0 broadcast scans of n×CentCount integer
+    * dots — linear in n; production trains offline and serves from
+    * the persisted codebook (ivfBuild/knnIvfFromStore).
+    */
+  def ivfCodebook(emb: DataFrame): DataFrame = {
+    val xq = microQuant(emb).localCheckpoint(false)
+    lloydCodebookQ(xq, IvfTrainRounds)
+      .select(col("cell").as("cent_id"),
+        expr("transform(cq, v -> v / 1000000.0D)").as("cv"))
+  }
+
+  /** IVF-Flat ANN: coarse quantization to the nearest trained
+    * centroid, then exact search inside the cell. The codebook is
+    * tiny (CentCount rows) → broadcast; assignment is a scan-speed
+    * pass; the only shuffle keys on cell id. Recall improves with
+    * multiprobe (assign to top-P cells) — a parameter, not new
+    * plumbing.
     */
   /** The IVF index table: every vector with its home cell. Centroids
-    * default to the strided seeds of `emb`; pass `centOpt` to assign
-    * against a FIXED codebook (the incremental-append contract).
+    * default to the Lloyd-trained codebook of `emb`; pass `centOpt`
+    * to assign against a FIXED codebook (the incremental-append
+    * contract).
     */
   def ivfAssign(emb: DataFrame,
                 centOpt: Option[DataFrame] = None): DataFrame = {
     val e = vecs(emb)
-    val cent = centOpt.getOrElse(
-      e.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val cent = centOpt.getOrElse(ivfCodebook(emb))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cent_id"))
@@ -383,23 +498,33 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
   }
 
+  /** Build the persisted IVF index: the trained codebook is written
+    * BESIDE the cell-partitioned index (`<dir>.codebook`) — the FAISS
+    * contract (the quantizer serializes with the index; with trained
+    * centroids it is no longer recoverable from corpus rows). Every
+    * later append/serve reads the sidecar.
+    */
+  def ivfBuild(s: SparkSession, dir: String, emb: DataFrame): Unit = {
+    val cent = ivfCodebook(emb).localCheckpoint(false)
+    cent.write.mode("overwrite").parquet(s"$dir.codebook")
+    ivfAssign(emb, Some(cent)).write.partitionBy("cell").parquet(dir)
+  }
+
+  def storeCodebook(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir.codebook")
+
   /** V8: incremental index maintenance — the daily-ingest shape on
     * the vector tier (dedup_incremental's ANN sibling): a new batch
-    * assigns against the STORE's existing codebook (the centroid
-    * rows, recoverable as vec_id == cell since a seed's own cosine
-    * is 1.0) and appends to the cell-partitioned store — no rebuild,
-    * no reshuffle of the existing index; per-ingest cost is
-    * batch-sized. Centroids stay fixed across appends (the production
-    * contract: FAISS/IVF indexes retrain the coarse quantizer
-    * offline, not per ingest), so an appended store answers queries
-    * exactly as a batch build over the union with the same codebook
-    * would — spec-proven.
+    * assigns against the STORE's persisted codebook sidecar and
+    * appends to the cell-partitioned store — no rebuild, no reshuffle
+    * of the existing index; per-ingest cost is batch-sized. Centroids
+    * stay fixed across appends (the production contract: FAISS/IVF
+    * indexes retrain the coarse quantizer offline, not per ingest),
+    * so an appended store answers queries exactly as a batch build
+    * over the union with the same codebook would — spec-proven.
     */
   def ivfAppend(s: SparkSession, dir: String, newEmb: DataFrame): Unit = {
-    val cents = s.read.parquet(dir)
-      .filter(col("vec_id") === col("cell"))
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      .localCheckpoint(false)
+    val cents = storeCodebook(s, dir).localCheckpoint(false)
     ivfAssign(newEmb, Some(cents))
       .write.mode("append").partitionBy("cell").parquet(dir)
   }
@@ -410,20 +535,14 @@ object Similarity {
     * parquet append beside the index — no index rewrite, no
     * reshuffle); serving anti-joins the tombstone table so deleted
     * vectors vanish from BOTH roles (query and candidate) at read
-    * time. Coarse-quantizer seed rows are index infrastructure, not
-    * payload — deleting one would orphan every later ivfAppend, so
-    * the call refuses them (retrain the codebook to remove a
-    * centroid, as FAISS does).
+    * time. The trained codebook lives in the `.codebook` sidecar —
+    * centroids are not corpus rows, so any payload id may be
+    * tombstoned; removing a CENTROID is a retrain (replace the
+    * sidecar and rebuild), as in FAISS.
     */
   def ivfDelete(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "refusing to delete with an empty id list")
     import s.implicits._
-    val seeds = s.read.parquet(dir)
-      .filter(col("vec_id") === col("cell") &&
-        col("vec_id").isin(ids: _*))
-      .select("vec_id").as[Long].collect()
-    require(seeds.isEmpty,
-      s"ids ${seeds.mkString(",")} are codebook seeds; retrain instead")
     ids.toDF("vec_id").write.mode("append").parquet(s"$dir.tombstones")
   }
 
@@ -476,12 +595,21 @@ object Similarity {
     nRemoved
   }
 
-  /** Exact search within cells of a prebuilt index table. */
-  def searchAssigned(assigned: DataFrame, k: Int = K): DataFrame = {
+  /** Exact search within cells of a prebuilt index table, for the
+    * bounded query batch (the "q" hashSample of the indexed ids —
+    * consistent with the whole family). Cost: QueryCount × cell
+    * occupancy ≈ QueryCount·n/CentCount pairs — linear in n; the
+    * round-5 all-ids-as-queries form was n²/cells by construction.
+    * The index table is materialized once (it feeds the query sample,
+    * the query side and the candidate side).
+    */
+  def searchAssigned(assigned0: DataFrame, k: Int = K): DataFrame = {
+    val assigned = assigned0.localCheckpoint(false)
+    val q = hashSample(assigned, "q", QueryCount)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
-    assigned.as("a")
+    broadcast(q.as("a"))
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -510,19 +638,28 @@ object Similarity {
   private val ivfStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Shared oracle for sim_knn_ivf and its from-store twin. */
-  private lazy val ivfSql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-       |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
-       |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+  /** Lloyd codebook + cosine cell assignment as CTEs ending in
+    * `assigned(vec_id, v, cell)` — the coarse-quantization prelude
+    * shared by every IVF-family oracle.
+    */
+  private lazy val ivfAssignedSql =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |${lloydCentSql()},
+       |assigned AS MATERIALIZED (SELECT vec_id, v, cent_id AS cell FROM (
        |  SELECT e.vec_id, e.v, c.cent_id,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
        |      c.cent_id) rn
-       |  FROM e, cent c) WHERE rn = 1),
+       |  FROM e, cent c) WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle for sim_knn_ivf and its from-store twin. */
+  private lazy val ivfSql =
+    s"""WITH $ivfAssignedSql,
+       |$qsetSql,
        |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
        |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-       |  FROM assigned a JOIN assigned b
+       |  FROM assigned a JOIN qset qs ON a.vec_id = qs.vec_id
+       |  JOIN assigned b
        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
        |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -533,8 +670,7 @@ object Similarity {
     val dir = ivfStores.computeIfAbsent(d, _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-ivf-index").toString + "/idx"
-      ivfAssign(Tables.embeddings(s, d)).write
-        .partitionBy("cell").parquet(out)
+      ivfBuild(s, out, Tables.embeddings(s, d))
       out
     })
     searchAssigned(s.read.parquet(dir)
@@ -550,8 +686,7 @@ object Similarity {
     */
   def knnIvfProbe(emb: DataFrame, k: Int = K, probes: Int = 2): DataFrame = {
     val e = vecs(emb)
-    val cent = e.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cent = ivfCodebook(emb)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cent_id"))
@@ -563,11 +698,13 @@ object Similarity {
     val home = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
     val probeSide = ranked.filter(col("rn") <= probes)
+      .join(hashSample(e, "q", QueryCount).select("vec_id"), Seq("vec_id"),
+        "left_semi")
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
-    probeSide.as("a")
+    broadcast(probeSide.as("a"))
       .join(home.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -592,13 +729,13 @@ object Similarity {
     * re-quantizes to integer ppm units and every aggregate is an
     * integer sum/extreme (mean is one floor division at emission).
     *
-    * Scale: sample × sample with the sample broadcast — |V|/stride
-    * squared pairs, the knnBrute bounded-baseline posture; the stride
-    * is the cost knob and the metric is stride-stable by design
-    * (it estimates a corpus-level mean).
+    * Scale: sample × sample with the sample broadcast — a FIXED
+    * QueryCount² pair count regardless of corpus size; the sample
+    * size is the precision knob and the metric is sample-stable by
+    * design (it estimates a corpus-level mean).
     */
   def corpusDiversity(emb: DataFrame): DataFrame = {
-    val e = vecs(emb).filter(col("vec_id") % QueryStride === 0)
+    val e = hashSample(vecs(emb), "q", QueryCount)
     broadcast(e.as("a"))
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
@@ -644,8 +781,7 @@ object Similarity {
     val s = emb.sparkSession
     import s.implicits._
     val e = vecs(emb)
-    val cent = e.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cent = ivfCodebook(emb)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cent_id"))
@@ -657,8 +793,9 @@ object Similarity {
     val home = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
     val probeSide = ranked
-      .filter(col("rn") <= NprobeSweep.max &&
-        col("vec_id") % QueryStride === 0)
+      .filter(col("rn") <= NprobeSweep.max)
+      .join(hashSample(e, "q", QueryCount).select("vec_id"),
+        Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"),
         col("rn").as("cell_rank"))
     val cand = probeSide.as("a")
@@ -697,21 +834,10 @@ object Similarity {
     * coarse-quantizer index: cell-size skew is what turns the
     * in-cell search quadratic, so production monitors it per build.
     */
-  def cellStats(emb: DataFrame): DataFrame = {
-    val e = vecs(emb)
-    val cent = e.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id"))
-    e.join(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"),
-        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .groupBy(col("cent_id").as("cell"))
+  def cellStats(emb: DataFrame): DataFrame =
+    ivfAssign(emb)
+      .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"))
-  }
 
   /** Per-label centroids, long form (label, idx, centroid) — the
     * k-means/IVF training pass shape: explode to (label, idx, value),
@@ -742,18 +868,22 @@ object Similarity {
           / 1000000.0d, 6).as("centroid"))
 
   /** Recall@k of the multiprobe LSH index against the exact brute
-    * baseline, over the strided query set — the evaluation loop a
+    * baseline, over the bounded query batch — the evaluation loop a
     * production ANN deployment runs on every index build ("measure,
     * don't guess"): per-query |approx ∩ exact| / |exact|, averaged.
-    * Everything is counts of deterministic top-k sets, so the metric
-    * is oracle-exact.
+    * The brute ground truth is the monitor's definition, so its cost
+    * floor is QueryCount·n — bounded-batch, never n². Everything is
+    * counts of deterministic top-k sets, so the metric is
+    * oracle-exact.
     */
   def annRecallAtK(emb: DataFrame, k: Int = K,
                    index: (DataFrame, Int) => DataFrame =
                      knnLshMultiprobe(_, _)): DataFrame = {
     val exact = knnBrute(emb, k)
     val approx = index(emb, k)
-      .filter(col("query_id") % QueryStride === 0)
+      .join(hashSample(vecs(emb), "q", QueryCount)
+        .select(col("vec_id").as("query_id")), Seq("query_id"),
+        "left_semi")
     val perQuery = exact.as("e")
       .join(approx.as("a"),
         col("e.query_id") === col("a.query_id") &&
@@ -854,28 +984,40 @@ object Similarity {
     * partial sums with map-side combine. Rounds are the driver-loop
     * bound, as in any distributed k-means.
     */
-  def kmeansLloyd(emb: DataFrame, rounds: Int = LloydRounds): DataFrame = {
+  private def microQuant(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(cast(embedding as array<double>), " +
+        "x -> cast(round(x * 1000000.0D) as bigint))").as("q"))
+
+  /** One Lloyd assignment pass: argmin over the integer squared-L2
+    * surrogate s = |c|² − 2·x·c, as a map-side-combinable min_by
+    * aggregate, not a rank window: the window form sorts |V|·cells
+    * candidate rows per round (measured 2× the whole operator at
+    * sf1); the aggregate reduces them to partial minima before the
+    * vec-grain shuffle, and the q re-join co-partitions with it.
+    * `xq` must already be materialized by the caller.
+    */
+  private def lloydAssign(xq: DataFrame, c: DataFrame): DataFrame =
+    xq.join(broadcast(c.withColumn("cc", dotiFast(col("cq"), col("cq")))))
+      .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
+        min(struct(col("s"), col("cell"))).getField("s").as("s"))
+      .join(xq, Seq("vec_id"))
+
+  /** `rounds` Lloyd iterations from the deterministic CentCount seed
+    * sample → the trained codebook (cell, cq), integer micro-units.
+    * Every step is engine-exact (see kmeansLloyd). A cell that loses
+    * all members drops from the codebook (both engines).
+    */
+  def lloydCodebookQ(xq: DataFrame, rounds: Int): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val xq = emb.select(col("vec_id"),
-        expr("transform(cast(embedding as array<double>), " +
-          "x -> cast(round(x * 1000000.0D) as bigint))").as("q"))
-      .localCheckpoint(false)
-    // argmin as a map-side-combinable min_by aggregate, not a rank
-    // window: the window form sorts |V|·cells candidate rows per
-    // round (measured 2× the whole operator at sf1); the aggregate
-    // reduces them to partial minima before the vec-grain shuffle,
-    // and the q re-join co-partitions with that shuffle
-    def assign(c: DataFrame): DataFrame =
-      xq.join(broadcast(c.withColumn("cc", dotiFast(col("cq"), col("cq")))))
-        .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
-          min(struct(col("s"), col("cell"))).getField("s").as("s"))
-        .join(xq, Seq("vec_id"))
-    var cent = xq.filter(col("vec_id") % QueryStride === 0)
+    val kCells = math.max(1L,
+      math.min(CentCount.toLong, xq.count() / MinCellFill)).toInt
+    var cent = hashSample(xq, "c", kCells)
       .select(col("vec_id").as("cell"), col("q").as("cq"))
     for (_ <- 1 to rounds) {
-      cent = assign(cent)
+      cent = lloydAssign(xq, cent)
         .select(col("cell"), posexplode(col("q")).as(Seq("idx", "xi")))
         .groupBy(col("cell"), col("idx"))
         .agg(sum(col("xi").cast(dec38)).as("sx"), count(lit(1)).as("n"))
@@ -886,7 +1028,14 @@ object Similarity {
           " p -> p.cqi)").as("cq"))
         .localCheckpoint(false)
     }
-    assign(cent)
+    cent
+  }
+
+  def kmeansLloyd(emb: DataFrame, rounds: Int = LloydRounds): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xq = microQuant(emb).localCheckpoint(false)
+    val cent = lloydCodebookQ(xq, rounds)
+    lloydAssign(xq, cent)
       .withColumn("d", dotiFast(col("q"), col("q")) + col("s"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -895,30 +1044,34 @@ object Similarity {
         round(col("iq").cast("double") / 1.0e12, 6).as("inertia_e12"))
   }
 
-  /** Unrolled DuckDB mirror of kmeansLloyd: one MATERIALIZED
-    * (distance, argmin, mean, codebook) block per round.
+  private def lloydDistBlock(tag: String, cin: String): String =
+    s"""s$tag AS MATERIALIZED (SELECT x.vec_id, c.cell, x.q,
+       |    CAST(list_sum(list_transform(c.cq, v -> v * v))
+       |      - 2 * list_sum(list_transform(generate_series(1, $Dim),
+       |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS s
+       |  FROM xq x, $cin c),
+       |a$tag AS MATERIALIZED (SELECT vec_id, cell, q, s FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY s, cell) AS rn FROM s$tag) WHERE rn = 1)""".stripMargin
+
+  /** CTE ladder `xq, c0, (s,a,m,c)×rounds` mirroring lloydCodebookQ —
+    * one MATERIALIZED (distance, argmin, mean, codebook) block per
+    * round; seeds are the "c" hashSample.
     */
-  private def kmeansLloydSql(rounds: Int): String = {
+  private def lloydLadderSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH xq AS MATERIALIZED (SELECT vec_id,
+      s"""xq AS MATERIALIZED (SELECT vec_id,
          |    list_transform(CAST(embedding AS DOUBLE[]),
          |      x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS q
          |  FROM embeddings),
          |c0 AS MATERIALIZED (SELECT vec_id AS cell, q AS cq FROM xq
-         |  WHERE vec_id % $QueryStride = 0)""".stripMargin)
-    def distBlock(tag: String, cin: String): String =
-      s""",
-        |s$tag AS MATERIALIZED (SELECT x.vec_id, c.cell, x.q,
-        |    CAST(list_sum(list_transform(c.cq, v -> v * v))
-        |      - 2 * list_sum(list_transform(generate_series(1, $Dim),
-        |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS s
-        |  FROM xq x, $cin c),
-        |a$tag AS MATERIALIZED (SELECT vec_id, cell, q, s FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY s, cell) AS rn FROM s$tag) WHERE rn = 1)""".stripMargin
+         |  ORDER BY md5('c' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT GREATEST(1, LEAST($CentCount,
+         |    (SELECT COUNT(*) FROM xq) // $MinCellFill)))""".stripMargin)
     for (r <- 1 to rounds) {
-      sb.append(distBlock(r.toString, s"c${r - 1}"))
+      sb.append(",\n")
+      sb.append(lloydDistBlock(r.toString, s"c${r - 1}"))
       sb.append(s""",
         |m$r AS (SELECT cell, i.i,
         |    CAST(FLOOR(CAST(SUM(q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
@@ -928,14 +1081,29 @@ object Similarity {
         |c$r AS MATERIALIZED (SELECT cell, list(cqi ORDER BY i) AS cq
         |  FROM m$r GROUP BY cell)""".stripMargin)
     }
-    sb.append(distBlock("F", s"c$rounds"))
-    sb.append(s"""
+    sb.toString
+  }
+
+  /** The Lloyd-trained coarse codebook as `cent(cent_id, cv)` — the
+    * CTE chain every IVF-family oracle composes over (mirrors
+    * ivfCodebook: integer centroids → exact double division).
+    */
+  private[operators] def lloydCentSql(rounds: Int = IvfTrainRounds,
+                                      name: String = "cent"): String =
+    lloydLadderSql(rounds) + s""",
+      |$name AS MATERIALIZED (SELECT cell AS cent_id,
+      |  list_transform(cq, v -> v / 1000000.0) AS cv FROM c$rounds)""".stripMargin
+
+  /** Unrolled DuckDB mirror of kmeansLloyd: the ladder plus a final
+    * assignment + inertia aggregate.
+    */
+  private def kmeansLloydSql(rounds: Int): String =
+    s"""WITH ${lloydLadderSql(rounds)},
+      |${lloydDistBlock("F", s"c$rounds")}
       |SELECT cell, COUNT(*) AS n_vecs,
       |ROUND(CAST(SUM(CAST(list_sum(list_transform(q, v -> v * v)) + s
       |  AS HUGEINT)) AS DOUBLE) / 1e12, 6) AS inertia_e12
-      |FROM aF GROUP BY cell""".stripMargin)
-    sb.toString
-  }
+      |FROM aF GROUP BY cell""".stripMargin
 
   /** Int8 quantization of the embedding column — the storage/serving
     * compression pass every vector store applies before ANN at scale:
@@ -981,7 +1149,7 @@ object Similarity {
           |END)""".stripMargin))
       .select(col("vec_id"), col("v"), col("codes"))
       .localCheckpoint(false)
-    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val q = hashSample(e, "q", QueryCount)
     val coarse = broadcast(q.as("q"))
       .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("nbr_id"),
@@ -1020,15 +1188,36 @@ object Similarity {
   /** Shared with Dedup's embedding near-dup oracle, which reuses the
     * same hyperplane buckets for candidate generation.
     */
+  /** Hyperplane LSH prelude, occupancy-scaled (mirrors planesFor):
+    * `npl(np)` = plane count for this corpus, `srs(p)` = plane index
+    * series, `planes(p, w)`, `buckets(vec_id, v, bucket)`. Pure
+    * integer plane-count arithmetic — both engines derive the same
+    * np from the same COUNT(*).
+    */
   private[operators] val planesSql =
-    """planes AS (SELECT p.p, list_transform(generate_series(0, 63),
-      |    d -> CAST(concat('0x', substr(md5('hp' || p.p || '_' || d),1,15)) AS BIGINT)
+    s"""npl AS MATERIALIZED (SELECT $Planes + COUNT(*) np
+      |  FROM (SELECT unnest(generate_series(${Planes + 1}, $MaxPlanes)) k) g
+      |  WHERE $TargetOcc * (CAST(1 AS BIGINT) << (g.k - 1))
+      |    < (SELECT COUNT(*) FROM embeddings)),
+      |srs AS (SELECT unnest(generate_series(0, ${MaxPlanes - 1})) p),
+      |planes AS MATERIALIZED (SELECT s.p, list_transform(generate_series(0, ${Dim - 1}),
+      |    d -> CAST(concat('0x', substr(md5('hp' || s.p || '_' || d),1,15)) AS BIGINT)
       |         % 2001 - 1000) AS w
-      |  FROM (SELECT unnest(generate_series(0, 7)) p) p),
-      |buckets AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+      |  FROM srs s WHERE s.p < (SELECT np FROM npl)),
+      |buckets AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
       |    CAST(SUM(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
-      |      CAST(w AS DOUBLE[])) > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |      CAST(w AS DOUBLE[])) > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+      |      AS BIGINT) AS bucket
       |  FROM embeddings, planes GROUP BY vec_id, CAST(embedding AS DOUBLE[]))""".stripMargin
+
+  /** Hamming-1 probe fan-out over `buckets` — `probes(vec_id, v,
+    * probe)`, plane count from `npl`.
+    */
+  private[operators] val probes1Sql =
+    """probes AS (SELECT vec_id, v, bucket AS probe FROM buckets
+      |  UNION ALL
+      |  SELECT b.vec_id, b.v, xor(b.bucket, CAST(1 AS BIGINT) << s.p)
+      |  FROM buckets b, srs s WHERE s.p < (SELECT np FROM npl))""".stripMargin
 
   /** PCA dimensionality reduction (spark.ml) ahead of ANN indexing —
     * the standard bandwidth lever when the embedding dim outgrows the
@@ -1061,9 +1250,12 @@ object Similarity {
     */
   private val pqSql =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |$qsetSql,
        |sub AS (SELECT CAST(g.m AS INT) m FROM
        |  (SELECT unnest(generate_series(0, ${PqM - 1})) m) g),
-       |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+       |cent AS MATERIALIZED (SELECT vec_id cent_id, v cv FROM e
+       |  ORDER BY md5('c' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $CentCount),
        |xs AS (SELECT e.vec_id, s.m,
        |    list_slice(e.v, s.m * $PqSubDim + 1, s.m * $PqSubDim + $PqSubDim) x
        |  FROM e, sub s),
@@ -1084,7 +1276,8 @@ object Similarity {
        |    CAST(ROUND(list_dot_product(
        |      list_slice(q.v, cs.m * $PqSubDim + 1, cs.m * $PqSubDim + $PqSubDim),
        |      c) * 1000000.0) AS BIGINT) qp
-       |  FROM e q, cs WHERE q.vec_id % $QueryStride = 0)""".stripMargin
+       |  FROM e q, cs
+       |  WHERE q.vec_id IN (SELECT vec_id FROM qset))""".stripMargin
 
   /** ADC continuation: candidate score = integer sum of PqM table
     * entries over the whole corpus (flat PQ).
@@ -1095,19 +1288,23 @@ object Similarity {
        |  FROM codes k JOIN lut ON k.m = lut.m AND k.code = lut.code
        |  WHERE k.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
 
-  /** IVF-PQ continuation: cell assignment + cell-restricted ADC. */
-  private val pqIvfSql =
-    s"""asncell AS (SELECT vec_id, cent_id AS cell FROM (
+  /** IVF-PQ continuation: Lloyd coarse-cell assignment (terminal CTE
+    * `icent` — `cent` is the PQ codebook here) + cell-restricted ADC.
+    */
+  private lazy val pqIvfSql =
+    s"""${lloydCentSql(name = "icent")},
+       |asncell AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM (
        |  SELECT e.vec_id, c.cent_id,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
        |      c.cent_id) rn
-       |  FROM e, cent c) WHERE rn = 1),
+       |  FROM e, icent c) WHERE rn = 1),
        |$pqLutSql,
        |sc AS (SELECT lut.query_id, k2.vec_id nbr_id, SUM(qp) score
        |  FROM codes k2
        |  JOIN asncell ca ON k2.vec_id = ca.vec_id
-       |  JOIN asncell qa ON qa.cell = ca.cell AND qa.vec_id % $QueryStride = 0
+       |  JOIN asncell qa ON qa.cell = ca.cell
+       |    AND qa.vec_id IN (SELECT vec_id FROM qset)
        |  JOIN lut ON lut.query_id = qa.vec_id
        |    AND lut.m = k2.m AND lut.code = k2.code
        |  WHERE k2.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
@@ -1131,15 +1328,20 @@ object Similarity {
     * constant is the paper's.
     */
   def hybridRrf(docs: DataFrame, emb: DataFrame, k: Int = K): DataFrame = {
-    val ann = knnIvf(emb, k)
-      .filter(col("query_id") % QueryStride === 0) // post-rank: per-query ranks unchanged
+    // one query-id set for both branches: the embedding table's "q"
+    // sample (fixture contract doc_id = vec_id, so each query has
+    // both a vector and text)
+    val qids = hashSample(vecs(emb), "q", QueryCount).select("vec_id")
+      .localCheckpoint(false)
+    val ann = knnIvf(emb, k) // knnIvf's query batch IS the same sample
       .select(col("query_id"), col("nbr_id").as("id"),
         col("rank").as("r_ann"))
     val sh = Dedup.docShingleHashes(docs).localCheckpoint(false) // query + corpus sides
     val wLex = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("common").desc, col("id"))
-    val lex = sh.filter(col("doc_id") % QueryStride === 0)
+    val lex = sh.join(qids.withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("query_id"), col("sh"))
       .join(sh.select(col("doc_id").as("id"), col("sh")), Seq("sh"))
       .filter(col("id") =!= col("query_id"))
@@ -1181,8 +1383,7 @@ object Similarity {
   def mmrRerank(emb: DataFrame, cand: Int = MmrCand, k: Int = MmrK)
   : DataFrame = {
     val e = vecs(emb)
-    val c = knnIvf(emb, cand)
-      .filter(col("query_id") % QueryStride === 0)
+    val c = knnIvf(emb, cand) // query side already the bounded batch
       .join(e.select(col("vec_id").as("nbr_id"), col("v").as("vn")),
         Seq("nbr_id"))
       .select(col("query_id"), col("nbr_id").as("id"), col("vn"),
@@ -1234,11 +1435,12 @@ object Similarity {
 
     QueryDef("sim_knn_brute",
       (s, d) => knnBrute(Tables.embeddings(s, d)),
-      Some(s"""WITH scored AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+      Some(s"""WITH $qsetSql,
+              |scored AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
               |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
               |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0)
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset))
               |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)
@@ -1259,10 +1461,7 @@ object Similarity {
     QueryDef("sim_knn_multiprobe",
       (s, d) => knnLshMultiprobe(Tables.embeddings(s, d)),
       Some(s"""WITH $planesSql,
-              |probes AS (SELECT vec_id, v,
-              |    unnest([bucket] || list_transform(generate_series(0, ${Planes - 1}),
-              |      p -> xor(bucket, CAST(1 << p AS BIGINT)))) AS probe
-              |  FROM buckets),
+              |$probes1Sql,
               |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
               |  FROM probes a JOIN buckets b
@@ -1289,15 +1488,13 @@ object Similarity {
     QueryDef("sim_recall_at_k",
       (s, d) => annRecallAtK(Tables.embeddings(s, d)),
       Some(s"""WITH $planesSql,
-              |probes AS (SELECT vec_id, v,
-              |    unnest([bucket] || list_transform(generate_series(0, ${Planes - 1}),
-              |      p -> xor(bucket, CAST(1 << p AS BIGINT)))) AS probe
-              |  FROM buckets),
+              |$probes1Sql,
+              |$qsetSql,
               |exsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
               |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
               |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0),
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
               |ex AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
@@ -1308,7 +1505,7 @@ object Similarity {
               |ap AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM apsc)
-              |  WHERE rk <= $K AND query_id % $QueryStride = 0),
+              |  WHERE rk <= $K AND query_id IN (SELECT vec_id FROM qset)),
               |hits AS (SELECT e.query_id, COUNT(*) n_hit FROM ex e
               |  JOIN ap ON e.query_id = ap.query_id AND e.nbr_id = ap.nbr_id
               |  GROUP BY 1),
@@ -1323,10 +1520,7 @@ object Similarity {
     QueryDef("sim_hard_negatives",
       (s, d) => hardNegatives(Tables.embeddings(s, d)),
       Some(s"""WITH $planesSql,
-              |probes AS (SELECT vec_id, v,
-              |    unnest([bucket] || list_transform(generate_series(0, ${Planes - 1}),
-              |      p -> xor(bucket, CAST(1 << p AS BIGINT)))) AS probe
-              |  FROM buckets),
+              |$probes1Sql,
               |scored AS (SELECT a.vec_id anchor_id, b.vec_id neg_id,
               |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
               |  FROM probes a JOIN buckets b
@@ -1343,11 +1537,12 @@ object Similarity {
     // axis) — brute top-k on the first TruncDim dims vs full-dim.
     QueryDef("sim_truncation_recall",
       (s, d) => truncationRecallAtK(Tables.embeddings(s, d)),
-      Some(s"""WITH exsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+      Some(s"""WITH $qsetSql,
+              |exsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
               |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
               |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0),
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
               |ex AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
@@ -1356,7 +1551,7 @@ object Similarity {
               |      CAST(q.embedding AS DOUBLE[])[1:$TruncDim],
               |      CAST(c.embedding AS DOUBLE[])[1:$TruncDim]), 6) AS cos
               |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0),
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
               |ap AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM apsc) WHERE rk <= $K),
@@ -1373,7 +1568,8 @@ object Similarity {
     // data-independent member of the compression family.
     QueryDef("sim_rp_recall",
       (s, d) => rpRecallAtK(Tables.embeddings(s, d)),
-      Some(s"""WITH xq AS (SELECT vec_id, embedding,
+      Some(s"""WITH $qsetSql,
+              |xq AS (SELECT vec_id, embedding,
               |    list_transform(CAST(embedding AS DOUBLE[]),
               |      x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) q
               |  FROM embeddings),
@@ -1387,14 +1583,14 @@ object Similarity {
               |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
               |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
               |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0),
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
               |ex AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
               |apsc AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(a.p, b.p), 6) AS cos
               |  FROM proj a JOIN proj b ON a.vec_id <> b.vec_id
-              |  WHERE a.vec_id % $QueryStride = 0),
+              |  WHERE a.vec_id IN (SELECT vec_id FROM qset)),
               |ap AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM apsc) WHERE rk <= $K),
@@ -1426,7 +1622,8 @@ object Similarity {
 
     QueryDef("sim_knn_sq8_rerank",
       (s, d) => knnSq8Rerank(Tables.embeddings(s, d)),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      Some(s"""WITH $qsetSql,
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
               |g AS (SELECT MAX(GREATEST(list_max(v), -list_min(v))) AS gmax FROM e),
               |c AS (SELECT vec_id, v, list_transform(v,
               |    x -> CASE WHEN gmax = 0 THEN 0
@@ -1437,7 +1634,7 @@ object Similarity {
               |      CAST(t.codes AS DOUBLE[])) AS BIGINT) AS iscore,
               |    q.v qv, t.v cv
               |  FROM c q JOIN c t ON q.vec_id <> t.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0),
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
               |cand AS (SELECT query_id, nbr_id, qv, cv FROM (
               |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |      ORDER BY iscore DESC, nbr_id) crk FROM p)
@@ -1455,7 +1652,8 @@ object Similarity {
     QueryDef("sim_sq8_recall",
       (s, d) => annRecallAtK(Tables.embeddings(s, d),
         index = knnSq8Rerank(_, _)),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      Some(s"""WITH $qsetSql,
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
               |g AS (SELECT MAX(GREATEST(list_max(v), -list_min(v))) AS gmax FROM e),
               |c AS (SELECT vec_id, v, list_transform(v,
               |    x -> CASE WHEN gmax = 0 THEN 0
@@ -1466,7 +1664,7 @@ object Similarity {
               |      CAST(t.codes AS DOUBLE[])) AS BIGINT) AS iscore,
               |    q.v qv, t.v cv
               |  FROM c q JOIN c t ON q.vec_id <> t.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0),
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
               |cand AS (SELECT query_id, nbr_id, qv, cv FROM (
               |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |      ORDER BY iscore DESC, nbr_id) crk FROM p)
@@ -1479,7 +1677,7 @@ object Similarity {
               |exsc AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
               |  FROM e q JOIN e t ON q.vec_id <> t.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0),
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
               |ex AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
@@ -1506,7 +1704,7 @@ object Similarity {
       (s, d) => mmrRerank(Tables.embeddings(s, d)),
       Some {
         val steps = (2 to MmrK).map { r =>
-          s"""s$r AS MATERIALIZED (SELECT query_id, id, CAST($r AS BIGINT) rank, score_q FROM (
+          s"""mst$r AS MATERIALIZED (SELECT query_id, id, CAST($r AS BIGINT) rank, score_q FROM (
              |  SELECT m.query_id, m.id, 7*m.rel_q - 3*m.maxpen AS score_q,
              |    ROW_NUMBER() OVER (PARTITION BY m.query_id
              |      ORDER BY 7*m.rel_q - 3*m.maxpen DESC, m.id) rn
@@ -1518,10 +1716,11 @@ object Similarity {
              |      WHERE x.query_id = c.query_id AND x.id = c.id)
              |    GROUP BY 1, 2, 3) m) WHERE rn = 1),
              |ch$r AS MATERIALIZED (SELECT * FROM ch${r - 1}
-             |  UNION ALL SELECT * FROM s$r)""".stripMargin
+             |  UNION ALL SELECT * FROM mst$r)""".stripMargin
         }.mkString(",\n")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-           |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+        s"""WITH $qsetSql,
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+           |${lloydCentSql()},
            |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
            |  SELECT e.vec_id, e.v, c.cent_id,
            |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1536,7 +1735,7 @@ object Similarity {
            |    CAST(ROUND(cos * 1000000.0) AS BIGINT) rel_q FROM (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            |    ORDER BY cos DESC, id) rk FROM scored)
-           |  WHERE rk <= $MmrCand AND query_id % $QueryStride = 0),
+           |  WHERE rk <= $MmrCand AND query_id IN (SELECT vec_id FROM qset)),
            |pen AS MATERIALIZED (SELECT c1.query_id, c1.id, c2.id oid,
            |    CAST(ROUND(list_cosine_similarity(va.v, vb.v) * 1000000.0)
            |      AS BIGINT) pen_q
@@ -1554,8 +1753,9 @@ object Similarity {
 
     QueryDef("sim_hybrid_rrf",
       (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+      Some(s"""WITH $qsetSql,
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |${lloydCentSql()},
               |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
               |  SELECT e.vec_id, e.v, c.cent_id,
               |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1569,10 +1769,10 @@ object Similarity {
               |ann AS (SELECT query_id, id, rk AS r_ann FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, id) rk FROM scored)
-              |  WHERE rk <= $K AND query_id % $QueryStride = 0),
+              |  WHERE rk <= $K AND query_id IN (SELECT vec_id FROM qset)),
               |${Dedup.shSql},
               |q AS (SELECT doc_id AS query_id, sh FROM sh
-              |  WHERE doc_id % $QueryStride = 0),
+              |  WHERE doc_id IN (SELECT vec_id FROM qset)),
               |lexc AS (SELECT q.query_id, s.doc_id AS id, COUNT(*) common
               |  FROM q JOIN sh s ON q.sh = s.sh AND s.doc_id <> q.query_id
               |  GROUP BY 1, 2),
@@ -1593,7 +1793,7 @@ object Similarity {
     QueryDef("sim_cell_stats",
       (s, d) => cellStats(Tables.embeddings(s, d)),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+              |${lloydCentSql()},
               |assigned AS (SELECT vec_id, cent_id AS cell FROM (
               |  SELECT e.vec_id, c.cent_id,
               |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1604,15 +1804,17 @@ object Similarity {
 
     QueryDef("sim_knn_ivf_probe2",
       (s, d) => knnIvfProbe(Tables.embeddings(s, d)),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+      Some(s"""WITH $qsetSql,
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |${lloydCentSql()},
               |ranked AS (SELECT e.vec_id, e.v, c.cent_id AS cell,
               |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
               |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
               |      c.cent_id) rn
               |  FROM e, cent c),
               |home AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
-              |probe AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= 2),
+              |probe AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= 2
+              |  AND vec_id IN (SELECT vec_id FROM qset)),
               |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
               |  FROM probe a JOIN home b
@@ -1627,7 +1829,7 @@ object Similarity {
     QueryDef("sim_corpus_diversity",
       (s, d) => corpusDiversity(Tables.embeddings(s, d)),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-              |  FROM embeddings WHERE vec_id % $QueryStride = 0),
+              |  FROM embeddings ORDER BY md5('q' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $QueryCount),
               |p AS (SELECT ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
               |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
               |q AS (SELECT cos, CAST(ROUND(cos * 1000000) AS BIGINT) AS q
@@ -1652,8 +1854,9 @@ object Similarity {
     // nprobeSweep for the shared-candidate-set device.
     QueryDef("sim_nprobe_sweep",
       (s, d) => nprobeSweep(Tables.embeddings(s, d)),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |cent AS (SELECT vec_id cent_id, v cv FROM e WHERE vec_id % $QueryStride = 0),
+      Some(s"""WITH $qsetSql,
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |${lloydCentSql()},
               |ranked AS (SELECT e.vec_id, e.v, c.cent_id AS cell,
               |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
               |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
@@ -1661,7 +1864,7 @@ object Similarity {
               |  FROM e, cent c),
               |home AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
               |probe AS (SELECT vec_id, v, cell, rn AS cell_rank FROM ranked
-              |  WHERE rn <= ${NprobeSweep.max} AND vec_id % $QueryStride = 0),
+              |  WHERE rn <= ${NprobeSweep.max} AND vec_id IN (SELECT vec_id FROM qset)),
               |cand AS (SELECT a.vec_id query_id, a.cell_rank, b.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
               |  FROM probe a JOIN home b
@@ -1677,7 +1880,7 @@ object Similarity {
               |exsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
               |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0),
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
               |ex AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
@@ -1725,7 +1928,7 @@ object Similarity {
               |exsc AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
               |  FROM e q JOIN e t ON q.vec_id <> t.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0),
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
               |ex AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
@@ -1761,7 +1964,7 @@ object Similarity {
               |exsc AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
               |  FROM e q JOIN e t ON q.vec_id <> t.vec_id
-              |  WHERE q.vec_id % $QueryStride = 0),
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
               |ex AS (SELECT query_id, nbr_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
@@ -1807,14 +2010,15 @@ object Similarity {
     QueryDef("sim_knn_filtered",
       (s, d) => knnFiltered(Tables.embeddings(s, d),
         Tables.documents(s, d)),
-      Some(s"""WITH allowed AS (SELECT doc_id FROM documents
+      Some(s"""WITH $qsetSql,
+              |allowed AS (SELECT doc_id FROM documents
               |  WHERE lang = 'en'),
               |scored AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
               |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
               |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
               |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
               |  JOIN allowed ON c.vec_id = allowed.doc_id
-              |  WHERE q.vec_id % $QueryStride = 0)
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset))
               |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)

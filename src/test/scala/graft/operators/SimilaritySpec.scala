@@ -27,15 +27,18 @@ class SimilaritySpec extends SparkSpec {
       (2L, Seq(a._1.toFloat, (a._2 + 0.0004).toFloat, 0.0f)),
       (3L, Seq(a._1.toFloat, -a._2.toFloat, 0.0f)))
       .toDF("vec_id", "embedding")
+    // every id is a query at this size (bounded batch covers n ≤ 128)
     val picks = Similarity.mmrRerank(emb)
+      .filter(col("query_id") === 0L)
       .select("rank", "id").as[(Long, Long)].collect().toSeq.sortBy(_._1)
     assert(picks.map(_._2) === Seq(1L, 3L, 2L))
   }
 
   test("hybrid rrf: agreement doubles the fused score, exact ppm arithmetic") {
-    // doc/vec 1 is the query's near-dup in BOTH modalities; doc/vec 2
-    // matches in neither. id 0 is the only strided query (and the only
-    // IVF centroid), so everything lands in one cell.
+    // doc/vec 1 is query 0's near-dup in BOTH modalities; doc/vec 2
+    // matches in neither. n=3 < 5 floors the trained codebook at one
+    // cell, so the ann branch sees every pair; all three ids are
+    // queries (bounded batch covers n ≤ 128) — assert query 0's rows.
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
       (1L, "alpha beta gamma delta epsilon eta"),
@@ -46,8 +49,10 @@ class SimilaritySpec extends SparkSpec {
       (1L, Seq(1.0f, 0.001f, 0.0f)),
       (2L, Seq(0.0f, 1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val out = Similarity.hybridRrf(docs, emb)
-      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    val all = Similarity.hybridRrf(docs, emb)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(all.map(_._1).distinct.sorted === Seq(0L, 1L, 2L))
+    val out = all.filter(_._1 == 0L).sortBy(_._2)
     // id 1: rank 1 in ann AND lex -> 2 * (1e6 div 61); id 2: ann rank
     // 2 only -> 1e6 div 62
     assert(out === Seq(
@@ -92,7 +97,7 @@ class SimilaritySpec extends SparkSpec {
     }.toDF("vec_id", "embedding", "label")
     val got = Similarity.truncationRecallAtK(prefixOnly)
       .as[(Long, Double)].head()
-    assert(got._1 === 3L) // strided queries: 0, 50, 100
+    assert(got._1 === 120L) // n <= QueryCount: every id is a query
     assert(got._2 === 1.0)
   }
 
@@ -246,13 +251,21 @@ class SimilaritySpec extends SparkSpec {
     got.groupBy(_._1).foreach { case (_, rows) =>
       assert(rows.map(_._2).sorted.toSeq == (0 until Similarity.PqM))
     }
-    // codebook members (strided ids) are distance-0 from their own
-    // entry in every subspace, so they must code to themselves
-    got.filter(r => r._1 % Similarity.QueryStride == 0).foreach {
-      case (id, _, code) => assert(code === id)
+    // codebook members (the "c" hashSample) are distance-0 from
+    // their own entry in every subspace, so they must code to an
+    // entry with an IDENTICAL vector — emb() repeats with period 13,
+    // so exact-duplicate codebook entries tie at d²=0 and the lower
+    // cent_id wins: the code is the least codebook id in the member's
+    // residue class
+    val cb = Similarity.hashSample(emb(200), "c", Similarity.CentCount)
+      .select("vec_id").as[Long].collect().toSet
+    assert(cb.size === Similarity.CentCount)
+    val leastInClass = cb.groupBy(_ % 13).map { case (r, ids) => r -> ids.min }
+    got.filter(r => cb(r._1)).foreach {
+      case (id, _, code) => assert(code === leastInClass(id % 13))
     }
     // every emitted code is a codebook id
-    assert(got.forall(_._3 % Similarity.QueryStride == 0))
+    assert(got.forall(r => cb(r._3)))
   }
 
   // three exactly-repeated prototypes: codes reconstruct each cluster's
@@ -270,8 +283,8 @@ class SimilaritySpec extends SparkSpec {
     val e = protoEmb(120)
     val got = Similarity.knnPqAdc(e)
       .as[(Long, Long, Long, Double)].collect().toSeq
-    // queries 0, 50, 100; every query emits K dense ranks
-    assert(got.map(_._1).distinct.sorted == Seq(0L, 50L, 100L))
+    // every id is a query (n <= QueryCount); K dense ranks each
+    assert(got.map(_._1).distinct.length === 120)
     got.groupBy(_._1).foreach { case (_, rows) =>
       assert(rows.map(_._2).sorted.toSeq == (1L to Similarity.K))
     }
@@ -282,7 +295,7 @@ class SimilaritySpec extends SparkSpec {
     // exact brute top-5 ties identically -> measured recall is 1.0
     val rec = Similarity.annRecallAtK(e, index = Similarity.knnPqAdc(_, _))
       .as[(Long, Double)].head()
-    assert(rec._1 === 3L)
+    assert(rec._1 === 120L)
     assert(rec._2 === 1.0)
   }
 
@@ -290,14 +303,14 @@ class SimilaritySpec extends SparkSpec {
     val e = protoEmb(120)
     val got = Similarity.knnIvfPq(e)
       .as[(Long, Long, Long, Double)].collect().toSeq
-    assert(got.map(_._1).distinct.sorted == Seq(0L, 50L, 100L))
+    assert(got.map(_._1).distinct.length === 120)
     // candidates never leave the query's IVF cell (= cluster here)
     got.foreach { case (q, _, n, _) => assert(q % 3 === n % 3) }
     val q0 = got.filter(_._1 == 0L).sortBy(_._2).map(_._3)
     assert(q0 === Seq(3L, 6L, 9L, 12L, 15L))
     val rec = Similarity.annRecallAtK(e, index = Similarity.knnIvfPq(_, _))
       .as[(Long, Double)].head()
-    assert(rec === ((3L, 1.0)))
+    assert(rec === ((120L, 1.0)))
   }
 
   test("rp project: RpDim whole-integer dims; scalar multiples stay parallel") {
@@ -336,15 +349,18 @@ class SimilaritySpec extends SparkSpec {
       (i.toLong, b.map(_ * (1 + (i % 60)).toFloat).toArray)
     }.toDF("vec_id", "embedding")
     val got = Similarity.rpRecallAtK(e).as[(Long, Double)].head()
-    assert(got._1 === 3L) // strided queries 0, 50, 100
+    assert(got._1 === 120L) // every id is a query at this size
     assert(got._2 === 1.0)
   }
 
   test("kmeans lloyd: separable clusters never mix; counts partition") {
-    // cluster A (ids 0-59) near bA, cluster B (ids 60-119) near bB,
-    // far apart; strided seeds 0,50 (both in A) and 100 (in B) — Lloyd
-    // may keep A split across its two seeds, but no cell may ever mix
-    // members of A and B, and B's lone seed must take all 60 B vectors
+    // cluster A (ids 0-59) near 0, cluster B (ids 60-119) near 100 —
+    // 100 apart in every one of the 64 dims, within-cluster spread
+    // ≤ 0.4. A cell that mixed A and B members would put some point
+    // ≥ 50 from its centroid in every dim: per-point inertia ≥
+    // 64·(50e6)² / 1e12 = 160 000 — while the all-pure bound is
+    // 120·64·(0.4e6)²/1e12 ≈ 1 229. The inertia total therefore
+    // PROVES no cell mixes, for any seed sample.
     val e = (0 until 120).map { i =>
       val base = if (i < 60) 0f else 100f
       (i.toLong, (0 until Similarity.Dim).map { d =>
@@ -352,11 +368,13 @@ class SimilaritySpec extends SparkSpec {
       }.toArray)
     }.toDF("vec_id", "embedding")
     val got = Similarity.kmeansLloyd(e)
-      .select("cell", "n_vecs").as[(Long, Long)].collect().toMap
-    assert(got.keySet.subsetOf(Set(0L, 50L, 100L)))
-    assert(got.values.sum === 120L)
-    assert(got(100L) === 60L) // all of B, nothing but B
-    assert(got.getOrElse(0L, 0L) + got.getOrElse(50L, 0L) === 60L)
+      .select("cell", "n_vecs", "inertia_e12")
+      .as[(Long, Long, Double)].collect()
+    // K floors at n/MinCellFill = 24 sampled seeds; cells partition n
+    assert(got.length <= 24)
+    assert(got.map(_._2).sum === 120L)
+    assert(got.map(_._3).sum < 100000.0,
+      s"inertia ${got.map(_._3).sum} implies a mixed A/B cell")
   }
 
   test("ivf from store: the persisted index serves identical rows") {
@@ -370,8 +388,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivf append: fixed-codebook ingest equals the batch build") {
-    // base half includes the strided seeds (0 and 50); the appended
-    // batch must assign against THOSE centroids, not reseed
+    // the appended batch must assign against the STORE's persisted
+    // codebook sidecar (trained from base), not retrain
     val all = (0 until 120).map { i =>
       (i.toLong, (0 until Similarity.Dim).map { d =>
         ((i * 31 + d * 17) % 13 - 6).toFloat
@@ -380,24 +398,24 @@ class SimilaritySpec extends SparkSpec {
     val base = all.filter($"vec_id" < 80)
     val batch = all.filter($"vec_id" >= 80)
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/i"
-    Similarity.ivfAssign(base).write.partitionBy("cell").parquet(dir)
+    Similarity.ivfBuild(spark, dir, base)
     Similarity.ivfAppend(spark, dir, batch)
     val stored = Similarity.searchAssigned(
       spark.read.parquet(dir).select(col("vec_id"), col("v"), col("cell")))
       .collect().map(_.toString).sorted.toSeq
     // reference: batch build over the union with base's codebook
-    val cents = Similarity.ivfAssign(base)
-      .filter($"vec_id" === $"cell")
-      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val cents = Similarity.storeCodebook(spark, dir)
     val direct = Similarity.searchAssigned(
       Similarity.ivfAssign(all, Some(cents)))
       .collect().map(_.toString).sorted.toSeq
     assert(stored === direct)
     assert(stored.nonEmpty)
-    // appended vectors really landed in existing cells
+    // appended vectors really landed in the base codebook's cells
+    val cbCells = cents.select($"cent_id".cast("long")).as[Long]
+      .collect().toSet
     val cells = spark.read.parquet(dir).filter($"vec_id" >= 80)
-      .select("cell").distinct().as[Long].collect().toSet
-    assert(cells.subsetOf(Set(0L, 50L)))
+      .select($"cell".cast("long")).distinct().as[Long].collect().toSet
+    assert(cells.nonEmpty && cells.subsetOf(cbCells))
   }
 
   test("normalize: mean-centered unit vectors, exact symmetric case") {
@@ -427,13 +445,8 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(before.nonEmpty)
 
-    // codebook seeds (vec_id == cell) are refused
-    val seed = spark.read.parquet(dir)
-      .filter($"vec_id" === $"cell").select("vec_id")
-      .as[Long].head()
-    intercept[IllegalArgumentException] {
-      Similarity.ivfDelete(spark, dir, Seq(seed))
-    }
+    // an empty delete list is refused (centroids live in the
+    // .codebook sidecar, so every stored id is deletable payload)
     intercept[IllegalArgumentException] {
       Similarity.ivfDelete(spark, dir, Seq.empty)
     }
@@ -466,10 +479,10 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("corpus diversity: exact ppm mean, collapse share, negative-safe") {
-    // strided sample = ids 0, 50, 100; cosines: (0,50)=1, (0,100)=0,
-    // (50,100)=0 -> mean (1e6+0+0) div 3, one pair above 0.9
+    // bounded sample covers all ids at this size; cosines: (0,50)=1,
+    // (0,100)=0, (50,100)=0 -> mean (1e6+0+0) div 3, one pair >0.9
     val e = Seq((0L, Seq(1.0f, 0.0f)), (50L, Seq(1.0f, 0.0f)),
-      (100L, Seq(0.0f, 1.0f)), (3L, Seq(9.0f, 9.0f))) // off-stride: ignored
+      (100L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
     val got = Similarity.corpusDiversity(e)
       .as[(Long, Long, Double, Double, Long)].head()
@@ -489,8 +502,8 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(got.keySet === Similarity.NprobeSweep.map(_.toLong).toSet)
-    // every sweep point scores the same 3 strided queries
-    assert(got.values.forall(_._1 == 3L))
+    // every sweep point scores the same bounded query batch
+    assert(got.values.forall(_._1 == 120L))
     // recall can only grow with probes...
     val sorted = Similarity.NprobeSweep.map(p => got(p.toLong)._2)
     assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })

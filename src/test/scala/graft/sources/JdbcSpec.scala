@@ -60,6 +60,54 @@ class JdbcSpec extends SparkSpec {
     assert(df.as[(Long, Double)].collect().toSeq === Seq((3L, 3000.0)))
   }
 
+  test("S16: Postgres-dialect pushdown SQL generation (no server needed)") {
+    // the sandbox has no Postgres server (zero egress), but the
+    // dialect layer that GENERATES the pushed-down SQL is pure
+    // library code: resolve the Postgres dialect from a postgres URL
+    // and assert the exact SQL text Spark would send — identifier
+    // quoting, compiled predicates, LIMIT — closing what remains of
+    // the reference's trino/postgres federation surface
+    // (trino/catalog/postgres_source.properties:1-4) testably.
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.execution.datasources.jdbc.{JDBCOptions, JDBCPartition}
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val pgUrl = "jdbc:postgresql://db:5432/warehouse"
+    val dialect = JdbcDialects.get(pgUrl)
+    assert(dialect.getClass.getName.contains("Postgres"),
+      s"dialect registry must route postgresql URLs: ${dialect.getClass}")
+    // Postgres quoting and paging dialect
+    assert(dialect.quoteIdentifier("total") === "\"total\"")
+    assert(dialect.getLimitClause(10) === "LIMIT 10")
+    assert(dialect.supportsLimit)
+    // the full scan SQL Spark would issue for
+    //   SELECT id, total WHERE total > 1000.0 AND status = 'F' LIMIT 10
+    val gt = new Predicate(">", Array(
+      Expressions.column("total"),
+      Expressions.literal(java.lang.Double.valueOf(1000.0))))
+    val eq = new Predicate("=", Array(
+      Expressions.column("status"),
+      Expressions.literal(UTF8String.fromString("F"))))
+    // JDBCOptions insists on a loadable driver class; no postgres
+    // driver ships in the sandbox, so name Derby's (any loadable
+    // class satisfies the check — the DIALECT is still chosen by the
+    // postgresql URL, which is what this test asserts)
+    val opts = new JDBCOptions(Map(
+      "url" -> pgUrl, "dbtable" -> "orders",
+      "driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver"))
+    val sql = dialect.getJdbcSQLQueryBuilder(opts)
+      .withColumns(Array("\"id\"", "\"total\""))
+      .withPredicates(Array(gt, eq), JDBCPartition(null, 0))
+      .withLimit(10)
+      .build()
+    assert(sql.contains("SELECT \"id\",\"total\" FROM orders"), sql)
+    assert(sql.contains("\"total\" > 1000.0"), sql)
+    assert(sql.contains("\"status\" = 'F'"), sql)
+    assert(sql.contains("LIMIT 10"), sql)
+  }
+
   test("S16: append mode accumulates batches like the chunk loop") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val b = Seq((3L, "z")).toDF("id", "v")

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Scale-ratio gate: diff a scale-smoke bench artifact (default
+BENCH_sf1.json, 10x data) against the sf0.1 per-query map
+(BENCH_detail.json) and FAIL on any query whose time grew more than
+THRESHOLD x on 10x data, unless it is on the documented
+quadratic-by-design whitelist below.
+
+This is the automated form of the round-5 verdict's manual audit: a
+linear-plan query on 10x data on 32 local cores should land well under
+15x (10x work, some constant overheads); anything above that either
+has a scale cliff or needs a written justification HERE, next to the
+name, where the next reader finds it.
+
+Usage: python3 tools/ratio_gate.py [BENCH_sf1.json [BENCH_detail.json]]
+Exit 0 = gate passes; 1 = violations found.
+"""
+import json
+import sys
+
+THRESHOLD = 15.0
+# Queries whose cost is super-linear BY DESIGN, each with the reason it
+# is allowed to stay that way (all are ground-truth/monitor roles with a
+# registered linear-path sibling, or solver internals):
+WHITELIST = {
+    "dedup_ngram_jaccard":
+        "exact all-pairs Jaccard - the ground truth the LSH path "
+        "(dedup_minhash_lsh) is measured against; production dedup runs "
+        "the LSH composition",
+    "dedup_containment":
+        "exact containment over the all-shingle co-count join - same "
+        "ground-truth role as dedup_ngram_jaccard",
+    "dedup_threshold_sweep":
+        "knob-tuning monitor: exact pair curve over the bounded monitor "
+        "sample; sample share is the cost knob",
+    "dedup_clusters":
+        "exact-edge connected components - ground truth for "
+        "dedup_clusters_lsh (the registered production path)",
+    "ml_item_similarity":
+        "uncapped exact item-item cosine - ground truth for "
+        "ml_item_similarity_capped (the registered scale path)",
+    "ml_als_recommendations":
+        "spark.ml ALS blocked factor cross-product - solver-internal "
+        "CartesianProduct, documented rows-only",
+}
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("queries", {})
+
+
+def main():
+    sf1_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1.json"
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_detail.json"
+    sf1, base = load(sf1_path), load(base_path)
+    bad, whitelisted = [], []
+    for name, t1 in sorted(sf1.items()):
+        t0 = base.get(name)
+        if t0 is None or t0 <= 0 or t1 <= 0:
+            continue
+        # ignore sub-second sf0.1 times with small sf1 absolutes:
+        # fixed overheads (plan, broadcast, JIT) dominate and the
+        # ratio is noise, not a scale signal
+        if t0 < 0.5 and t1 < 5.0:
+            continue
+        ratio = t1 / t0
+        if ratio > THRESHOLD:
+            if name in WHITELIST:
+                whitelisted.append((ratio, t1, t0, name))
+            else:
+                bad.append((ratio, t1, t0, name))
+    for r, t1, t0, n in sorted(whitelisted, reverse=True):
+        print(f"ALLOW {r:6.1f}x  sf1={t1:8.2f}s sf0.1={t0:6.2f}s  {n}"
+              f"  ({WHITELIST[n].split(' - ')[0]})")
+    for r, t1, t0, n in sorted(bad, reverse=True):
+        print(f"FAIL  {r:6.1f}x  sf1={t1:8.2f}s sf0.1={t0:6.2f}s  {n}")
+    print(f"== {len(bad)} violations, {len(whitelisted)} whitelisted, "
+          f"threshold {THRESHOLD}x")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

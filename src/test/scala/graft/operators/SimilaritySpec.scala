@@ -353,6 +353,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got._2 === 1.0)
   }
 
+  test("planesFor: occupancy target 8 at every corpus size; buckets " +
+    "stay inside the plane-count range") {
+    // the pure contract: p is the SMALLEST plane count >= 8 with
+    // TargetOcc * 2^p >= n — expected occupancy never exceeds
+    // TargetOcc, and one fewer plane would exceed it
+    for (n <- Seq(0L, 1L, 100L, 2048L, 2049L, 6000L, 20000L, 1000000L,
+      1000000000L)) {
+      val p = Similarity.planesFor(n)
+      assert(p >= Similarity.Planes && p <= Similarity.MaxPlanes)
+      if (p < Similarity.MaxPlanes)
+        assert((Similarity.TargetOcc.toLong << p) >= n,
+          s"n=$n p=$p misses the occupancy target")
+      if (p > Similarity.Planes)
+        assert((Similarity.TargetOcc.toLong << (p - 1)) < n,
+          s"n=$n p=$p is not minimal")
+    }
+    assert(Similarity.planesFor(2048) === 8)  // boundary: 8*2^8 = 2048
+    assert(Similarity.planesFor(2049) === 9)
+    // realized partition at a size that forces 9 planes: every vector
+    // bucketed, every bucket id inside [0, 2^9)
+    val n = 4096
+    val stats = Similarity.bucketStats(emb(n))
+      .as[(Long, Long)].collect()
+    assert(stats.map(_._2).sum === n.toLong)
+    assert(stats.forall(r => r._1 >= 0L && r._1 < (1L << 9)))
+    // and the extra plane is really used: some bucket has bit 8 set
+    // (prefix-stable weights: the first 8 bits match the 8-plane ids)
+    assert(stats.exists(r => (r._1 >> 8) == 1L))
+  }
+
   test("kmeans lloyd: separable clusters never mix; counts partition") {
     // cluster A (ids 0-59) near 0, cluster B (ids 60-119) near 100 —
     // 100 apart in every one of the 64 dims, within-cluster spread

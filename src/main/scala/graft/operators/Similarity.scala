@@ -370,6 +370,104 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("cent_id").as("code"))
   }
 
+  /** Micro-quantized subspace slices (vec_id, m, q) — the integer
+    * training/assignment space for the PQ trainer (slice-then-
+    * quantize equals quantize-then-slice elementwise, so the oracle
+    * can mirror either order).
+    */
+  private def subSlicesQ(emb: DataFrame): DataFrame =
+    subSlices(vecs(emb), "vec_id", "v", "x")
+      .select(col("vec_id"), col("m"),
+        expr("transform(x, v -> cast(round(v * 1000000.0D) as bigint))")
+          .as("q"))
+
+  /** One PQ assignment pass: per (vector, subspace), the argmin cell
+    * of codebook `c(m, cell, cq)` under the integer L2 surrogate —
+    * the map-side-combinable min_by shape shared with lloydAssign,
+    * keyed by (vec_id, m).
+    */
+  private def pqAssign(xqm: DataFrame, c: DataFrame): DataFrame =
+    xqm.join(broadcast(c.withColumn("cc", dotiFast(col("cq"), col("cq")))),
+        Seq("m"))
+      .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
+        min(struct(col("s"), col("cell"))).getField("s").as("s"))
+
+  /** The TRAINED per-subspace PQ codebook — what FAISS's
+    * ProductQuantizer.train actually does: an independent k-means in
+    * every subspace (here `rounds` Lloyd iterations over the integer
+    * micro-unit slices, seeds = the "c" hashSample's sub-vectors, so
+    * round 0 IS the sampled codebook pqCodes uses). Same engine-exact
+    * round structure as lloydCodebookQ with the subspace id `m` added
+    * to every key; all PqM subspaces train in the SAME passes (the m
+    * key rides the shuffle — no per-subspace jobs). Returns
+    * (m, cell, cq).
+    */
+  def pqCodebookTrainedQ(emb: DataFrame,
+                         rounds: Int = IvfTrainRounds): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xqm = subSlicesQ(emb).localCheckpoint(false)
+    val kCells = math.max(1L,
+      math.min(CentCount.toLong, emb.count() / MinCellFill)).toInt
+    val seedIds = hashSample(vecs(emb), "c", kCells).select("vec_id")
+    var cent = xqm.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("m"), col("vec_id").as("cell"), col("q").as("cq"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      cent = pqAssign(xqm, cent).join(xqm, Seq("vec_id", "m"))
+        .select(col("m"), col("cell"),
+          posexplode(col("q")).as(Seq("idx", "xi")))
+        .groupBy(col("m"), col("cell"), col("idx"))
+        .agg(sum(col("xi").cast(dec38)).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cqi",
+          floor(col("sx").cast("double") / col("n")).cast("long"))
+        .groupBy(col("m"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(idx, cqi)))," +
+          " p -> p.cqi)").as("cq"))
+        .localCheckpoint(false)
+    }
+    cent
+  }
+
+  /** PQ codes against the TRAINED codebook — the production encode
+    * pass (pqCodes' sampled codebook is the round-0 shortcut; this is
+    * the trained default a real index build would persist beside the
+    * IVF `.codebook` sidecar). Output shape matches pqCodes.
+    */
+  def pqCodesTrained(emb: DataFrame): DataFrame =
+    pqAssign(subSlicesQ(emb).localCheckpoint(false),
+      pqCodebookTrainedQ(emb))
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+
+  /** Quantization-distortion monitor: total squared L2 error of the
+    * PQ encoding under the SAMPLED codebook (round 0) vs the TRAINED
+    * one — the measure-don't-guess loop for the train-or-not knob.
+    * Lloyd monotonicity makes trained ≤ sampled up to the ±1
+    * micro-unit floor on centroid means, and the spec asserts it on
+    * a clustered fixture. d² = x·x + s in exact integer micro-units;
+    * totals ride DECIMAL(38) and leave integer space only at the e12
+    * emission (the kmeansLloyd inertia device).
+    */
+  def pqDistortion(emb: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xqm = subSlicesQ(emb).localCheckpoint(false)
+    val kCells = math.max(1L,
+      math.min(CentCount.toLong, emb.count() / MinCellFill)).toInt
+    val seedIds = hashSample(vecs(emb), "c", kCells).select("vec_id")
+    val sampled = xqm.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("m"), col("vec_id").as("cell"), col("q").as("cq"))
+    def total(c: DataFrame, name: String): DataFrame =
+      pqAssign(xqm, c).join(xqm, Seq("vec_id", "m"))
+        .select((dotiFast(col("q"), col("q")) + col("s")).as("d2"))
+        .agg(count(lit(1)).as("n_subvecs"),
+          round(sum(col("d2").cast(dec38)).cast("double") / 1.0e12, 6)
+            .as(name))
+    total(sampled, "sampled_e12")
+      .crossJoin(total(pqCodebookTrainedQ(emb), "trained_e12")
+        .drop("n_subvecs"))
+  }
+
   /** PQ-ADC top-k retrieval — the classic asymmetric-distance shape:
     * per query, a lookup table of partial dot products against every
     * codebook entry per subspace (|q|·PqM·|codebook| rows — tiny,
@@ -1270,6 +1368,54 @@ object Similarity {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
        |    ORDER BY d2, cent_id) rk FROM asn) WHERE rk = 1)""".stripMargin
 
+  /** One trained-PQ assignment block: distances + per-(vec, m) argmin
+    * against codebook CTE `cin` — mirrors pqAssign.
+    */
+  private def pqTrainedDistSql(tag: String, cin: String): String =
+    s"""ps$tag AS MATERIALIZED (SELECT x.vec_id, x.m, c.cell, x.q,
+       |    CAST(list_sum(list_transform(c.cq, v -> v * v))
+       |      - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
+       |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS s
+       |  FROM xqm x JOIN $cin c ON x.m = c.m),
+       |pa$tag AS MATERIALIZED (SELECT vec_id, m, cell, q, s FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |    ORDER BY s, cell) AS rn FROM ps$tag) WHERE rn = 1)""".stripMargin
+
+  /** Oracle ladder for the per-subspace PQ trainer
+    * (pqCodebookTrainedQ): xqm slices, sampled seeds pc0, then one
+    * (distance, argmin, mean, codebook) block per round, every CTE
+    * keyed by the subspace id m.
+    */
+  private def pqTrainedLadderSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""psub AS (SELECT CAST(g.m AS INT) m FROM
+         |  (SELECT unnest(generate_series(0, ${PqM - 1})) m) g),
+         |xqm AS MATERIALIZED (SELECT vec_id, s.m,
+         |    list_transform(list_slice(CAST(embedding AS DOUBLE[]),
+         |      s.m * $PqSubDim + 1, s.m * $PqSubDim + $PqSubDim),
+         |      x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings, psub s),
+         |pcset AS MATERIALIZED (SELECT vec_id FROM embeddings
+         |  ORDER BY md5('c' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT GREATEST(1, LEAST($CentCount,
+         |    (SELECT COUNT(*) FROM embeddings) // $MinCellFill))),
+         |pc0 AS MATERIALIZED (SELECT m, vec_id AS cell, q AS cq FROM xqm
+         |  WHERE vec_id IN (SELECT vec_id FROM pcset))""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(",\n").append(pqTrainedDistSql(r.toString, s"pc${r - 1}"))
+      sb.append(s""",
+        |pm$r AS (SELECT m, cell, i.i,
+        |    CAST(FLOOR(CAST(SUM(q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |      AS cqi
+        |  FROM pa$r, (SELECT unnest(generate_series(1, $PqSubDim)) AS i) i
+        |  GROUP BY 1, 2, 3),
+        |pc$r AS MATERIALIZED (SELECT m, cell, list(cqi ORDER BY i) AS cq
+        |  FROM pm$r GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Per-query ADC lookup table of micro-quantized partial dots. */
   private val pqLutSql =
     s"""lut AS (SELECT q.vec_id query_id, cs.m, cent_id AS code,
@@ -1906,6 +2052,32 @@ object Similarity {
       (s, d) => pqCodes(Tables.embeddings(s, d)),
       Some(s"""WITH $pqSql
               |SELECT vec_id, m, code FROM codes""".stripMargin)),
+
+    // V13 (beyond-ref): the TRAINED per-subspace PQ codebook — what
+    // FAISS ProductQuantizer.train does; see pqCodebookTrainedQ.
+    QueryDef("sim_pq_codes_trained",
+      (s, d) => pqCodesTrained(Tables.embeddings(s, d)),
+      Some(s"""WITH ${pqTrainedLadderSql(IvfTrainRounds)},
+              |${pqTrainedDistSql("F", s"pc$IvfTrainRounds")}
+              |SELECT vec_id, m, cell AS code FROM paF""".stripMargin)),
+
+    // V13's measure-don't-guess loop: total quantization distortion,
+    // sampled (round-0) codebook vs the trained one, exact integer
+    // micro-units through DECIMAL(38)/HUGEINT. pa1 IS the
+    // sampled-codebook assignment (round 1 assigns against pc0), so
+    // the monitor prices both codebooks from the ladder's own passes.
+    QueryDef("sim_pq_distortion",
+      (s, d) => pqDistortion(Tables.embeddings(s, d)),
+      Some(s"""WITH ${pqTrainedLadderSql(IvfTrainRounds)},
+              |${pqTrainedDistSql("F", s"pc$IvfTrainRounds")}
+              |SELECT
+              |(SELECT CAST(COUNT(*) AS BIGINT) FROM pa1) AS n_subvecs,
+              |(SELECT ROUND(CAST(SUM(CAST(list_sum(list_transform(q,
+              |    v -> v * v)) + s AS HUGEINT)) AS DOUBLE) / 1e12, 6)
+              |  FROM pa1) AS sampled_e12,
+              |(SELECT ROUND(CAST(SUM(CAST(list_sum(list_transform(q,
+              |    v -> v * v)) + s AS HUGEINT)) AS DOUBLE) / 1e12, 6)
+              |  FROM paF) AS trained_e12""".stripMargin)),
 
     QueryDef("sim_knn_pq_adc",
       (s, d) => knnPqAdc(Tables.embeddings(s, d)),

@@ -111,6 +111,8 @@ class DeterminismSpec extends SparkSpec {
     "graph_bfs_hops",         // seed top-k + frontier set algebra
     "bi_price_elasticity",    // discount-grain quantized-log slope
     "sim_knn_filtered",       // semi-join prefilter + float top-k
+    "sim_pq_codes_trained",   // per-subspace integer Lloyd + argmin
+    "sim_pq_distortion",      // decimal distortion totals, 2 codebooks
     "graph_assortativity")    // decimal moments + one division
 
   private def rows(name: String): Seq[String] = {

@@ -313,6 +313,39 @@ class SimilaritySpec extends SparkSpec {
     assert(rec === ((120L, 1.0)))
   }
 
+  test("pq trainer: training strictly reduces distortion on jittered " +
+    "clusters; trained codes are valid") {
+    // 3 cluster prototypes + deterministic per-vector jitter: sampled
+    // seed sub-vectors carry jitter, trained centroids move to the
+    // (floored) cluster means — Lloyd monotonicity must show up as a
+    // strict distortion drop
+    val e = (0 until 200).map { i =>
+      val c = i % 3
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        val base = if (d / 21 == c || (c == 2 && d >= 42)) 5.0f else 0.1f
+        // jitter period 97 > codebook size: seeds can't cover every
+        // distinct sub-vector, so sampled distortion is genuinely > 0
+        base + ((i * 13 + d * 3) % 97) * 0.01f
+      }.toArray, c)
+    }.toDF("vec_id", "embedding", "label")
+    val dist = Similarity.pqDistortion(e)
+      .as[(Long, Double, Double)].head()
+    assert(dist._1 === 200L * Similarity.PqM)
+    assert(dist._3 < dist._2,
+      s"training must reduce distortion: trained=${dist._3} sampled=${dist._2}")
+    assert(dist._3 > 0.0)
+    // codes: exactly one per (vector, subspace), all referencing
+    // trained-codebook cells (= seed ids)
+    val codes = Similarity.pqCodesTrained(e)
+      .as[(Long, Int, Long)].collect().toSeq
+    codes.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0 until Similarity.PqM))
+    }
+    val seeds = Similarity.hashSample(e, "c", Similarity.CentCount)
+      .select("vec_id").as[Long].collect().toSet
+    assert(codes.forall(r => seeds(r._3)))
+  }
+
   test("rp project: RpDim whole-integer dims; scalar multiples stay parallel") {
     val base = (0 until Similarity.Dim).map(d => ((d * 17) % 13 - 6).toFloat)
     val e = Seq(

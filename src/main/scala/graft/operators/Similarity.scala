@@ -703,7 +703,17 @@ object Similarity {
     */
   def searchAssigned(assigned0: DataFrame, k: Int = K): DataFrame = {
     val assigned = assigned0.localCheckpoint(false)
-    val q = hashSample(assigned, "q", QueryCount)
+    searchCells(hashSample(assigned, "q", QueryCount), assigned, k)
+  }
+
+  /** The in-cell search kernel: explicit query rows (vec_id, v, cell)
+    * against an index table of the same shape — shared by the batch
+    * path (searchAssigned's bounded sample) and the streaming serving
+    * path (each micro-batch's queries). The query side broadcasts;
+    * the only shuffle keys on cell id.
+    */
+  def searchCells(q: DataFrame, assigned: DataFrame,
+                  k: Int = K): DataFrame = {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
@@ -717,6 +727,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("nbr_id"), col("cos"))
+  }
+
+  /** Streaming kNN serving over the persisted IVF store — the ONLINE
+    * half of the index lifecycle (build/append/compact are the
+    * offline half): a stream of query vectors is answered per
+    * micro-batch through foreachBatch, the standard
+    * stream-joins-static-index serving job. Each batch assigns its
+    * queries to home cells with the store's broadcast codebook
+    * sidecar, cell-joins against the cell-partitioned index (a
+    * single-cell probe reads one directory), and hands per-query
+    * top-k to `sink`. State-free by construction — a query's answer
+    * completes within its batch — so there is no watermark, no state
+    * store, and restart semantics are exactly-once per the sink's
+    * idempotence, like every serving job. Results are row-identical
+    * to the batch searchCells over the same queries (spec-proven).
+    */
+  def serveStoreStream(s: SparkSession, dir: String,
+                       queries: DataFrame, k: Int = K)
+                      (sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = s.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val cents = storeCodebook(s, dir).localCheckpoint(false)
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val q = ivfAssign(batch, Some(cents))
+        sink(searchCells(q, idx, k), id)
+      }
+      .start()
   }
 
   def knnIvf(emb: DataFrame, k: Int = K): DataFrame =

@@ -481,6 +481,47 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.nonEmpty && cells.subsetOf(cbCells))
   }
 
+  test("streaming knn serve: micro-batch answers equal the batch " +
+    "search over the same queries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (0 until 120).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 31 + d * 17) % 13 - 6).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfs").toString + "/i"
+    Similarity.ivfBuild(spark, dir, all)
+
+    // fresh query vectors (ids outside the store) arriving in batches
+    def qvec(i: Int) = (0 until Similarity.Dim)
+      .map(d => ((i * 19 + d * 11) % 13 - 6).toFloat).toArray
+    val q1 = Seq((1000L, qvec(1)), (1001L, qvec(2)))
+    val q2 = Seq((1002L, qvec(3)))
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val sq2 = Similarity.serveStoreStream(spark, dir,
+      in.toDF().toDF("vec_id", "embedding")) { (res, _) =>
+      got ++= res.collect().map(_.toString)
+    }
+    in.addData(q1: _*); sq2.processAllAvailable()
+    val afterB1 = got.size
+    in.addData(q2: _*); sq2.processAllAvailable()
+    sq2.stop()
+    assert(afterB1 > 0 && got.size > afterB1,
+      "both micro-batches must produce answers")
+
+    // batch reference: the same queries through the same kernel
+    val cents = Similarity.storeCodebook(spark, dir)
+    val qdf = (q1 ++ q2).toDF("vec_id", "embedding")
+    val expect = Similarity.searchCells(
+      Similarity.ivfAssign(qdf, Some(cents)),
+      spark.read.parquet(dir).select(col("vec_id"), col("v"), col("cell")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.sorted.toSeq === expect)
+    assert(expect.nonEmpty)
+  }
+
   test("normalize: mean-centered unit vectors, exact symmetric case") {
     // mean = (1,1); centered v1=(1,-1), v2=(-1,1); both normalize to
     // ±1/√2 = ±0.707107 (rounded)

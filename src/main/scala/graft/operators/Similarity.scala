@@ -405,12 +405,23 @@ object Similarity {
     * (m, cell, cq).
     */
   def pqCodebookTrainedQ(emb: DataFrame,
-                         rounds: Int = IvfTrainRounds): DataFrame = {
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val xqm = subSlicesQ(emb).localCheckpoint(false)
+                         rounds: Int = IvfTrainRounds): DataFrame =
+    trainSubspaces(subSlicesQ(emb).localCheckpoint(false),
+      pqSeedIds(emb), rounds)
+
+  private def pqSeedIds(emb: DataFrame): DataFrame = {
     val kCells = math.max(1L,
       math.min(CentCount.toLong, emb.count() / MinCellFill)).toInt
-    val seedIds = hashSample(vecs(emb), "c", kCells).select("vec_id")
+    hashSample(vecs(emb), "c", kCells).select("vec_id")
+  }
+
+  /** The generic per-subspace Lloyd loop over any slice stream
+    * `xqm(vec_id, m, q)` — plain slices give the PQ trainer, residual
+    * slices give the IVFPQ fine trainer. `xqm` must be materialized.
+    */
+  private def trainSubspaces(xqm: DataFrame, seedIds: DataFrame,
+                             rounds: Int): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     var cent = xqm.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("m"), col("vec_id").as("cell"), col("q").as("cq"))
       .localCheckpoint(false)
@@ -428,6 +439,93 @@ object Similarity {
         .localCheckpoint(false)
     }
     cent
+  }
+
+  /** Residual micro-quantized slices (vec_id, cell, m, q): r = x − cv
+    * of the home cell under the SHARED coarse codebook, sliced per
+    * subspace — FAISS IVFPQ's actual encoding input (PQ on residuals
+    * removes the coarse variance the cell id already carries, so the
+    * fine codebook spends its bits on what the coarse one missed).
+    * The double subtraction is elementwise IEEE — engine-identical —
+    * and quantization happens AFTER it, one fixed shape both engines
+    * mirror.
+    */
+  private def residualSlicesQ(emb: DataFrame,
+                              cents: DataFrame): DataFrame =
+    ivfAssign(emb, Some(cents))
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(v, cv, (a, b) -> " +
+          "cast(round((a - b) * 1000000.0D) as bigint))").as("rq"))
+      .select(col("vec_id"), col("cell"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> slice(rq, m * $PqSubDim + 1, $PqSubDim))"))
+        .as(Seq("m", "q")))
+
+  /** V14: residual-encoded IVF-PQ retrieval — the FAISS default
+    * billion-scale composite: coarse cell from the trained IVF
+    * codebook, fine codes from a per-subspace codebook TRAINED ON
+    * RESIDUALS, and per-query ADC over s = |c|² − 2·r_q·c (the
+    * per-query |r_q|² constant drops out of the ranking, so the whole
+    * score is exact 64-bit integer arithmetic). Candidates are
+    * restricted to the query's home cell and scored from integer
+    * codes only — float vectors never shuffle. Smaller s = closer;
+    * ties break on nbr_id.
+    */
+  def knnIvfPqRes(emb: DataFrame, k: Int = K): DataFrame = {
+    val cents = ivfCodebook(emb).localCheckpoint(false)
+    val xqmFull = residualSlicesQ(emb, cents).localCheckpoint(false)
+    val xqm = xqmFull.select("vec_id", "m", "q")
+    val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
+      .localCheckpoint(false) // codes + LUT
+    val codes = pqAssign(xqm, cb)
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+    val qres = xqmFull
+      .join(broadcast(hashSample(vecs(emb), "q", QueryCount)
+        .select("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"),
+        col("m"), col("q").as("rq"))
+    val lut = qres
+      .join(broadcast(cb.withColumn("cc", dotiFast(col("cq"), col("cq")))),
+        Seq("m"))
+      .select(col("query_id"), col("qcell"), col("m"),
+        col("cell").as("code"),
+        (col("cc") - lit(2L) * dotiFast(col("rq"), col("cq"))).as("part"))
+    val cellOf = xqmFull.select("vec_id", "cell").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_q"), col("nbr_id"))
+    codes.join(cellOf, Seq("vec_id"))
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("cell") === col("qcell") &&
+        col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("part")).as("adc_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("adc_q"))
+  }
+
+  /** V14's monitor: total reconstruction distortion of plain trained
+    * PQ vs residual IVFPQ (distance of each sub-vector to its chosen
+    * code, |r|² + s, exact integer micro-units) — the number that
+    * justifies residual encoding: the coarse centroid absorbs
+    * cluster-level variance, so the fine codebook's error drops.
+    */
+  def ivfPqResDistortion(emb: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val plain = pqDistortion(emb)
+      .select(col("n_subvecs"), col("trained_e12").as("pq_trained_e12"))
+    val cents = ivfCodebook(emb).localCheckpoint(false)
+    val xqm = residualSlicesQ(emb, cents).select("vec_id", "m", "q")
+      .localCheckpoint(false)
+    val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
+    val res = pqAssign(xqm, cb).join(xqm, Seq("vec_id", "m"))
+      .select((dotiFast(col("q"), col("q")) + col("s")).as("d2"))
+      .agg(round(sum(col("d2").cast(dec38)).cast("double") / 1.0e12, 6)
+        .as("ivfpq_res_e12"))
+    plain.crossJoin(res)
   }
 
   /** PQ codes against the TRAINED codebook — the production encode
@@ -1410,47 +1508,58 @@ object Similarity {
   /** One trained-PQ assignment block: distances + per-(vec, m) argmin
     * against codebook CTE `cin` — mirrors pqAssign.
     */
-  private def pqTrainedDistSql(tag: String, cin: String): String =
-    s"""ps$tag AS MATERIALIZED (SELECT x.vec_id, x.m, c.cell, x.q,
+  private def pqTrainedDistSql(tag: String, cin: String,
+                               pfx: String = ""): String =
+    s"""${pfx}ps$tag AS MATERIALIZED (SELECT x.vec_id, x.m, c.cell, x.q,
        |    CAST(list_sum(list_transform(c.cq, v -> v * v))
        |      - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
        |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS s
-       |  FROM xqm x JOIN $cin c ON x.m = c.m),
-       |pa$tag AS MATERIALIZED (SELECT vec_id, m, cell, q, s FROM (
+       |  FROM ${pfx}xqm x JOIN $cin c ON x.m = c.m),
+       |${pfx}pa$tag AS MATERIALIZED (SELECT vec_id, m, cell, q, s FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-       |    ORDER BY s, cell) AS rn FROM ps$tag) WHERE rn = 1)""".stripMargin
+       |    ORDER BY s, cell) AS rn FROM ${pfx}ps$tag) WHERE rn = 1)""".stripMargin
 
   /** Oracle ladder for the per-subspace PQ trainer
     * (pqCodebookTrainedQ): xqm slices, sampled seeds pc0, then one
     * (distance, argmin, mean, codebook) block per round, every CTE
     * keyed by the subspace id m.
     */
-  private def pqTrainedLadderSql(rounds: Int): String = {
+  /** Subspace-index series + raw (non-residual) micro-quantized
+    * slices as CTE `xqm` — the plain-PQ training input.
+    */
+  private val pqXqmSql =
+    s"""psub AS (SELECT CAST(g.m AS INT) m FROM
+       |  (SELECT unnest(generate_series(0, ${PqM - 1})) m) g),
+       |xqm AS MATERIALIZED (SELECT vec_id, s.m,
+       |    list_transform(list_slice(CAST(embedding AS DOUBLE[]),
+       |      s.m * $PqSubDim + 1, s.m * $PqSubDim + $PqSubDim),
+       |      x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings, psub s)""".stripMargin
+
+  /** The per-subspace training ladder over whatever CTE is named
+    * `xqm(vec_id, m, q)` — seeds, then one block per round.
+    */
+  private def pqLadderFromXqmSql(rounds: Int, pfx: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""psub AS (SELECT CAST(g.m AS INT) m FROM
-         |  (SELECT unnest(generate_series(0, ${PqM - 1})) m) g),
-         |xqm AS MATERIALIZED (SELECT vec_id, s.m,
-         |    list_transform(list_slice(CAST(embedding AS DOUBLE[]),
-         |      s.m * $PqSubDim + 1, s.m * $PqSubDim + $PqSubDim),
-         |      x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS q
-         |  FROM embeddings, psub s),
-         |pcset AS MATERIALIZED (SELECT vec_id FROM embeddings
+      s"""${pfx}pcset AS MATERIALIZED (SELECT vec_id FROM embeddings
          |  ORDER BY md5('c' || CAST(vec_id AS VARCHAR)), vec_id
          |  LIMIT GREATEST(1, LEAST($CentCount,
          |    (SELECT COUNT(*) FROM embeddings) // $MinCellFill))),
-         |pc0 AS MATERIALIZED (SELECT m, vec_id AS cell, q AS cq FROM xqm
-         |  WHERE vec_id IN (SELECT vec_id FROM pcset))""".stripMargin)
+         |${pfx}pc0 AS MATERIALIZED (SELECT m, vec_id AS cell, q AS cq
+         |  FROM ${pfx}xqm
+         |  WHERE vec_id IN (SELECT vec_id FROM ${pfx}pcset))""".stripMargin)
     for (r <- 1 to rounds) {
-      sb.append(",\n").append(pqTrainedDistSql(r.toString, s"pc${r - 1}"))
+      sb.append(",\n")
+        .append(pqTrainedDistSql(r.toString, s"${pfx}pc${r - 1}", pfx))
       sb.append(s""",
-        |pm$r AS (SELECT m, cell, i.i,
+        |${pfx}pm$r AS (SELECT m, cell, i.i,
         |    CAST(FLOOR(CAST(SUM(q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
         |      AS cqi
-        |  FROM pa$r, (SELECT unnest(generate_series(1, $PqSubDim)) AS i) i
+        |  FROM ${pfx}pa$r, (SELECT unnest(generate_series(1, $PqSubDim)) AS i) i
         |  GROUP BY 1, 2, 3),
-        |pc$r AS MATERIALIZED (SELECT m, cell, list(cqi ORDER BY i) AS cq
-        |  FROM pm$r GROUP BY 1, 2)""".stripMargin)
+        |${pfx}pc$r AS MATERIALIZED (SELECT m, cell, list(cqi ORDER BY i) AS cq
+        |  FROM ${pfx}pm$r GROUP BY 1, 2)""".stripMargin)
     }
     sb.toString
   }
@@ -2096,7 +2205,8 @@ object Similarity {
     // FAISS ProductQuantizer.train does; see pqCodebookTrainedQ.
     QueryDef("sim_pq_codes_trained",
       (s, d) => pqCodesTrained(Tables.embeddings(s, d)),
-      Some(s"""WITH ${pqTrainedLadderSql(IvfTrainRounds)},
+      Some(s"""WITH $pqXqmSql,
+              |${pqLadderFromXqmSql(IvfTrainRounds)},
               |${pqTrainedDistSql("F", s"pc$IvfTrainRounds")}
               |SELECT vec_id, m, cell AS code FROM paF""".stripMargin)),
 
@@ -2107,7 +2217,8 @@ object Similarity {
     // the monitor prices both codebooks from the ladder's own passes.
     QueryDef("sim_pq_distortion",
       (s, d) => pqDistortion(Tables.embeddings(s, d)),
-      Some(s"""WITH ${pqTrainedLadderSql(IvfTrainRounds)},
+      Some(s"""WITH $pqXqmSql,
+              |${pqLadderFromXqmSql(IvfTrainRounds)},
               |${pqTrainedDistSql("F", s"pc$IvfTrainRounds")}
               |SELECT
               |(SELECT CAST(COUNT(*) AS BIGINT) FROM pa1) AS n_subvecs,
@@ -2117,6 +2228,83 @@ object Similarity {
               |(SELECT ROUND(CAST(SUM(CAST(list_sum(list_transform(q,
               |    v -> v * v)) + s AS HUGEINT)) AS DOUBLE) / 1e12, 6)
               |  FROM paF) AS trained_e12""".stripMargin)),
+
+    // V14 (beyond-ref): residual-encoded IVF-PQ — the FAISS default
+    // composite; see knnIvfPqRes. Score is exact integer ADC over
+    // residual codes; smaller = closer.
+    QueryDef("sim_knn_ivfpq_res",
+      (s, d) => knnIvfPqRes(Tables.embeddings(s, d)),
+      Some(s"""WITH $qsetSql,
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |${lloydCentSql()},
+              |rasn AS MATERIALIZED (SELECT vec_id, v, cell, cv FROM (
+              |  SELECT e.vec_id, e.v, c.cent_id AS cell, c.cv,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+              |      c.cent_id) rn
+              |  FROM e, cent c) WHERE rn = 1),
+              |psub AS (SELECT CAST(g.m AS INT) m FROM
+              |  (SELECT unnest(generate_series(0, ${PqM - 1})) m) g),
+              |rxqm AS MATERIALIZED (SELECT r.vec_id, r.cell, s.m,
+              |    list_transform(generate_series(s.m * $PqSubDim + 1,
+              |      s.m * $PqSubDim + $PqSubDim),
+              |      i -> CAST(ROUND((r.v[i] - r.cv[i]) * 1000000.0) AS BIGINT))
+              |      AS q
+              |  FROM rasn r, psub s),
+              |${pqLadderFromXqmSql(IvfTrainRounds, "r")},
+              |${pqTrainedDistSql("F", s"rpc$IvfTrainRounds", "r")},
+              |lutr AS (SELECT x.vec_id AS query_id, x.cell AS qcell, x.m,
+              |    c.cell AS code,
+              |    CAST(list_sum(list_transform(c.cq, v -> v * v))
+              |      - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
+              |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS part
+              |  FROM rxqm x JOIN rpc$IvfTrainRounds c ON x.m = c.m
+              |  WHERE x.vec_id IN (SELECT vec_id FROM qset)),
+              |scr AS (SELECT l.query_id, k.vec_id AS nbr_id,
+              |    SUM(l.part) AS adc_q
+              |  FROM rpaF k
+              |  JOIN (SELECT DISTINCT vec_id, cell FROM rxqm) co
+              |    ON k.vec_id = co.vec_id
+              |  JOIN lutr l ON l.m = k.m AND l.code = k.cell
+              |    AND l.qcell = co.cell
+              |  WHERE k.vec_id <> l.query_id
+              |  GROUP BY 1, 2)
+              |SELECT query_id, CAST(rk AS BIGINT) AS rank, nbr_id, adc_q
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY adc_q, nbr_id) rk FROM scr)
+              |WHERE rk <= $K""".stripMargin)),
+
+    // V14's measure-don't-guess loop: plain trained PQ vs residual
+    // IVFPQ reconstruction distortion, exact integer micro-units.
+    QueryDef("sim_ivfpq_res_distortion",
+      (s, d) => ivfPqResDistortion(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |$pqXqmSql,
+              |${pqLadderFromXqmSql(IvfTrainRounds)},
+              |${pqTrainedDistSql("F", s"pc$IvfTrainRounds")},
+              |${lloydCentSql()},
+              |rasn AS MATERIALIZED (SELECT vec_id, v, cell, cv FROM (
+              |  SELECT e.vec_id, e.v, c.cent_id AS cell, c.cv,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+              |      c.cent_id) rn
+              |  FROM e, cent c) WHERE rn = 1),
+              |rxqm AS MATERIALIZED (SELECT r.vec_id, r.cell, s.m,
+              |    list_transform(generate_series(s.m * $PqSubDim + 1,
+              |      s.m * $PqSubDim + $PqSubDim),
+              |      i -> CAST(ROUND((r.v[i] - r.cv[i]) * 1000000.0) AS BIGINT))
+              |      AS q
+              |  FROM rasn r, psub s),
+              |${pqLadderFromXqmSql(IvfTrainRounds, "r")},
+              |${pqTrainedDistSql("F", s"rpc$IvfTrainRounds", "r")}
+              |SELECT
+              |(SELECT CAST(COUNT(*) AS BIGINT) FROM paF) AS n_subvecs,
+              |(SELECT ROUND(CAST(SUM(CAST(list_sum(list_transform(q,
+              |    v -> v * v)) + s AS HUGEINT)) AS DOUBLE) / 1e12, 6)
+              |  FROM paF) AS pq_trained_e12,
+              |(SELECT ROUND(CAST(SUM(CAST(list_sum(list_transform(q,
+              |    v -> v * v)) + s AS HUGEINT)) AS DOUBLE) / 1e12, 6)
+              |  FROM rpaF) AS ivfpq_res_e12""".stripMargin)),
 
     QueryDef("sim_knn_pq_adc",
       (s, d) => knnPqAdc(Tables.embeddings(s, d)),

@@ -113,6 +113,7 @@ class DeterminismSpec extends SparkSpec {
     "sim_knn_filtered",       // semi-join prefilter + float top-k
     "sim_pq_codes_trained",   // per-subspace integer Lloyd + argmin
     "sim_pq_distortion",      // decimal distortion totals, 2 codebooks
+    "sim_knn_ivfpq_res",      // residual integer ADC in home cells
     "graph_assortativity")    // decimal moments + one division
 
   private def rows(name: String): Seq[String] = {

@@ -346,6 +346,34 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall(r => seeds(r._3)))
   }
 
+  test("residual ivfpq: residual encoding beats plain trained PQ; " +
+    "retrieval is dense-ranked and self-free") {
+    // same jittered clusters as the trainer test: the coarse centroid
+    // absorbs the cluster-level offset, so the fine codebook's error
+    // must drop strictly below the plain trained PQ's
+    val e = (0 until 200).map { i =>
+      val c = i % 3
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        val base = if (d / 21 == c || (c == 2 && d >= 42)) 5.0f else 0.1f
+        base + ((i * 13 + d * 3) % 97) * 0.01f
+      }.toArray, c)
+    }.toDF("vec_id", "embedding", "label")
+    val dist = Similarity.ivfPqResDistortion(e)
+      .as[(Long, Double, Double)].head()
+    assert(dist._1 === 200L * Similarity.PqM)
+    assert(dist._3 < dist._2,
+      s"residual must beat plain PQ: res=${dist._3} plain=${dist._2}")
+    assert(dist._3 > 0.0)
+    val got = Similarity.knnIvfPqRes(e)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, n, _) => assert(q !== n) }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length))
+      assert(rows.length <= Similarity.K)
+    }
+  }
+
   test("rp project: RpDim whole-integer dims; scalar multiples stay parallel") {
     val base = (0 until Similarity.Dim).map(d => ((d * 17) % 13 - 6).toFloat)
     val e = Seq(

@@ -132,8 +132,23 @@ object Dedup {
     * Pairs kept when either direction ≥ t; the keep flag compares the
     * ROUNDED value (cross-engine rule).
     */
-  def containment(docs: DataFrame, t: Double = ContainT): DataFrame = {
-    val sh = docShingleHashes(docs).localCheckpoint(false)
+  def containment(docs: DataFrame, t: Double = ContainT): DataFrame =
+    containmentFrom(docShingleHashes(docs), t)
+
+  /** The 100 TB posture of containment — the same stop-shingle df cap
+    * as dedup_ngram_jaccard_capped: template shingles (df > maxDf)
+    * are exactly the rows that explode the co-count join AND carry no
+    * sub/superset signal, so dropping them bounds every join group at
+    * maxDf² while the containment ratios barely move. Denominators
+    * count the CAPPED shingle sets (consistent: both numerator and
+    * denominator live in the capped universe, like the capped Jaccard).
+    */
+  def containmentCapped(docs: DataFrame, t: Double = ContainT,
+                        maxDf: Long = MaxShingleDf): DataFrame =
+    containmentFrom(docShingleHashesCapped(docs, maxDf), t)
+
+  private def containmentFrom(sh0: DataFrame, t: Double): DataFrame = {
+    val sh = sh0.localCheckpoint(false)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = sh.as("a")
       .join(sh.as("b"),
@@ -930,6 +945,21 @@ object Dedup {
     QueryDef("dedup_containment",
       (s, d) => containment(docs(s, d)),
       Some(s"""WITH $shSql,
+              |co AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) common
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |cont AS (SELECT i, j, common,
+              |    ROUND(CAST(common AS DOUBLE) / na.n, 6) AS cont_i,
+              |    ROUND(CAST(common AS DOUBLE) / nb.n, 6) AS cont_j
+              |  FROM co JOIN n na ON i = na.doc_id JOIN n nb ON j = nb.doc_id)
+              |SELECT i, j, common, cont_i, cont_j FROM cont
+              |WHERE GREATEST(cont_i, cont_j) >= $ContainT""".stripMargin)),
+
+    // dedup_containment's scale form: df-capped shingles bound every
+    // co-count join group at MaxShingleDf² — see containmentCapped.
+    QueryDef("dedup_containment_capped",
+      (s, d) => containmentCapped(docs(s, d)),
+      Some(s"""WITH $shCappedSql,
               |co AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) common
               |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2),

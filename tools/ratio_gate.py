@@ -28,7 +28,8 @@ WHITELIST = {
         "the LSH composition",
     "dedup_containment":
         "exact containment over the all-shingle co-count join - same "
-        "ground-truth role as dedup_ngram_jaccard",
+        "ground-truth role as dedup_ngram_jaccard; production runs "
+        "dedup_containment_capped (df-capped, linear)",
     "dedup_threshold_sweep":
         "knob-tuning monitor: exact pair curve over the bounded monitor "
         "sample; sample share is the cost knob",

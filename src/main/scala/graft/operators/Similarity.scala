@@ -845,8 +845,15 @@ object Similarity {
                        queries: DataFrame, k: Int = K)
                       (sink: (DataFrame, Long) => Unit)
   : org.apache.spark.sql.streaming.StreamingQuery = {
-    val idx = s.read.parquet(dir)
+    // serve the LIVE view: tombstoned ids must not answer (the
+    // searchStoreLive contract). The static side is resolved at
+    // stream start — deletes issued while the stream runs take
+    // effect on restart, the standard static-side refresh semantics.
+    val idxRaw = s.read.parquet(dir)
       .select(col("vec_id"), col("v"), col("cell"))
+    val idx = tombstones(s, dir)
+      .map(t => idxRaw.join(t, Seq("vec_id"), "left_anti"))
+      .getOrElse(idxRaw)
     val cents = storeCodebook(s, dir).localCheckpoint(false)
     queries.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>

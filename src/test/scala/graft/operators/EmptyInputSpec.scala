@@ -292,6 +292,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.pqCodes(emb0).count() === 0)
     assert(Similarity.knnPqAdc(emb0).count() === 0)
     assert(Similarity.knnIvfPq(emb0).count() === 0)
+    assert(Similarity.pqCodesTrained(emb0).count() === 0)
+    assert(Similarity.pqDistortion(emb0).count() === 1) // null totals row
+    assert(Similarity.knnIvfPqRes(emb0).count() === 0)
+    assert(Similarity.ivfPqResDistortion(emb0).count() === 1)
+    assert(Dedup.containmentCapped(docs0).count() === 0)
     assert(TextAnalysis.knHeldout(docs0).count() === 0)
     assert(Commerce.driftPsi(orders0).count() === 0)
     assert(Events.keySkew(evv0).count() === 0)

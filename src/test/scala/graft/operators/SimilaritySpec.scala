@@ -548,6 +548,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(got.sorted.toSeq === expect)
     assert(expect.nonEmpty)
+
+    // tombstoned ids must not answer on a serve stream started after
+    // the delete (the searchStoreLive contract on the streaming path)
+    val dead = got.map(_.split(",")(2).trim).distinct.take(2)
+      .map(_.filter(c => c.isDigit)).map(_.toLong).toSeq
+    Similarity.ivfDelete(spark, dir, dead)
+    val got2 = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val sq3 = Similarity.serveStoreStream(spark, dir,
+      in2.toDF().toDF("vec_id", "embedding")) { (res, _) =>
+      got2 ++= res.select("query_id", "nbr_id")
+        .as[(Long, Long)].collect()
+    }
+    in2.addData(q1 ++ q2: _*); sq3.processAllAvailable(); sq3.stop()
+    assert(got2.nonEmpty)
+    assert(got2.forall(r => !dead.contains(r._2)),
+      s"tombstoned ids ${dead.mkString(",")} served on the stream")
   }
 
   test("normalize: mean-centered unit vectors, exact symmetric case") {

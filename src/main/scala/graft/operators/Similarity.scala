@@ -791,6 +791,30 @@ object Similarity {
     nRemoved
   }
 
+  /** Streaming index ingest — the ONLINE write half of the lifecycle
+    * (serveStoreStream is the read half): a stream of new vectors is
+    * appended to the cell-partitioned store per micro-batch through
+    * foreachBatch, each batch assigning against the store's FIXED
+    * codebook sidecar (the ivfAppend contract — the coarse quantizer
+    * retrains offline, never per ingest). Batch cost is batch-sized;
+    * the existing index is never reshuffled; after any prefix of
+    * batches the store answers exactly as a batch build over the
+    * union with the same codebook (spec-proven) — so ingest and
+    * serving can run concurrently, the standard streaming-upsert
+    * index deployment.
+    */
+  def ingestStoreStream(s: SparkSession, dir: String,
+                        vectors: DataFrame)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cents = storeCodebook(s, dir).localCheckpoint(false)
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ivfAssign(batch, Some(cents))
+          .write.mode("append").partitionBy("cell").parquet(dir)
+      }
+      .start()
+  }
+
   /** Exact search within cells of a prebuilt index table, for the
     * bounded query batch (the "q" hashSample of the indexed ids —
     * consistent with the whole family). Cost: QueryCount × cell
@@ -1610,6 +1634,46 @@ object Similarity {
        |    AND lut.m = k2.m AND lut.code = k2.code
        |  WHERE k2.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
 
+  /** Residual-IVFPQ chain (expects `qset`, `e`, `cent`): coarse
+    * assignment with centroids kept, residual slices, the residual
+    * training ladder, codes, per-query LUT, and ADC scores —
+    * terminal CTE `scr(query_id, nbr_id, adc_q)`. Shared by the
+    * retrieval oracle and its recall monitor.
+    */
+  private lazy val resAdcSql =
+    s"""rasn AS MATERIALIZED (SELECT vec_id, v, cell, cv FROM (
+       |  SELECT e.vec_id, e.v, c.cent_id AS cell, c.cv,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+       |      c.cent_id) rn
+       |  FROM e, cent c) WHERE rn = 1),
+       |psub AS (SELECT CAST(g.m AS INT) m FROM
+       |  (SELECT unnest(generate_series(0, ${PqM - 1})) m) g),
+       |rxqm AS MATERIALIZED (SELECT r.vec_id, r.cell, s.m,
+       |    list_transform(generate_series(s.m * $PqSubDim + 1,
+       |      s.m * $PqSubDim + $PqSubDim),
+       |      i -> CAST(ROUND((r.v[i] - r.cv[i]) * 1000000.0) AS BIGINT))
+       |      AS q
+       |  FROM rasn r, psub s),
+       |${pqLadderFromXqmSql(IvfTrainRounds, "r")},
+       |${pqTrainedDistSql("F", s"rpc$IvfTrainRounds", "r")},
+       |lutr AS (SELECT x.vec_id AS query_id, x.cell AS qcell, x.m,
+       |    c.cell AS code,
+       |    CAST(list_sum(list_transform(c.cq, v -> v * v))
+       |      - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
+       |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS part
+       |  FROM rxqm x JOIN rpc$IvfTrainRounds c ON x.m = c.m
+       |  WHERE x.vec_id IN (SELECT vec_id FROM qset)),
+       |scr AS (SELECT l.query_id, k.vec_id AS nbr_id,
+       |    SUM(l.part) AS adc_q
+       |  FROM rpaF k
+       |  JOIN (SELECT DISTINCT vec_id, cell FROM rxqm) co
+       |    ON k.vec_id = co.vec_id
+       |  JOIN lutr l ON l.m = k.m AND l.code = k.cell
+       |    AND l.qcell = co.cell
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
     * SIGIR 2009) — the lexical+vector composition every production
     * search stack ships: an ANN branch (the IVF index) and an exact
@@ -2244,42 +2308,41 @@ object Similarity {
       Some(s"""WITH $qsetSql,
               |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
               |${lloydCentSql()},
-              |rasn AS MATERIALIZED (SELECT vec_id, v, cell, cv FROM (
-              |  SELECT e.vec_id, e.v, c.cent_id AS cell, c.cv,
-              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-              |      c.cent_id) rn
-              |  FROM e, cent c) WHERE rn = 1),
-              |psub AS (SELECT CAST(g.m AS INT) m FROM
-              |  (SELECT unnest(generate_series(0, ${PqM - 1})) m) g),
-              |rxqm AS MATERIALIZED (SELECT r.vec_id, r.cell, s.m,
-              |    list_transform(generate_series(s.m * $PqSubDim + 1,
-              |      s.m * $PqSubDim + $PqSubDim),
-              |      i -> CAST(ROUND((r.v[i] - r.cv[i]) * 1000000.0) AS BIGINT))
-              |      AS q
-              |  FROM rasn r, psub s),
-              |${pqLadderFromXqmSql(IvfTrainRounds, "r")},
-              |${pqTrainedDistSql("F", s"rpc$IvfTrainRounds", "r")},
-              |lutr AS (SELECT x.vec_id AS query_id, x.cell AS qcell, x.m,
-              |    c.cell AS code,
-              |    CAST(list_sum(list_transform(c.cq, v -> v * v))
-              |      - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
-              |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS part
-              |  FROM rxqm x JOIN rpc$IvfTrainRounds c ON x.m = c.m
-              |  WHERE x.vec_id IN (SELECT vec_id FROM qset)),
-              |scr AS (SELECT l.query_id, k.vec_id AS nbr_id,
-              |    SUM(l.part) AS adc_q
-              |  FROM rpaF k
-              |  JOIN (SELECT DISTINCT vec_id, cell FROM rxqm) co
-              |    ON k.vec_id = co.vec_id
-              |  JOIN lutr l ON l.m = k.m AND l.code = k.cell
-              |    AND l.qcell = co.cell
-              |  WHERE k.vec_id <> l.query_id
-              |  GROUP BY 1, 2)
+              |$resAdcSql
               |SELECT query_id, CAST(rk AS BIGINT) AS rank, nbr_id, adc_q
               |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY adc_q, nbr_id) rk FROM scr)
               |WHERE rk <= $K""".stripMargin)),
+
+    // V14's recall monitor vs the exact cosine baseline — honest
+    // pricing of the compounded loss (cell restriction x residual
+    // quantization x the L2-on-residuals ranking proxy).
+    QueryDef("sim_ivfpq_res_recall",
+      (s, d) => annRecallAtK(Tables.embeddings(s, d),
+        index = knnIvfPqRes(_, _)),
+      Some(s"""WITH $qsetSql,
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |${lloydCentSql()},
+              |$resAdcSql,
+              |ap AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY adc_q, nbr_id) rk FROM scr) WHERE rk <= $K),
+              |exsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
+              |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |hits AS (SELECT e2.query_id, COUNT(*) n_hit FROM ex e2
+              |  JOIN ap ON e2.query_id = ap.query_id
+              |    AND e2.nbr_id = ap.nbr_id
+              |  GROUP BY 1),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1)
+              |SELECT COUNT(*) AS n_queries,
+              |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6)
+              |  AS avg_recall
+              |FROM base LEFT JOIN hits USING (query_id)""".stripMargin)),
 
     // V14's measure-don't-guess loop: plain trained PQ vs residual
     // IVFPQ reconstruction distortion, exact integer micro-units.

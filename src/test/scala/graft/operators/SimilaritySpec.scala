@@ -567,6 +567,40 @@ class SimilaritySpec extends SparkSpec {
       s"tombstoned ids ${dead.mkString(",")} served on the stream")
   }
 
+  test("streaming index ingest: per-batch appends equal the batch " +
+    "build under the fixed codebook") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (0 until 150).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 31 + d * 17) % 13 - 6).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val base = all.filter($"vec_id" < 90)
+    val b1 = all.filter($"vec_id" >= 90 && $"vec_id" < 120)
+      .as[(Long, Array[Float])].collect().toSeq
+    val b2 = all.filter($"vec_id" >= 120)
+      .as[(Long, Array[Float])].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivfi").toString + "/i"
+    Similarity.ivfBuild(spark, dir, base)
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val ing = Similarity.ingestStoreStream(spark, dir,
+      in.toDF().toDF("vec_id", "embedding"))
+    in.addData(b1: _*); ing.processAllAvailable()
+    in.addData(b2: _*); ing.processAllAvailable()
+    ing.stop()
+    val stored = Similarity.searchAssigned(
+      spark.read.parquet(dir).select(col("vec_id"), col("v"), col("cell")))
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Similarity.searchAssigned(
+      Similarity.ivfAssign(all, Some(Similarity.storeCodebook(spark, dir))))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored === direct)
+    assert(stored.nonEmpty)
+    // every streamed vector landed, exactly once
+    assert(spark.read.parquet(dir).count() === 150L)
+  }
+
   test("normalize: mean-centered unit vectors, exact symmetric case") {
     // mean = (1,1); centered v1=(1,-1), v2=(-1,1); both normalize to
     // ±1/√2 = ±0.707107 (rounded)

@@ -446,9 +446,17 @@ object Similarity {
     * subspace — FAISS IVFPQ's actual encoding input (PQ on residuals
     * removes the coarse variance the cell id already carries, so the
     * fine codebook spends its bits on what the coarse one missed).
-    * The double subtraction is elementwise IEEE — engine-identical —
-    * and quantization happens AFTER it, one fixed shape both engines
-    * mirror.
+    * The residual is PURE INTEGER: x and the centroid quantize
+    * SEPARATELY (x via the established raw-value rounding; the
+    * centroid recovers the codebook's exact integer micro-units,
+    * since cv = cq/10⁶ with |cq| ≪ 2⁵² makes round(cv·10⁶) = cq in
+    * any IEEE engine) and subtract in int64. The round-6 form
+    * round((a−b)·10⁶) subtracted in DOUBLE first, which manufactures
+    * values the raw corpus never exhibits — including 6-decimal
+    * half-ties where Spark (BigDecimal on the shortest decimal
+    * repr) and DuckDB (multiplicative) can disagree; that was the
+    * prime suspect in the round-6 driver-gate hash flake, and the
+    * integer form removes the float subtraction entirely.
     */
   private def residualSlicesQ(emb: DataFrame,
                               cents: DataFrame): DataFrame =
@@ -456,7 +464,8 @@ object Similarity {
       .join(broadcast(cents), col("cell") === col("cent_id"))
       .select(col("vec_id"), col("cell"),
         expr("zip_with(v, cv, (a, b) -> " +
-          "cast(round((a - b) * 1000000.0D) as bigint))").as("rq"))
+          "cast(round(a * 1000000.0D) as bigint) - " +
+          "cast(round(b * 1000000.0D) as bigint))").as("rq"))
       .select(col("vec_id"), col("cell"), posexplode(expr(
         s"transform(sequence(0, ${PqM - 1}), " +
           s"m -> slice(rq, m * $PqSubDim + 1, $PqSubDim))"))
@@ -526,6 +535,37 @@ object Similarity {
       .agg(round(sum(col("d2").cast(dec38)).cast("double") / 1.0e12, 6)
         .as("ivfpq_res_e12"))
     plain.crossJoin(res)
+  }
+
+  /** V14's closing honesty number: recall@k of the residual IVF-PQ
+    * vs the PLAIN IVF-PQ at the SAME coarse quantizer and the same
+    * nprobe (= 1, home cell only), both against the exact cosine
+    * baseline — the comparison that says whether residual encoding's
+    * distortion win (sim_ivfpq_res_distortion) actually buys
+    * retrieval quality, or only reconstruction fidelity. The exact
+    * brute baseline is computed ONCE and shared by both sides (the
+    * sim_nprobe_sweep share-the-candidates discipline on the
+    * baseline axis); each index side is the already-audited
+    * composite. Everything downstream is counts of deterministic
+    * top-k sets over the 5³ query batch — engine-exact recalls.
+    */
+  def ivfPqResVsPlainRecall(emb: DataFrame, k: Int = K): DataFrame = {
+    val ex = knnBrute(emb, k).select("query_id", "nbr_id")
+      .localCheckpoint(false)
+    val base = ex.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint(false)
+    def recallOf(ap: DataFrame, name: String): DataFrame = {
+      val hits = ex.join(ap.select("query_id", "nbr_id"),
+          Seq("query_id", "nbr_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      base.join(hits, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_exact")), 6).as(name))
+    }
+    recallOf(knnIvfPq(emb, k), "plain_recall")
+      .crossJoin(recallOf(knnIvfPqRes(emb, k), "res_recall")
+        .drop("n_queries"))
   }
 
   /** PQ codes against the TRAINED codebook — the production encode
@@ -1233,8 +1273,10 @@ object Similarity {
 
   /** V6: k-means by `rounds` full Lloyd iterations — the actual IVF
     * coarse-quantizer trainer (sim_centroids is the label-supervised
-    * mean pass; knnIvf uses raw strided seeds; this is the loop that
-    * turns those seeds into a real codebook). Every iteration is
+    * mean pass; knnIvf and the whole IVF family consume this loop's
+    * output through ivfCodebook, their default trained coarse
+    * quantizer; this monitor runs it at the deeper LloydRounds
+    * setting and reports inertia). Every iteration is
     * engine-exact integer arithmetic end to end: components micro-
     * quantize once, assignment minimizes the squared-L2 surrogate
     * s = |c|² − 2·x·c (|x|² is constant per vector) via the codegen'd
@@ -1652,7 +1694,8 @@ object Similarity {
        |rxqm AS MATERIALIZED (SELECT r.vec_id, r.cell, s.m,
        |    list_transform(generate_series(s.m * $PqSubDim + 1,
        |      s.m * $PqSubDim + $PqSubDim),
-       |      i -> CAST(ROUND((r.v[i] - r.cv[i]) * 1000000.0) AS BIGINT))
+       |      i -> CAST(ROUND(r.v[i] * 1000000.0) AS BIGINT)
+       |        - CAST(ROUND(r.cv[i] * 1000000.0) AS BIGINT))
        |      AS q
        |  FROM rasn r, psub s),
        |${pqLadderFromXqmSql(IvfTrainRounds, "r")},
@@ -2362,7 +2405,8 @@ object Similarity {
               |rxqm AS MATERIALIZED (SELECT r.vec_id, r.cell, s.m,
               |    list_transform(generate_series(s.m * $PqSubDim + 1,
               |      s.m * $PqSubDim + $PqSubDim),
-              |      i -> CAST(ROUND((r.v[i] - r.cv[i]) * 1000000.0) AS BIGINT))
+              |      i -> CAST(ROUND(r.v[i] * 1000000.0) AS BIGINT)
+              |        - CAST(ROUND(r.cv[i] * 1000000.0) AS BIGINT))
               |      AS q
               |  FROM rasn r, psub s),
               |${pqLadderFromXqmSql(IvfTrainRounds, "r")},
@@ -2375,6 +2419,77 @@ object Similarity {
               |(SELECT ROUND(CAST(SUM(CAST(list_sum(list_transform(q,
               |    v -> v * v)) + s AS HUGEINT)) AS DOUBLE) / 1e12, 6)
               |  FROM rpaF) AS ivfpq_res_e12""".stripMargin)),
+
+    // V14's retrieval-quality comparison: residual vs PLAIN IVF-PQ
+    // recall at the same coarse quantizer and nprobe(=1), both vs the
+    // exact baseline — is the distortion win buying recall? The plain
+    // side mirrors knnIvfPq (sampled PQ codebook, pp* CTEs) and reuses
+    // the residual chain's coarse assignment `rasn` as its cell map
+    // (identical derivation to pqIvfSql's asncell, shared here).
+    QueryDef("sim_ivfpq_res_vs_plain",
+      (s, d) => ivfPqResVsPlainRecall(Tables.embeddings(s, d)),
+      Some(s"""WITH $qsetSql,
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |${lloydCentSql()},
+              |$resAdcSql,
+              |ppcent AS MATERIALIZED (SELECT vec_id cent_id, v cv FROM e
+              |  ORDER BY md5('c' || CAST(vec_id AS VARCHAR)), vec_id
+              |  LIMIT $CentCount),
+              |ppxs AS (SELECT e.vec_id, s.m,
+              |    list_slice(e.v, s.m * $PqSubDim + 1,
+              |      s.m * $PqSubDim + $PqSubDim) x
+              |  FROM e, psub s),
+              |ppcs AS (SELECT cent_id, s.m,
+              |    list_slice(cv, s.m * $PqSubDim + 1,
+              |      s.m * $PqSubDim + $PqSubDim) c
+              |  FROM ppcent, psub s),
+              |ppasn AS (SELECT vec_id, ppxs.m, cent_id,
+              |    ROUND(list_dot_product(x, x) - 2.0 * list_dot_product(x, c)
+              |      + list_dot_product(c, c), 6) d2
+              |  FROM ppxs JOIN ppcs ON ppxs.m = ppcs.m),
+              |ppcodes AS (SELECT vec_id, m, cent_id AS code FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+              |    ORDER BY d2, cent_id) rk FROM ppasn) WHERE rk = 1),
+              |pplut AS (SELECT q.vec_id query_id, cs.m, cent_id AS code,
+              |    CAST(ROUND(list_dot_product(list_slice(q.v,
+              |      cs.m * $PqSubDim + 1, cs.m * $PqSubDim + $PqSubDim),
+              |      c) * 1000000.0) AS BIGINT) qp
+              |  FROM e q, ppcs cs
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
+              |ppsc AS (SELECT l.query_id, k.vec_id nbr_id, SUM(qp) score
+              |  FROM ppcodes k
+              |  JOIN (SELECT vec_id, cell FROM rasn) ca ON k.vec_id = ca.vec_id
+              |  JOIN (SELECT vec_id, cell FROM rasn) qa ON qa.cell = ca.cell
+              |    AND qa.vec_id IN (SELECT vec_id FROM qset)
+              |  JOIN pplut l ON l.query_id = qa.vec_id
+              |    AND l.m = k.m AND l.code = k.code
+              |  WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+              |app AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM ppsc) WHERE rk <= $K),
+              |apr AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY adc_q, nbr_id) rk FROM scr) WHERE rk <= $K),
+              |exsc AS (SELECT q.vec_id query_id, c.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
+              |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1),
+              |hp AS (SELECT e2.query_id, COUNT(*) n_hit FROM ex e2
+              |  JOIN app ON e2.query_id = app.query_id
+              |    AND e2.nbr_id = app.nbr_id GROUP BY 1),
+              |hr AS (SELECT e2.query_id, COUNT(*) n_hit FROM ex e2
+              |  JOIN apr ON e2.query_id = apr.query_id
+              |    AND e2.nbr_id = apr.nbr_id GROUP BY 1)
+              |SELECT
+              |(SELECT COUNT(*) FROM base) AS n_queries,
+              |(SELECT ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6)
+              |  FROM base LEFT JOIN hp USING (query_id)) AS plain_recall,
+              |(SELECT ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6)
+              |  FROM base LEFT JOIN hr USING (query_id)) AS res_recall""".stripMargin)),
 
     QueryDef("sim_knn_pq_adc",
       (s, d) => knnPqAdc(Tables.embeddings(s, d)),

@@ -114,6 +114,7 @@ class DeterminismSpec extends SparkSpec {
     "sim_pq_codes_trained",   // per-subspace integer Lloyd + argmin
     "sim_pq_distortion",      // decimal distortion totals, 2 codebooks
     "sim_knn_ivfpq_res",      // residual integer ADC in home cells
+    "sim_ivfpq_res_vs_plain", // shared-baseline recall comparison
     "graph_assortativity")    // decimal moments + one division
 
   private def rows(name: String): Seq[String] = {

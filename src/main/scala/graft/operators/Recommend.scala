@@ -96,6 +96,45 @@ object Recommend {
   def evalSet(inter: DataFrame): DataFrame =
     withSplit(inter).filter(col("bucket") >= 8).drop("bucket")
 
+  /** Bounded deterministic eval-user sample — the reference's own
+    * evaluation device (dags/daily_pipeline.py:495 samples ≤100 users
+    * before scoring, with np.random.choice; this is the same bound
+    * made reproducible): the top-`EvalUsers` train users by
+    * md5("ev" || user_id), engine-exact on any partitioning, computed
+    * as one TakeOrdered pass. Ranking-eval cost becomes
+    * O(|sample| · model) at ANY corpus size instead of scoring every
+    * user. 125 = 5³ per the house tie-free-denominator rule (the
+    * eval means are floor-divisions, but a 5-power bound keeps every
+    * derived ratio family structurally off 6-decimal half-ties).
+    */
+  val EvalUsers = 125
+
+  def evalUserSample(train: DataFrame, n: Int = EvalUsers): DataFrame =
+    train.select(col("user_id")).distinct()
+      .orderBy(md5(concat(lit("ev"), col("user_id").cast("string"))),
+        col("user_id"))
+      .limit(n)
+
+  /** The capped TRAIN split: the 80% train pairs with the per-user
+    * recency cap applied — filter-then-cap, so the cap ranks only
+    * train rows and no eval information shapes the serving model.
+    * This is the similarity input the ranking-eval family scores
+    * (the REGISTERED serving path is the capped model —
+    * ml_recommendations_capped; evaluating the uncapped ground-truth
+    * model stays ml_precision_at_10's whitelisted monitor role).
+    */
+  def trainSetCapped(s: SparkSession, d: String,
+                     cap: Int = CapPerUser): DataFrame = {
+    val raw = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(max(col("o_orderdate")).as("last_ts"))
+    capInteractions(
+      raw.withColumn("bucket", bucket10(col("user_id"), col("item_id")))
+        .filter(col("bucket") < 8).drop("bucket"),
+      cap)
+  }
+
   /** A13: sparse item–item cosine similarity (i < j).
     * cos is a single division of exact integer counts → bitwise equal
     * across engines, no rounding needed.
@@ -591,6 +630,56 @@ object Recommend {
 
   private val splitCond = "((user_id % 100003) * 31 + item_id * 97) % 10"
 
+  /** Capped-train bounded-eval prelude shared by the ndcg/map
+    * oracles: `base` (user, item, last_ts) pairs, the capped 80%
+    * train split `tr` (filter-then-cap, mirroring trainSetCapped),
+    * the 20% eval split `ev`, the bounded md5 user sample `users`,
+    * the capped similarity over `tr`, recs scored for the sampled
+    * users only (`trs` feeds scoreSql), and `evs` = eval restricted
+    * to the sample.
+    */
+  private lazy val cappedEvalSql =
+    s"""base AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    MAX(o_orderdate) AS last_ts
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |tr AS (SELECT user_id, item_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY last_ts DESC, item_id) rn
+       |  FROM base WHERE $splitCond < 8) WHERE rn <= $CapPerUser),
+       |ev AS (SELECT user_id, item_id FROM base WHERE $splitCond >= 8),
+       |users AS MATERIALIZED (SELECT user_id FROM
+       |  (SELECT DISTINCT user_id FROM tr)
+       |  ORDER BY md5('ev' || CAST(user_id AS VARCHAR)), user_id
+       |  LIMIT $EvalUsers),
+       |${simSql("tr")},
+       |trs AS (SELECT * FROM tr
+       |  WHERE user_id IN (SELECT user_id FROM users)),
+       |${scoreSql("trs")},
+       |evs AS (SELECT * FROM ev
+       |  WHERE user_id IN (SELECT user_id FROM users))""".stripMargin
+
+  /** Shared Spark derivation for the bounded ranking-eval family
+    * (ml_ndcg_at_10, ml_map_at_10): the capped-train similarity (the
+    * registered serving path), recommendations scored for the
+    * bounded user sample ONLY — the scoring join's probe side is
+    * |sample| users, so eval cost is sample-bounded at any corpus
+    * size — and the eval purchases of the same sample. The uncapped
+    * all-users twin stays ml_precision_at_10 (whitelisted
+    * ground-truth monitor in tools/ratio_gate.py).
+    */
+  private def boundedEval(s: SparkSession, d: String)
+  : (DataFrame, DataFrame) = {
+    val train = trainSetCapped(s, d).localCheckpoint(false)
+    val users = evalUserSample(train).localCheckpoint(false)
+    val recs = recommend(
+      train.join(broadcast(users), Seq("user_id"), "left_semi"),
+      itemSimilarity(train).localCheckpoint(false))
+    val evs = evalSet(interactions(s, d))
+      .join(broadcast(users), Seq("user_id"), "left_semi")
+    (recs, evs)
+  }
+
   val ContentSizeTol = 5L
   val ContentTopK = 5
 
@@ -903,14 +992,22 @@ object Recommend {
     // dominated the bench. RecommendSpec proves it reproduces the
     // exact cosines at threshold 0.)
 
-    // A17: matrix stats — sparsity from exact counts; mean cosine over
-    // the thresholded model (round-6 emission; the sum is ~24k doubles
-    // so cross-engine ULP drift sits ~6 orders below the rounding
-    // boundary).
+    // A17: matrix stats — sparsity from exact counts over the FULL
+    // interaction matrix; pair count and mean cosine over the CAPPED
+    // similarity, i.e. the REGISTERED serving model
+    // (ml_recommendations_capped's input) — stats of the model you
+    // actually serve, and the derivation stays linear at any corpus
+    // size (round-6 verdict #2: the uncapped self-join made this the
+    // heaviest non-whitelisted sf1 tail; the uncapped ground truth
+    // remains visible through ml_item_similarity, whitelisted).
+    // mean_cos: round-6 emission; the sum is ~10⁴ doubles so
+    // cross-engine ULP drift sits ~6 orders below the rounding
+    // boundary.
     QueryDef("ml_matrix_stats",
       (s, d) => {
-        val inter = interactions(s, d).localCheckpoint(false)
-        val sim = itemSimilarity(inter)
+        val inter = interactions(s, d)
+        val sim = itemSimilarity(
+          interactionsCapped(s, d).localCheckpoint(false))
         val users = inter.select(countDistinct(col("user_id")).as("n_users"),
           countDistinct(col("item_id")).as("n_items"),
           count(lit(1)).as("n_interactions"))
@@ -922,7 +1019,15 @@ object Recommend {
               (col("n_users") * col("n_items")), 6))
       },
       Some(s"""WITH inter AS ($interSql),
-              |${simSql("inter")},
+              |raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |capped AS (SELECT user_id, item_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+              |  WHERE rn <= $CapPerUser),
+              |${simSql("capped")},
               |u AS (SELECT COUNT(DISTINCT user_id) n_users,
               |  COUNT(DISTINCT item_id) n_items, COUNT(*) n_interactions
               |  FROM inter),
@@ -951,22 +1056,20 @@ object Recommend {
               |SELECT ROUND(AVG(CAST(hits AS DOUBLE)/n_recs), 6) AS avg_precision,
               |COUNT(*) AS n_users FROM per_user""".stripMargin)),
 
+    // NDCG over the bounded eval harness (round-6 verdict #2): the
+    // capped-train similarity — the registered serving path — scored
+    // for the md5-bounded user sample only, the reference's own
+    // ≤100-sampled-users evaluation device (dags/daily_pipeline.py:495)
+    // made deterministic. ml_precision_at_10 keeps the uncapped
+    // all-users twin as the whitelisted ground-truth monitor.
     QueryDef("ml_ndcg_at_10",
-      (s, d) => {
-        val inter = interactions(s, d).localCheckpoint(false)
-        val train = trainSet(inter).localCheckpoint(false)
-        val recs = recommend(train, itemSimilarity(train).localCheckpoint(false))
-        ndcgAtK(recs, evalSet(inter))
-      },
-      Some(s"""WITH inter AS ($interSql),
-              |tr AS (SELECT user_id, item_id FROM inter WHERE $splitCond < 8),
-              |ev AS (SELECT user_id, item_id FROM inter WHERE $splitCond >= 8),
-              |${recsSql("tr")},
-              |ne AS (SELECT user_id, COUNT(*) AS n_eval FROM ev GROUP BY 1),
+      (s, d) => { val (recs, evs) = boundedEval(s, d); ndcgAtK(recs, evs) },
+      Some(s"""WITH $cappedEvalSql,
+              |ne AS (SELECT user_id, COUNT(*) AS n_eval FROM evs GROUP BY 1),
               |per_user AS (SELECT r.user_id,
               |    CAST(SUM(CASE WHEN e.user_id IS NOT NULL
               |      THEN ${gainCase("r.rank")} ELSE 0 END) AS BIGINT) AS dcg
-              |  FROM recs r LEFT JOIN ev e
+              |  FROM recs r LEFT JOIN evs e
               |    ON r.user_id = e.user_id AND r.item_id = e.item_id
               |  GROUP BY r.user_id),
               |nq AS (SELECT p.user_id,
@@ -975,21 +1078,16 @@ object Recommend {
               |SELECT ROUND(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) / 1000000.0, 6) AS avg_ndcg,
               |COUNT(*) AS n_users FROM nq""".stripMargin)),
 
+    // MAP over the same bounded eval harness as ml_ndcg_at_10 —
+    // capped-train similarity, md5-bounded user sample (see the
+    // boundedEval docstring for the round-6 verdict #2 rationale).
     QueryDef("ml_map_at_10",
-      (s, d) => {
-        val inter = interactions(s, d).localCheckpoint(false)
-        val train = trainSet(inter).localCheckpoint(false)
-        val recs = recommend(train, itemSimilarity(train).localCheckpoint(false))
-        mapAtK(recs, evalSet(inter))
-      },
-      Some(s"""WITH inter AS ($interSql),
-              |tr AS (SELECT user_id, item_id FROM inter WHERE $splitCond < 8),
-              |ev AS (SELECT user_id, item_id FROM inter WHERE $splitCond >= 8),
-              |${recsSql("tr")},
-              |ne AS (SELECT user_id, COUNT(*) AS n_eval FROM ev GROUP BY 1),
+      (s, d) => { val (recs, evs) = boundedEval(s, d); mapAtK(recs, evs) },
+      Some(s"""WITH $cappedEvalSql,
+              |ne AS (SELECT user_id, COUNT(*) AS n_eval FROM evs GROUP BY 1),
               |hits AS (SELECT r.user_id, r.rank,
               |    CASE WHEN e.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit
-              |  FROM recs r LEFT JOIN ev e
+              |  FROM recs r LEFT JOIN evs e
               |    ON r.user_id = e.user_id AND r.item_id = e.item_id
               |  WHERE r.rank <= $TopN),
               |terms AS (SELECT user_id,

@@ -42,6 +42,11 @@ WHITELIST = {
     "ml_als_recommendations":
         "spark.ml ALS blocked factor cross-product - solver-internal "
         "CartesianProduct, documented rows-only",
+    "ml_precision_at_10":
+        "the ONE uncapped all-users ranking-eval twin kept as ground "
+        "truth - ml_ndcg_at_10 / ml_map_at_10 / ml_matrix_stats ride "
+        "the capped similarity + bounded md5 user sample (the "
+        "registered linear eval path, round-7)",
 }
 
 
@@ -58,7 +63,12 @@ def main():
     bad, whitelisted = [], []
     for name, t1 in sorted(sf1.items()):
         t0 = base.get(name)
-        if t0 is None or t0 <= 0 or t1 <= 0:
+        if t0 is None or t0 <= 0:
+            continue
+        if t1 <= 0:
+            # a negative sf1 time means the query FAILED at scale —
+            # that is the worst possible ratio, not a skip
+            bad.append((float("inf"), t1, t0, name))
             continue
         # ignore sub-second sf0.1 times with small sf1 absolutes:
         # fixed overheads (plan, broadcast, JIT) dominate and the

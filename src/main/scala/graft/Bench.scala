@@ -2,6 +2,42 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** Per-query task-metric accumulator (round-7 verdict #5): scale
+  * grading should read BYTES MOVED, not wall seconds on a noisy box,
+  * so the bench records shuffle read/write bytes and the max per-task
+  * peak execution memory next to every timing. Totals are monotonic
+  * counters; the bench diffs them around each query. Listener
+  * delivery is async — `sync` runs a zero-shuffle sentinel job and
+  * waits for its onJobEnd, and the bus is FIFO, so by then every
+  * event of the preceding query has been delivered.
+  */
+private class IoMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  private val rd = new AtomicLong; private val wr = new AtomicLong
+  private val pk = new AtomicLong; private val jobsEnded = new AtomicLong
+  override def onTaskEnd(
+      e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      rd.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      wr.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      pk.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+    }
+  }
+  override def onJobEnd(
+      e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+    jobsEnded.incrementAndGet()
+  def totals: (Long, Long) = (rd.get(), wr.get())
+  def peakAndReset(): Long = pk.getAndSet(0L)
+  def sync(spark: SparkSession): Unit = {
+    val before = jobsEnded.get()
+    spark.sparkContext.parallelize(0 until 1, 1).foreach(_ => ())
+    val deadline = System.nanoTime() + 5000000000L
+    while (jobsEnded.get() <= before && System.nanoTime() < deadline)
+      Thread.sleep(2)
+  }
+}
+
 /** Perf surface: every registered query executed to completion through
   * the `noop` sink (computes every output row/column — `count()` would
   * let Catalyst prune the very expressions being measured), timed
@@ -96,11 +132,15 @@ object Bench {
     // driver leaves it unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val io = new IoMetricsListener
+    spark.sparkContext.addSparkListener(io)
     // A failed query is recorded as a NEGATIVE duration and listed in
     // "failed", so the perf artifact can't pass off a crash as speed.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    case class Res(name: String, secs: Double, ok: Boolean,
+                   rd: Long, wr: Long, pk: Long)
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    : Res = {
       // snapshot FIRST: only RDDs the query itself registered get
       // released — blanket unpersist would also destroy any future
       // cross-query cached state (an unpersisted shared
@@ -108,6 +148,9 @@ object Bench {
       // found"); today's cross-query stores are parquet paths, but
       // the loop must not depend on that staying true
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      io.sync(spark)
+      val (rd0, wr0) = io.totals
+      io.peakAndReset()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -116,6 +159,9 @@ object Bench {
           false
         }
       val secs = (System.nanoTime() - t0) / 1e9
+      io.sync(spark)
+      val (rd1, wr1) = io.totals
+      val pk = io.peakAndReset()
       // Release the query's localCheckpoint blocks: they are
       // intra-query state, but the RDDs stay registered until the
       // ContextCleaner happens to GC them — across ~250 queries the
@@ -125,17 +171,57 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
           if (!before.contains(id)) rdd.unpersist(blocking = false) }
-      (name, if (ok) secs else -secs, ok)
+      Res(name, if (ok) secs else -secs, ok, rd1 - rd0, wr1 - wr0, pk)
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => runOne(name, fn) }
     // millisecond precision keeps the per-query map compact (the
     // driver captures a bounded tail of stdout)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map(r => s"\"" + r.name + "\":" + r3(r.secs))
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val failed = results.collect { case r if !r.ok => s"\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val total = r3(results.collect { case (_, v, true) => v }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = r3(results.filter(_.ok).map(_.secs).sum)
+    // Artifact routing by exact basename: scale smokes must not
+    // clobber the round's sf0.1 map (a future sf10 run lands in
+    // BENCH_sf10.json, not sf1's). Resolved BEFORE the retime pass —
+    // the committed per-query map at this path is the retime baseline.
+    val base = new java.io.File(sfDir).getName
+    val detailPath =
+      if (base == "sf0.1" || base.startsWith("sf0.0")) "BENCH_detail.json"
+      else s"BENCH_$base.json"
+    val committed: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(detailPath)
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        val i = txt.indexOf("\"queries\":{")
+        if (i < 0) Map.empty
+        else {
+          val seg = txt.substring(i + 11, txt.indexOf('}', i))
+          val re = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+          re.findAllMatchIn(seg)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } else Map.empty
+    }
+    // In-run outlier re-time (the round-6 692s-vs-378s attribution
+    // gap): any query whose in-run reading exceeded 4x its committed
+    // same-scale value is re-timed once after the loop, and BOTH
+    // numbers land in the artifact — a contended driver window then
+    // self-explains (retimes match the committed map) instead of
+    // costing a judge session; a real regression shows a retime that
+    // reproduces the slow reading. Bounded to 20 queries so a fully
+    // contended box can't double the bench.
+    val retimed = results
+      .filter(r => r.ok && committed.get(r.name).exists(c =>
+        c > 0.5 && r.secs > 4 * c && r.secs > 5.0))
+      .take(20)
+      .map(r => r.name -> r3(runOne(r.name, SparkEntry.queries(r.name)).secs))
+    val retimedJson = retimed.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retimed":$retimedJson,"sf":"$sfDir"}""")
     // Streaming tier (skipped under a local-iteration filter unless
     // asked for by name). Emitted before the final compact line so
     // both land inside the driver's bounded stdout tail.
@@ -155,24 +241,25 @@ object Bench {
     // queries the full line's head (metric/value) falls outside that
     // window (BENCH_r02 lost the total). A compact totals-only line
     // emitted LAST is always inside the window and always parseable.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"retimed":$retimedJson,"sf":"$sfDir"}""")
     // The bounded tail also swallows the per-query map, so the FULL
     // result set is persisted to the repo as an artifact — hot-tail
     // attribution next round needs the artifact, not the stdout.
     // Skipped under a local-iteration filter (partial runs would
     // clobber the round's full map).
     if (only.isEmpty) {
+      // per-query IO rows (round-7 verdict #5): shuffle bytes moved
+      // and max per-task peak execution memory — the scale signal a
+      // noisy box cannot fake, recorded next to every timing
+      val ioJson = results.map(r =>
+        s"\"" + r.name + "\":{\"secs\":" + r3(r.secs) +
+          ",\"shuffle_rd\":" + r.rd + ",\"shuffle_wr\":" + r.wr +
+          ",\"peak_mem\":" + r.pk + "}")
+        .mkString("{", ",", "}")
       val detail = new StringBuilder
       detail ++= s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"""
       streamLine.foreach(l => detail ++= s""""streaming":$l,""")
-      detail ++= s""""failed":$failed,"queries":$qs}"""
-      // scale smokes get their own artifact — they must not clobber
-      // the round's sf0.1 map; the name derives from the basename so
-      // a future sf10 run lands in BENCH_sf10.json, not sf1's
-      val base = new java.io.File(sfDir).getName
-      val detailPath =
-        if (base == "sf0.1" || base.startsWith("sf0.0")) "BENCH_detail.json"
-        else s"BENCH_$base.json"
+      detail ++= s""""failed":$failed,"retimed":$retimedJson,"queries":$qs,"io":$ioJson}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(detailPath), detail.toString)
     }

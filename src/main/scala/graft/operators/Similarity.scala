@@ -788,24 +788,64 @@ object Similarity {
     if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
   }
 
+  /** The full index relation: the cell-partitioned base store plus
+    * the streaming-ingest tail (`<dir>.ingest/batch=<id>` subdirs —
+    * see ingestStoreStream). The LSM shape: the base is
+    * cell-partitioned (a one-cell probe reads one directory), the
+    * tail is small and recent and scanned whole; ivfCompact folds the
+    * tail into the base. Falls back to the base alone when no tail
+    * exists, so batch-built stores read exactly as before.
+    */
+  def storeIndex(s: SparkSession, dir: String): DataFrame = {
+    val baseDf = s.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val ip = new org.apache.hadoop.fs.Path(s"$dir.ingest")
+    val fs = ip.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(ip) && fs.listStatus(ip).exists(_.isDirectory))
+      baseDf.unionByName(s.read.parquet(s"$dir.ingest")
+        .select(col("vec_id"), col("v"), col("cell")))
+    else baseDf
+  }
+
   /** Serving read over the tombstoned store: live rows only. */
   def searchStoreLive(s: SparkSession, dir: String, k: Int = K): DataFrame = {
-    val idx = s.read.parquet(dir)
-      .select(col("vec_id"), col("v"), col("cell"))
+    val idx = storeIndex(s, dir)
     val live = tombstones(s, dir)
       .map(t => idx.join(t, Seq("vec_id"), "left_anti")).getOrElse(idx)
     searchAssigned(live, k)
   }
 
-  /** Compaction: physically drop tombstoned rows, rewriting ONLY the
-    * cells that hold them (the Erasure copy-on-write device on the
-    * cell axis — untouched cell directories are never read or
-    * written), then clear the tombstone table. Idempotent; returns
-    * rows removed. After compaction the serving read is
-    * tombstone-free, and results are unchanged by construction.
+  /** Compaction: fold the streaming-ingest tail into the
+    * cell-partitioned base, then physically drop tombstoned rows,
+    * rewriting ONLY the cells that hold them (the Erasure
+    * copy-on-write device on the cell axis — untouched cell
+    * directories are never read or written), then clear the tombstone
+    * table. Idempotent on tombstones; returns rows removed. After
+    * compaction the serving read is tombstone-free and tail-free, and
+    * results are unchanged by construction.
+    *
+    * CONCURRENCY CONTRACT (single-writer, offline): compaction
+    * physically replaces files that live serve/ingest streams hold in
+    * their resolved static plans — a serve query spanning the swap
+    * would read deleted files. Stop serving and ingest, compact,
+    * restart: the same static-side refresh semantics the delete path
+    * already documents, and what SimilaritySpec's
+    * stop-compact-restart case asserts. A crash between the tail
+    * append and the tail delete leaves the tail duplicated in the
+    * base — re-run compaction is NOT safe then; recover by removing
+    * the `.ingest` dirs (the appended rows are already in the base).
     */
   def ivfCompact(s: SparkSession, dir: String): Long = {
     import s.implicits._
+    val fsRoot = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ip = new org.apache.hadoop.fs.Path(s"$dir.ingest")
+    if (fsRoot.exists(ip) && fsRoot.listStatus(ip).exists(_.isDirectory)) {
+      s.read.parquet(s"$dir.ingest")
+        .select(col("vec_id"), col("v"), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(dir)
+      fsRoot.delete(ip, true)
+    }
     val tomb = tombstones(s, dir).getOrElse(return 0L)
       .select("vec_id").distinct().localCheckpoint(false)
     val idx = s.read.parquet(dir)
@@ -832,27 +872,49 @@ object Similarity {
   }
 
   /** Streaming index ingest — the ONLINE write half of the lifecycle
-    * (serveStoreStream is the read half): a stream of new vectors is
-    * appended to the cell-partitioned store per micro-batch through
-    * foreachBatch, each batch assigning against the store's FIXED
-    * codebook sidecar (the ivfAppend contract — the coarse quantizer
-    * retrains offline, never per ingest). Batch cost is batch-sized;
-    * the existing index is never reshuffled; after any prefix of
-    * batches the store answers exactly as a batch build over the
-    * union with the same codebook (spec-proven) — so ingest and
-    * serving can run concurrently, the standard streaming-upsert
-    * index deployment.
+    * (serveStoreStream is the read half): each micro-batch assigns
+    * against the store's FIXED codebook sidecar (the ivfAppend
+    * contract — the coarse quantizer retrains offline, never per
+    * ingest) and lands in its OWN batchId-keyed tail subdir
+    * (`<dir>.ingest/batch=<id>`), which replay OVERWRITES — the
+    * idempotent exactly-once-per-batch shape a raw append cannot
+    * give. Batch cost is batch-sized; the existing index is never
+    * reshuffled; after any prefix of batches storeIndex answers
+    * exactly as a batch build over the union with the same codebook
+    * (spec-proven) — so ingest and serving can run concurrently, the
+    * standard streaming-upsert index deployment. ivfCompact folds the
+    * tail into the cell-partitioned base offline (see its
+    * concurrency contract).
     */
+  /** The per-micro-batch ingest writer: assign against the FIXED
+    * codebook, OVERWRITE the batch's own batchId-keyed subdir. The
+    * overwrite is what makes replay idempotent — after a failure,
+    * Structured Streaming re-runs the last uncommitted batch with the
+    * SAME batchId, which rewrites the same subdir instead of
+    * appending duplicates (the round-6 ADVICE contract fix). Exposed
+    * separately so the spec can drive a replay directly.
+    */
+  def ingestBatchWrite(cents: DataFrame, batch: DataFrame,
+                       dir: String, batchId: Long): Unit =
+    ivfAssign(batch, Some(cents))
+      .write.mode("overwrite").parquet(s"$dir.ingest/batch=$batchId")
+
   def ingestStoreStream(s: SparkSession, dir: String,
-                        vectors: DataFrame)
+                        vectors: DataFrame,
+                        checkpoint: Option[String] = None)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     val cents = storeCodebook(s, dir).localCheckpoint(false)
-    vectors.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ivfAssign(batch, Some(cents))
-          .write.mode("append").partitionBy("cell").parquet(dir)
+    val w = vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchWrite(cents, batch, dir, batchId)
       }
-      .start()
+    // Production contract: ALWAYS pass the checkpoint — it is what
+    // keeps batchIds monotone across restarts, so a replayed batch
+    // overwrites its own subdir and a resumed stream never reuses a
+    // committed id. A checkpoint-less stream restarts batchIds at 0
+    // and must only ever ingest into a store with no prior tail.
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
   }
 
   /** Exact search within cells of a prebuilt index table, for the
@@ -910,11 +972,13 @@ object Similarity {
                       (sink: (DataFrame, Long) => Unit)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     // serve the LIVE view: tombstoned ids must not answer (the
-    // searchStoreLive contract). The static side is resolved at
-    // stream start — deletes issued while the stream runs take
-    // effect on restart, the standard static-side refresh semantics.
-    val idxRaw = s.read.parquet(dir)
-      .select(col("vec_id"), col("v"), col("cell"))
+    // searchStoreLive contract), and the streaming-ingest tail
+    // serves too (storeIndex). The static side is resolved at
+    // stream start — deletes, new ingest batches and compactions
+    // while the stream runs take effect on restart, the standard
+    // static-side refresh semantics (compaction additionally
+    // REQUIRES serving stopped — see ivfCompact's contract).
+    val idxRaw = storeIndex(s, dir)
     val idx = tombstones(s, dir)
       .map(t => idxRaw.join(t, Seq("vec_id"), "left_anti"))
       .getOrElse(idxRaw)

@@ -584,13 +584,13 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfBuild(spark, dir, base)
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfick").toString
     val ing = Similarity.ingestStoreStream(spark, dir,
-      in.toDF().toDF("vec_id", "embedding"))
+      in.toDF().toDF("vec_id", "embedding"), Some(ckpt))
     in.addData(b1: _*); ing.processAllAvailable()
     in.addData(b2: _*); ing.processAllAvailable()
     ing.stop()
-    val stored = Similarity.searchAssigned(
-      spark.read.parquet(dir).select(col("vec_id"), col("v"), col("cell")))
+    val stored = Similarity.searchAssigned(Similarity.storeIndex(spark, dir))
       .collect().map(_.toString).sorted.toSeq
     val direct = Similarity.searchAssigned(
       Similarity.ivfAssign(all, Some(Similarity.storeCodebook(spark, dir))))
@@ -598,7 +598,45 @@ class SimilaritySpec extends SparkSpec {
     assert(stored === direct)
     assert(stored.nonEmpty)
     // every streamed vector landed, exactly once
+    assert(Similarity.storeIndex(spark, dir).count() === 150L)
+
+    // a REPLAYED micro-batch (failure/restart re-runs the last
+    // uncommitted batchId) must not duplicate vectors: the batch
+    // writer overwrites its own batchId-keyed tail subdir
+    val cents = Similarity.storeCodebook(spark, dir)
+    Similarity.ingestBatchWrite(cents, b1.toDF("vec_id", "embedding"),
+      dir, 0L)
+    assert(Similarity.storeIndex(spark, dir).count() === 150L)
+    assert(Similarity.searchAssigned(Similarity.storeIndex(spark, dir))
+      .collect().map(_.toString).sorted.toSeq === direct)
+
+    // compact-under-serve lifecycle (stop -> compact -> restart):
+    // a serve stream answers from base+tail, is STOPPED (the
+    // ivfCompact single-writer contract: compaction physically
+    // replaces files a live stream's resolved static plan holds),
+    // compaction folds the tail into the cell-partitioned base, and
+    // a RESTARTED serve stream gives byte-identical answers
+    def qvec(i: Int) = (0 until Similarity.Dim)
+      .map(d => ((i * 23 + d * 7) % 13 - 6).toFloat).toArray
+    val qs = Seq((2000L, qvec(1)), (2001L, qvec(2)))
+    def serveOnce(): Seq[String] = {
+      val got = scala.collection.mutable.ArrayBuffer[String]()
+      val qin = MemoryStream[(Long, Array[Float])]
+      val sq1 = Similarity.serveStoreStream(spark, dir,
+        qin.toDF().toDF("vec_id", "embedding")) { (res, _) =>
+        got ++= res.collect().map(_.toString)
+      }
+      qin.addData(qs: _*); sq1.processAllAvailable(); sq1.stop()
+      got.sorted.toSeq
+    }
+    val servedPre = serveOnce()   // base + tail
+    assert(Similarity.ivfCompact(spark, dir) === 0L) // no tombstones
+    assert(!new java.io.File(s"$dir.ingest").exists(),
+      "compaction must fold and remove the ingest tail")
     assert(spark.read.parquet(dir).count() === 150L)
+    val servedPost = serveOnce()  // compacted base only
+    assert(servedPre.nonEmpty && servedPost === servedPre,
+      "stop-compact-restart must not change serve answers")
   }
 
   test("normalize: mean-centered unit vectors, exact symmetric case") {

@@ -503,9 +503,14 @@ object Dedup {
     * derivation (dedupClustersLsh) — a training-data split is a
     * full-corpus operator, so it must ride the linear path; the
     * exact edge form stays available as the dedup_clusters ground
-    * truth (LSH misses only lower recall — a missed edge can split a
-    * cluster across folds, monitored by dedup_lsh_recall; it never
-    * merges unrelated docs, so no false leakage is introduced).
+    * truth. RESIDUAL RISK, stated plainly: LSH precision is exact
+    * (no false merges), but a missed LSH edge CAN split a true
+    * near-dup cluster across folds — and split clusters ARE
+    * train/eval leakage, the exact failure this operator exists to
+    * prevent. dedup_lsh_recall prices that risk on the bounded
+    * monitor sample, and clusterSplitGated is the production
+    * entrypoint that REFUSES to hand out folds when measured recall
+    * is below SplitMinRecall.
     */
   def clusterSplit(docs: DataFrame,
                    nFolds: Int = SplitFolds): DataFrame =
@@ -513,6 +518,42 @@ object Dedup {
       .withColumn("fold",
         expr(s"((canonical_id % 100003) * 31 + 17) % $nFolds"))
       .select(col("doc_id"), col("canonical_id"), col("fold"))
+
+  /** Minimum LSH edge recall the gated split demands before folds
+    * may be trusted (measured by the dedup_lsh_recall derivation on
+    * the bounded monitor sample — sample-bounded cost, not a
+    * full-corpus quadratic pass).
+    */
+  val SplitMinRecall = 0.8
+
+  /** The production entrypoint for the cluster-aware split: runs the
+    * dedup_lsh_recall monitor FIRST and refuses (IllegalStateException)
+    * when LSH edge recall on the monitor sample is below `minRecall`
+    * — a low-recall LSH pass means split clusters, i.e. leakage a
+    * consumer cannot see; failing loudly beats a silently
+    * contaminated eval. Zero ground-truth pairs in the sample passes
+    * the gate (nothing to split). The registered u12 query stays the
+    * raw derivation (its oracle prices the split; the gate is a
+    * side-effecting contract, spec-asserted).
+    */
+  def clusterSplitGated(docs0: DataFrame, nFolds: Int = SplitFolds,
+                        minRecall: Double = SplitMinRecall): DataFrame = {
+    val d = docs0.localCheckpoint(false)
+    val sample = docSample(d)
+    val exact = ngramJaccard(sample).select(col("i"), col("j"))
+      .localCheckpoint(false)
+    val lsh = minhashLsh(sample).select(col("i"), col("j"))
+    val row = exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(exact.join(lsh, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("n_recalled"))).head()
+    val (nExact, nRec) = (row.getLong(0), row.getLong(1))
+    if (nExact > 0L && nRec.toDouble / nExact < minRecall)
+      throw new IllegalStateException(
+        s"cluster split refused: LSH edge recall $nRec/$nExact on the " +
+          s"monitor sample is below $minRecall — folds would leak " +
+          "split near-dup clusters across train/eval")
+    clusterSplit(d, nFolds)
+  }
 
   /** The 100 TB form of dedupClusters: the edge list comes from the
     * banded MinHash-LSH pipeline (bucket-keyed candidates, exact

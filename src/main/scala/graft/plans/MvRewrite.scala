@@ -71,15 +71,25 @@ object MvRegistry {
     else self + "[" + n.children.map(render).mkString(",") + "]"
   }
 
-  /** Snapshot signature of the base tables: digest of every data
-    * file's (path, length, mtime) under the given roots. Computed at
-    * registration and re-checked before a substitution fires — a base
-    * write after registration makes the artifact STALE, and the
-    * Databricks-grade behavior is to decline the rewrite rather than
-    * silently serve old rows. The listing runs only on a fingerprint
-    * HIT (not per Aggregate visited), so the common case stays a
-    * two-int compare; on a hit it is the same file-listing cost the
-    * substituted scan's planning would pay anyway.
+  /** Snapshot signature of the base tables: digest of every file's
+    * (path, length, mtime) under the given roots — INCLUDING commit
+    * sidecars (_SUCCESS, _committed…): a Spark overwrite always
+    * rewrites the sidecar (and generates fresh UUID part names), so
+    * for Spark writers the signature advances even when data files
+    * coincidentally keep their lengths inside one mtime tick. The
+    * documented blind spot that remains: a NON-Spark writer doing an
+    * in-place same-path same-length rewrite within mtime granularity
+    * that also leaves every sidecar untouched — content hashing is
+    * the only cure and costs a full tree read per freshness check;
+    * declined as disproportionate for an analysis-time gate.
+    * Computed at registration and re-checked before a substitution
+    * fires — a base write after registration makes the artifact
+    * STALE, and the Databricks-grade behavior is to decline the
+    * rewrite rather than silently serve old rows. The listing runs
+    * only on a fingerprint HIT (not per Aggregate visited) and is
+    * memoized per rule invocation (see MvRewriteRule), so a plan
+    * containing the served aggregate N times lists the base tree
+    * once, not N times.
     */
   def snapshotSig(spark: SparkSession, roots: Seq[String]): String = {
     val conf = spark.sessionState.newHadoopConf()
@@ -92,10 +102,7 @@ object MvRegistry {
         val it = fs.listFiles(p, true)
         while (it.hasNext) {
           val f = it.next()
-          val n = f.getPath.toString
-          // metadata sidecars (_SUCCESS, _committed…) don't change rows
-          if (!f.getPath.getName.startsWith("_"))
-            names += s"$n:${f.getLen}:${f.getModificationTime}"
+          names += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
         }
       }
     }
@@ -104,10 +111,19 @@ object MvRegistry {
   }
 
   /** True iff the registered base snapshot still matches the files on
-    * disk — the substitution freshness gate.
+    * disk — the substitution freshness gate. `sigCache` (when given)
+    * memoizes the listing per rule invocation: multiple substitution
+    * sites over the same base roots pay ONE listing.
     */
-  def fresh(spark: SparkSession, e: Entry): Boolean =
-    snapshotSig(spark, e.basePaths) == e.baseSig
+  def fresh(spark: SparkSession, e: Entry,
+            sigCache: scala.collection.mutable.Map[Seq[String], String]
+              = null): Boolean = {
+    val sig =
+      if (sigCache == null) snapshotSig(spark, e.basePaths)
+      else sigCache.getOrElseUpdate(e.basePaths,
+        snapshotSig(spark, e.basePaths))
+    sig == e.baseSig
+  }
 
   /** All file-scan root paths under a plan — the spec's and the
     * serving path's "did the rewrite fire" probe.
@@ -199,6 +215,9 @@ object MvRegistry {
 case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvRegistry.isEmpty || MvRegistry.bypassed) return plan
+    // per-invocation freshness memo: N substitution sites over the
+    // same base roots list the base tree once (ADVICE r6)
+    val sigCache = scala.collection.mutable.Map[Seq[String], String]()
     plan.transformUp {
       // lookup exactly ONCE per candidate (a concurrent deregister
       // between a guard-lookup and a body-lookup would throw mid-
@@ -206,7 +225,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // artifact must fall back to the base scan, never serve.
       case agg: Aggregate if agg.resolved =>
         MvRegistry.lookup(agg) match {
-          case Some(e) if MvRegistry.fresh(spark, e) =>
+          case Some(e) if MvRegistry.fresh(spark, e, sigCache) =>
             // fresh exprIds PER substitution site: a query containing
             // the matching aggregate twice (self-join/union of the
             // served view) must not carry duplicate attribute ids —

@@ -161,6 +161,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("gated cluster split: passes at good LSH recall, refuses below threshold") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the real corpus: recall on the monitor sample is healthy, the
+    // gate passes and the folds equal the raw derivation
+    val gated = Dedup.clusterSplitGated(real)
+      .collect().map(_.toString).sorted.toSeq
+    val raw = Dedup.clusterSplit(real)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gated === raw && gated.nonEmpty)
+    // an unreachable threshold (> 1.0) must REFUSE folds whenever the
+    // sample holds any ground-truth pair — the leakage-refusal path
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusterSplitGated(real, minRecall = 1.01)
+    }
+    assert(ex.getMessage.contains("LSH edge recall"))
+  }
+
   test("incremental dedup: cross-side pairs only, consistent with the batch pass") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val inc = Dedup.incrementalDedup(docs)

@@ -516,6 +516,75 @@ object Similarity {
         col("nbr_id"), col("adc_q"))
   }
 
+  /** V16 (round 7): residual IVF-PQ with nprobe — the recall lever
+    * of the FAISS default composite, with the semantics FAISS
+    * actually implements: each query probes its `probes` nearest
+    * cells and its residual is recomputed AGAINST EACH PROBED
+    * CENTROID (r_q = x_q − c_p; a residual is only meaningful
+    * relative to the cell it probes). Because the dropped |r_q|²
+    * constant now DIFFERS per probed cell, the score keeps it:
+    * s = |r_q|² + |c|² − 2·r_q·c — the full squared ADC distance,
+    * still exact 64-bit integer arithmetic, comparable across cells.
+    * Candidates stay in their one home cell, so a (query, candidate)
+    * pair meets in at most one probed cell — no dedup pass. The fine
+    * codebook is the SAME home-cell-residual-trained one knnIvfPqRes
+    * uses (FAISS trains one PQ for the index, not per probe).
+    */
+  def knnIvfPqResProbe(emb: DataFrame, k: Int = K,
+                       probes: Int = 2): DataFrame = {
+    val cents = ivfCodebook(emb).localCheckpoint(false)
+    val xqmFull = residualSlicesQ(emb, cents).localCheckpoint(false)
+    val xqm = xqmFull.select("vec_id", "m", "q")
+    val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
+      .localCheckpoint(false)
+    val codes = pqAssign(xqm, cb)
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+    // query side: ranked probe cells with centroids kept, residual
+    // per (query, probed cell) in pure integer micro-units
+    val e = vecs(emb)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val ranked = e
+      .join(broadcast(hashSample(e, "q", QueryCount).select("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"), col("cv"),
+        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= probes)
+    val qres = ranked
+      .select(col("vec_id").as("query_id"), col("cent_id").as("qcell"),
+        expr("zip_with(v, cv, (a, b) -> " +
+          "cast(round(a * 1000000.0D) as bigint) - " +
+          "cast(round(b * 1000000.0D) as bigint))").as("rq"))
+      .select(col("query_id"), col("qcell"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> slice(rq, m * $PqSubDim + 1, $PqSubDim))"))
+        .as(Seq("m", "rq")))
+    val lut = qres
+      .join(broadcast(cb.withColumn("cc", dotiFast(col("cq"), col("cq")))),
+        Seq("m"))
+      .select(col("query_id"), col("qcell"), col("m"),
+        col("cell").as("code"),
+        (dotiFast(col("rq"), col("rq")) + col("cc")
+          - lit(2L) * dotiFast(col("rq"), col("cq"))).as("part"))
+    val cellOf = xqmFull.select("vec_id", "cell").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_q"), col("nbr_id"))
+    codes.join(cellOf, Seq("vec_id"))
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("cell") === col("qcell") &&
+        col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("part")).as("adc_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("adc_q"))
+  }
+
   /** V14's monitor: total reconstruction distortion of plain trained
     * PQ vs residual IVFPQ (distance of each sub-vector to its chosen
     * code, |r|² + s, exact integer micro-units) — the number that
@@ -993,6 +1062,27 @@ object Similarity {
 
   def knnIvf(emb: DataFrame, k: Int = K): DataFrame =
     searchAssigned(ivfAssign(emb), k)
+
+  /** V15 (round 7): metadata-filtered IVF search — cell ∧ filter,
+    * the composition knnFiltered's docstring promised: the predicate
+    * restricts the CANDIDATE side via a left-semi join on the
+    * ASSIGNED index table (pre-filter, so k results stay guaranteed-
+    * filtered), and the cell restriction applies on top — each query
+    * scans only the allowed rows of its home cell. The semi-join
+    * commutes with the cell restriction, so at scale the filter
+    * pushes into the cell-partitioned store read and the shuffle
+    * still keys on cell id. Queries are the bounded batch drawn from
+    * the FULL index (a query need not satisfy the filter — it asks
+    * for filtered neighbors).
+    */
+  def knnIvfFiltered(emb: DataFrame, docs: DataFrame,
+                     lang: String = "en", k: Int = K): DataFrame = {
+    val assigned = ivfAssign(emb).localCheckpoint(false)
+    val allowed = docs.filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+    val cand = assigned.join(allowed, Seq("vec_id"), "left_semi")
+    searchCells(hashSample(assigned, "q", QueryCount), cand, k)
+  }
 
   /** V7: the persisted-index serving path — build the IVF assignment
     * table ONCE per (JVM, source), write it cell-partitioned to a
@@ -2670,6 +2760,71 @@ object Similarity {
               |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos DESC, nbr_id) rk FROM scored)
+              |WHERE rk <= $K""".stripMargin)),
+
+    // V15 (round 7): metadata filter ∧ IVF cell restriction — the
+    // composition sim_knn_filtered's pre-filter promises at index
+    // scale (see knnIvfFiltered).
+    QueryDef("sim_knn_ivf_filtered",
+      (s, d) => knnIvfFiltered(Tables.embeddings(s, d),
+        Tables.documents(s, d)),
+      Some(s"""WITH $ivfAssignedSql,
+              |$qsetSql,
+              |cand AS (SELECT a.* FROM assigned a
+              |  WHERE a.vec_id IN (SELECT doc_id FROM documents
+              |    WHERE lang = 'en')),
+              |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |  FROM assigned a JOIN qset qs ON a.vec_id = qs.vec_id
+              |  JOIN cand b
+              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM scored)
+              |WHERE rk <= $K""".stripMargin)),
+
+    // V16 (round 7): residual IVF-PQ at nprobe=2 — per-probed-cell
+    // residuals, full integer ADC distance |r_q|² + |c|² − 2·r_q·c
+    // so scores compare across cells (see knnIvfPqResProbe). The
+    // training chain (rasn/rxqm/rpc/rpaF) is resAdcSql's — same
+    // home-cell-trained fine codebook as sim_knn_ivfpq_res.
+    QueryDef("sim_knn_ivfpq_res_probe",
+      (s, d) => knnIvfPqResProbe(Tables.embeddings(s, d)),
+      Some(s"""WITH $qsetSql,
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+              |${lloydCentSql()},
+              |$resAdcSql,
+              |prnk AS MATERIALIZED (SELECT vec_id, v, cent_id, cv FROM (
+              |  SELECT e.vec_id, e.v, c.cent_id, c.cv,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+              |      c.cent_id) rn
+              |  FROM e, cent c
+              |  WHERE e.vec_id IN (SELECT vec_id FROM qset)) WHERE rn <= 2),
+              |prq AS (SELECT p.vec_id AS query_id, p.cent_id AS qcell, s.m,
+              |    list_transform(generate_series(s.m * $PqSubDim + 1,
+              |      s.m * $PqSubDim + $PqSubDim),
+              |      i -> CAST(ROUND(p.v[i] * 1000000.0) AS BIGINT)
+              |        - CAST(ROUND(p.cv[i] * 1000000.0) AS BIGINT)) AS rq
+              |  FROM prnk p, psub s),
+              |plut AS (SELECT query_id, qcell, x.m, c.cell AS code,
+              |    CAST(list_sum(list_transform(x.rq, v -> v * v))
+              |      + list_sum(list_transform(c.cq, v -> v * v))
+              |      - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
+              |          i -> x.rq[i] * c.cq[i])) AS BIGINT) AS part
+              |  FROM prq x JOIN rpc$IvfTrainRounds c ON x.m = c.m),
+              |pscr AS (SELECT l.query_id, k.vec_id AS nbr_id,
+              |    SUM(l.part) AS adc_q
+              |  FROM rpaF k
+              |  JOIN (SELECT DISTINCT vec_id, cell FROM rxqm) co
+              |    ON k.vec_id = co.vec_id
+              |  JOIN plut l ON l.m = k.m AND l.code = k.cell
+              |    AND l.qcell = co.cell
+              |  WHERE k.vec_id <> l.query_id
+              |  GROUP BY 1, 2)
+              |SELECT query_id, CAST(rk AS BIGINT) AS rank, nbr_id, adc_q
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY adc_q, nbr_id) rk FROM pscr)
               |WHERE rk <= $K""".stripMargin))
   )
 

@@ -115,6 +115,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_pq_distortion",      // decimal distortion totals, 2 codebooks
     "sim_knn_ivfpq_res",      // residual integer ADC in home cells
     "sim_ivfpq_res_vs_plain", // shared-baseline recall comparison
+    "sim_knn_ivfpq_res_probe", // per-probed-cell residuals, full ADC
+    "sim_knn_ivf_filtered",   // metadata semi-join ∧ cell restriction
     "graph_assortativity")    // decimal moments + one division
 
   private def rows(name: String): Seq[String] = {

@@ -179,6 +179,17 @@ class EmptyInputSpec extends SparkSpec {
       .nearDupFilterBatch(docs0, bands0, sh0).count() === 0)
   }
 
+  test("round-7 additions are total on empty input") {
+    // shared-baseline recall comparison: zero queries → one summary
+    // row (global aggregates), null recalls, no crash
+    assert(Similarity.ivfPqResVsPlainRecall(emb0).count() === 1)
+    // the gated split passes vacuously (no ground-truth pairs) and
+    // yields zero folds on an empty corpus
+    assert(Dedup.clusterSplitGated(docs0).count() === 0)
+    assert(Similarity.knnIvfPqResProbe(emb0).count() === 0)
+    assert(Similarity.knnIvfFiltered(emb0, docs0).count() === 0)
+  }
+
   test("round-2 operators are total on empty input") {
     assert(TextAnalysis.bm25(docs0).count() === 0)
     assert(Dedup.containment(docs0).count() === 0)

@@ -313,6 +313,151 @@ object Graph {
       .select(col("i"), col("j"), col("n_common"), col("jaccard_ppm"))
   }
 
+  val PprSeeds = 5
+  val PprIters = 4
+
+  /** G8 (beyond-ref): personalized PageRank over the co-purchase item
+    * graph — random-walk-with-restart mass from the top-degree hub
+    * seeds (the graph-expansion candidate generator: "items reachable
+    * from what everyone buys", the localized complement to
+    * pagerankFrom's global importance and bfsHops' hop counts, which
+    * share the same seed device). Teleport goes to the SEED SET, not
+    * uniformly: r₀ = Scale div |S| on each seed, and each round every
+    * seed receives (15·Scale) div (100·|S|) restart mass while every
+    * reached node receives 85% of its neighbors' degree-normalized
+    * mass — all in exact integer units exactly as in pagerankFrom, so
+    * both engines walk the identical recurrence.
+    *
+    * Scale shape: the rank vector is SPARSE — only nodes already
+    * reached carry rows, so early rounds cost frontier-edge-grain like
+    * BFS, converging to component-grain, never |V| when the seeds sit
+    * in a small component. Each round is one equi-join of the rank
+    * vector with the degree-decorated adjacency plus one
+    * map-side-combinable aggregate, and the teleport union adds |S|
+    * rows. At 100 TB this is the per-query shape of a walk-based
+    * recommender (seeds = a user's recent items) — the registered
+    * query pins seeds to the deterministic hub top-k so the result is
+    * oracle-hashable.
+    */
+  def personalizedPagerank(edges: DataFrame, nSeeds: Int = PprSeeds,
+                           iters: Int = PprIters): DataFrame = {
+    val e = edges.localCheckpoint(false)
+    val adj = e.select(col("i").as("v"), col("j").as("n"))
+      .unionByName(e.select(col("j").as("v"), col("i").as("n")))
+      .localCheckpoint(false) // degree aggregate + decoration
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false) // seeds + adjacency decoration
+    val seeds = deg.orderBy(col("deg").desc, col("v")).limit(nSeeds)
+      .select(col("v").as("node"), col("deg"))
+      .localCheckpoint(false) // init + every round's teleport union
+    val ns = seeds.agg(count(lit(1)).as("n_seeds"))
+    // destination degree rides the adjacency once, so each round is
+    // one equi-join + one aggregate (the pagerankFrom device)
+    val adjD = adj
+      .join(deg.select(col("v").as("n"), col("deg").as("n_deg")), "n")
+      .localCheckpoint(false) // reused every round
+    var r = seeds.crossJoin(ns) // 1-row build side
+      .select(col("node"), expr(s"$Scale div n_seeds").as("pr"), col("deg"))
+    for (_ <- 1 to iters) {
+      val damped = adjD.join(r, adjD("v") === r("node"))
+        .groupBy(adjD("n"))
+        .agg(expr(s"($DampPct * sum(pr div deg)) div 100").as("p"),
+          max(col("n_deg")).as("deg"))
+        .select(col("n").as("node"), col("p"), col("deg"))
+      val tele = seeds.crossJoin(ns)
+        .select(col("node"),
+          expr(s"(15 * $Scale) div (100 * n_seeds)").as("p"), col("deg"))
+      r = damped.unionByName(tele).groupBy(col("node"))
+        .agg(sum(col("p")).as("pr"), max(col("deg")).as("deg"))
+    }
+    r.select(col("node").as("item_id"), col("pr").as("ppr_rank"))
+  }
+
+  /** One unrolled PPR oracle round: damped in-mass per reached node
+    * plus the seed-set teleport, re-aggregated at node grain.
+    */
+  private def pprCte(name: String, prev: String): String =
+    s"""$name AS MATERIALIZED (SELECT node, SUM(p) AS pr FROM (
+       |  SELECT a.n AS node,
+       |    ($DampPct * SUM(r.pr // d.deg)) // 100 AS p
+       |  FROM adj a JOIN $prev r ON a.v = r.node JOIN dg d ON a.v = d.v
+       |  GROUP BY a.n
+       |  UNION ALL SELECT node, (15 * $Scale) // (100 * n_seeds)
+       |  FROM seeds, ns) GROUP BY node)""".stripMargin
+
+  /** HITS runs at 1e9 scale so every normalization product
+    * score·Scale stays within int64: per-node raw scores are bounded
+    * by the opposite side's total mass (= Scale after normalization),
+    * so raw·Scale ≤ 10¹⁸ < 2⁶³. */
+  val HitsScale = 1000000000L
+  val HitsIters = 3
+
+  /** G9 (beyond-ref): HITS hubs-and-authorities (Kleinberg 1999) over
+    * the directed user→item interaction graph — the asymmetric read
+    * PageRank can't give: an AUTHORITY item is one bought by
+    * high-coverage users, a HUB user is one who buys authoritative
+    * items (curator detection / item canonicalization, the bipartite
+    * analog of the CF neighborhood). Each round: authority = in-sum
+    * of hub scores, hub = out-sum of authority scores, each
+    * renormalized to total mass `HitsScale` by exact integer
+    * (raw·Scale) div total — the float L2 normalization of the paper
+    * replaced with L1 integer normalization so both engines walk the
+    * identical integer sequence (same ranking: positive scalar
+    * normalizations preserve order).
+    *
+    * Scale shape: each round is two equi-joins of a score vector with
+    * the edge list plus two map-side-combinable sums and two 1-row
+    * scalar totals (broadcast, not collected). Score vectors are
+    * |U| / |I| rows; nothing is ever quadratic. Fixed rounds bound
+    * the lineage exactly as in pagerankFrom.
+    */
+  def hits(inter: DataFrame, iters: Int = HitsIters): DataFrame = {
+    val e = inter.select(col("user_id").as("u"), col("item_id").as("it"))
+      .distinct().localCheckpoint(false) // both joins, every round
+    val users = e.select(col("u")).distinct()
+    val nu = users.agg(count(lit(1)).as("n_users"))
+    var hub = users.crossJoin(nu)
+      .select(col("u"), expr(s"$HitsScale div n_users").as("h"))
+      .localCheckpoint(false)
+    var auth: DataFrame = hub.limit(0)
+      .select(col("u").as("it"), col("h").as("a")) // iters ≥ 1 overwrites
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub, "u").groupBy(col("it"))
+        .agg(sum(col("h")).as("ar")).localCheckpoint(false) // total + norm
+      val atot = araw.agg(sum(col("ar")).as("at"))
+      auth = araw.crossJoin(atot) // 1-row build side
+        .select(col("it"), expr(s"(ar * $HitsScale) div at").as("a"))
+        .localCheckpoint(false) // hub join + final output
+      val hraw = e.join(auth, "it").groupBy(col("u"))
+        .agg(sum(col("a")).as("hr")).localCheckpoint(false)
+      val htot = hraw.agg(sum(col("hr")).as("ht"))
+      hub = hraw.crossJoin(htot)
+        .select(col("u"), expr(s"(hr * $HitsScale) div ht").as("h"))
+        .localCheckpoint(false)
+    }
+    auth.select(lit("item").as("node_type"), col("it").as("id"),
+        col("a").as("score"))
+      .unionByName(hub.select(lit("user").as("node_type"),
+        col("u").as("id"), col("h").as("score")))
+  }
+
+  /** One unrolled HITS oracle round: raw in/out sums, 1-row totals,
+    * integer L1 renormalization — four CTEs per round.
+    */
+  private def hitsCte(r: Int): String = {
+    val prevH = if (r == 1) "h0" else s"h${r - 1}"
+    s"""ar$r AS MATERIALIZED (SELECT e.it, SUM(h.h) AS ar
+       |  FROM e JOIN $prevH h ON e.u = h.u GROUP BY e.it),
+       |at$r AS (SELECT SUM(ar) AS at FROM ar$r),
+       |a$r AS MATERIALIZED (SELECT it, (ar * $HitsScale) // at AS a
+       |  FROM ar$r, at$r),
+       |hr$r AS MATERIALIZED (SELECT e.u, SUM(a.a) AS hr
+       |  FROM e JOIN a$r a ON e.it = a.it GROUP BY e.u),
+       |ht$r AS (SELECT SUM(hr) AS ht FROM hr$r),
+       |h$r AS MATERIALIZED (SELECT u, (hr * $HitsScale) // ht AS h
+       |  FROM hr$r, ht$r)""".stripMargin
+  }
+
   /** One unrolled k-core peel round; edges `e<prev>` → `e<r>`. */
   private def kcoreCte(r: Int): String = {
     val prev = if (r == 1) "e" else s"e${r - 1}"
@@ -642,6 +787,63 @@ object Graph {
            |SELECT seed, CAST(depth AS BIGINT) AS depth,
            |CAST(COUNT(*) AS BIGINT) AS n_nodes
            |FROM v$BfsDepth GROUP BY 1, 2""".stripMargin
+      }),
+
+    // G8 (beyond-ref): personalized PageRank from the hub seed set —
+    // see personalizedPagerank for the sparse-vector teleport device.
+    QueryDef("graph_ppr",
+      (s, d) => personalizedPagerank(
+        itemEdges(Recommend.interactionsCapped(s, d)
+          .localCheckpoint(false))),
+      Some {
+        val ladder = (1 to PprIters)
+          .map(i => pprCte(s"r$i", if (i == 1) "r0" else s"r${i - 1}"))
+          .mkString(",\n")
+        s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+           |    MAX(o_orderdate) AS last_ts
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |capped AS (SELECT user_id, item_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+           |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+           |  WHERE rn <= ${Recommend.CapPerUser}),
+           |e AS MATERIALIZED (SELECT i, j FROM (
+           |  SELECT a.item_id i, b.item_id j, COUNT(*) co
+           |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+           |    AND a.item_id < b.item_id
+           |  GROUP BY 1, 2) WHERE co >= $TriMinCo),
+           |adj AS MATERIALIZED (SELECT i AS v, j AS n FROM e
+           |  UNION ALL SELECT j, i FROM e),
+           |dg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM adj GROUP BY 1),
+           |seeds AS MATERIALIZED (SELECT v AS node, deg FROM dg
+           |  ORDER BY deg DESC, v LIMIT $PprSeeds),
+           |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds FROM seeds),
+           |r0 AS MATERIALIZED (SELECT node, $Scale // n_seeds AS pr
+           |  FROM seeds, ns),
+           |$ladder
+           |SELECT node AS item_id, CAST(pr AS BIGINT) AS ppr_rank
+           |FROM r$PprIters""".stripMargin
+      }),
+
+    // G9 (beyond-ref): HITS hubs/authorities — see hits for the
+    // integer L1-renormalization overflow bound.
+    QueryDef("graph_hits",
+      (s, d) => hits(Recommend.interactions(s, d)),
+      Some {
+        val ladder = (1 to HitsIters).map(hitsCte).mkString(",\n")
+        s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS u,
+           |    l_partkey AS it
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+           |  FROM e),
+           |h0 AS MATERIALIZED (SELECT DISTINCT u,
+           |  $HitsScale // n_users AS h FROM e, nu),
+           |$ladder
+           |SELECT 'item' AS node_type, it AS id, CAST(a AS BIGINT) AS score
+           |FROM a$HitsIters
+           |UNION ALL
+           |SELECT 'user', u, CAST(h AS BIGINT) FROM h$HitsIters""".stripMargin
       }),
 
     // G7 (beyond-ref): degree assortativity — see assortativity for

@@ -117,7 +117,9 @@ class DeterminismSpec extends SparkSpec {
     "sim_ivfpq_res_vs_plain", // shared-baseline recall comparison
     "sim_knn_ivfpq_res_probe", // per-probed-cell residuals, full ADC
     "sim_knn_ivf_filtered",   // metadata semi-join ∧ cell restriction
-    "graph_assortativity")    // decimal moments + one division
+    "graph_assortativity",    // decimal moments + one division
+    "graph_ppr",              // sparse seed-teleport integer walk
+    "graph_hits")             // integer L1-renormalized hub/auth
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -314,6 +314,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.qualityCalibration(docs0).count() === 0)
     assert(Graph.linkPredict(
       empty("i" -> LongType, "j" -> LongType)).count() === 0)
+    assert(Graph.personalizedPagerank(
+      empty("i" -> LongType, "j" -> LongType)).count() === 0)
+    assert(Graph.hits(inter0).count() === 0)
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)

@@ -150,6 +150,64 @@ class GraphSpec extends SparkSpec {
       .collect().toMap === got)
   }
 
+  test("ppr: mass localizes at the seed, never reaches other components") {
+    // star 0-{1..4} plus a DISJOINT edge {10,11}: with one seed (hub
+    // 0), the walk can only reach the star — the other component gets
+    // NO rows (the sparse-vector property global pagerank lacks)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+      .toDF("i", "j")
+    val r = Graph.personalizedPagerank(edges, nSeeds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(!r.contains(10L) && !r.contains(11L))
+    // seed holds the bulk; symmetric spokes tie exactly
+    assert(r(0L) > r(1L))
+    assert(Seq(2L, 3L, 4L).forall(k => r(k) == r(1L)))
+    // all restart mass returns to the seed: total stays near Scale
+    // within integer-division loss
+    val total = r.values.sum
+    assert(total <= Graph.Scale &&
+      total > GraphSpecUtil.massLowerBound(Graph.Scale, 5, Graph.PprIters))
+    // partition invariance
+    val r2 = Graph.personalizedPagerank(edges.repartition(4), nSeeds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 === r)
+  }
+
+  test("ppr: multi-seed teleport splits restart mass across seeds") {
+    // two disjoint stars: hubs 0 (deg 3) and 100 (deg 2); nSeeds=2
+    // seeds both hubs, each component keeps its own walk
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (100L, 101L), (100L, 102L)).toDF("i", "j")
+    val r = Graph.personalizedPagerank(edges, nSeeds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r.keySet === Set(0L, 1L, 2L, 3L, 100L, 101L, 102L))
+    assert(r(0L) > r(1L) && r(100L) > r(101L))
+    assert(r(101L) == r(102L)) // symmetric spokes tie
+  }
+
+  test("hits: authorities rank by curated in-links, hubs by coverage") {
+    // u1 buys items 10+11, u2/u3 buy 10 only: item 10 is the
+    // authority, u1 the hub (only user touching both items)
+    val inter = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L))
+      .toDF("user_id", "item_id")
+    val r = Graph.hits(inter)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, i, v) => (t, i) -> v }.toMap
+    assert(r(("item", 10L)) > r(("item", 11L)))
+    assert(r(("user", 1L)) > r(("user", 2L)))
+    assert(r(("user", 2L)) == r(("user", 3L))) // symmetric users tie
+    // each side renormalizes to HitsScale up to integer-division loss
+    val aTot = Seq(10L, 11L).map(i => r(("item", i))).sum
+    val hTot = Seq(1L, 2L, 3L).map(u => r(("user", u))).sum
+    assert(aTot <= Graph.HitsScale && aTot > Graph.HitsScale - 10L)
+    assert(hTot <= Graph.HitsScale && hTot > Graph.HitsScale - 10L)
+    // partition invariance
+    val r2 = Graph.hits(inter.repartition(3))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, i, v) => (t, i) -> v }.toMap
+    assert(r2 === r)
+  }
+
   test("iteration is a fixpoint map: rank vector is deterministic") {
     val a = Graph.pagerankFrom(starInter, iters = 4)
       .orderBy("node_type", "id").as[(String, Long, Long)].collect().toSeq

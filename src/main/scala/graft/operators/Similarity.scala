@@ -776,6 +776,122 @@ object Similarity {
         expr("transform(cq, v -> v / 1000000.0D)").as("cv"))
   }
 
+  /** Occupancy > (Num × mean) div Den ⇒ the cell splits — 4/3 (33%
+    * over mean) keeps the verb exercised on the near-uniform
+    * synthetic corpus at every SF (2× mean never fires past sf0.01
+    * there); production skew only makes the threshold easier to
+    * trip. Integer ratio so the boundary is engine-exact.
+    */
+  val SplitOccNum = 4L
+  val SplitOccDen = 3L
+
+  /** The trained-codebook assignment in INTEGER space (vec_id, cell,
+    * q) — the Lloyd-metric sibling of ivfAssign's cosine form, shared
+    * by ivfSplitCells and its spec so the split invariants are
+    * checkable against the operator's own assignment.
+    */
+  private[operators] def ivfAssignQ(emb: DataFrame): DataFrame = {
+    val xq = microQuant(emb).localCheckpoint(false)
+    lloydAssign(xq, lloydCodebookQ(xq, IvfTrainRounds))
+      .select(col("vec_id"), col("cell"), col("q"))
+  }
+
+  /** V15: IVF cell SPLITTING — the index-maintenance verb cellStats
+    * monitors for: when ingest skews a cell past (SplitOccNum ×
+    * mean) div SplitOccDen occupancy (probing it dominates every
+    * query that lands there), retrain it into 2 sub-cells rather
+    * than retraining the
+    * whole coarse quantizer (the FAISS operational playbook: the
+    * codebook retrains offline and rarely; a hot cell splits now).
+    * Seeds are the cell's min- and max-id members (deterministic, no
+    * sampling pass), one integer Lloyd assignment round against the
+    * 2 seeds partitions the membership, and the sub-centroid is the
+    * established floor-of-exact-double micro-unit mean. Output is
+    * the long-form refined sub-codebook (cell, sub, idx, cqi,
+    * n_vecs) — exactly what an index rewrite of the touched cells
+    * (the ivfCompact machinery) would consume.
+    *
+    * Scale shape: occupancy is a cell-grain aggregate over the
+    * assignment the index build already produces; the split work is
+    * bounded by the OVERSIZED cells' membership (seed lookup is two
+    * joins on vec_id, sub-assignment is a broadcast of ≤ 2·CentCount
+    * seed rows against those members only); nothing touches the
+    * well-sized cells. Determinism: occupancy threshold, seed
+    * choice, assignment argmin (s, sub) and the floor-mean are all
+    * exact integer arithmetic — both engines split the same cells
+    * the same way.
+    */
+  def ivfSplitCells(emb: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val assigned = ivfAssignQ(emb)
+      .localCheckpoint(false) // occupancy + members + seed lookups
+    val occ = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val mo = occ.agg(expr("sum(n) div count(1)").as("mean_occ"))
+    val over = occ.crossJoin(mo) // 1-row build side
+      .filter(col("n") >
+        expr(s"($SplitOccNum * mean_occ) div $SplitOccDen"))
+      .select(col("cell"))
+    val mem = assigned.join(over, Seq("cell"), "left_semi")
+      .localCheckpoint(false) // seed ids + both seed joins + assign
+    val sid = mem.groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+    val sl = sid
+      .join(mem.select(col("vec_id").as("lo"), col("q").as("sq0")), "lo")
+      .join(mem.select(col("vec_id").as("hi"), col("q").as("sq1")), "hi")
+    val seeds = sl.select(col("cell"), lit(0L).as("sub"), col("sq0").as("sq"))
+      .unionByName(
+        sl.select(col("cell"), lit(1L).as("sub"), col("sq1").as("sq")))
+    val sub = mem.join(broadcast(seeds), Seq("cell"))
+      .withColumn("s",
+        dotiFast(col("sq"), col("sq")) - lit(2L) * dotiFast(col("q"), col("sq")))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min_by(col("sub"), struct(col("s"), col("sub"))).as("sub"))
+      .join(mem.select(col("vec_id"), col("q")), Seq("vec_id"))
+    sub.select(col("cell"), col("sub"),
+        posexplode(col("q")).as(Seq("idx", "xi")))
+      .groupBy(col("cell"), col("sub"), col("idx"))
+      .agg(sum(col("xi").cast(dec38)).as("sx"), count(lit(1)).as("nv"))
+      .select(col("cell"), col("sub"), col("idx").cast("long").as("idx"),
+        floor(col("sx").cast("double") / col("nv")).cast("long").as("cqi"),
+        col("nv").as("n_vecs"))
+  }
+
+  /** Unrolled DuckDB mirror of ivfSplitCells: the Lloyd ladder + the
+    * final assignment block, then occupancy threshold, min/max seeds,
+    * one 2-seed assignment round, floor-mean sub-centroids.
+    */
+  private def ivfSplitCellsSql: String =
+    s"""WITH ${lloydLadderSql(IvfTrainRounds)},
+       |${lloydDistBlock("F", s"c$IvfTrainRounds")},
+       |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM aF GROUP BY 1),
+       |mo AS (SELECT SUM(n) // COUNT(*) AS mean_occ FROM occ),
+       |over_c AS MATERIALIZED (SELECT cell FROM occ, mo
+       |  WHERE n > ($SplitOccNum * mean_occ) // $SplitOccDen),
+       |mem AS MATERIALIZED (SELECT a.vec_id, a.cell, a.q FROM aF a
+       |  WHERE a.cell IN (SELECT cell FROM over_c)),
+       |sid AS (SELECT cell, MIN(vec_id) AS lo, MAX(vec_id) AS hi
+       |  FROM mem GROUP BY 1),
+       |sl AS MATERIALIZED (
+       |  SELECT s.cell, CAST(0 AS BIGINT) AS sub, m.q AS sq
+       |  FROM sid s JOIN mem m ON m.vec_id = s.lo AND m.cell = s.cell
+       |  UNION ALL
+       |  SELECT s.cell, CAST(1 AS BIGINT), m.q
+       |  FROM sid s JOIN mem m ON m.vec_id = s.hi AND m.cell = s.cell),
+       |sa0 AS MATERIALIZED (SELECT m.vec_id, m.cell, m.q, l.sub,
+       |    CAST(list_sum(list_transform(l.sq, v -> v * v))
+       |      - 2 * list_sum(list_transform(generate_series(1, $Dim),
+       |          i -> m.q[i] * l.sq[i])) AS BIGINT) AS s
+       |  FROM mem m JOIN sl l ON m.cell = l.cell),
+       |sa AS MATERIALIZED (SELECT vec_id, cell, q, sub FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY s, sub) AS rn FROM sa0) WHERE rn = 1)
+       |SELECT cell, sub, CAST(i.i - 1 AS BIGINT) AS idx,
+       |CAST(FLOOR(CAST(SUM(q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cqi,
+       |CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |FROM sa, (SELECT unnest(generate_series(1, $Dim)) AS i) i
+       |GROUP BY 1, 2, 3""".stripMargin
+
   /** IVF-Flat ANN: coarse quantization to the nearest trained
     * centroid, then exact search inside the cell. The codebook is
     * tiny (CentCount rows) → broadcast; assignment is a scan-speed
@@ -2169,6 +2285,12 @@ object Similarity {
     QueryDef("sim_kmeans_lloyd",
       (s, d) => kmeansLloyd(Tables.embeddings(s, d)),
       Some(kmeansLloydSql(LloydRounds))),
+
+    // V15: cell splitting — the skew-repair maintenance verb; see
+    // ivfSplitCells for the seed/threshold devices.
+    QueryDef("sim_ivf_split_cells",
+      (s, d) => ivfSplitCells(Tables.embeddings(s, d)),
+      Some(ivfSplitCellsSql)),
 
     QueryDef("sim_quantize_int8",
       (s, d) => quantizeInt8(Tables.embeddings(s, d)),

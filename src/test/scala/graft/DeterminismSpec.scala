@@ -119,7 +119,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_knn_ivf_filtered",   // metadata semi-join ∧ cell restriction
     "graph_assortativity",    // decimal moments + one division
     "graph_ppr",              // sparse seed-teleport integer walk
-    "graph_hits")             // integer L1-renormalized hub/auth
+    "graph_hits",             // integer L1-renormalized hub/auth
+    "sim_ivf_split_cells")    // occupancy threshold + 2-seed split
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

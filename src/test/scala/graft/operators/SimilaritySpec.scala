@@ -468,6 +468,56 @@ class SimilaritySpec extends SparkSpec {
       s"inertia ${got.map(_._3).sum} implies a mixed A/B cell")
   }
 
+  test("ivf split: exactly the oversized cells split; sub sizes " +
+    "partition membership; a pure clone cell keeps its centroid") {
+    // 30 identical far-corner clones (all-20.0) + 70 varied vectors:
+    // the clones form one cell of occupancy ~30 against mean ~5 —
+    // guaranteed oversized at the 4/3 threshold
+    val clones = (0 until 30).map(i =>
+      (i.toLong, Array.fill(Similarity.Dim)(20.0f), 0))
+    val varied = (30 until 100).map { i =>
+      (i.toLong, (0 until Similarity.Dim)
+        .map(d => ((i * 31 + d * 17) % 13 - 6).toFloat).toArray, 0)
+    }
+    val e = (clones ++ varied).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfSplitCells(e)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // recompute the expected split set from the operator's own
+    // assignment (shared derivation, package-private)
+    val assigned = Similarity.ivfAssignQ(e)
+      .select(col("vec_id"), col("cell"))
+      .as[(Long, Long)].collect().toSeq
+    val occ = assigned.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val mean = occ.values.sum / occ.size
+    val expected = occ.filter { case (_, n) =>
+      n > (Similarity.SplitOccNum * mean) / Similarity.SplitOccDen
+    }.keySet
+    assert(out.map(_._1).toSet === expected)
+    assert(expected.nonEmpty)
+    // per (cell, sub): exactly Dim component rows, one n_vecs value;
+    // sub sizes partition the cell's membership
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted ===
+        (0L until Similarity.Dim.toLong))
+      assert(rows.map(_._5).distinct.size === 1)
+    }
+    val cellSize = out.groupBy(_._1).view.mapValues(rs =>
+      rs.groupBy(_._2).map(_._2.head._5).sum).toMap
+    cellSize.foreach { case (c, n) => assert(n === occ(c)) }
+    // the clone cell: identical members -> identical seeds -> every
+    // member ties to sub 0, and the floor-mean IS the clone vector
+    val cloneCell = assigned.find(_._1 == 0L).get._2
+    assert(expected.contains(cloneCell))
+    val cloneRows = out.filter(_._1 == cloneCell)
+    assert(cloneRows.map(_._2).distinct === Seq(0L))
+    assert(cloneRows.forall(_._4 === 20000000L)) // round(20.0 * 1e6)
+    assert(cloneRows.head._5 >= 30L) // all 30 clones in one sub
+    // partition invariance
+    val out2 = Similarity.ivfSplitCells(e.repartition(7))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out2.sorted === out.sorted)
+  }
+
   test("ivf from store: the persisted index serves identical rows") {
     val d = "/root/testdata/sf0.001"
     val inline = Similarity.knnIvf(graft.Tables.embeddings(spark, d))

@@ -621,7 +621,70 @@ object Quality {
       |    AS BIGINT) END AS amplification_milli
       |FROM tl, tr, agg""".stripMargin
 
+  /** DQ10: the schema-profiling pass every lake onboarding runs —
+    * per column: non-null count, exact distinct cardinality, and
+    * min/max rendered as strings (the Deequ/Great-Expectations
+    * "profile" primitive that seeds the constraint suites above).
+    * One scan: all per-column aggregates run in a single global
+    * aggregate, then one `stack` unpivots to the long form.
+    *
+    * Scale note: the EXACT multi-column distinct plans one Expand
+    * projection per distinct aggregate (scan × ncols rows into the
+    * partial aggregate — the price of exactness, map-side combined);
+    * at 100 TB the same plumbing takes approx_count_distinct (the
+    * a10 HLL device) — exact here because the oracle compare needs
+    * the exact number. min/max cast to string AFTER the typed
+    * comparison, so ordering semantics stay native per type.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val cs = df.columns.toSeq
+    val aggs = cs.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"),
+      aggs: _*)
+    val stackArgs = cs
+      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    one.select(col("n_rows"), expr(
+      s"stack(${cs.size}, $stackArgs) as " +
+        "(column_name, n_non_null, n_distinct, min_s, max_s)"))
+  }
+
+  /** Orders with the timestamp normalized to a date string, so the
+    * profile's min/max render identically across engines. */
+  private def ordProfiled(s: SparkSession, d: String): DataFrame =
+    ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"),
+      to_date(col("o_orderdate")).cast("string").as("o_orderdate"),
+      col("o_orderpriority"))
+
+  private val ProfileCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private def profileSql: String = {
+    val perCol = ProfileCols.map { c =>
+      s"""SELECT n_rows, '$c' AS column_name,
+         |CAST(COUNT($c) AS BIGINT) AS n_non_null,
+         |CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |CAST(MIN($c) AS VARCHAR) AS min_s,
+         |CAST(MAX($c) AS VARCHAR) AS max_s
+         |FROM src, n GROUP BY n_rows""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    o_totalprice,
+       |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       |    o_orderpriority FROM orders),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM src)
+       |$perCol""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // DQ10: one-scan schema profile — see profile.
+    QueryDef("dq_profile",
+      (s, d) => profile(ordProfiled(s, d)), Some(profileSql)),
     QueryDef("dq_ref_integrity",
       (s, d) => refIntegrity(ord(s, d), Tables.lineitem(s, d),
         Tables.customer(s, d)),

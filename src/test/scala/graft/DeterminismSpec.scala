@@ -120,7 +120,8 @@ class DeterminismSpec extends SparkSpec {
     "graph_assortativity",    // decimal moments + one division
     "graph_ppr",              // sparse seed-teleport integer walk
     "graph_hits",             // integer L1-renormalized hub/auth
-    "sim_ivf_split_cells")    // occupancy threshold + 2-seed split
+    "sim_ivf_split_cells",    // occupancy threshold + 2-seed split
+    "dq_profile")             // multi-distinct Expand + stack unpivot
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -152,6 +152,25 @@ class QualitySpec extends SparkSpec {
     assert(clean.values.toSeq === Seq(0L, 0L, 0L))
   }
 
+  test("profile: per-column null/distinct/minmax on a planted frame") {
+    val df = Seq(
+      (Option(1L), Option("x")),
+      (Option.empty[Long], Option("y")),
+      (Option(1L), Option.empty[String]))
+      .toDF("a", "b")
+    val got = Quality.profile(df)
+      .as[(Long, String, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._2 -> r).toMap
+    assert(got("a") === ((3L, "a", 2L, 1L, Some("1"), Some("1"))))
+    assert(got("b") === ((3L, "b", 2L, 2L, Some("x"), Some("y"))))
+    // empty input: one profile row per column, zero counts, null minmax
+    val zero = Quality.profile(df.limit(0))
+      .as[(Long, String, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._2 -> r).toMap
+    assert(zero("a") === ((0L, "a", 0L, 0L, None, None)))
+    assert(zero("b") === ((0L, "b", 0L, 0L, None, None)))
+  }
+
   test("join explosion: exact pair prediction, hot key, amplification") {
     val left = Seq(1L, 1L, 1L, 2L).toDF("k")
     val right = Seq(1L, 1L, 3L).toDF("k")

@@ -279,15 +279,21 @@ object Graph {
     * is drive-by popularity, not signal, exactly as in the CF cap.
     * Degrees in the denominator are post-cap for consistency.
     */
-  def linkPredict(edges: DataFrame, maxNbr: Long = LpMaxNbr,
-                  k: Int = LpTopK): DataFrame = {
-    val e = edges.localCheckpoint(false) // adjacency + the anti-join
+  /** The capped undirected adjacency both link-prediction scorers
+    * share: each node keeps its `maxNbr` lowest-id neighbors. */
+  private def cappedAdjacency(e: DataFrame, maxNbr: Long): DataFrame = {
     val adj0 = e.select(col("i").as("v"), col("j").as("n"))
       .unionByName(e.select(col("j").as("v"), col("i").as("n")))
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v")).orderBy(col("n"))
-    val adj = adj0.withColumn("rn", row_number().over(wCap))
+    adj0.withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= maxNbr).select(col("v"), col("n"))
+  }
+
+  def linkPredict(edges: DataFrame, maxNbr: Long = LpMaxNbr,
+                  k: Int = LpTopK): DataFrame = {
+    val e = edges.localCheckpoint(false) // adjacency + the anti-join
+    val adj = cappedAdjacency(e, maxNbr)
       .localCheckpoint(false) // wedge sides + degrees
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val cn = adj.as("x").join(adj.as("y"),
@@ -456,6 +462,41 @@ object Graph {
        |ht$r AS (SELECT SUM(hr) AS ht FROM hr$r),
        |h$r AS MATERIALIZED (SELECT u, (hr * $HitsScale) // ht AS h
        |  FROM hr$r, ht$r)""".stripMargin
+  }
+
+  /** G10 (beyond-ref): Adamic-Adar link prediction — the
+    * degree-discounted companion to linkPredict's Jaccard: a common
+    * neighbor counts 1/ln(deg(z)), so a niche shared neighbor (two
+    * items co-bought only by a focused pair of carts) is worth more
+    * than a hub everyone touches (Adamic & Adar 2003, the standard
+    * second scorer in every LP benchmark). Same capped adjacency and
+    * wedge shape as linkPredict — the cap bounds wedge volume at
+    * |V|·cap² — with the center's weight precomputed per adjacency
+    * row, so the wedge join aggregates a plain integer sum.
+    * Determinism: weights are 10¹² div round(ln(deg)·10⁶) —
+    * micro-nat quantized BEFORE the integer division (the
+    * bi_price_elasticity log device), deg ≥ 2 for any wedge center
+    * keeps the divisor positive; the top-k cut orders (aa_q desc,
+    * i, j), a total order.
+    */
+  def adamicAdar(edges: DataFrame, maxNbr: Long = LpMaxNbr,
+                 k: Int = LpTopK): DataFrame = {
+    val e = edges.localCheckpoint(false) // adjacency + the anti-join
+    val adj = cappedAdjacency(e, maxNbr)
+      .localCheckpoint(false) // degree + both wedge sides
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val adjW = adj.join(deg, Seq("v"))
+      .filter(col("deg") >= 2) // only possible wedge centers
+      .withColumn("w", expr("1000000000000L div " +
+        "cast(round(ln(cast(deg as double)) * 1000000.0d) as bigint)"))
+    val aa = adjW.as("x").join(adj.as("y"),
+        col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("i"), col("y.n").as("j"))
+      .agg(sum(col("x.w")).as("aa_q"), count(lit(1)).as("n_common"))
+    aa.join(e, Seq("i", "j"), "left_anti") // predicted = not yet linked
+      .orderBy(col("aa_q").desc, col("i"), col("j"))
+      .limit(k)
+      .select(col("i"), col("j"), col("n_common"), col("aa_q"))
   }
 
   /** One unrolled k-core peel round; edges `e<prev>` → `e<r>`. */
@@ -788,6 +829,46 @@ object Graph {
            |CAST(COUNT(*) AS BIGINT) AS n_nodes
            |FROM v$BfsDepth GROUP BY 1, 2""".stripMargin
       }),
+
+    // G10 (beyond-ref): Adamic-Adar link prediction — see adamicAdar
+    // for the degree-discount weight device.
+    QueryDef("graph_adamic_adar",
+      (s, d) => adamicAdar(
+        itemEdges(Recommend.interactionsCapped(s, d)
+          .localCheckpoint(false))),
+      Some(s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+              |    MAX(o_orderdate) AS last_ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |capped AS (SELECT user_id, item_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+              |  WHERE rn <= ${Recommend.CapPerUser}),
+              |e AS MATERIALIZED (SELECT i, j FROM (
+              |  SELECT a.item_id i, b.item_id j, COUNT(*) co
+              |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+              |    AND a.item_id < b.item_id
+              |  GROUP BY 1, 2) WHERE co >= $TriMinCo),
+              |adj0 AS (SELECT i AS v, j AS n FROM e
+              |  UNION ALL SELECT j, i FROM e),
+              |adj AS MATERIALIZED (SELECT v, n FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY v ORDER BY n) rn
+              |  FROM adj0) WHERE rn <= $LpMaxNbr),
+              |dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+              |  FROM adj GROUP BY 1),
+              |aw AS MATERIALIZED (SELECT a.v, a.n,
+              |    1000000000000 // CAST(ROUND(ln(CAST(d.deg AS DOUBLE))
+              |      * 1000000.0) AS BIGINT) AS w
+              |  FROM adj a JOIN dg d ON a.v = d.v WHERE d.deg >= 2),
+              |cn AS (SELECT x.n AS i, y.n AS j, SUM(x.w) AS aa_q,
+              |    CAST(COUNT(*) AS BIGINT) AS n_common
+              |  FROM aw x JOIN adj y ON x.v = y.v AND x.n < y.n
+              |  GROUP BY 1, 2),
+              |cand AS (SELECT cn.i, cn.j, cn.n_common, cn.aa_q FROM cn
+              |  LEFT JOIN e ON cn.i = e.i AND cn.j = e.j
+              |  WHERE e.i IS NULL)
+              |SELECT i, j, n_common, CAST(aa_q AS BIGINT) AS aa_q
+              |FROM cand ORDER BY aa_q DESC, i, j LIMIT $LpTopK""".stripMargin)),
 
     // G8 (beyond-ref): personalized PageRank from the hub seed set —
     // see personalizedPagerank for the sparse-vector teleport device.

@@ -318,6 +318,8 @@ class EmptyInputSpec extends SparkSpec {
       empty("i" -> LongType, "j" -> LongType)).count() === 0)
     assert(Graph.hits(inter0).count() === 0)
     assert(Similarity.ivfSplitCells(emb0).count() === 0)
+    assert(Graph.adamicAdar(
+      empty("i" -> LongType, "j" -> LongType)).count() === 0)
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)

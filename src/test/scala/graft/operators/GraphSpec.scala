@@ -208,6 +208,30 @@ class GraphSpec extends SparkSpec {
     assert(r2 === r)
   }
 
+  test("adamic-adar: niche shared neighbor outweighs a hub at equal overlap") {
+    // pair (1,2) shares only center 10 (deg 2); pair (3,4) shares
+    // only center 20 (deg 4): same n_common, but AA discounts the
+    // hub — w(10) = 1e12 div round(ln2*1e6) > w(20) = 1e12 div
+    // round(ln4*1e6)
+    val edges = Seq((1L, 10L), (2L, 10L),
+      (3L, 20L), (4L, 20L), (20L, 21L), (20L, 22L)).toDF("i", "j")
+    val got = Graph.adamicAdar(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val w2 = 1000000000000L / math.round(math.log(2.0) * 1e6)
+    val w4 = 1000000000000L / math.round(math.log(4.0) * 1e6)
+    assert(got((1L, 2L)) === ((1L, w2)))
+    assert(got((3L, 4L)) === ((1L, w4)))
+    assert(w2 > w4)
+    // adjacent pairs never emit: (20,21) shares nothing non-adjacent
+    assert(!got.contains((20L, 21L)))
+    // partition invariance
+    val got2 = Graph.adamicAdar(edges.repartition(5))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got2 === got)
+  }
+
   test("iteration is a fixpoint map: rank vector is deterministic") {
     val a = Graph.pagerankFrom(starInter, iters = 4)
       .orderBy("node_type", "id").as[(String, Long, Long)].collect().toSeq

@@ -690,6 +690,60 @@ object Dedup {
       .filter(col("cos") >= t)
   }
 
+  val DecontamSalt = 7L
+
+  /** Embedding-space decontamination — the SEMANTIC rung of the
+    * train/eval hygiene ladder (evalContamination catches verbatim
+    * n-gram overlap, its Bloom form scales it; this catches
+    * paraphrase-grade leakage no token match sees: an eval item
+    * whose embedding has a near-neighbor in train is memorization
+    * risk even when the surface text differs). Split is the same
+    * bucket10 integer device as U4/evalContamination (salt 7);
+    * candidates come from the occupancy-scaled hyperplane buckets
+    * with Hamming-≤2 multiprobe (the embeddingNearDup machinery),
+    * but PROBES ONLY CROSS-SIDE: eval probes, train builds — the
+    * train×train and eval×eval pair spaces never form, exactly as in
+    * dedup_incremental. Per eval vector: train-neighbor count at
+    * cosine ≥ t and the max cosine in exact ppm. A (eval, train)
+    * pair meets in at most one probe bucket (distinct masks), so the
+    * count needs no dedup pass.
+    *
+    * Scale shape: at 100 TB the train side is the corpus and the
+    * eval side is benchmark-sized — the bucket join is eval-grain ×
+    * bucket occupancy, the same daily-cost bound as the incremental
+    * dedup path; recall < 1 is the LSH trade, monitored by
+    * dedup_lsh_recall's device on the same plane family.
+    */
+  def embeddingDecontam(emb: DataFrame, t: Double = CosineT): DataFrame = {
+    val p = Similarity.planesFor(emb.count())
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.bucketCol(col("v"), p))
+      .withColumn("b", bucket10(col("vec_id"), lit(DecontamSalt)))
+      .localCheckpoint(false) // train side + eval side + output spine
+    val train = e.filter(col("b") < 8)
+    val ev = e.filter(col("b") >= 8)
+    val probes = ev.withColumn("probe", explode(array(
+      col("bucket") +: Similarity.probeMasks2(p)
+        .map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+    val hits = probes.as("a")
+      .join(train.as("b"), col("a.probe") === col("b.bucket"))
+      .select(col("a.vec_id").as("vec_id"),
+        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= t)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_train_neighbors"),
+        max(expr("cast(round(cos * 1000000.0d) as bigint)"))
+          .as("max_cos_ppm"))
+    ev.select(col("vec_id")).join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_train_neighbors"), lit(0L))
+          .as("n_train_neighbors"),
+        coalesce(col("max_cos_ppm"), lit(0L)).as("max_cos_ppm"))
+      .withColumn("contaminated",
+        (col("n_train_neighbors") > 0).cast("int"))
+  }
+
   /** End product of the embedding dedup pass: connected components
     * over the bucketed near-dup pair graph (same labelComponents
     * machinery as the shingle path), each vector labeled with its
@@ -1338,6 +1392,42 @@ object Dedup {
               |$ccStepsSql
               |SELECT doc_id AS vec_id, lbl AS canonical_id,
               |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
+
+    // The semantic decontamination rung: cross-side-only bucket join
+    // between the bucket10 train/eval splits — see embeddingDecontam.
+    QueryDef("dedup_embedding_decontam",
+      (s, d) => embeddingDecontam(Tables.embeddings(s, d)),
+      Some(s"""WITH ${Similarity.planesSql},
+              |sp AS MATERIALIZED (SELECT vec_id, v, bucket,
+              |    ((vec_id % 100003) * 31 + $DecontamSalt * 97) % 10 AS b
+              |  FROM buckets),
+              |tr AS MATERIALIZED (SELECT vec_id, v, bucket FROM sp
+              |  WHERE b < 8),
+              |ev AS MATERIALIZED (SELECT vec_id, v, bucket FROM sp
+              |  WHERE b >= 8),
+              |eprobes AS (SELECT vec_id, v, bucket AS probe FROM ev
+              |  UNION ALL
+              |  SELECT e.vec_id, e.v, xor(e.bucket, CAST(1 AS BIGINT) << s.p)
+              |  FROM ev e, srs s WHERE s.p < (SELECT np FROM npl)
+              |  UNION ALL
+              |  SELECT e.vec_id, e.v, xor(e.bucket,
+              |    (CAST(1 AS BIGINT) << s1.p) | (CAST(1 AS BIGINT) << s2.p))
+              |  FROM ev e, srs s1, srs s2
+              |  WHERE s1.p < s2.p AND s2.p < (SELECT np FROM npl)),
+              |hits AS (SELECT a.vec_id,
+              |    CAST(COUNT(*) AS BIGINT) AS n_train_neighbors,
+              |    MAX(CAST(ROUND(ROUND(list_cosine_similarity(a.v, t.v), 6)
+              |      * 1000000.0) AS BIGINT)) AS max_cos_ppm
+              |  FROM eprobes a JOIN tr t ON a.probe = t.bucket
+              |  WHERE ROUND(list_cosine_similarity(a.v, t.v), 6) >= $CosineT
+              |  GROUP BY a.vec_id)
+              |SELECT e.vec_id,
+              |COALESCE(h.n_train_neighbors, CAST(0 AS BIGINT))
+              |  AS n_train_neighbors,
+              |COALESCE(h.max_cos_ppm, CAST(0 AS BIGINT)) AS max_cos_ppm,
+              |CAST(COALESCE(h.n_train_neighbors, 0) > 0 AS INT)
+              |  AS contaminated
+              |FROM ev e LEFT JOIN hits h ON e.vec_id = h.vec_id""".stripMargin)),
 
     QueryDef("dedup_semantic",
       (s, d) => semanticDedup(Tables.embeddings(s, d)),

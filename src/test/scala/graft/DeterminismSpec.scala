@@ -122,7 +122,8 @@ class DeterminismSpec extends SparkSpec {
     "graph_hits",             // integer L1-renormalized hub/auth
     "sim_ivf_split_cells",    // occupancy threshold + 2-seed split
     "dq_profile",             // multi-distinct Expand + stack unpivot
-    "graph_adamic_adar")      // quantized-ln weights + top-k cut
+    "graph_adamic_adar",      // quantized-ln weights + top-k cut
+    "dedup_embedding_decontam") // cross-side bucket join + ppm max
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -124,6 +124,31 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L)))
   }
 
+  test("embedding decontam: eval clone of a train vector flagged, " +
+    "orthogonal eval clean, cross-side only") {
+    // bucket10(id, salt 7) = (id + 9) % 10 for small ids: ids ending
+    // 0/9 are eval (b >= 8), the rest train. id 9 clones train id 1;
+    // id 10 is orthogonal to everything in train; train id 2 clones
+    // id 1 too — train×train must NOT emit.
+    val u = Seq.fill(4)(1.0f)
+    val w = Seq(1.0f, -1.0f, 1.0f, -1.0f)
+    val emb = Seq((1L, u), (2L, u), (3L, w.map(-_)), (9L, u), (10L, w))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingDecontam(emb)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet === Set(9L, 10L)) // one row per EVAL vector
+    assert(got(9L) === ((2L, 1000000L, 1))) // clones: train ids 1 AND 2
+    // id 10's only cosine-matches are w itself (eval) and -w (train,
+    // cos -1 < t): clean
+    assert(got(10L) === ((0L, 0L, 0)))
+    // partition invariance
+    val got2 = Dedup.embeddingDecontam(emb.repartition(4))
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got2 === got)
+  }
+
   test("cluster weights: floor(1e6/size) per doc, one weight per cluster") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val w = Dedup.clusterWeights(docs)

@@ -320,6 +320,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfSplitCells(emb0).count() === 0)
     assert(Graph.adamicAdar(
       empty("i" -> LongType, "j" -> LongType)).count() === 0)
+    assert(Dedup.embeddingDecontam(emb0).count() === 0)
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)

@@ -1220,9 +1220,15 @@ object Recommend {
     // accurate, novelty says not-just-obvious.
     QueryDef("ml_novelty_at_10",
       (s, d) => {
-        val inter = interactions(s, d).localCheckpoint(false)
-        val train = trainSet(inter).localCheckpoint(false)
-        val recs = recommend(train, itemSimilarity(train).localCheckpoint(false))
+        // same bounded harness as ndcg/map (round-6 verdict #2):
+        // capped-train similarity, recs for the md5 user sample only;
+        // popularity/self-information stay corpus-wide facts of the
+        // capped train split
+        val train = trainSetCapped(s, d).localCheckpoint(false)
+        val users = evalUserSample(train).localCheckpoint(false)
+        val recs = recommend(
+          train.join(broadcast(users), Seq("user_id"), "left_semi"),
+          itemSimilarity(train).localCheckpoint(false))
         val nu = train.select(col("user_id")).distinct()
           .agg(count(lit(1)).as("nu")) // 1 row
         val pop = train.groupBy(col("item_id")).agg(count(lit(1)).as("pop"))
@@ -1237,10 +1243,7 @@ object Recommend {
               / 1000000.0d, 6).as("avg_novelty"),
             col("n_recs"))
       },
-      Some(s"""WITH inter AS ($interSql),
-              |tr AS (SELECT user_id, item_id FROM inter WHERE $splitCond < 8),
-              |ev AS (SELECT user_id, item_id FROM inter WHERE $splitCond >= 8),
-              |${recsSql("tr")},
+      Some(s"""WITH $cappedEvalSql,
               |nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
               |  FROM tr),
               |pop AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS pop

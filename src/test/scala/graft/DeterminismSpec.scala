@@ -123,7 +123,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_ivf_split_cells",    // occupancy threshold + 2-seed split
     "dq_profile",             // multi-distinct Expand + stack unpivot
     "graph_adamic_adar",      // quantized-ln weights + top-k cut
-    "dedup_embedding_decontam") // cross-side bucket join + ppm max
+    "dedup_embedding_decontam", // cross-side bucket join + ppm max
+    "ml_novelty_at_10")       // bounded-eval quantized self-info
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

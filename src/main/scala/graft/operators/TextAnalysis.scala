@@ -2482,35 +2482,23 @@ object TextAnalysis {
               |CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_ppm
               |FROM m""".stripMargin)),
 
+    // The global training order: band-desc curriculum, md5 shuffle
+    // within a band, two-phase global position — see curriculumOrder.
+    QueryDef("mix_curriculum",
+      (s, d) => curriculumOrder(docs(s, d)),
+      Some(s"""WITH $bandPreludeSql,
+              |ord AS (SELECT doc_id, band,
+              |    CAST(concat('0x', substr(md5(concat('cur',
+              |      CAST(doc_id AS VARCHAR))),1,15)) AS BIGINT) AS h
+              |  FROM b)
+              |SELECT doc_id, band, h AS shuffle_key,
+              |CAST(ROW_NUMBER() OVER (ORDER BY band DESC, h, doc_id) - 1
+              |  AS BIGINT) AS global_pos
+              |FROM ord""".stripMargin)),
+
     QueryDef("mix_quality_bands",
       (s, d) => qualityBands(docs(s, d)),
-      Some(s"""WITH q0 AS (SELECT doc_id,
-              |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n_tokens,
-              |  CAST(len(list_distinct(string_split_regex(trim(text),'\\s+'))) AS BIGINT) AS n_distinct,
-              |  CAST(${sqlHits(StopEn)} AS BIGINT) AS n_stop
-              |  FROM documents),
-              |q AS (SELECT doc_id, n_tokens,
-              |  ROUND(CAST(n_distinct AS DOUBLE)/n_tokens*0.5
-              |    + LEAST(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.3
-              |    + CAST(n_stop AS DOUBLE)/n_tokens*0.2, 6) AS quality
-              |  FROM q0),
-              |vals AS (SELECT quality, COUNT(*) AS cnt FROM q GROUP BY 1),
-              |cum AS (SELECT quality,
-              |    SUM(cnt) OVER (ORDER BY quality ROWS UNBOUNDED PRECEDING)
-              |      AS cum, SUM(cnt) OVER () AS n
-              |  FROM vals),
-              |cuts AS (SELECT
-              |    MIN(CASE WHEN cum >= CAST(ceil(0.25*n) AS BIGINT)
-              |      THEN quality END) AS q1,
-              |    MIN(CASE WHEN cum >= CAST(ceil(0.50*n) AS BIGINT)
-              |      THEN quality END) AS q2,
-              |    MIN(CASE WHEN cum >= CAST(ceil(0.75*n) AS BIGINT)
-              |      THEN quality END) AS q3
-              |  FROM cum),
-              |b AS (SELECT doc_id, n_tokens,
-              |    1 + CAST(quality > q1 AS INT) + CAST(quality > q2 AS INT)
-              |      + CAST(quality > q3 AS INT) AS band
-              |  FROM q, cuts),
+      Some(s"""WITH $bandPreludeSql,
               |k AS (SELECT band, n_tokens,
               |    CAST(CAST(concat('0x', substr(md5(concat('qb',
               |      CAST(doc_id AS VARCHAR))),1,15)) AS BIGINT)
@@ -2719,18 +2707,25 @@ object TextAnalysis {
     * the keep decision is the house md5 hash bucket — deterministic,
     * replayable, scan-bandwidth. Output is band grain.
     */
-  def qualityBands(d: DataFrame): DataFrame = {
+  /** Per-doc quartile band (1 worst … 4 best) from the quality
+    * score's value-grain cuts — the shared derivation under
+    * qualityBands (rates) and curriculumOrder (ordering). */
+  def docBands(d: DataFrame): DataFrame = {
     val q = qualityScore(d).select(col("doc_id"), col("n_tokens"),
       col("quality"))
     val cuts = Stats.valueCuts(q, "quality",
       Seq(0.25 -> "q1", 0.50 -> "q2", 0.75 -> "q3"))
-    val rateCase = BandRates.toSeq.sortBy(_._1)
-      .map { case (b, r) => s"WHEN $b THEN $r" }.mkString(" ")
     q.crossJoin(broadcast(cuts))
       .withColumn("band", lit(1)
         + (col("quality") > col("q1")).cast("int")
         + (col("quality") > col("q2")).cast("int")
         + (col("quality") > col("q3")).cast("int"))
+  }
+
+  def qualityBands(d: DataFrame): DataFrame = {
+    val rateCase = BandRates.toSeq.sortBy(_._1)
+      .map { case (b, r) => s"WHEN $b THEN $r" }.mkString(" ")
+    docBands(d)
       .withColumn("rate", expr(s"CASE band $rateCase END"))
       .withColumn("keep",
         (graft.functions.Functions.h32(
@@ -2871,6 +2866,81 @@ object TextAnalysis {
       coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
       coalesce(col("vocab"), lit(0L)).as("vocab"))
   }
+
+  /** The global training ORDER — curriculum learning's data-side
+    * half (Bengio et al. 2009): every kept doc gets its position in
+    * the sequence the trainer will read — best quality band first
+    * (band 4 → 1), deterministic md5 shuffle within a band (no RNG,
+    * the u11 rule), doc_id as the final tiebreak. mix_epoch_plan
+    * says how often a source repeats; mix_budget_select says what's
+    * in; THIS says in what order — the missing verb between
+    * selection and shard writing (u13 packs the ordered stream).
+    *
+    * Scale shape: a global ROW_NUMBER is a single-partition window —
+    * the banned shape. Instead the u13 two-phase device: range-
+    * partition by the sort key (band desc, h, doc_id), per-partition
+    * counts prefix-summed at PARTITION grain (a bounded window:
+    * one row per partition), then a within-partition rank plus the
+    * partition offset. Partition boundaries are sampled and
+    * nondeterministic, but any range partitioning that respects the
+    * total order yields the identical global position — the
+    * boundaries cancel (shardPack's invariance argument, proven in
+    * its spec).
+    */
+  def curriculumOrder(d: DataFrame): DataFrame = {
+    val b = docBands(d).select(col("doc_id"), col("band"))
+      .withColumn("h",
+        hex60(concat(lit("cur"), col("doc_id").cast("string"))))
+    val parts = b
+      .repartitionByRange(col("band").desc, col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .localCheckpoint(false) // offsets aggregate + the rank pass
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.groupBy(col("pid"))
+      .agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val wIn = Window.partitionBy(col("pid"))
+      .orderBy(col("band").desc, col("h"), col("doc_id"))
+    parts.join(broadcast(offs), Seq("pid"))
+      .withColumn("global_pos",
+        col("off") + row_number().over(wIn).cast("long") - 1L)
+      .select(col("doc_id"), col("band"), col("h").as("shuffle_key"),
+        col("global_pos"))
+  }
+
+  /** The per-doc quality-band CTE chain (q0 … b) shared by the
+    * mix_quality_bands and mix_curriculum oracles — mirrors
+    * docBands exactly. */
+  private lazy val bandPreludeSql: String =
+    s"""q0 AS (SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split_regex(trim(text),'\\s+'))) AS BIGINT) AS n_distinct,
+       |  CAST(${sqlHits(StopEn)} AS BIGINT) AS n_stop
+       |  FROM documents),
+       |q AS (SELECT doc_id, n_tokens,
+       |  ROUND(CAST(n_distinct AS DOUBLE)/n_tokens*0.5
+       |    + LEAST(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.3
+       |    + CAST(n_stop AS DOUBLE)/n_tokens*0.2, 6) AS quality
+       |  FROM q0),
+       |vals AS (SELECT quality, COUNT(*) AS cnt FROM q GROUP BY 1),
+       |cum AS (SELECT quality,
+       |    SUM(cnt) OVER (ORDER BY quality ROWS UNBOUNDED PRECEDING)
+       |      AS cum, SUM(cnt) OVER () AS n
+       |  FROM vals),
+       |cuts AS (SELECT
+       |    MIN(CASE WHEN cum >= CAST(ceil(0.25*n) AS BIGINT)
+       |      THEN quality END) AS q1,
+       |    MIN(CASE WHEN cum >= CAST(ceil(0.50*n) AS BIGINT)
+       |      THEN quality END) AS q2,
+       |    MIN(CASE WHEN cum >= CAST(ceil(0.75*n) AS BIGINT)
+       |      THEN quality END) AS q3
+       |  FROM cum),
+       |b AS (SELECT doc_id, n_tokens,
+       |    1 + CAST(quality > q1 AS INT) + CAST(quality > q2 AS INT)
+       |      + CAST(quality > q3 AS INT) AS band
+       |  FROM q, cuts)""".stripMargin
 
   private lazy val heapsLawSql: String =
     """WITH tok AS (SELECT doc_id,

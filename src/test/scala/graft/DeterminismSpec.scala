@@ -124,7 +124,8 @@ class DeterminismSpec extends SparkSpec {
     "dq_profile",             // multi-distinct Expand + stack unpivot
     "graph_adamic_adar",      // quantized-ln weights + top-k cut
     "dedup_embedding_decontam", // cross-side bucket join + ppm max
-    "ml_novelty_at_10")       // bounded-eval quantized self-info
+    "ml_novelty_at_10",       // bounded-eval quantized self-info
+    "mix_curriculum")         // two-phase global training order
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -321,6 +321,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graph.adamicAdar(
       empty("i" -> LongType, "j" -> LongType)).count() === 0)
     assert(Dedup.embeddingDecontam(emb0).count() === 0)
+    assert(TextAnalysis.curriculumOrder(docs0).count() === 0)
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)

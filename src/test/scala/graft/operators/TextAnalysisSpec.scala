@@ -420,6 +420,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) === (30L, 0))  // worst lands past the ration
   }
 
+  test("curriculum order: a band-desc permutation, shuffled within bands, " +
+    "partition invariant") {
+    val rich = "the quick brown fox jumps over a lazy dog today"
+    val mid = "the the quick quick brown brown fox fox dog dog"
+    val poor = "spam spam spam spam spam spam spam spam spam spam"
+    val docs = (1L to 4L).map(i => TDoc(i, poor, "en")) ++
+      (5L to 8L).map(i => TDoc(i, mid, "en")) ++
+      (9L to 12L).map(i => TDoc(i, rich, "en"))
+    val df = docs.toDF()
+      .withColumn("source", org.apache.spark.sql.functions.lit("A"))
+    val got = TextAnalysis.curriculumOrder(df)
+      .select("doc_id", "band", "global_pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    // positions are exactly 0..n-1 (a permutation)
+    assert(got.map(_._3).toSeq === (0L until 12L))
+    // bands never increase along the reading order (curriculum)
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    // every doc appears once
+    assert(got.map(_._1).sorted.toSeq === (1L to 12L))
+    // partition invariance: the two-phase global position must not
+    // depend on input layout
+    val got2 = TextAnalysis.curriculumOrder(df.repartition(7))
+      .select("doc_id", "band", "global_pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    assert(got2.toSeq === got.toSeq)
+  }
+
   test("pii redact: counts every span, scrubbed text has no residue") {
     val df = Seq(
       (1L, "mail a.b-c_d@sub.example.org and x@y.io call 555-1234 ok"),

@@ -1056,6 +1056,91 @@ object Similarity {
     nRemoved
   }
 
+  /** V15's APPLY half: physically split the persisted store's
+    * oversized cells (the sim_ivf_split_cells decision re-derived
+    * from the store's own occupancy) into 2-seed sub-cells — new
+    * sub-centroids replace the split parents in the `.codebook`
+    * sidecar, and ONLY the touched cell directories are rewritten
+    * (ivfCompact's copy-on-write device on the cell axis). Seeds are
+    * the cell's min/max-id members; assignment uses the STORE's own
+    * metric (round-6 cosine, the ivfAssign contract) so the refined
+    * index is what ivfBuild would have produced with those
+    * sub-centroids; sub-centroid vectors are micro-unit floor-means.
+    * Same OFFLINE single-writer contract as ivfCompact (the sidecar
+    * and cell swap invalidate live static plans — stop, split,
+    * restart). Returns the number of cells split.
+    *
+    * Scale shape: occupancy is a cell-grain aggregate; all split
+    * work (seed lookup, 2-way assignment, mean, rewrite) is bounded
+    * by the OVERSIZED cells' membership; untouched cell directories
+    * are never read or written. Serving afterwards probes sub-cell
+    * occupancy instead of the hot cell's — the point of the verb.
+    */
+  def ivfApplySplit(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val idx = s.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val occ = idx.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val mo = occ.agg(expr("sum(n) div count(1)").as("mean_occ"))
+    val overCells = occ.crossJoin(mo) // 1-row build side
+      .filter(col("n") >
+        expr(s"($SplitOccNum * mean_occ) div $SplitOccDen"))
+      .select(col("cell")).as[Long].collect().sorted.toSeq
+    if (overCells.isEmpty) return 0L
+    val cb = storeCodebook(s, dir)
+    val maxId = cb.agg(max(col("cent_id"))).as[Long].head()
+    val mem = idx.filter(col("cell").isin(overCells: _*))
+      .localCheckpoint() // seeds + assignment, off the swapped files
+    val sid = mem.groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+    val sl = sid
+      .join(mem.select(col("vec_id").as("lo"), col("v").as("sv0")), "lo")
+      .join(mem.select(col("vec_id").as("hi"), col("v").as("sv1")), "hi")
+    val seeds = sl
+      .select(col("cell"), lit(0L).as("sub"), col("sv0").as("sv"))
+      .unionByName(
+        sl.select(col("cell"), lit(1L).as("sub"), col("sv1").as("sv")))
+    // deterministic fresh cent ids: dense split-cell rank, 2 per cell
+    val ids = overCells.zipWithIndex.flatMap { case (c, r) =>
+      Seq((c, 0L, maxId + 1 + 2L * r), (c, 1L, maxId + 2 + 2L * r))
+    }.toDF("cell", "sub", "new_cell")
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_s").desc, col("sub"))
+    val assigned = mem.join(broadcast(seeds), Seq("cell"))
+      .withColumn("cos_s", round(cosineFast(col("v"), col("sv")), 6))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .join(broadcast(ids), Seq("cell", "sub"))
+      .select(col("vec_id"), col("v"), col("new_cell").as("cell"))
+      .localCheckpoint() // rewrite source, off the swapped files
+    val newCents = assigned
+      .select(col("cell"), posexplode(
+        expr("transform(v, x -> cast(round(x * 1000000.0D) as bigint))"))
+        .as(Seq("idx", "xi")))
+      .groupBy(col("cell"), col("idx"))
+      .agg(sum(col("xi").cast(dec38)).as("sx"), count(lit(1)).as("nv"))
+      .withColumn("ci",
+        floor(col("sx").cast("double") / col("nv")).cast("long"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(idx, ci)))," +
+        " p -> p.ci / 1000000.0D)").as("cv"))
+      .select(col("cell").as("cent_id"), col("cv"))
+    val cb2 = cb
+      .join(overCells.toDF("cent_id"), Seq("cent_id"), "left_anti")
+      .unionByName(newCents)
+      .localCheckpoint() // materialize before the sidecar overwrite
+    cb2.write.mode("overwrite").parquet(s"$dir.codebook")
+    // copy-on-write cell swap: new sub-cell dirs land first (fresh
+    // ids never collide with existing dirs), then the parents drop
+    assigned.write.mode("append").partitionBy("cell").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    overCells.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"cell=$c"), true)
+    }
+    overCells.size.toLong
+  }
+
   /** Streaming index ingest — the ONLINE write half of the lifecycle
     * (serveStoreStream is the read half): each micro-batch assigns
     * against the store's FIXED codebook sidecar (the ivfAppend

@@ -703,6 +703,61 @@ class SimilaritySpec extends SparkSpec {
     assert(got((2L, 1)) === 0.707107)
   }
 
+  test("ivf apply-split: hot cell physically split, codebook swapped, " +
+    "membership preserved, clone retrieval unchanged") {
+    // 30 identical clones (one hot cell) + 30 spread vectors
+    val clones = (0 until 30).map(i =>
+      (i.toLong, Array.fill(Similarity.Dim)(20.0f)))
+    val spread = (30 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim)
+        .map(d => ((i * 31 + d * 17) % 13 - 6).toFloat).toArray)
+    }
+    val all = (clones ++ spread).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfs").toString + "/i"
+    Similarity.ivfBuild(spark, dir, all)
+    val cbBefore = Similarity.storeCodebook(spark, dir)
+      .select("cent_id").as[Long].collect().toSet
+    val cloneCellBefore = spark.read.parquet(dir)
+      .filter($"vec_id" === 0L).select("cell").as[Long].head()
+    val cloneTopBefore = Similarity.searchStoreLive(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .filter(r => r._1 < 30L).map(_.toString).sorted.toSeq
+
+    val nSplit = Similarity.ivfApplySplit(spark, dir)
+    assert(nSplit >= 1L) // the hot cell must trip the threshold
+
+    // membership preserved exactly; parent dirs physically gone
+    val after = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect()
+    assert(after.map(_._1).sorted.toSeq === (0L until 60L))
+    assert(!after.map(_._2).contains(cloneCellBefore))
+    assert(!new java.io.File(s"$dir/cell=$cloneCellBefore").exists())
+
+    // codebook: split parents replaced by fresh sub-centroids, and
+    // every stored cell id resolves against the new sidecar
+    val cbAfter = Similarity.storeCodebook(spark, dir)
+      .select("cent_id").as[Long].collect().toSet
+    assert(!cbAfter.contains(cloneCellBefore))
+    // new sidecar = old minus the split parents plus the
+    // member-bearing sub-cells (an all-tied cell yields ONE sub —
+    // empty subs never enter the codebook, the Lloyd drop-empty rule)
+    val removed = cbBefore -- cbAfter
+    val added = cbAfter -- cbBefore
+    assert(removed.size === nSplit.toInt)
+    assert(removed.contains(cloneCellBefore))
+    assert(added === after.map(_._2).toSet -- cbBefore)
+    assert(added.nonEmpty && added.forall(_ > cbBefore.max))
+    assert(after.map(_._2).toSet.subsetOf(cbAfter))
+
+    // identical clones tie to one sub-cell; their retrieval is
+    // byte-identical across the split
+    assert(after.filter(_._1 < 30L).map(_._2).distinct.length === 1)
+    val cloneTopAfter = Similarity.searchStoreLive(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .filter(r => r._1 < 30L).map(_.toString).sorted.toSeq
+    assert(cloneTopAfter === cloneTopBefore)
+  }
+
   test("ivf delete+compact: tombstoned rows vanish; compaction is physical") {
     val all = (0 until 120).map { i =>
       (i.toLong, (0 until Similarity.Dim).map { d =>

@@ -334,7 +334,8 @@ class PlanSpec extends SparkSpec {
     // pid-grain (Stats.denseIndex prefix offsets — bounded by the
     // partition count, a cluster config constant)
     "ml_negative_samples",
-    "u13_shard_pack"        // pid-grain prefix offsets (shardPack)
+    "u13_shard_pack",       // pid-grain prefix offsets (shardPack)
+    "mix_curriculum"        // valueCuts band grain + pid-grain offsets
   )
 
   test("single-partition windows run only over bounded-grain inputs " +

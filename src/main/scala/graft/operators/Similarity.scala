@@ -1078,6 +1078,16 @@ object Similarity {
     */
   def ivfApplySplit(s: SparkSession, dir: String): Long = {
     import s.implicits._
+    // A streaming-ingest tail holds rows keyed by the PARENT cell ids
+    // this split retires — applying over a live tail would orphan
+    // those rows against the new sidecar. Fold the tail first
+    // (ivfCompact), exactly like the offline contract already
+    // requires for serving.
+    val tailPath = new org.apache.hadoop.fs.Path(s"$dir.ingest")
+    require(!tailPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(tailPath),
+      s"refusing to split with a live ingest tail at $dir.ingest — " +
+        "run ivfCompact first (stop-compact-split-restart)")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val idx = s.read.parquet(dir)
       .select(col("vec_id"), col("v"), col("cell"))

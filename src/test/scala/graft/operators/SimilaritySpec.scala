@@ -756,6 +756,13 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
       .filter(r => r._1 < 30L).map(_.toString).sorted.toSeq
     assert(cloneTopAfter === cloneTopBefore)
+
+    // a live ingest tail is refused — its rows are keyed by parent
+    // cell ids the split retires (compact first, the offline contract)
+    new java.io.File(s"$dir.ingest/batch=0").mkdirs()
+    intercept[IllegalArgumentException] {
+      Similarity.ivfApplySplit(spark, dir)
+    }
   }
 
   test("ivf delete+compact: tombstoned rows vanish; compaction is physical") {

@@ -625,8 +625,13 @@ object Quality {
     * per column: non-null count, exact distinct cardinality, and
     * min/max rendered as strings (the Deequ/Great-Expectations
     * "profile" primitive that seeds the constraint suites above).
-    * One scan: all per-column aggregates run in a single global
+    * ONE scan: all per-column aggregates run in a single global
     * aggregate, then one `stack` unpivots to the long form.
+    * `p21_profile` is the same verb in the per-column-UNION plan
+    * (one pruned scan + one aggregate per column): column pruning
+    * keeps the union's bytes comparable, but it plans ncols separate
+    * scan stages where this runs one; the pair is a deliberate plan
+    * A/B like the exact-vs-capped dedup twins.
     *
     * Scale note: the EXACT multi-column distinct plans one Expand
     * projection per distinct aggregate (scan × ncols rows into the

@@ -379,6 +379,52 @@ object Graph {
     r.select(col("node").as("item_id"), col("pr").as("ppr_rank"))
   }
 
+  /** G11 (beyond-ref): Newman modularity of a community labeling
+    * over the undirected i<j edge list — the quality number for
+    * labelPropagation's output (detection without a score is a
+    * guess): Q = Σ_c (e_c/m − (d_c/2m)²), the within-community edge
+    * excess over the degree-preserving random graph. Exact integer
+    * arithmetic as one fraction, Q_ppm = (4m·Σe_c − Σd_c²)·10⁶ div
+    * (4m²), with the offset-then-divide device so a NEGATIVE Q
+    * (worse-than-random labeling) floors identically on both
+    * engines (Spark div truncates, DuckDB // floors). int64 is safe
+    * to m < 1.5·10⁶ edges; past that the fraction goes through
+    * DECIMAL(38) (the assortativity device) — the co-purchase graph
+    * thins with SF, so the documented bound holds at every gate
+    * scale.
+    *
+    * Scale shape: two broadcast-friendly label joins onto the edge
+    * list, one degree aggregate, community-grain sums, a 1-row
+    * reduce — scan bandwidth at any graph size.
+    */
+  def modularityOf(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(false) // m + degrees + both joins
+    val l = labels.select(col("item_id").as("v"), col("community"))
+      .localCheckpoint(false) // joined three times
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("i").as("v"))
+      .unionByName(e.select(col("j").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val ein = e
+      .join(l.select(col("v").as("i"), col("community").as("ci")), "i")
+      .join(l.select(col("v").as("j"), col("community").as("cj")), "j")
+      .filter(col("ci") === col("cj"))
+      .groupBy(col("ci")).agg(count(lit(1)).as("e_c"))
+    val dc = deg.join(l, "v").groupBy(col("community"))
+      .agg(sum(col("deg")).as("d_c"))
+    dc.join(ein, dc("community") === ein("ci"), "left")
+      .select(coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .agg(sum(col("e_c")).as("se"), sum(col("d_c") * col("d_c")).as("sd2"),
+        count(lit(1)).as("n_communities"))
+      .crossJoin(m) // 1-row build side
+      .filter(col("m") >= 1)
+      .select(col("m").as("n_edges"), col("n_communities"),
+        expr("(4 * m * se - sd2) * 1000000 + 4 * m * m * 1000000")
+          .as("num_off"), expr("4 * m * m").as("den"))
+      .select(col("n_edges"), col("n_communities"),
+        (expr("num_off div den") - lit(1000000L)).as("q_ppm"))
+  }
+
   /** One unrolled PPR oracle round: damped in-mass per reached node
     * plus the seed-set teleport, re-aggregated at node grain.
     */
@@ -828,6 +874,59 @@ object Graph {
            |SELECT seed, CAST(depth AS BIGINT) AS depth,
            |CAST(COUNT(*) AS BIGINT) AS n_nodes
            |FROM v$BfsDepth GROUP BY 1, 2""".stripMargin
+      }),
+
+    // G11 (beyond-ref): modularity of the LPA labeling — the
+    // detection-quality monitor; see modularityOf.
+    QueryDef("graph_modularity",
+      (s, d) => {
+        val e = itemEdges(Recommend.interactionsCapped(s, d)
+          .localCheckpoint(false)).localCheckpoint(false)
+        modularityOf(e, labelPropagation(e))
+      },
+      Some {
+        val ladder = (1 to LpaIters)
+          .map(i => lpaCte(s"l$i", if (i == 1) "l0" else s"l${i - 1}"))
+          .mkString(",\n")
+        s"""WITH raw AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+           |    MAX(o_orderdate) AS last_ts
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |capped AS (SELECT user_id, item_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+           |    ORDER BY last_ts DESC, item_id) rn FROM raw)
+           |  WHERE rn <= ${Recommend.CapPerUser}),
+           |e AS MATERIALIZED (SELECT i, j FROM (
+           |  SELECT a.item_id i, b.item_id j, COUNT(*) co
+           |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+           |    AND a.item_id < b.item_id
+           |  GROUP BY 1, 2) WHERE co >= $TriMinCo),
+           |nodes AS MATERIALIZED (SELECT i AS v FROM e
+           |  UNION SELECT j FROM e),
+           |adj AS MATERIALIZED (SELECT i AS v, j AS n FROM e
+           |  UNION ALL SELECT j, i FROM e
+           |  UNION ALL SELECT v, v FROM nodes),
+           |l0 AS MATERIALIZED (SELECT v AS node, v AS label FROM nodes),
+           |$ladder,
+           |lab AS MATERIALIZED (SELECT node AS v, label AS community
+           |  FROM l$LpaIters),
+           |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+           |dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+           |  SELECT i AS v FROM e UNION ALL SELECT j FROM e) GROUP BY 1),
+           |ein AS (SELECT li.community AS ci,
+           |    CAST(COUNT(*) AS BIGINT) AS e_c
+           |  FROM e JOIN lab li ON e.i = li.v JOIN lab lj ON e.j = lj.v
+           |  WHERE li.community = lj.community GROUP BY 1),
+           |dcs AS (SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS d_c
+           |  FROM dg d JOIN lab l ON d.v = l.v GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(COALESCE(ein.e_c, 0)) AS BIGINT) AS se,
+           |    CAST(SUM(dcs.d_c * dcs.d_c) AS BIGINT) AS sd2,
+           |    CAST(COUNT(*) AS BIGINT) AS n_communities
+           |  FROM dcs LEFT JOIN ein ON dcs.community = ein.ci)
+           |SELECT m AS n_edges, n_communities,
+           |((4 * m * se - sd2) * 1000000 + 4 * m * m * 1000000)
+           |  // (4 * m * m) - 1000000 AS q_ppm
+           |FROM tot, mm WHERE m >= 1""".stripMargin
       }),
 
     // G10 (beyond-ref): Adamic-Adar link prediction — see adamicAdar

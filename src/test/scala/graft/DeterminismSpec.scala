@@ -125,7 +125,8 @@ class DeterminismSpec extends SparkSpec {
     "graph_adamic_adar",      // quantized-ln weights + top-k cut
     "dedup_embedding_decontam", // cross-side bucket join + ppm max
     "ml_novelty_at_10",       // bounded-eval quantized self-info
-    "mix_curriculum")         // two-phase global training order
+    "mix_curriculum",         // two-phase global training order
+    "graph_modularity")       // LPA labels + one-fraction integer Q
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

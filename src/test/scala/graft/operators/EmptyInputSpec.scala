@@ -322,6 +322,10 @@ class EmptyInputSpec extends SparkSpec {
       empty("i" -> LongType, "j" -> LongType)).count() === 0)
     assert(Dedup.embeddingDecontam(emb0).count() === 0)
     assert(TextAnalysis.curriculumOrder(docs0).count() === 0)
+    assert(Graph.modularityOf(
+      empty("i" -> LongType, "j" -> LongType),
+      empty("item_id" -> LongType, "community" -> LongType))
+      .count() === 0)
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)

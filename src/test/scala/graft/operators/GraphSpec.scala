@@ -208,6 +208,34 @@ class GraphSpec extends SparkSpec {
     assert(r2 === r)
   }
 
+  test("modularity: hand-computed values on planted labelings") {
+    // two disjoint triangles, each its own community: m=6, every edge
+    // within, d_c=6 each -> Q = (4*6*6 - 72)/(4*36) = 0.5 exactly
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("i", "j")
+    val labTwo = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("item_id", "community")
+    val q2 = Graph.modularityOf(twoTri, labTwo)
+      .as[(Long, Long, Long)].head()
+    assert(q2 === ((6L, 2L, 500000L)))
+    // one community holding everything scores exactly 0
+    val labOne = Seq(1L, 2L, 3L, 10L, 11L, 12L)
+      .map(v => (v, 0L)).toDF("item_id", "community")
+    assert(Graph.modularityOf(twoTri, labOne)
+      .as[(Long, Long, Long)].head() === ((6L, 1L, 0L)))
+    // a worse-than-random labeling goes NEGATIVE and floors the same
+    // on any partitioning (the offset-then-divide device): split each
+    // triangle across communities so no edge is internal
+    val labBad = Seq((1L, 1L), (2L, 2L), (3L, 3L),
+      (10L, 1L), (11L, 2L), (12L, 3L)).toDF("item_id", "community")
+    val qb = Graph.modularityOf(twoTri, labBad)
+      .as[(Long, Long, Long)].head()
+    assert(qb._3 < 0L)
+    val qb2 = Graph.modularityOf(twoTri.repartition(5),
+      labBad.repartition(3)).as[(Long, Long, Long)].head()
+    assert(qb2 === qb)
+  }
+
   test("adamic-adar: niche shared neighbor outweighs a hub at equal overlap") {
     // pair (1,2) shares only center 10 (deg 2); pair (3,4) shares
     // only center 20 (deg 4): same n_common, but AA discounts the

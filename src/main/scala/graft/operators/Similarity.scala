@@ -1778,6 +1778,52 @@ object Similarity {
       |  AS HUGEINT)) AS DOUBLE) / 1e12, 6) AS inertia_e12
       |FROM aF GROUP BY cell""".stripMargin
 
+  val DriftSalt = 11L
+
+  /** V16: codebook drift monitor — the WHEN-TO-RETRAIN trigger that
+    * completes the index-maintenance loop (cellStats watches skew,
+    * split repairs it; this watches FIT): per bucket10 half of the
+    * corpus (salt 11 — "yesterday" vs "today" made reproducible),
+    * the mean quantization distortion under the ONE trained
+    * codebook. A stationary corpus shows equal means; ingest drift
+    * shows the newer half fitting worse — the number an operator
+    * reads before scheduling the offline coarse-quantizer retrain
+    * (the FAISS operational loop's missing gauge here). Exact
+    * integer distances (the kmeansLloyd device: d = |x|² + s),
+    * DECIMAL(38) totals, division only at emission.
+    *
+    * Scale shape: the assignment scan the index build already pays
+    * plus one 2-group aggregate — nothing new moves.
+    */
+  def codebookDrift(emb: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xq = microQuant(emb).localCheckpoint(false)
+    val cent = lloydCodebookQ(xq, IvfTrainRounds)
+    lloydAssign(xq, cent)
+      .withColumn("d", dotiFast(col("q"), col("q")) + col("s"))
+      .groupBy((graft.functions.Functions
+        .bucket10(col("vec_id"), lit(DriftSalt)) < 5).cast("int")
+        .as("is_old"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d").cast(dec38)).as("iq"))
+      .select(col("is_old"), col("n_vecs"),
+        round(col("iq").cast("double") / 1.0e12, 6).as("dist_e12"),
+        round(col("iq").cast("double") / col("n_vecs") / 1.0e6, 6)
+          .as("mean_dist_e6"))
+  }
+
+  private def codebookDriftSql: String =
+    s"""WITH ${lloydLadderSql(IvfTrainRounds)},
+       |${lloydDistBlock("F", s"c$IvfTrainRounds")}
+       |SELECT CAST(((vec_id % 100003) * 31 + $DriftSalt * 97) % 10 < 5
+       |  AS INT) AS is_old,
+       |CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |ROUND(CAST(SUM(CAST(list_sum(list_transform(q, v -> v * v)) + s
+       |  AS HUGEINT)) AS DOUBLE) / 1e12, 6) AS dist_e12,
+       |ROUND(CAST(SUM(CAST(list_sum(list_transform(q, v -> v * v)) + s
+       |  AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_dist_e6
+       |FROM aF GROUP BY 1""".stripMargin
+
   /** Int8 quantization of the embedding column — the storage/serving
     * compression pass every vector store applies before ANN at scale:
     * per-vector min/max range, code = round((v−mn)·255/(mx−mn)),
@@ -2386,6 +2432,12 @@ object Similarity {
     QueryDef("sim_ivf_split_cells",
       (s, d) => ivfSplitCells(Tables.embeddings(s, d)),
       Some(ivfSplitCellsSql)),
+
+    // V16: codebook drift — the when-to-retrain gauge; see
+    // codebookDrift.
+    QueryDef("sim_codebook_drift",
+      (s, d) => codebookDrift(Tables.embeddings(s, d)),
+      Some(codebookDriftSql)),
 
     QueryDef("sim_quantize_int8",
       (s, d) => quantizeInt8(Tables.embeddings(s, d)),

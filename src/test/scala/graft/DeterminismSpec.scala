@@ -126,7 +126,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup_embedding_decontam", // cross-side bucket join + ppm max
     "ml_novelty_at_10",       // bounded-eval quantized self-info
     "mix_curriculum",         // two-phase global training order
-    "graph_modularity")       // LPA labels + one-fraction integer Q
+    "graph_modularity",       // LPA labels + one-fraction integer Q
+    "sim_codebook_drift")     // half-split decimal distortion means
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

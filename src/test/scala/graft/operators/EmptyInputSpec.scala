@@ -326,6 +326,7 @@ class EmptyInputSpec extends SparkSpec {
       empty("i" -> LongType, "j" -> LongType),
       empty("item_id" -> LongType, "community" -> LongType))
       .count() === 0)
+    assert(Similarity.codebookDrift(emb0).count() === 0)
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)

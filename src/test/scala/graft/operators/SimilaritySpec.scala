@@ -703,6 +703,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got((2L, 1)) === 0.707107)
   }
 
+  test("codebook drift: the shifted half reads worse under one codebook") {
+    // bucket10(id, salt 11) = (id + 7) % 10 for small ids: ids ending
+    // 3-7 are the "old" half (b < 5). Plant them as far-corner clones
+    // (their cell is pure -> distortion exactly 0) and the "new" half
+    // as spread vectors -> the monitor must read new > old = 0.
+    val emb = (0 until 40).map { i =>
+      val old = Seq(3, 4, 5, 6, 7).contains(i % 10)
+      val v =
+        if (old) Array.fill(Similarity.Dim)(50.0f)
+        else (0 until Similarity.Dim)
+          .map(d => ((i * 31 + d * 17) % 13 - 6).toFloat).toArray
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.codebookDrift(emb)
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1)._2 === 20L && got(0)._2 === 20L)
+    assert(got(1)._4 === 0.0) // pure clone cell: zero distortion
+    assert(got(0)._4 > 0.0)  // the spread half fits worse
+  }
+
   test("ivf apply-split: hot cell physically split, codebook swapped, " +
     "membership preserved, clone retrieval unchanged") {
     // 30 identical clones (one hot cell) + 30 spread vectors

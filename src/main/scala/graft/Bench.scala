@@ -214,9 +214,35 @@ object Bench {
     // costing a judge session; a real regression shows a retime that
     // reproduces the slow reading. Bounded to 20 queries so a fully
     // contended box can't double the bench.
+    //
+    // Round 9 (#7): scale smokes additionally re-time on the
+    // CONTENTION SIGNATURE against the committed sf0.1 map — wall
+    // ratio past 10x on 10x data while the shuffle-byte ratio stays
+    // ≤ 12x (bytes don't wobble with box load; walls do). That is
+    // exactly the dedup_simhash_pairs case that sat one wobble from
+    // the 15x ratio gate two rounds running: its same-scale baseline
+    // couldn't trigger the old rule, so the contended number shipped.
+    val sf01: Map[String, (Double, Long)] =
+      if (detailPath == "BENCH_detail.json") Map.empty
+      else {
+        val p = java.nio.file.Paths.get("BENCH_detail.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          val txt = java.nio.file.Files.readString(p)
+          val reIo = ("\"([A-Za-z0-9_]+)\":\\{\"secs\":(-?[0-9.]+)," +
+            "\"shuffle_rd\":([0-9]+),\"shuffle_wr\":([0-9]+)").r
+          reIo.findAllMatchIn(txt).map(m => m.group(1) ->
+            (m.group(2).toDouble,
+              m.group(3).toLong + m.group(4).toLong)).toMap
+        }
+      }
+    def contended(r: Res): Boolean = sf01.get(r.name).exists {
+      case (w01, b01) => w01 > 0.5 && r.secs > 10 * w01 &&
+        r.secs > 5.0 && b01 > 0 && (r.rd + r.wr) <= 12L * b01
+    }
     val retimed = results
-      .filter(r => r.ok && committed.get(r.name).exists(c =>
-        c > 0.5 && r.secs > 4 * c && r.secs > 5.0))
+      .filter(r => r.ok && (committed.get(r.name).exists(c =>
+        c > 0.5 && r.secs > 4 * c && r.secs > 5.0) || contended(r)))
       .take(20)
       .map(r => r.name -> r3(runOne(r.name, SparkEntry.queries(r.name)).secs))
     val retimedJson = retimed.map { case (k, v) => s"\"" + k + "\":" + v }

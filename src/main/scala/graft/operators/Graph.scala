@@ -387,11 +387,13 @@ object Graph {
     * arithmetic as one fraction, Q_ppm = (4m·Σe_c − Σd_c²)·10⁶ div
     * (4m²), with the offset-then-divide device so a NEGATIVE Q
     * (worse-than-random labeling) floors identically on both
-    * engines (Spark div truncates, DuckDB // floors). int64 is safe
-    * to m < 1.5·10⁶ edges; past that the fraction goes through
-    * DECIMAL(38) (the assortativity device) — the co-purchase graph
-    * thins with SF, so the documented bound holds at every gate
-    * scale.
+    * engines (Spark div truncates, DuckDB // floors). The fraction
+    * runs in DECIMAL(38)/HUGEINT end-to-end (round 9, the
+    * assortativity device): the worst-case numerator reaches 8m²·10⁶,
+    * which overflows int64 past ~1.07·10⁶ edges — and Spark wraps
+    * silently where DuckDB raises, so the int64 form would DIVERGE
+    * rather than fail loudly at 100× graph scale. Decimal keeps it
+    * exact to m ≈ 10¹⁵ edges; one bigint division result at emission.
     *
     * Scale shape: two broadcast-friendly label joins onto the edge
     * list, one degree aggregate, community-grain sums, a 1-row
@@ -412,15 +414,18 @@ object Graph {
       .groupBy(col("ci")).agg(count(lit(1)).as("e_c"))
     val dc = deg.join(l, "v").groupBy(col("community"))
       .agg(sum(col("deg")).as("d_c"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     dc.join(ein, dc("community") === ein("ci"), "left")
       .select(coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
-      .agg(sum(col("e_c")).as("se"), sum(col("d_c") * col("d_c")).as("sd2"),
+      .agg(sum(col("e_c")).as("se"),
+        sum(col("d_c").cast(dec38) * col("d_c")).as("sd2"),
         count(lit(1)).as("n_communities"))
       .crossJoin(m) // 1-row build side
       .filter(col("m") >= 1)
       .select(col("m").as("n_edges"), col("n_communities"),
-        expr("(4 * m * se - sd2) * 1000000 + 4 * m * m * 1000000")
-          .as("num_off"), expr("4 * m * m").as("den"))
+        ((col("m").cast(dec38) * col("se") * 4 - col("sd2")) * 1000000L
+          + col("m").cast(dec38) * col("m") * 4000000L).as("num_off"),
+        (col("m").cast(dec38) * col("m") * 4).as("den"))
       .select(col("n_edges"), col("n_communities"),
         (expr("num_off div den") - lit(1000000L)).as("q_ppm"))
   }
@@ -920,12 +925,14 @@ object Graph {
            |dcs AS (SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS d_c
            |  FROM dg d JOIN lab l ON d.v = l.v GROUP BY 1),
            |tot AS (SELECT CAST(SUM(COALESCE(ein.e_c, 0)) AS BIGINT) AS se,
-           |    CAST(SUM(dcs.d_c * dcs.d_c) AS BIGINT) AS sd2,
+           |    CAST(SUM(CAST(dcs.d_c AS HUGEINT) * dcs.d_c) AS HUGEINT)
+           |      AS sd2,
            |    CAST(COUNT(*) AS BIGINT) AS n_communities
            |  FROM dcs LEFT JOIN ein ON dcs.community = ein.ci)
            |SELECT m AS n_edges, n_communities,
-           |((4 * m * se - sd2) * 1000000 + 4 * m * m * 1000000)
-           |  // (4 * m * m) - 1000000 AS q_ppm
+           |CAST(((4 * CAST(m AS HUGEINT) * se - sd2) * 1000000
+           |    + 4 * CAST(m AS HUGEINT) * m * 1000000)
+           |  // (4 * CAST(m AS HUGEINT) * m) - 1000000 AS BIGINT) AS q_ppm
            |FROM tot, mm WHERE m >= 1""".stripMargin
       }),
 

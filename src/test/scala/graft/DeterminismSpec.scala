@@ -127,7 +127,9 @@ class DeterminismSpec extends SparkSpec {
     "ml_novelty_at_10",       // bounded-eval quantized self-info
     "mix_curriculum",         // two-phase global training order
     "graph_modularity",       // LPA labels + one-fraction integer Q
-    "sim_codebook_drift")     // half-split decimal distortion means
+    "sim_codebook_drift",     // half-split decimal distortion means
+    "sim_ivf_assign_margin",  // sorted per-vec margins + tie counts
+    "sim_rounding_canary")    // data-free literal probes (trivially)
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -327,6 +327,8 @@ class EmptyInputSpec extends SparkSpec {
       empty("item_id" -> LongType, "community" -> LongType))
       .count() === 0)
     assert(Similarity.codebookDrift(emb0).count() === 0)
+    // round 9: margin diagnostic is a global agg — one null-count row
+    assert(Similarity.ivfAssignMargin(emb0).count() === 1)
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)

@@ -236,6 +236,25 @@ class GraphSpec extends SparkSpec {
     assert(qb2 === qb)
   }
 
+  test("modularity: past the old int64 bound (>1.07e6 edges) the " +
+    "decimal route stays exact — closed-form ring value") {
+    // ring of n = 1.5e6 nodes (m = n edges), communities = adjacent
+    // pairs {2k, 2k+1}: e_c totals n/2, every degree is 2, d_c = 4,
+    // sd2 = 8n -> Q = 1/2 - 2/n exactly. The retired int64 numerator
+    // (6n² - 8n)·10⁶ ≈ 1.35e19 would WRAP past Long.MaxValue
+    // (9.22e18) and emit garbage silently; the DECIMAL(38) route
+    // must return floor((0.5 - 2/n)·10⁶) = 499998.
+    val n = 1500000L
+    val ring = spark.range(n - 1)
+      .select(col("id").as("i"), (col("id") + 1L).as("j"))
+      .unionByName(Seq((0L, n - 1)).toDF("i", "j"))
+    val labs = spark.range(n)
+      .select(col("id").as("item_id"), expr("id div 2").as("community"))
+    val q = Graph.modularityOf(ring, labs)
+      .as[(Long, Long, Long)].head()
+    assert(q === ((n, n / 2, 499998L)))
+  }
+
   test("adamic-adar: niche shared neighbor outweighs a hub at equal overlap") {
     // pair (1,2) shares only center 10 (deg 2); pair (3,4) shares
     // only center 20 (deg 4): same n_common, but AA discounts the

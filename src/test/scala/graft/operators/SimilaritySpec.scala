@@ -850,6 +850,125 @@ class SimilaritySpec extends SparkSpec {
     assert(g2 === ((1L, -1000000L, -1.0, -1.0, 0L)))
   }
 
+  test("ivf retrain: retrained store serves byte-identical to a fresh " +
+    "build over the same rows; live tail and tombstones are refused") {
+    val all = (0 until 100).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 31 + d * 17) % 13 - 6).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfr").toString + "/i"
+    // a DRIFTED store: codebook trained on the first 60 rows only,
+    // the last 40 appended under that stale codebook — the state
+    // sim_codebook_drift flags and this verb repairs
+    Similarity.ivfBuild(spark, dir, all.filter($"vec_id" < 60))
+    Similarity.ivfAppend(spark, dir, all.filter($"vec_id" >= 60))
+    val oldMax = Similarity.storeCodebook(spark, dir)
+      .agg(org.apache.spark.sql.functions.max($"cent_id"))
+      .as[Long].head()
+
+    val k = Similarity.ivfRetrain(spark, dir)
+    assert(k >= 1L)
+    // sidecar: exactly k FRESH ids, all past the old max (no dir
+    // collisions possible), and every stored row resolves against it
+    val cb = Similarity.storeCodebook(spark, dir)
+      .select("cent_id").as[Long].collect().toSet
+    assert(cb.size === k.toInt && cb.forall(_ > oldMax))
+    val rows = spark.read.parquet(dir)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq === (0L until 100L))
+    assert(rows.map(_._2).toSet.subsetOf(cb))
+    // serving equals a FRESH build over the same rows: the remap is
+    // order-preserving, so memberships — and the in-cell top-k —
+    // are byte-identical
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfr2").toString + "/i"
+    Similarity.ivfBuild(spark, dir2, all)
+    val got = Similarity.searchStoreLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val fresh = Similarity.searchStoreLive(spark, dir2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === fresh && got.nonEmpty)
+
+    // single-writer offline contract: a live ingest tail is refused
+    new java.io.File(s"$dir.ingest/batch=0").mkdirs()
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRetrain(spark, dir)
+    }
+    new java.io.File(s"$dir.ingest/batch=0").delete()
+    new java.io.File(s"$dir.ingest").delete()
+    // ...and so are pending tombstones (compact first)
+    Similarity.ivfDelete(spark, dir, Seq(5L))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRetrain(spark, dir)
+    }
+  }
+
+  test("ingest checkpoint contract: a checkpoint-less restart over an " +
+    "existing tail is refused; a checkpointed resume appends, never " +
+    "clobbers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (0 until 100).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 31 + d * 17) % 13 - 6).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val b1 = all.filter($"vec_id" >= 60 && $"vec_id" < 80)
+      .as[(Long, Array[Float])].collect().toSeq
+    val b2 = all.filter($"vec_id" >= 80)
+      .as[(Long, Array[Float])].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivfck").toString + "/i"
+    Similarity.ivfBuild(spark, dir, all.filter($"vec_id" < 60))
+    implicit val sq = spark.sqlContext
+    val ck = java.nio.file.Files.createTempDirectory("ivfckpt").toString
+    val in1 = MemoryStream[(Long, Array[Float])]
+    val ing1 = Similarity.ingestStoreStream(spark, dir,
+      in1.toDF().toDF("vec_id", "embedding"), Some(ck))
+    in1.addData(b1: _*); ing1.processAllAvailable(); ing1.stop()
+    assert(new java.io.File(s"$dir.ingest/batch=0").exists())
+    assert(Similarity.storeIndex(spark, dir).count() === 80L)
+
+    // the RESTART hazard: a checkpoint-less stream over this tail
+    // would reuse batchId 0 and overwrite the committed batch — it
+    // must be refused before it can start
+    val in2 = MemoryStream[(Long, Array[Float])]
+    intercept[IllegalArgumentException] {
+      Similarity.ingestStoreStream(spark, dir,
+        in2.toDF().toDF("vec_id", "embedding"))
+    }
+    // refusal happened before any write: the tail is untouched
+    assert(Similarity.storeIndex(spark, dir).count() === 80L)
+
+    // a FRESH checkpoint is the same hazard (batchIds restart at 0):
+    // also refused
+    val ck2 = java.nio.file.Files.createTempDirectory("ivffresh").toString
+    intercept[IllegalArgumentException] {
+      Similarity.ingestStoreStream(spark, dir,
+        in2.toDF().toDF("vec_id", "embedding"), Some(ck2))
+    }
+
+    // the production resume: the stream's OWN checkpoint → batchIds
+    // continue, the new batch lands beside batch 0, nothing is
+    // clobbered (MemoryStream replays from its block offsets, so the
+    // resumed instance re-adds b1 to line offsets up with the
+    // recovered commit, then b2 arrives as the genuinely new batch)
+    val in3 = MemoryStream[(Long, Array[Float])]
+    in3.addData(b1: _*)
+    val ing3 = Similarity.ingestStoreStream(spark, dir,
+      in3.toDF().toDF("vec_id", "embedding"), Some(ck))
+    in3.addData(b2: _*); ing3.processAllAvailable(); ing3.stop()
+    assert(new java.io.File(s"$dir.ingest/batch=0").exists())
+    assert(new java.io.File(s"$dir.ingest/batch=1").exists())
+    assert(Similarity.storeIndex(spark, dir).count() === 100L)
+    // and the served view equals the batch build under the store's
+    // fixed codebook — the tail really holds b1 AND b2
+    val stored = Similarity.searchAssigned(Similarity.storeIndex(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Similarity.searchAssigned(
+      Similarity.ivfAssign(all, Some(Similarity.storeCodebook(spark, dir))))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored === direct && stored.nonEmpty)
+  }
+
   test("nprobe sweep: monotone recall, separable clusters saturate at 1") {
     val e = protoEmb(120)
     val got = Similarity.nprobeSweep(e)

@@ -1867,42 +1867,53 @@ object Similarity {
         round(col("iq").cast("double") / 1.0e12, 6).as("inertia_e12"))
   }
 
-  private def lloydDistBlock(tag: String, cin: String): String =
-    s"""s$tag AS MATERIALIZED (SELECT x.vec_id, c.cell, x.q,
+  /** `pfx` namespaces every CTE (a second ladder can coexist in one
+    * oracle — the retrain-gain query trains stale + fresh codebooks);
+    * `xsrc` overrides the x-side CTE so an assignment block can score
+    * one corpus against another ladder's codebook.
+    */
+  private def lloydDistBlock(tag: String, cin: String, pfx: String = "",
+                             xsrc: String = ""): String = {
+    val x = if (xsrc.nonEmpty) xsrc else s"${pfx}xq"
+    s"""${pfx}s$tag AS MATERIALIZED (SELECT x.vec_id, c.cell, x.q,
        |    CAST(list_sum(list_transform(c.cq, v -> v * v))
        |      - 2 * list_sum(list_transform(generate_series(1, $Dim),
        |          i -> x.q[i] * c.cq[i])) AS BIGINT) AS s
-       |  FROM xq x, $cin c),
-       |a$tag AS MATERIALIZED (SELECT vec_id, cell, q, s FROM (
+       |  FROM $x x, $cin c),
+       |${pfx}a$tag AS MATERIALIZED (SELECT vec_id, cell, q, s FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |    ORDER BY s, cell) AS rn FROM s$tag) WHERE rn = 1)""".stripMargin
+       |    ORDER BY s, cell) AS rn FROM ${pfx}s$tag) WHERE rn = 1)""".stripMargin
+  }
 
   /** CTE ladder `xq, c0, (s,a,m,c)×rounds` mirroring lloydCodebookQ —
     * one MATERIALIZED (distance, argmin, mean, codebook) block per
-    * round; seeds are the "c" hashSample.
+    * round; seeds are the "c" hashSample. `where` restricts the
+    * training corpus (the stale-codebook ladder of sim_retrain_gain).
     */
-  private def lloydLadderSql(rounds: Int): String = {
+  private def lloydLadderSql(rounds: Int, pfx: String = "",
+                             where: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""xq AS MATERIALIZED (SELECT vec_id,
+      s"""${pfx}xq AS MATERIALIZED (SELECT vec_id,
          |    list_transform(CAST(embedding AS DOUBLE[]),
          |      x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |c0 AS MATERIALIZED (SELECT vec_id AS cell, q AS cq FROM xq
+         |  FROM embeddings $where),
+         |${pfx}c0 AS MATERIALIZED (SELECT vec_id AS cell, q AS cq
+         |  FROM ${pfx}xq
          |  ORDER BY md5('c' || CAST(vec_id AS VARCHAR)), vec_id
          |  LIMIT GREATEST(1, LEAST($CentCount,
-         |    (SELECT COUNT(*) FROM xq) // $MinCellFill)))""".stripMargin)
+         |    (SELECT COUNT(*) FROM ${pfx}xq) // $MinCellFill)))""".stripMargin)
     for (r <- 1 to rounds) {
       sb.append(",\n")
-      sb.append(lloydDistBlock(r.toString, s"c${r - 1}"))
+      sb.append(lloydDistBlock(r.toString, s"${pfx}c${r - 1}", pfx))
       sb.append(s""",
-        |m$r AS (SELECT cell, i.i,
+        |${pfx}m$r AS (SELECT cell, i.i,
         |    CAST(FLOOR(CAST(SUM(q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
         |      AS cqi
-        |  FROM a$r, (SELECT unnest(generate_series(1, $Dim)) AS i) i
+        |  FROM ${pfx}a$r, (SELECT unnest(generate_series(1, $Dim)) AS i) i
         |  GROUP BY 1, 2),
-        |c$r AS MATERIALIZED (SELECT cell, list(cqi ORDER BY i) AS cq
-        |  FROM m$r GROUP BY cell)""".stripMargin)
+        |${pfx}c$r AS MATERIALIZED (SELECT cell, list(cqi ORDER BY i) AS cq
+        |  FROM ${pfx}m$r GROUP BY cell)""".stripMargin)
     }
     sb.toString
   }
@@ -1973,6 +1984,69 @@ object Similarity {
        |ROUND(CAST(SUM(CAST(list_sum(list_transform(q, v -> v * v)) + s
        |  AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_dist_e6
        |FROM aF GROUP BY 1""".stripMargin
+
+  /** V17 (round 9): the retrain loop's measured payoff —
+    * sim_codebook_drift says WHEN to retrain, ivfRetrain is the verb,
+    * this prices WHAT IT BUYS: total quantization distortion of the
+    * full corpus under the STALE codebook (trained on yesterday's
+    * half only — the bucket10/DriftSalt split codebookDrift uses) vs
+    * under the RETRAINED one (trained on everything), plus the
+    * relative gain in ppm. Lloyd monotonicity doesn't guarantee the
+    * sign (different seed sets), so the ppm division keeps both
+    * operands non-negative on both branches of a sign CASE — integer
+    * truncation then agrees across engines without an offset bound.
+    * Exact end-to-end: integer distances, DECIMAL(38)/HUGEINT totals,
+    * division only at emission.
+    *
+    * Scale shape: two trainings + two assignment scans over the same
+    * materialized micro-quantized corpus — 2× the codebook-drift
+    * cost, still linear, run as an offline planning query.
+    */
+  def retrainGain(emb: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xq = microQuant(emb).localCheckpoint(false)
+    val old = xq.filter(graft.functions.Functions
+        .bucket10(col("vec_id"), lit(DriftSalt)) < 5)
+      .localCheckpoint(false)
+    def totalUnder(cb: DataFrame): DataFrame =
+      lloydAssign(xq, cb)
+        .select((dotiFast(col("q"), col("q")) + col("s")).as("d"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("d").cast(dec38)).as("iq"))
+    val stale = totalUnder(lloydCodebookQ(old, IvfTrainRounds))
+      .withColumnRenamed("iq", "siq")
+    val fresh = totalUnder(lloydCodebookQ(xq, IvfTrainRounds))
+      .select(col("iq").as("fiq"))
+    stale.crossJoin(fresh) // 1-row × 1-row
+      .select(col("n_vecs"),
+        round(col("siq").cast("double") / 1.0e12, 6).as("stale_e12"),
+        round(col("fiq").cast("double") / 1.0e12, 6).as("retrained_e12"),
+        when(col("siq") > 0,
+          when(col("siq") >= col("fiq"),
+            expr("((siq - fiq) * 1000000) div siq"))
+            .otherwise(-expr("((fiq - siq) * 1000000) div siq")))
+          .as("gain_ppm"))
+  }
+
+  private def retrainGainSql: String =
+    s"""WITH ${lloydLadderSql(IvfTrainRounds)},
+       |${lloydLadderSql(IvfTrainRounds, "st",
+          s"WHERE ((vec_id % 100003) * 31 + $DriftSalt * 97) % 10 < 5")},
+       |${lloydDistBlock("F", s"c$IvfTrainRounds")},
+       |${lloydDistBlock("G", s"stc$IvfTrainRounds", "g", "xq")},
+       |tg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    SUM(CAST(list_sum(list_transform(q, v -> v * v)) + s
+       |      AS HUGEINT)) AS siq FROM gaG),
+       |tf AS (SELECT SUM(CAST(list_sum(list_transform(q, v -> v * v)) + s
+       |    AS HUGEINT)) AS fiq FROM aF)
+       |SELECT tg.n_vecs,
+       |ROUND(CAST(siq AS DOUBLE) / 1e12, 6) AS stale_e12,
+       |ROUND(CAST(fiq AS DOUBLE) / 1e12, 6) AS retrained_e12,
+       |CASE WHEN siq > 0 THEN CAST(
+       |    CASE WHEN siq >= fiq THEN ((siq - fiq) * 1000000) // siq
+       |    ELSE -(((fiq - siq) * 1000000) // siq) END AS BIGINT)
+       |  ELSE NULL END AS gain_ppm
+       |FROM tg, tf""".stripMargin
 
   /** V17 (round 9): data-free rounding canary — fixed literal probes
     * of every cross-engine float hazard this library's determinism
@@ -3349,7 +3423,13 @@ object Similarity {
     // ivfAssignMargin.
     QueryDef("sim_ivf_assign_margin",
       (s, d) => ivfAssignMargin(Tables.embeddings(s, d)),
-      Some(ivfAssignMarginSql))
+      Some(ivfAssignMarginSql)),
+
+    // V17 (round 9): the retrain loop's measured payoff — stale vs
+    // retrained codebook distortion + gain in ppm; see retrainGain.
+    QueryDef("sim_retrain_gain",
+      (s, d) => retrainGain(Tables.embeddings(s, d)),
+      Some(retrainGainSql))
   )
 
   /** See the sim_normalize QueryDef. */

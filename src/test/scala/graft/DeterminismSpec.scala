@@ -129,7 +129,8 @@ class DeterminismSpec extends SparkSpec {
     "graph_modularity",       // LPA labels + one-fraction integer Q
     "sim_codebook_drift",     // half-split decimal distortion means
     "sim_ivf_assign_margin",  // sorted per-vec margins + tie counts
-    "sim_rounding_canary")    // data-free literal probes (trivially)
+    "sim_rounding_canary",    // data-free literal probes (trivially)
+    "sim_retrain_gain")       // two codebooks + decimal totals + sign CASE
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

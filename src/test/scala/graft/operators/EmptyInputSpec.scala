@@ -327,8 +327,9 @@ class EmptyInputSpec extends SparkSpec {
       empty("item_id" -> LongType, "community" -> LongType))
       .count() === 0)
     assert(Similarity.codebookDrift(emb0).count() === 0)
-    // round 9: margin diagnostic is a global agg — one null-count row
+    // round 9: margin + retrain-gain are global aggs — one null row
     assert(Similarity.ivfAssignMargin(emb0).count() === 1)
+    assert(Similarity.retrainGain(emb0).count() === 1)
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)

@@ -1209,6 +1209,38 @@ object Similarity {
     overCells.size.toLong
   }
 
+  /** V17 (round 9): the crash-recovery rule ivfApplySplit/ivfRetrain
+    * document, as an executable verb — delete every `cell=` directory
+    * whose id the `.codebook` sidecar does not reference. The sidecar
+    * overwrite is the COMMIT POINT of both swap verbs, so unreferenced
+    * dirs are exactly the crash debris: orphaned sub-cells/new cells
+    * when the crash hit before the sidecar landed (then re-run the
+    * interrupted verb), or the retired parents when it hit after
+    * (the swap is committed; only the drop was lost). Either way the
+    * debris rows are DUPLICATES of live vectors under dead cell ids,
+    * and storeIndex's base read scans every cell directory — so
+    * recovery must run before serving resumes after a crash, then
+    * the pre-commit case re-runs the interrupted verb. Offline,
+    * single-writer, like every swap verb here. Returns the number of
+    * directories removed.
+    */
+  def ivfRecover(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = storeCodebook(s, dir).select("cent_id").as[Long]
+      .collect().toSet
+    val orphans = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(st => st.getPath.getName.stripPrefix("cell=").toLong)
+      .filterNot(live)
+      .sorted
+    orphans.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"cell=$c"), true)
+    }
+    orphans.size.toLong
+  }
+
   /** V17 (round 9): OFFLINE coarse-quantizer retrain on the persisted
     * store — the verb sim_codebook_drift gauges the need for (the
     * FAISS operational loop: the gauge says WHEN, this is the

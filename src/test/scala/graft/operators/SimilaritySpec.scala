@@ -850,6 +850,33 @@ class SimilaritySpec extends SparkSpec {
     assert(g2 === ((1L, -1000000L, -1.0, -1.0, 0L)))
   }
 
+  test("ivf recover: crash debris (cell dirs the sidecar does not " +
+    "reference) is removed and serving returns to the committed state") {
+    val all = (0 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 31 + d * 17) % 13 - 6).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfrc").toString + "/i"
+    Similarity.ivfBuild(spark, dir, all)
+    val base = Similarity.searchStoreLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(base.nonEmpty)
+    // plant swap debris: duplicates of live vectors under a cell id
+    // the sidecar does not reference — what a crash in either swap
+    // window (pre- or post-sidecar-commit) leaves behind
+    spark.read.parquet(dir).select("vec_id", "v").limit(5)
+      .write.parquet(s"$dir/cell=999999")
+    assert(spark.read.parquet(dir).count() === 65L,
+      "debris must be visible to the raw base read (that's the hazard)")
+    assert(Similarity.ivfRecover(spark, dir) === 1L)
+    assert(!new java.io.File(s"$dir/cell=999999").exists())
+    assert(Similarity.searchStoreLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === base)
+    // idempotent: a clean store recovers nothing
+    assert(Similarity.ivfRecover(spark, dir) === 0L)
+  }
+
   test("ivf retrain: retrained store serves byte-identical to a fresh " +
     "build over the same rows; live tail and tombstones are refused") {
     val all = (0 until 100).map { i =>

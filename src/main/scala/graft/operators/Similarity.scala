@@ -782,10 +782,11 @@ object Similarity {
   val SplitOccNum = 4L
   val SplitOccDen = 3L
 
-  /** The trained-codebook assignment in INTEGER space (vec_id, cell,
-    * q) — the Lloyd-metric sibling of ivfAssign's cosine form, shared
-    * by ivfSplitCells and its spec so the split invariants are
-    * checkable against the operator's own assignment.
+  /** The trained-codebook assignment keeping the QUANTIZED vector
+    * (vec_id, cell, q) — same metric as ivfAssign (round 9: the whole
+    * tier shares the integer argmin), shared by ivfSplitCells and its
+    * spec so the split invariants are checkable against the
+    * operator's own assignment.
     */
   private[operators] def ivfAssignQ(emb: DataFrame): DataFrame = {
     val xq = microQuant(emb).localCheckpoint(false)

@@ -38,6 +38,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "cartesian fallback!")
   }
 
+  test("ivf coarse assignment: two-phase min_by aggregate over the " +
+    "codegen'd integer dot, no corpus-grain rank window") {
+    // round 9: the home-cell pick is a map-side-combinable argmin
+    // (n·K candidate rows collapse to n per partition BEFORE the
+    // vec-grain shuffle); the retired form sorted all n·K rows
+    // through a rank window — a 100 TB regression even at equal
+    // sf0.01 results
+    val p = planOf("sim_cell_stats")
+    assert(p.contains("partial_min_by"),
+      "home-cell argmin must map-side combine")
+    assert(!p.contains("Window"),
+      "assignment must not rank through a window")
+    assert(p.contains("graft_doti"),
+      "integer surrogate must run the codegen'd dot")
+  }
+
   test("A2: aggregation is partial+final (map-side combine)") {
     val p = planOf("a2_category_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)

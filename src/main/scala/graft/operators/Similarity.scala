@@ -753,6 +753,45 @@ object Similarity {
         round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
   }
 
+  /** V17 (round 9): IVF-PQ with an exact refine stage — the FAISS
+    * IndexRefineFlat composite, the third rung of the production
+    * serving ladder (coarse cell → code-only ADC → exact rerank of
+    * the survivors): the ADC stage keeps the top `cand` candidates
+    * per query from integer code arithmetic alone, and ONLY those
+    * |Q|·cand rows fetch float vectors for the exact round-6 cosine
+    * rerank. The refine corrects the quantization error in the
+    * RANKING (sim_ivfpq_refine_recall prices the recovery vs the
+    * unrefined sim_ivfpq_recall); what remains is pure
+    * cell-restriction loss.
+    *
+    * Scale shape: the candidate set broadcasts (bounded |Q|·cand
+    * rows), so both vector fetches are broadcast hash joins onto the
+    * embedding scan — the corpus never shuffles and the float column
+    * is read once, for survivors only, exactly the bandwidth story
+    * a real refine tier exists for. Determinism: integer ADC cut
+    * with nbr_id ties, then the established round-6 cosine with
+    * nbr_id ties.
+    */
+  def knnIvfPqRefine(emb: DataFrame, k: Int = K,
+                     cand: Int = RerankCand): DataFrame = {
+    val e = vecs(emb)
+    val adc = knnIvfPq(emb, cand).select("query_id", "nbr_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    broadcast(broadcast(adc)
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        Seq("query_id")))
+      .join(e.select(col("vec_id").as("nbr_id"), col("v").as("cv")),
+        Seq("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosineFast(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+  }
+
   /** The default IVF coarse quantizer: the Lloyd-TRAINED codebook
     * (CentCount cells, IvfTrainRounds iterations from the "c" seed
     * sample) — real IVF trains its quantizer; round 5's raw strided
@@ -3462,7 +3501,61 @@ object Similarity {
     // retrained codebook distortion + gain in ppm; see retrainGain.
     QueryDef("sim_retrain_gain",
       (s, d) => retrainGain(Tables.embeddings(s, d)),
-      Some(retrainGainSql))
+      Some(retrainGainSql)),
+
+    // V17 (round 9): IVF-PQ + exact refine (FAISS IndexRefineFlat) —
+    // the third rung of the serving ladder; see knnIvfPqRefine.
+    QueryDef("sim_knn_ivfpq_refine",
+      (s, d) => knnIvfPqRefine(Tables.embeddings(s, d)),
+      Some(s"""WITH $pqSql,
+              |$pqIvfSql,
+              |cnd AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM sc)
+              |  WHERE rk <= $RerankCand),
+              |ref AS (SELECT c.query_id, c.nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
+              |  FROM cnd c JOIN e q ON q.vec_id = c.query_id
+              |  JOIN e t ON t.vec_id = c.nbr_id)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM ref)
+              |WHERE rk <= $K""".stripMargin)),
+
+    // V17's honest number: how much ranking loss the refine stage
+    // recovers vs the unrefined ADC top-k (read next to
+    // sim_ivfpq_recall — the residual gap is pure cell restriction).
+    QueryDef("sim_ivfpq_refine_recall",
+      (s, d) => annRecallAtK(Tables.embeddings(s, d),
+        index = knnIvfPqRefine(_, _)),
+      Some(s"""WITH $pqSql,
+              |$pqIvfSql,
+              |cnd AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM sc)
+              |  WHERE rk <= $RerankCand),
+              |ref AS (SELECT c.query_id, c.nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
+              |  FROM cnd c JOIN e q ON q.vec_id = c.query_id
+              |  JOIN e t ON t.vec_id = c.nbr_id),
+              |ap AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM ref) WHERE rk <= $K),
+              |exsc AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
+              |  FROM e q JOIN e t ON q.vec_id <> t.vec_id
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |hits AS (SELECT e2.query_id, COUNT(*) n_hit FROM ex e2
+              |  JOIN ap ON e2.query_id = ap.query_id AND e2.nbr_id = ap.nbr_id
+              |  GROUP BY 1),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1)
+              |SELECT COUNT(*) AS n_queries,
+              |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6)
+              |  AS avg_recall
+              |FROM base LEFT JOIN hits USING (query_id)""".stripMargin))
   )
 
   /** See the sim_normalize QueryDef. */

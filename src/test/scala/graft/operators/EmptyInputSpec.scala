@@ -330,6 +330,7 @@ class EmptyInputSpec extends SparkSpec {
     // round 9: margin + retrain-gain are global aggs — one null row
     assert(Similarity.ivfAssignMargin(emb0).count() === 1)
     assert(Similarity.retrainGain(emb0).count() === 1)
+    assert(Similarity.knnIvfPqRefine(emb0).count() === 0)
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)

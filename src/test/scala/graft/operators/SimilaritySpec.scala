@@ -313,6 +313,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rec === ((120L, 1.0)))
   }
 
+  test("ivfpq refine: exact rerank of the ADC survivors — cluster-" +
+    "restricted, self-free, recall 1.0 on separable clusters") {
+    val e = protoEmb(120)
+    val got = Similarity.knnIvfPqRefine(e)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1).distinct.length === 120)
+    got.foreach { case (q, _, n, _) =>
+      assert(q !== n)
+      assert(q % 3 === n % 3) // candidates never leave the home cell
+    }
+    // refined scores are true cosines: same-prototype rows score 1.0
+    val q0 = got.filter(_._1 == 0L).sortBy(_._2)
+    assert(q0.map(_._3) === Seq(3L, 6L, 9L, 12L, 15L))
+    assert(q0.forall(_._4 === 1.0))
+    val rec = Similarity.annRecallAtK(e,
+      index = Similarity.knnIvfPqRefine(_, _)).as[(Long, Double)].head()
+    assert(rec === ((120L, 1.0)))
+  }
+
   test("pq trainer: training strictly reduces distortion on jittered " +
     "clusters; trained codes are valid") {
     // 3 cluster prototypes + deterministic per-vector jitter: sampled

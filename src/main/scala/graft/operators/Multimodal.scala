@@ -280,6 +280,28 @@ object Multimodal {
       .select(col("i"), col("j"), col("hamming"))
   }
 
+  /** MM10 (round 9): near-dup CLUSTERS over the verified pHash pair
+    * graph — the pairs→clusters rung the text dedup ladder has
+    * (dedup_clusters) applied to the media tier: pointer-jumping CC
+    * labels every asset with its cluster's min media_id, the
+    * canonical keeper a multimodal curation pass retains (pairs
+    * alone can't drive a keep/drop decision — transitive groups
+    * can). Reuses Dedup.labelComponents verbatim (the audited
+    * edge-subgraph CC: only edge-incident assets iterate, the corpus
+    * joins back once); edges are the banded-candidate +
+    * exact-Hamming-verified pairs of mm_phash_pairs, so candidate
+    * volume stays band-bucketed at any corpus size.
+    */
+  def phashClusters(media: DataFrame,
+                    hammingT: Int = PhashHammingT): DataFrame = {
+    val m = media.localCheckpoint(false) // edges + the asset universe
+    Dedup.labelComponents(
+      phashDupPairs(m, hammingT).select(col("i"), col("j")),
+      m.select(col("media_id").as("doc_id")))
+      .select(col("doc_id").as("media_id"), col("canonical_id"),
+        col("is_canonical"))
+  }
+
   /** Stub hash for non-image payloads: the 60-bit md5 prefix, exactly
     * the oracle's CAST(concat('0x', substr(md5(payload),1,15)) AS
     * BIGINT) — so the registered query stays hash-checkable on the
@@ -485,6 +507,37 @@ object Multimodal {
               |  FROM cand)
               |SELECT n_assets, n_candidate_pairs, n_near_dups
               |FROM na, agg""".stripMargin)),
+
+    // MM10 (round 9): pairs → clusters — canonical keeper per
+    // near-dup group via the audited pointer-jump CC; see
+    // phashClusters. Oracle: the mm_phash_pairs edge derivation +
+    // Dedup's shared CC ladder (stub hashes make the synthetic
+    // corpus exact on both engines; real-image pairing is
+    // spec-proven on re-encodings).
+    QueryDef("mm_phash_clusters",
+      (s, d) => phashClusters(media(s, d)),
+      Some(s"""WITH $mediaSql,
+              |h AS (SELECT media_id,
+              |  CAST(concat('0x', substr(md5(payload),1,15)) AS BIGINT)
+              |    AS phash FROM media),
+              |b AS (SELECT media_id, phash, k.k AS bnd,
+              |    (phash >> (${PhashBandBits} * k.k)) & 32767 AS v
+              |  FROM h, (SELECT unnest([0, 1, 2, 3]) AS k) k),
+              |cand AS (SELECT x.media_id i, y.media_id j,
+              |    MAX(x.phash) hi, MAX(y.phash) hj
+              |  FROM b x JOIN b y ON x.bnd = y.bnd AND x.v = y.v
+              |    AND x.media_id < y.media_id
+              |  GROUP BY 1, 2),
+              |p AS (SELECT i, j FROM cand
+              |  WHERE bit_count(xor(hi, hj)) <= $PhashHammingT),
+              |e AS MATERIALIZED (SELECT i, j FROM p
+              |  UNION ALL SELECT j, i FROM p),
+              |l0 AS MATERIALIZED (SELECT media_id AS doc_id,
+              |  media_id AS lbl FROM h),
+              |${Dedup.ccStepsSql}
+              |SELECT doc_id AS media_id, lbl AS canonical_id,
+              |CAST(doc_id = lbl AS INT) AS is_canonical
+              |FROM l${Dedup.ClusterRounds}""".stripMargin)),
 
     // Modality-mix corpus report: asset counts and payload bytes per
     // (kind, source) — the first dashboard a multimodal training-data

@@ -131,7 +131,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_ivf_assign_margin",  // sorted per-vec margins + tie counts
     "sim_rounding_canary",    // data-free literal probes (trivially)
     "sim_retrain_gain",       // two codebooks + decimal totals + sign CASE
-    "sim_knn_ivfpq_refine")   // integer ADC cut + exact cosine rerank
+    "sim_knn_ivfpq_refine",   // integer ADC cut + exact cosine rerank
+    "mm_phash_clusters")      // banded pairs + pointer-jump CC labels
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

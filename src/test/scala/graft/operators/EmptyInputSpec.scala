@@ -331,6 +331,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfAssignMargin(emb0).count() === 1)
     assert(Similarity.retrainGain(emb0).count() === 1)
     assert(Similarity.knnIvfPqRefine(emb0).count() === 0)
+    assert(Multimodal.phashClusters(empty("media_id" -> LongType,
+      "kind" -> StringType, "payload" -> BinaryType)).count() === 0)
     assert(Temporal.rollingAnomaly(
       empty("event_type" -> StringType, "ts_us" -> LongType))
       .count() === 0)

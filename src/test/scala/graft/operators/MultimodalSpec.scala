@@ -173,6 +173,45 @@ class MultimodalSpec extends SparkSpec {
     assert(sum._2 >= 1L) // banding surfaced at least the true pair
   }
 
+  test("phash clusters: transitive stub dups collapse to one canonical; " +
+    "re-encoded picture clusters with its twin") {
+    // three identical audio payloads (stub hash path): pairwise edges
+    // (1,2)(1,3)(2,3) must collapse to ONE cluster with canonical 1;
+    // the distinct fourth stays its own singleton
+    val b = "same payload bytes".getBytes("UTF-8")
+    val stub = Seq(
+      (1L, "audio", b), (2L, "audio", b), (3L, "audio", b),
+      (4L, "audio", "different bytes entirely".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.phashClusters(stub)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+      (4L, 4L, 1)))
+
+    // real images: the re-encoded twin joins its cluster, the
+    // different picture stays canonical alone (the pairs fixture)
+    def pattern(f: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = { val c = v & 0xff; (c << 16) | (c << 8) | c }
+    def tex(x: Int, y: Int) =
+      gray((x * 7 + (y * y) / 3 + ((x * y) % 31) * 5) % 200 + 28)
+    val topBright = (_: Int, y: Int) => if (y < 32) 0xffffff else 0x000000
+    val media = Seq(
+      (1L, "image", pattern(tex, "png")),
+      (2L, "image", pattern(tex, "jpg")),
+      (3L, "image", pattern(topBright, "png")))
+      .toDF("media_id", "kind", "payload")
+    val img = Multimodal.phashClusters(media, hammingT = 10)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(img === Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 3L, 1)))
+  }
+
   test("resize: integer aspect math") {
     val out = Multimodal.resizePlan(Multimodal.decode(Multimodal.mediaTable(docs)))
       .select("media_id", "width", "height", "out_width", "out_height")

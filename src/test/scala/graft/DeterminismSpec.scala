@@ -132,7 +132,10 @@ class DeterminismSpec extends SparkSpec {
     "sim_rounding_canary",    // data-free literal probes (trivially)
     "sim_retrain_gain",       // two codebooks + decimal totals + sign CASE
     "sim_knn_ivfpq_refine",   // integer ADC cut + exact cosine rerank
-    "mm_phash_clusters")      // banded pairs + pointer-jump CC labels
+    "mm_phash_clusters",      // banded pairs + pointer-jump CC labels
+    "sim_res_codebook_probe", // residual trainer's long-form codebook
+    "sim_res_codes_probe",    // residual argmin encode, all vectors
+    "sim_res_adc_probe")      // windowless integer ADC score rows
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -190,6 +190,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.knnIvfFiltered(emb0, docs0).count() === 0)
   }
 
+  test("round-10 stage-bisect probes are total on empty input") {
+    assert(Similarity.resCodebookProbe(emb0).count() === 0)
+    assert(Similarity.resCodesProbe(emb0).count() === 0)
+    assert(Similarity.resAdcProbe(emb0).count() === 0)
+  }
+
   test("round-2 operators are total on empty input") {
     assert(TextAnalysis.bm25(docs0).count() === 0)
     assert(Dedup.containment(docs0).count() === 0)

@@ -393,6 +393,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("round-10 stage-bisect probes are consistent with the residual " +
+    "composite: codebook/codes shapes hold, and the windowless ADC " +
+    "rows reproduce the ranked top-k for the probed queries") {
+    val e = (0 until 200).map { i =>
+      val c = i % 3
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        val base = if (d / 21 == c || (c == 2 && d >= 42)) 5.0f else 0.1f
+        base + ((i * 13 + d * 3) % 97) * 0.01f
+      }.toArray, c)
+    }.toDF("vec_id", "embedding", "label")
+    // codebook probe: every (subspace, code) carries exactly PqSubDim
+    // dimension rows; all PqM subspaces present
+    val cb = Similarity.resCodebookProbe(e)
+      .as[(Int, Long, Int, Long)].collect().toSeq
+    assert(cb.nonEmpty)
+    cb.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until Similarity.PqSubDim))
+    }
+    assert(cb.map(_._1).distinct.sorted.toSeq == (0 until Similarity.PqM))
+    // codes probe: one code per (vector, subspace); every code is a
+    // codebook cell
+    val codes = Similarity.resCodesProbe(e)
+      .as[(Long, Int, Long)].collect().toSeq
+    codes.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0 until Similarity.PqM))
+    }
+    val cells = cb.map(_._2).toSet
+    assert(codes.forall(r => cells(r._3)))
+    // adc probe: windowless per-candidate scores — re-ranking them
+    // locally by (adc_q, nbr_id) and cutting at K reproduces the
+    // composite's ranked emission for the probed queries, which is
+    // exactly the bisect contract (probe green + composite red ⇒
+    // the divergence is inside rank assembly alone)
+    val adc = Similarity.resAdcProbe(e)
+      .as[(Long, Long, Long)].collect().toSeq
+    val probed = adc.map(_._1).distinct
+    assert(probed.length === Similarity.AdcProbeQueries)
+    val rebuilt = adc.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(Similarity.K).zipWithIndex
+        .map { case ((_, n, s), i) => (q, (i + 1).toLong, n, s) }
+    }.sortBy(r => (r._1, r._2))
+    val ranked = Similarity.knnIvfPqRes(e)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .filter(r => probed.contains(r._1)).sortBy(r => (r._1, r._2))
+    assert(rebuilt === ranked && ranked.nonEmpty)
+  }
+
   test("rp project: RpDim whole-integer dims; scalar multiples stay parallel") {
     val base = (0 until Similarity.Dim).map(d => ((d * 17) % 13 - 6).toFloat)
     val e = Seq(

@@ -236,9 +236,24 @@ object Bench {
               m.group(3).toLong + m.group(4).toLong)).toMap
         }
       }
+    // The signature's thresholds derive from the ACTUAL data-scale
+    // ratio between this run's sfDir and the sf0.1 baseline (round-10
+    // ADVICE: hard-coded 10x/12x encode a 10x ratio and would
+    // spuriously retime every bounded-shuffle query on a future sf10
+    // run, where 100x data legitimately costs >10x wall): wall past
+    // ratio x while bytes stay within 1.2 * ratio x. Unparseable
+    // basenames keep the sf1 calibration (ratio 10).
+    val scaleRatio: Double = {
+      val sfOf = "sf([0-9.]+)".r
+      base match {
+        case sfOf(v) => scala.util.Try(v.toDouble / 0.1).toOption
+          .filter(_ > 0).getOrElse(10.0)
+        case _ => 10.0
+      }
+    }
     def contended(r: Res): Boolean = sf01.get(r.name).exists {
-      case (w01, b01) => w01 > 0.5 && r.secs > 10 * w01 &&
-        r.secs > 5.0 && b01 > 0 && (r.rd + r.wr) <= 12L * b01
+      case (w01, b01) => w01 > 0.5 && r.secs > scaleRatio * w01 &&
+        r.secs > 5.0 && b01 > 0 && (r.rd + r.wr) <= 1.2 * scaleRatio * b01
     }
     val retimed = results
       .filter(r => r.ok && (committed.get(r.name).exists(c =>

@@ -843,6 +843,80 @@ object Similarity {
         round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
   }
 
+  /** V18 (round 10): the PERSISTED code-only IVF-PQ store — what a
+    * billion-scale deployment actually keeps on disk. ivfBuild's
+    * store holds float vectors (exact in-cell serving); this one
+    * completes the compression ladder at the other end: the store is
+    * cell-partitioned integer PQ CODES (PqM small ints per vector —
+    * 16× fewer bytes than the floats at these parameters; no float
+    * column at rest, spec-asserted on the schema), with the two
+    * quantizers as tiny sidecars — `.codebook` (the trained coarse
+    * quantizer under the metric-stamped ivfBuild sidecar contract)
+    * and `.pq` (the sampled fine codebook knnIvfPq serves with, ≤
+    * CentCount·PqM sub-vector rows). At 100 TB this is the difference
+    * between storing/scanning 100 TB of vectors and ~6 TB of codes;
+    * serving reads codes + two broadcast sidecars only.
+    */
+  def ivfPqBuild(s: SparkSession, dir: String, emb: DataFrame): Unit = {
+    val e = vecs(emb)
+    val cents = ivfCodebook(emb).localCheckpoint(false)
+    writeCodebookSidecar(s, dir, cents)
+    subSlices(hashSample(e, "c", CentCount)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv")),
+      "cent_id", "cv", "c")
+      .select(col("m"), col("cent_id").as("code"), col("c"))
+      .write.mode("overwrite").parquet(s"$dir.pq")
+    pqCodes(emb)
+      .join(ivfAssign(emb, Some(cents)).select("vec_id", "cell"),
+        Seq("vec_id"))
+      .write.partitionBy("cell").parquet(dir)
+  }
+
+  /** Serving over the code-only store: the bounded query batch
+    * assigns against the `.codebook` sidecar (the CHECKED read — the
+    * metric-stamp guard protects exactly this path), builds its ADC
+    * LUT against the `.pq` sidecar, and scores the store's codes —
+    * row-identical to the inline knnIvfPq by construction (same
+    * quantizers, same codes, same integer ADC), so the registered
+    * query shares sim_knn_ivfpq's oracle, the knnIvfFromStore device.
+    * Scale shape: both sidecars and the LUT broadcast; the query-cell
+    * join keys the code scan on the PARTITION column, so a bounded
+    * batch reads only its probed cell directories.
+    */
+  def knnIvfPqFromStore(s: SparkSession, dir: String, emb: DataFrame,
+                        k: Int = K): DataFrame = {
+    val e = vecs(emb)
+    val cents = storeCodebook(s, dir).localCheckpoint(false)
+    val q = hashSample(e, "q", QueryCount).localCheckpoint(false)
+    val qs = subSlices(q.withColumnRenamed("vec_id", "query_id"),
+      "query_id", "v", "qx")
+    val lut = qs
+      .join(broadcast(s.read.parquet(s"$dir.pq")), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        round(dotFast(col("qx"), col("c")) * lit(1000000.0d))
+          .cast("long").as("qp"))
+    val qcell = ivfAssign(
+      q.select(col("vec_id"), col("v").as("embedding")), Some(cents))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    s.read.parquet(dir)
+      .join(broadcast(qcell), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("qp")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"),
+        round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
+  }
+
+  private val ivfPqStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** V17 (round 9): IVF-PQ with an exact refine stage — the FAISS
     * IndexRefineFlat composite, the third rung of the production
     * serving ladder (coarse cell → code-only ADC → exact rerank of
@@ -1099,12 +1173,84 @@ object Similarity {
     */
   def ivfBuild(s: SparkSession, dir: String, emb: DataFrame): Unit = {
     val cent = ivfCodebook(emb).localCheckpoint(false)
-    cent.write.mode("overwrite").parquet(s"$dir.codebook")
+    writeCodebookSidecar(s, dir, cent)
     ivfAssign(emb, Some(cent)).write.partitionBy("cell").parquet(dir)
   }
 
-  def storeCodebook(s: SparkSession, dir: String): DataFrame =
+  /** The coarse-assignment metric this build of the library routes
+    * cells by, stamped into every `.codebook` sidecar (round-10
+    * ADVICE): the round-9 cosine→integer-L2 change ALTERED cell
+    * routing, so a store persisted under one metric and served under
+    * another silently degrades in-cell recall — memberships sit in
+    * cells the new assignment would not probe. The stamp makes the
+    * mismatch loud: serving/append/split verbs refuse a sidecar
+    * stamped with a different metric and direct the operator to
+    * ivfRetrain (which re-assigns everything and re-stamps).
+    */
+  val AssignMetric = "l2-integer-v1"
+
+  /** The stamp lives INSIDE the sidecar directory under a leading
+    * underscore, so Spark's parquet discovery ignores it and it
+    * travels/dies with the sidecar it describes (an overwrite that
+    * crashes after the parquet commit but before the stamp leaves a
+    * legacy-looking sidecar — absence therefore WARNS rather than
+    * refuses; only a contradicting stamp refuses).
+    */
+  private def metricMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir.codebook", "_assign_metric")
+
+  /** The single sidecar write path: parquet, then the metric stamp. */
+  private def writeCodebookSidecar(s: SparkSession, dir: String,
+                                   cb: DataFrame): Unit = {
+    cb.write.mode("overwrite").parquet(s"$dir.codebook")
+    val p = metricMarker(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(AssignMetric.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def storedMetric(s: SparkSession, dir: String): Option[String] = {
+    val p = metricMarker(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Unchecked sidecar read for the verbs that must still work on a
+    * metric-mismatched store — ivfRetrain (the REMEDY the checked
+    * read directs operators to) and crash recovery (orphan listing
+    * only consumes cell ids, which are metric-free).
+    */
+  private def codebookUnchecked(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir.codebook")
+
+  /** Checked sidecar read — every serve/append/split path. Refuses a
+    * sidecar stamped with a DIFFERENT assignment metric (stored
+    * memberships were routed under it; assigning queries or new rows
+    * under this build's metric silently degrades in-cell recall);
+    * warns once per read on an unstamped legacy sidecar.
+    */
+  def storeCodebook(s: SparkSession, dir: String): DataFrame = {
+    storedMetric(s, dir) match {
+      case Some(m) => require(m == AssignMetric,
+        s"refusing to use $dir.codebook: its cells were assigned " +
+          s"under metric '$m' but this build routes by " +
+          s"'$AssignMetric' — stored memberships and fresh " +
+          "assignments would disagree on cell routing (silent " +
+          "in-cell recall loss). Run ivfRetrain to re-assign the " +
+          "store under the current metric.")
+      case None => System.err.println(
+        s"[graft] WARN: $dir.codebook carries no _assign_metric " +
+          s"stamp (pre-stamp store or interrupted sidecar write); " +
+          s"assuming '$AssignMetric'. If the store predates the " +
+          "integer-L2 assignment, run ivfRetrain.")
+    }
+    codebookUnchecked(s, dir)
+  }
 
   /** V8: incremental index maintenance — the daily-ingest shape on
     * the vector tier (dedup_incremental's ANN sibling): a new batch
@@ -1260,6 +1406,7 @@ object Similarity {
       .exists(tailPath),
       s"refusing to split with a live ingest tail at $dir.ingest — " +
         "run ivfCompact first (stop-compact-split-restart)")
+    requireRecovered(s, dir, "split") // pre-commit crash debris check
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val idx = s.read.parquet(dir)
       .select(col("vec_id"), col("v"), col("cell"))
@@ -1329,8 +1476,11 @@ object Similarity {
     // any `cell=` dirs whose id is NOT in the sidecar and re-run the
     // split; after 2, the split is committed — delete any `cell=`
     // dirs not in the sidecar (the orphaned parents) and serve.
+    // Both cases are one ivfRecover call, and the pre-commit case is
+    // ENFORCED at entry (requireRecovered, round 10): re-running over
+    // debris would re-derive the same fresh ids and append duplicates.
     assigned.write.mode("append").partitionBy("cell").parquet(dir)
-    cb2.write.mode("overwrite").parquet(s"$dir.codebook")
+    writeCodebookSidecar(s, dir, cb2)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     overCells.foreach { c =>
@@ -1355,20 +1505,53 @@ object Similarity {
     * directories removed.
     */
   def ivfRecover(s: SparkSession, dir: String): Long = {
-    import s.implicits._
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val live = storeCodebook(s, dir).select("cent_id").as[Long]
-      .collect().toSet
-    val orphans = fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .map(st => st.getPath.getName.stripPrefix("cell=").toLong)
-      .filterNot(live)
-      .sorted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val orphans = orphanCells(s, dir)
     orphans.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"cell=$c"), true)
     }
     orphans.size.toLong
+  }
+
+  /** The crash-debris listing ivfRecover deletes: `cell=` directories
+    * whose id the `.codebook` sidecar does not reference. Shared with
+    * the swap verbs' entry guard (requireRecovered).
+    */
+  private def orphanCells(s: SparkSession, dir: String): Seq[Long] = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // unchecked read: recovery (and the swap-verb guard built on it)
+    // must work on a metric-mismatched store — it consumes only ids
+    val live = codebookUnchecked(s, dir).select("cent_id").as[Long]
+      .collect().toSet
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(st => st.getPath.getName.stripPrefix("cell=").toLong)
+      .filterNot(live)
+      .sorted
+  }
+
+  /** ENFORCED recovery precondition for the swap verbs (round-10
+    * ADVICE; was docstring-only): both ivfApplySplit and ivfRetrain
+    * derive their fresh cell ids from the UNCHANGED sidecar max, so a
+    * re-run after a pre-commit crash recomputes the SAME ids and
+    * mode("append")s into the leftover debris dirs — silently
+    * duplicating every vector in the new cells. With ivfRecover an
+    * executable verb, a skipped recovery now fails loudly at entry
+    * instead of corrupting the store.
+    */
+  private def requireRecovered(s: SparkSession, dir: String,
+                               verb: String): Unit = {
+    val orphans = orphanCells(s, dir)
+    require(orphans.isEmpty,
+      s"refusing to $verb $dir: cell dirs not referenced by the " +
+        s".codebook sidecar exist (cell=${orphans.take(5).mkString(", cell=")}" +
+        s"${if (orphans.size > 5) ", ..." else ""}) — crash debris from " +
+        "an interrupted swap; a re-run would re-derive the same fresh " +
+        "ids from the unchanged sidecar max and append duplicates into " +
+        "them. Run ivfRecover first.")
   }
 
   /** V17 (round 9): OFFLINE coarse-quantizer retrain on the persisted
@@ -1410,10 +1593,13 @@ object Similarity {
       s"refusing to retrain with pending tombstones at " +
         s"$dir.tombstones — run ivfCompact first (a retrain must not " +
         "re-index rows a compaction is about to drop)")
+    requireRecovered(s, dir, "retrain") // pre-commit crash debris check
     val idx = s.read.parquet(dir).select(col("vec_id"), col("v"))
       .localCheckpoint() // train + assign read off the replaced files
     val emb = idx.select(col("vec_id"), col("v").as("embedding"))
-    val maxId = storeCodebook(s, dir).agg(max(col("cent_id")))
+    // unchecked read: retrain IS the remedy storeCodebook's metric
+    // check directs operators to, and it needs only the old max id
+    val maxId = codebookUnchecked(s, dir).agg(max(col("cent_id")))
       .as[Long].head()
     val cent = ivfCodebook(emb).localCheckpoint(false)
     // fresh, order-preserving ids: sorted dense rank past the old
@@ -1432,7 +1618,7 @@ object Similarity {
     // crash-safe swap order (see ivfApplySplit): sub dirs, sidecar
     // (the commit point), then the retired parents
     assigned.write.mode("append").partitionBy("cell").parquet(dir)
-    cent2.write.mode("overwrite").parquet(s"$dir.codebook")
+    writeCodebookSidecar(s, dir, cent2)
     oldCells.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"cell=$c"), true)
     }
@@ -1487,9 +1673,18 @@ object Similarity {
       tfs.exists(tail) && tfs.listStatus(tail).exists(_.isDirectory)
     // a FRESH checkpoint restarts batchIds at 0 exactly like no
     // checkpoint — resuming over a tail requires the stream's OWN
-    // checkpoint (one that already holds commits)
+    // checkpoint. Ownership is gated on the checkpoint's offsets/
+    // dir, NOT commits/ (round-10 ADVICE): Structured Streaming
+    // writes offsets/<id> BEFORE a batch runs and commits/<id> after,
+    // so a crash during the FIRST batch (tail dir written, commit
+    // not) leaves commits/ empty while offsets/0 exists — that
+    // checkpoint STARTED batch 0 and owns the tail's batchIds, and
+    // its replay is the documented idempotent overwrite
+    // (ingestBatchWrite), which must be allowed, not refused. A
+    // fresh checkpoint has neither dir, so the hazard gate is
+    // unchanged.
     val ckResumes = checkpoint.exists { c =>
-      val cp = new org.apache.hadoop.fs.Path(c, "commits")
+      val cp = new org.apache.hadoop.fs.Path(c, "offsets")
       val cfs = cp.getFileSystem(s.sparkContext.hadoopConfiguration)
       cfs.exists(cp) && cfs.listStatus(cp).nonEmpty
     }
@@ -3480,6 +3675,30 @@ object Similarity {
     // COMPOUNDED loss next to the per-axis monitors.
     QueryDef("sim_knn_ivfpq",
       (s, d) => knnIvfPq(Tables.embeddings(s, d)),
+      Some(s"""WITH $pqSql,
+              |$pqIvfSql
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id,
+              |ROUND(CAST(score AS DOUBLE) / 1000000.0, 6) adc FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM sc)
+              |WHERE rk <= $K""".stripMargin)),
+
+    // V18 (round 10): the persisted CODE-ONLY IVF-PQ store — built
+    // once per sfDir under a temp dir (the knnIvfFromStore device),
+    // then the standard query batch served from codes + the two
+    // broadcast sidecars alone; row-identical to the inline composite
+    // by construction (same quantizers, same codes, same integer
+    // ADC), so it shares sim_knn_ivfpq's oracle.
+    QueryDef("sim_knn_ivfpq_store",
+      (s, d) => {
+        val dir = ivfPqStores.computeIfAbsent(d, _ => {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-ivfpq-index").toString + "/idx"
+          ivfPqBuild(s, out, Tables.embeddings(s, d))
+          out
+        })
+        knnIvfPqFromStore(s, dir, Tables.embeddings(s, d))
+      },
       Some(s"""WITH $pqSql,
               |$pqIvfSql
               |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id,

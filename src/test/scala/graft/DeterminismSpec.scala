@@ -135,7 +135,8 @@ class DeterminismSpec extends SparkSpec {
     "mm_phash_clusters",      // banded pairs + pointer-jump CC labels
     "sim_res_codebook_probe", // residual trainer's long-form codebook
     "sim_res_codes_probe",    // residual argmin encode, all vectors
-    "sim_res_adc_probe")      // windowless integer ADC score rows
+    "sim_res_adc_probe",      // windowless integer ADC score rows
+    "sim_knn_ivfpq_store")    // code-only store read + broadcast LUT
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -332,6 +332,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rec === ((120L, 1.0)))
   }
 
+  test("ivfpq code-only store: serving from codes equals the inline " +
+    "composite; no float vectors at rest; sidecar is metric-stamped") {
+    val all = (0 until 200).map { i =>
+      val c = i % 3
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        val base = if (d / 21 == c || (c == 2 && d >= 42)) 5.0f else 0.1f
+        base + ((i * 13 + d * 3) % 97) * 0.01f
+      }.toArray, c)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqs").toString + "/i"
+    Similarity.ivfPqBuild(spark, dir, all)
+    // the at-rest store is integer codes + the cell key ONLY — the
+    // 16x compression claim is a schema fact, not a docstring
+    val stored = spark.read.parquet(dir)
+    assert(stored.schema.fieldNames.sorted.toSeq
+      === Seq("cell", "code", "m", "vec_id"))
+    assert(stored.count() === 200L * Similarity.PqM)
+    // the coarse sidecar rides the stamped ivfBuild contract
+    assert(new java.io.File(s"$dir.codebook/_assign_metric").exists())
+    // serving from codes + sidecars is row-identical to the inline
+    // composite (same quantizers, same codes, same integer ADC)
+    val got = Similarity.knnIvfPqFromStore(spark, dir, all)
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Similarity.knnIvfPq(all)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === inline && got.nonEmpty)
+  }
+
   test("pq trainer: training strictly reduces distortion on jittered " +
     "clusters; trained codes are valid") {
     // 3 cluster prototypes + deterministic per-vector jitter: sampled
@@ -935,12 +963,65 @@ class SimilaritySpec extends SparkSpec {
       .write.parquet(s"$dir/cell=999999")
     assert(spark.read.parquet(dir).count() === 65L,
       "debris must be visible to the raw base read (that's the hazard)")
+    // the swap verbs refuse to run over debris (round-10 ADVICE —
+    // enforced, not just documented: a re-run would re-derive the
+    // same fresh ids from the unchanged sidecar max and append
+    // duplicates into the leftover dirs); ivfRecover must come first
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRetrain(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfApplySplit(spark, dir)
+    }
     assert(Similarity.ivfRecover(spark, dir) === 1L)
     assert(!new java.io.File(s"$dir/cell=999999").exists())
     assert(Similarity.searchStoreLive(spark, dir)
       .collect().map(_.toString).sorted.toSeq === base)
     // idempotent: a clean store recovers nothing
     assert(Similarity.ivfRecover(spark, dir) === 0L)
+  }
+
+  test("codebook metric stamp: a sidecar routed under a different " +
+    "metric is refused toward ivfRetrain; retrain re-stamps; an " +
+    "unstamped legacy sidecar is accepted") {
+    val all = (0 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 31 + d * 17) % 13 - 6).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfm").toString + "/i"
+    Similarity.ivfBuild(spark, dir, all)
+    val marker = new java.io.File(s"$dir.codebook/_assign_metric")
+    assert(marker.exists())
+    assert(java.nio.file.Files.readString(marker.toPath)
+      === Similarity.AssignMetric)
+    // contradicting stamp — what a store persisted by the round-6
+    // cosine build would carry had the stamp existed then: every
+    // checked read (serve/append/split) refuses, because stored
+    // memberships and fresh assignments would disagree on routing.
+    // (Written through the Hadoop FS API like a real older build
+    // would — the local FS keeps .crc sidecars, so a raw-java edit
+    // only manufactures a checksum error, not this scenario.)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir.codebook/_assign_metric")
+    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mout = mfs.create(mp, true)
+    mout.write("cosine-v0".getBytes("UTF-8")); mout.close()
+    intercept[IllegalArgumentException] {
+      Similarity.storeCodebook(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(spark, dir, all.limit(1))
+    }
+    // the directed remedy runs on the mismatched store (unchecked
+    // read — it re-derives everything from rows) and re-stamps
+    assert(Similarity.ivfRetrain(spark, dir) >= 1L)
+    assert(java.nio.file.Files.readString(marker.toPath)
+      === Similarity.AssignMetric)
+    assert(Similarity.storeCodebook(spark, dir).count() > 0L)
+    // absence = pre-stamp store or interrupted sidecar write:
+    // accepted (warn-only), since refusal would brick crash recovery
+    assert(mfs.delete(mp, false))
+    assert(Similarity.storeCodebook(spark, dir).count() > 0L)
   }
 
   test("ivf retrain: retrained store serves byte-identical to a fresh " +
@@ -1060,6 +1141,37 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfAssign(all, Some(Similarity.storeCodebook(spark, dir))))
       .collect().map(_.toString).sorted.toSeq
     assert(stored === direct && stored.nonEmpty)
+
+    // the FIRST-BATCH-CRASH window (round-10 ADVICE): the engine
+    // writes offsets/0, foreachBatch lands the tail's batch=0 dir,
+    // and the crash hits BEFORE commits/0 — the checkpoint owns the
+    // tail (offsets prove it started batch 0) but holds no commit.
+    // The same-checkpoint resume is the documented idempotent replay
+    // (overwrite of batch=0) and must be ACCEPTED; a commits-gated
+    // guard would refuse it and strand the store.
+    val dirC = java.nio.file.Files.createTempDirectory("ivfcr").toString + "/i"
+    Similarity.ivfBuild(spark, dirC, all.filter($"vec_id" < 60))
+    val ckC = java.nio.file.Files.createTempDirectory("ivfcrck").toString
+    val inC = MemoryStream[(Long, Array[Float])]
+    val ingC = Similarity.ingestStoreStream(spark, dirC,
+      inC.toDF().toDF("vec_id", "embedding"), Some(ckC))
+    inC.addData(b1: _*); ingC.processAllAvailable(); ingC.stop()
+    // manufacture the crash state: commit record gone, offsets + tail
+    // batch dir in place (deleted through the Hadoop FS so its .crc
+    // sidecar goes too — a real crash never wrote either)
+    val c0 = new org.apache.hadoop.fs.Path(s"$ckC/commits/0")
+    val cfs = c0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(cfs.exists(c0)); assert(cfs.delete(c0, false))
+    assert(new java.io.File(s"$ckC/offsets/0").exists())
+    assert(new java.io.File(s"$dirC.ingest/batch=0").exists())
+    val inC2 = MemoryStream[(Long, Array[Float])]
+    inC2.addData(b1: _*) // the replay source re-offers batch 0's data
+    val ingC2 = Similarity.ingestStoreStream(spark, dirC,
+      inC2.toDF().toDF("vec_id", "embedding"), Some(ckC))
+    inC2.addData(b2: _*); ingC2.processAllAvailable(); ingC2.stop()
+    // replay overwrote batch=0 (no duplicates), b2 landed as batch=1
+    assert(Similarity.storeIndex(spark, dirC).count() === 100L)
+    assert(new java.io.File(s"$dirC.ingest/batch=1").exists())
   }
 
   test("nprobe sweep: monotone recall, separable clusters saturate at 1") {

@@ -23,9 +23,13 @@ THRESHOLD = 15.0
 # registered linear-path sibling, or solver internals):
 WHITELIST = {
     "dedup_ngram_jaccard":
-        "exact all-pairs Jaccard - the ground truth the LSH path "
-        "(dedup_minhash_lsh) is measured against; production dedup runs "
-        "the LSH composition",
+        "exact all-shingle Jaccard - the ground-truth monitor the LSH "
+        "path (dedup_minhash_lsh) is measured against; production runs "
+        "the registered linear sibling dedup_ngram_jaccard_capped "
+        "(df-capped co-count join). Measured 14.9x at round-9 sf1 - "
+        "one box wobble from the 15x threshold, whitelisted round 10 "
+        "so an honest exact-by-design plan cannot flip the gate red "
+        "on a loaded box",
     "dedup_containment":
         "exact containment over the all-shingle co-count join - same "
         "ground-truth role as dedup_ngram_jaccard; production runs "

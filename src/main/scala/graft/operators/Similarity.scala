@@ -914,6 +914,40 @@ object Similarity {
         round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
   }
 
+  /** Incremental ingest into the code-only store — ivfAppend's twin
+    * on the compressed tier: the new batch assigns its cells against
+    * the stored coarse sidecar and ENCODES against the stored `.pq`
+    * fine codebook (both FIXED across appends — the FAISS contract:
+    * quantizers retrain offline, never per ingest), then appends to
+    * the cell-partitioned code store. The encode is pqCodes'
+    * round-6 d² argmin verbatim, just sourced from the sidecar
+    * instead of a fresh corpus sample — so build-encode and
+    * append-encode agree row-for-row, and an appended store serves
+    * exactly as one whose whole corpus was encoded under the same
+    * sidecars, independent of batching (spec-proven). Per-ingest
+    * cost is batch-sized; no float vectors land at rest.
+    */
+  def ivfPqAppend(s: SparkSession, dir: String, newEmb: DataFrame): Unit = {
+    val cents = storeCodebook(s, dir).localCheckpoint(false)
+    val cs = s.read.parquet(s"$dir.pq")
+    val xs = subSlices(vecs(newEmb), "vec_id", "v", "x")
+    val wAsn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("code"))
+    val codes = xs.join(broadcast(cs), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        round(dotFast(col("x"), col("x"))
+          - lit(2.0d) * dotFast(col("x"), col("c"))
+          + dotFast(col("c"), col("c")), 6).as("d2"))
+      .withColumn("rk", row_number().over(wAsn))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+    codes
+      .join(ivfAssign(newEmb, Some(cents)).select("vec_id", "cell"),
+        Seq("vec_id"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
   private val ivfPqStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -360,6 +360,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got === inline && got.nonEmpty)
   }
 
+  test("ivfpq append: fixed-sidecar ingest into the code store is " +
+    "batching-invariant and build/append encodes agree") {
+    val mk = (r: Range) => r.map { i =>
+      val c = i % 3
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        val base = if (d / 21 == c || (c == 2 && d >= 42)) 5.0f else 0.1f
+        base + ((i * 13 + d * 3) % 97) * 0.01f
+      }.toArray, c)
+    }.toDF("vec_id", "embedding", "label")
+    val first = mk(0 until 120)
+    val dir1 = java.nio.file.Files.createTempDirectory("ivfpqa1")
+      .toString + "/i"
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpqa2")
+      .toString + "/i"
+    // identical deterministic builds → identical sidecars + codes
+    Similarity.ivfPqBuild(spark, dir1, first)
+    Similarity.ivfPqBuild(spark, dir2, first)
+    val all = mk(0 until 200)
+    // dir1: build-encoded head + the tail in two append batches.
+    // dir2: data dir dropped (sidecars kept) and the WHOLE corpus
+    // re-ingested through the append path in one batch — so the
+    // compare proves BOTH batching invariance and that the build
+    // encode and the append encode agree row-for-row under the same
+    // sidecars.
+    Similarity.ivfPqAppend(spark, dir1, mk(120 until 160))
+    Similarity.ivfPqAppend(spark, dir1, mk(160 until 200))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    Similarity.ivfPqAppend(spark, dir2, all)
+    val s1 = Similarity.knnIvfPqFromStore(spark, dir1, all)
+      .collect().map(_.toString).sorted.toSeq
+    val s2 = Similarity.knnIvfPqFromStore(spark, dir2, all)
+      .collect().map(_.toString).sorted.toSeq
+    assert(s1 === s2 && s1.nonEmpty)
+    // the appended store stays code-only (no float column at rest)
+    assert(spark.read.parquet(dir1).schema.fieldNames.sorted.toSeq
+      === Seq("cell", "code", "m", "vec_id"))
+    assert(spark.read.parquet(dir1).count() === 200L * Similarity.PqM)
+  }
+
   test("pq trainer: training strictly reduces distortion on jittered " +
     "clusters; trained codes are valid") {
     // 3 cluster prototypes + deterministic per-vector jitter: sampled

@@ -884,10 +884,23 @@ object Similarity {
     * batch reads only its probed cell directories.
     */
   def knnIvfPqFromStore(s: SparkSession, dir: String, emb: DataFrame,
-                        k: Int = K): DataFrame = {
-    val e = vecs(emb)
+                        k: Int = K): DataFrame =
+    searchPqStore(s, dir,
+      hashSample(vecs(emb), "q", QueryCount)
+        .select(col("vec_id"), col("v").as("embedding")), k)
+
+  /** The code-store search kernel for an EXPLICIT query batch
+    * (vec_id, embedding) — shared by the batch path
+    * (knnIvfPqFromStore's bounded sample) and the streaming serving
+    * path (each micro-batch's queries): assign home cells against
+    * the `.codebook` sidecar, build the per-query ADC LUT against
+    * `.pq`, score the store's codes. The query side and both
+    * sidecars broadcast; the code scan is the only big input.
+    */
+  def searchPqStore(s: SparkSession, dir: String, queries: DataFrame,
+                    k: Int = K): DataFrame = {
     val cents = storeCodebook(s, dir).localCheckpoint(false)
-    val q = hashSample(e, "q", QueryCount).localCheckpoint(false)
+    val q = vecs(queries).localCheckpoint(false)
     val qs = subSlices(q.withColumnRenamed("vec_id", "query_id"),
       "query_id", "v", "qx")
     val lut = qs
@@ -913,6 +926,25 @@ object Similarity {
         col("nbr_id"),
         round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
   }
+
+  /** The ONLINE read half on the compressed tier — serveStoreStream's
+    * twin over the code-only store: each micro-batch of query vectors
+    * is answered through the same searchPqStore kernel the batch path
+    * runs (one codepath), against sidecars resolved at stream start.
+    * Appends/retrains while the stream runs take effect on restart —
+    * the standard static-side refresh semantics every store serve
+    * here documents. Per-batch cost: batch-sized broadcasts over the
+    * code scan; no float vectors read, ever.
+    */
+  def servePqStoreStream(s: SparkSession, dir: String,
+                         queries: DataFrame, k: Int = K)
+                        (sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(searchPqStore(s, dir, batch, k), id)
+      }
+      .start()
 
   /** Incremental ingest into the code-only store — ivfAppend's twin
     * on the compressed tier: the new batch assigns its cells against

@@ -54,6 +54,19 @@ class PlanSpec extends SparkSpec {
       "integer surrogate must run the codegen'd dot")
   }
 
+  test("code-only IVF-PQ store serving: the query-cell map and the ADC " +
+    "LUT broadcast onto the code scan; the store side never " +
+    "sort-merge-joins or goes cartesian; the ADC sum combines map-side") {
+    val p = planOf("sim_knn_ivfpq_store")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"qcell and LUT must broadcast onto the code scan:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the at-rest code store shuffled into a join")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "ADC per-(query,candidate) sum must map-side combine")
+  }
+
   test("A2: aggregation is partial+final (map-side combine)") {
     val p = planOf("a2_category_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)

@@ -360,6 +360,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got === inline && got.nonEmpty)
   }
 
+  test("streaming pq-store serve: micro-batch answers equal the batch " +
+    "kernel over the same queries, through one codepath") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (0 until 120).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 31 + d * 17) % 13 - 6).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqsv")
+      .toString + "/i"
+    Similarity.ivfPqBuild(spark, dir, all)
+    // fresh query vectors (ids outside the store) arriving in batches
+    def qvec(i: Int) = (0 until Similarity.Dim)
+      .map(d => ((i * 19 + d * 11) % 13 - 6).toFloat).toArray
+    val q1 = Seq((1000L, qvec(1)), (1001L, qvec(2)))
+    val q2 = Seq((1002L, qvec(3)))
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val st = Similarity.servePqStoreStream(spark, dir,
+      in.toDF().toDF("vec_id", "embedding")) { (res, _) =>
+      got ++= res.collect().map(_.toString)
+    }
+    in.addData(q1: _*); st.processAllAvailable()
+    val afterB1 = got.size
+    in.addData(q2: _*); st.processAllAvailable()
+    st.stop()
+    assert(afterB1 > 0 && got.size > afterB1,
+      "both micro-batches must produce answers")
+    // batch reference: the same queries through the same kernel
+    val expect = Similarity.searchPqStore(spark, dir,
+      (q1 ++ q2).toDF("vec_id", "embedding"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.sorted.toSeq === expect && expect.nonEmpty)
+  }
+
   test("ivfpq append: fixed-sidecar ingest into the code store is " +
     "batching-invariant and build/append encodes agree") {
     val mk = (r: Range) => r.map { i =>

@@ -843,6 +843,68 @@ object Similarity {
         round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
   }
 
+  /** V18 (round 10): plain IVF-PQ at nprobe=2 — the recall lever on
+    * the GREEN (non-residual) composite tier. Unlike the residual
+    * variant, a plain-PQ candidate's ADC score is independent of
+    * which cell the query probed (codes are absolute, not relative to
+    * a centroid), so probing only GROWS the candidate set: each query
+    * scores the union of its `probes` nearest cells' members, every
+    * candidate met at most once (one home cell). Query probe cells
+    * rank under the tier's shared integer surrogate
+    * (ivfRankCells, QueryCount-grain); scoring is knnIvfPq's
+    * broadcast-LUT integer ADC verbatim. Cost: probes× candidate
+    * rows for the bounded batch — the knob the nprobe sweep prices,
+    * now available on the code-only tier.
+    *
+    * HONESTY: on a QUANTIZED scorer, widening guarantees a larger
+    * candidate set, not higher recall — a far-cell candidate's
+    * inflated quantized dot can displace a true hit from the top-k
+    * (spec-measured: recall dipped 0.598→0.558 on a fixture whose
+    * true neighbors all share the home cell, where probing adds only
+    * noise). Probing pays when cell restriction is the binding loss
+    * (the near-random bench corpus); the refine rung
+    * (knnIvfPqRefine) is the standard repair for the displacement.
+    * sim_ivfpq_probe_recall prices the net effect vs the exact
+    * baseline next to sim_ivfpq_recall (nprobe=1).
+    */
+  def knnIvfPqProbe(emb: DataFrame, k: Int = K,
+                    probes: Int = 2): DataFrame = {
+    val e = vecs(emb)
+    val cents = ivfCodebook(emb).localCheckpoint(false)
+    val assigned = ivfAssign(emb, Some(cents))
+      .select(col("vec_id"), col("cell"))
+      .localCheckpoint(false)
+    val cent = hashSample(e, "c", CentCount)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val codes = pqCodes(emb)
+    val cs = subSlices(cent, "cent_id", "cv", "c")
+    val qs = subSlices(hashSample(e, "q", QueryCount)
+      .withColumnRenamed("vec_id", "query_id"), "query_id", "v", "qx")
+    val lut = qs.join(cs, Seq("m"))
+      .select(col("query_id"), col("m"), col("cent_id").as("code"),
+        round(dotFast(col("qx"), col("c")) * lit(1000000.0d))
+          .cast("long").as("qp"))
+    val qprobe = ivfRankCells(
+      e.join(broadcast(hashSample(e, "q", QueryCount).select("vec_id")),
+        Seq("vec_id"), "left_semi"), cents)
+      .filter(col("rn") <= probes)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    codes.join(assigned, Seq("vec_id"))
+      .join(broadcast(qprobe), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("qp")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"),
+        round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
+  }
+
   /** V18 (round 10): the PERSISTED code-only IVF-PQ store — what a
     * billion-scale deployment actually keeps on disk. ivfBuild's
     * store holds float vectors (exact in-cell serving); this one
@@ -2853,6 +2915,28 @@ object Similarity {
        |    AND lut.m = k2.m AND lut.code = k2.code
        |  WHERE k2.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
 
+  /** IVF-PQ nprobe continuation (knnIvfPqProbe's mirror): candidates
+    * keep their one home cell (`asncell`), bounded-batch queries
+    * probe their `rn <= 2` nearest cells (`qprobe`) — plain-PQ ADC
+    * scores are cell-independent, so the probe only widens the
+    * candidate join; a pair still meets at most once.
+    */
+  private lazy val pqIvfProbeSql =
+    s"""${lloydLadderSql(IvfTrainRounds)},
+       |${ivfRankSql()},
+       |asncell AS MATERIALIZED (SELECT vec_id, cell FROM ivfrk
+       |  WHERE rn = 1),
+       |qprobe AS MATERIALIZED (SELECT vec_id, cell FROM ivfrk
+       |  WHERE rn <= 2 AND vec_id IN (SELECT vec_id FROM qset)),
+       |$pqLutSql,
+       |sc AS (SELECT lut.query_id, k2.vec_id nbr_id, SUM(qp) score
+       |  FROM codes k2
+       |  JOIN asncell ca ON k2.vec_id = ca.vec_id
+       |  JOIN qprobe qa ON qa.cell = ca.cell
+       |  JOIN lut ON lut.query_id = qa.vec_id
+       |    AND lut.m = k2.m AND lut.code = k2.code
+       |  WHERE k2.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
+
   /** Residual-IVFPQ TRAINING prefix (expects `e` and lloydCentSql's
     * `xq`/`c<rounds>`/`cent`): integer coarse assignment with
     * centroids joined back for the residual (`rasn`), residual slices
@@ -3772,6 +3856,46 @@ object Similarity {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY score DESC, nbr_id) rk FROM sc)
               |WHERE rk <= $K""".stripMargin)),
+
+    // V18 (round 10): plain IVF-PQ at nprobe=2 — the recall lever on
+    // the green composite tier; see knnIvfPqProbe. Scores are
+    // cell-independent, so probing only widens the candidate set.
+    QueryDef("sim_knn_ivfpq_probe",
+      (s, d) => knnIvfPqProbe(Tables.embeddings(s, d)),
+      Some(s"""WITH $pqSql,
+              |$pqIvfProbeSql
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id,
+              |ROUND(CAST(score AS DOUBLE) / 1000000.0, 6) adc FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM sc)
+              |WHERE rk <= $K""".stripMargin)),
+
+    // V18's honest number: what nprobe=2 buys the code-only tier vs
+    // the exact baseline — read next to sim_ivfpq_recall (nprobe=1)
+    // and sim_ivfpq_refine_recall (reranking at the same cells): the
+    // two levers priced on one axis each.
+    QueryDef("sim_ivfpq_probe_recall",
+      (s, d) => annRecallAtK(Tables.embeddings(s, d),
+        index = knnIvfPqProbe(_, _)),
+      Some(s"""WITH $pqSql,
+              |$pqIvfProbeSql,
+              |ap AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM sc) WHERE rk <= $K),
+              |exsc AS (SELECT q.vec_id query_id, t.vec_id nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
+              |  FROM e q JOIN e t ON q.vec_id <> t.vec_id
+              |  WHERE q.vec_id IN (SELECT vec_id FROM qset)),
+              |ex AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM exsc) WHERE rk <= $K),
+              |hits AS (SELECT e2.query_id, COUNT(*) n_hit FROM ex e2
+              |  JOIN ap ON e2.query_id = ap.query_id AND e2.nbr_id = ap.nbr_id
+              |  GROUP BY 1),
+              |base AS (SELECT query_id, COUNT(*) n_exact FROM ex GROUP BY 1)
+              |SELECT COUNT(*) AS n_queries,
+              |ROUND(AVG(CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_exact), 6) AS avg_recall
+              |FROM base LEFT JOIN hits USING (query_id)""".stripMargin)),
 
     QueryDef("sim_ivfpq_recall",
       (s, d) => annRecallAtK(Tables.embeddings(s, d),

@@ -136,7 +136,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_res_codebook_probe", // residual trainer's long-form codebook
     "sim_res_codes_probe",    // residual argmin encode, all vectors
     "sim_res_adc_probe",      // windowless integer ADC score rows
-    "sim_knn_ivfpq_store")    // code-only store read + broadcast LUT
+    "sim_knn_ivfpq_store",    // code-only store read + broadcast LUT
+    "sim_knn_ivfpq_probe")    // probe-widened candidates x integer ADC
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -194,6 +194,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.resCodebookProbe(emb0).count() === 0)
     assert(Similarity.resCodesProbe(emb0).count() === 0)
     assert(Similarity.resAdcProbe(emb0).count() === 0)
+    assert(Similarity.knnIvfPqProbe(emb0).count() === 0)
   }
 
   test("round-2 operators are total on empty input") {

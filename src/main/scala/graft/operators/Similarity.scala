@@ -958,6 +958,9 @@ object Similarity {
     * the `.codebook` sidecar, build the per-query ADC LUT against
     * `.pq`, score the store's codes. The query side and both
     * sidecars broadcast; the code scan is the only big input.
+    * Tombstone-aware like searchStoreLive — ivfDelete works on the
+    * code store too (a tombstone is id-only, tier-agnostic), and
+    * deleted ids stop answering at read time.
     */
   def searchPqStore(s: SparkSession, dir: String, queries: DataFrame,
                     k: Int = K): DataFrame = {
@@ -976,7 +979,11 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id"))
-    s.read.parquet(dir)
+    val codesRaw = s.read.parquet(dir)
+    val codes = tombstones(s, dir)
+      .map(t => codesRaw.join(t, Seq("vec_id"), "left_anti"))
+      .getOrElse(codesRaw)
+    codes
       .join(broadcast(qcell), Seq("cell"))
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))

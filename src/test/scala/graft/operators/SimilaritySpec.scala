@@ -465,6 +465,18 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(dir1).schema.fieldNames.sorted.toSeq
       === Seq("cell", "code", "m", "vec_id"))
     assert(spark.read.parquet(dir1).count() === 200L * Similarity.PqM)
+    // delete parity: tombstones (id-only, tier-agnostic) stop a code
+    // row from ANSWERING at read time (the query batch comes from the
+    // caller's base table, not the store — its filtering is the
+    // caller's concern, unlike searchStoreLive's store-fed queries)
+    val dead = s1.map(_.split(",")(2).trim.filter(_.isDigit).toLong)
+      .distinct.take(2)
+    Similarity.ivfDelete(spark, dir1, dead)
+    val live = Similarity.knnIvfPqFromStore(spark, dir1, all)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(live.nonEmpty)
+    assert(live.forall(r => !dead.contains(r._3)),
+      s"tombstoned ids ${dead.mkString(",")} answered from the code store")
   }
 
   test("pq trainer: training strictly reduces distortion on jittered " +

@@ -355,19 +355,32 @@ object Similarity {
     val e = vecs(emb)
     val cent = hashSample(e, "c", CentCount)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val xs = subSlices(e, "vec_id", "v", "x")
-    val cs = subSlices(cent, "cent_id", "cv", "c")
+    pqEncodeAgainst(subSlices(e, "vec_id", "v", "x"),
+      subSlices(cent, "cent_id", "cv", "c")
+        .select(col("m"), col("cent_id").as("code"), col("c")))
+  }
+
+  /** The ONE float-space PQ encode: per (vector, subspace), the
+    * argmin codebook entry by the round-6 d² identity
+    * x·x − 2·x·c + c·c with (d2, code) ties — shared by pqCodes (the
+    * build-time encode against the fresh sampled codebook) and
+    * ivfPqAppend (the ingest encode against the persisted `.pq`
+    * sidecar), so "build-encode ≡ append-encode" is one function, not
+    * two hand-kept copies. `xs(vec_id, m, x)`, `cs(m, code, c)` →
+    * (vec_id, m, code).
+    */
+  private def pqEncodeAgainst(xs: DataFrame, cs: DataFrame): DataFrame = {
     val wAsn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2"), col("cent_id"))
+      .orderBy(col("d2"), col("code"))
     xs.join(broadcast(cs), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cent_id"),
+      .select(col("vec_id"), col("m"), col("code"),
         round(dotFast(col("x"), col("x"))
           - lit(2.0d) * dotFast(col("x"), col("c"))
           + dotFast(col("c"), col("c")), 6).as("d2"))
       .withColumn("rk", row_number().over(wAsn))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+      .select(col("vec_id"), col("m"), col("code"))
   }
 
   /** Micro-quantized subspace slices (vec_id, m, q) — the integer
@@ -797,6 +810,36 @@ object Similarity {
         round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
   }
 
+  /** The ONE cell-restricted ADC scoring kernel — shared verbatim by
+    * every IVF-PQ consumer (knnIvfPq, knnIvfPqProbe, the code-store
+    * serving paths), so the scoring contract (integer qp sums,
+    * self-filter, (score desc, nbr_id) ties, round-6 /1e6 emission)
+    * lives in exactly one place and "row-identical by construction /
+    * shares sim_knn_ivfpq's oracle" cannot drift copy-by-copy.
+    * `coded(vec_id, m, code, cell)` is the candidate stream,
+    * `qcells(query_id, cell)` the (small, broadcast) query→probed-
+    * cell relation — one row per probe, so nprobe is just a wider
+    * qcells — and `lut(query_id, m, code, qp)` the broadcast ADC
+    * table.
+    */
+  private def adcTopK(coded: DataFrame, qcells: DataFrame,
+                      lut: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    coded
+      .join(broadcast(qcells), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("qp")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"),
+        round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
+  }
+
   /** IVF-PQ retrieval — the production composite (the default
     * billion-scale ANN shape): the IVF coarse quantizer restricts
     * each query's candidates to its home cell, and inside the cell
@@ -827,20 +870,7 @@ object Similarity {
       .join(hashSample(e, "q", QueryCount).select("vec_id"),
         Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"), col("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nbr_id"))
-    codes.join(assigned, Seq("vec_id"))
-      .join(broadcast(qcell), Seq("cell"))
-      .join(broadcast(lut), Seq("query_id", "m", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
-      .agg(sum(col("qp")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("nbr_id"),
-        round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
+    adcTopK(codes.join(assigned, Seq("vec_id")), qcell, lut, k)
   }
 
   /** V18 (round 10): plain IVF-PQ at nprobe=2 — the recall lever on
@@ -889,20 +919,7 @@ object Similarity {
         Seq("vec_id"), "left_semi"), cents)
       .filter(col("rn") <= probes)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nbr_id"))
-    codes.join(assigned, Seq("vec_id"))
-      .join(broadcast(qprobe), Seq("cell"))
-      .join(broadcast(lut), Seq("query_id", "m", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
-      .agg(sum(col("qp")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("nbr_id"),
-        round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
+    adcTopK(codes.join(assigned, Seq("vec_id")), qprobe, lut, k)
   }
 
   /** V18 (round 10): the PERSISTED code-only IVF-PQ store — what a
@@ -920,6 +937,18 @@ object Similarity {
     * serving reads codes + two broadcast sidecars only.
     */
   def ivfPqBuild(s: SparkSession, dir: String, emb: DataFrame): Unit = {
+    // Fail fast BEFORE touching the sidecars: the data write below is
+    // ErrorIfExists, so building over an existing store would
+    // overwrite .codebook and .pq, then throw — leaving OLD codes
+    // paired with NEW sidecars, a silently corrupt store the metric
+    // stamp cannot catch (it would match). Rebuild = delete + build;
+    // incremental ingest = ivfPqAppend.
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    require(!dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(dp),
+      s"refusing to build over an existing store at $dir — a partial " +
+        "rebuild would pair old codes with new sidecars; delete the " +
+        "store first, or ingest with ivfPqAppend")
     val e = vecs(emb)
     val cents = ivfCodebook(emb).localCheckpoint(false)
     writeCodebookSidecar(s, dir, cents)
@@ -951,99 +980,100 @@ object Similarity {
       hashSample(vecs(emb), "q", QueryCount)
         .select(col("vec_id"), col("v").as("embedding")), k)
 
-  /** The code-store search kernel for an EXPLICIT query batch
-    * (vec_id, embedding) — shared by the batch path
-    * (knnIvfPqFromStore's bounded sample) and the streaming serving
-    * path (each micro-batch's queries): assign home cells against
-    * the `.codebook` sidecar, build the per-query ADC LUT against
-    * `.pq`, score the store's codes. The query side and both
-    * sidecars broadcast; the code scan is the only big input.
-    * Tombstone-aware like searchStoreLive — ivfDelete works on the
-    * code store too (a tombstone is id-only, tier-agnostic), and
-    * deleted ids stop answering at read time.
+  /** Resolve the code store's static side ONCE — checked coarse
+    * sidecar, fine codebook, and the tombstone-filtered code stream —
+    * shared by the one-shot batch search and (resolved at stream
+    * start) the streaming serve, so both paths see the same snapshot
+    * semantics: deletes/appends/retrains while a stream runs take
+    * effect on restart, exactly the serveStoreStream contract.
     */
-  def searchPqStore(s: SparkSession, dir: String, queries: DataFrame,
-                    k: Int = K): DataFrame = {
+  private def resolvePqStore(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
     val cents = storeCodebook(s, dir).localCheckpoint(false)
+    val cs = s.read.parquet(s"$dir.pq")
+    val codesRaw = s.read.parquet(dir)
+    val coded = tombstones(s, dir)
+      .map(t => codesRaw.join(t, Seq("vec_id"), "left_anti"))
+      .getOrElse(codesRaw)
+    (cents, cs, coded)
+  }
+
+  /** Score one EXPLICIT query batch (vec_id, embedding) against a
+    * resolved store: assign home cells against the coarse sidecar,
+    * build the per-query ADC LUT against the fine codebook, and run
+    * the shared adcTopK kernel. The query side and both sidecars
+    * broadcast; the code scan is the only big input.
+    */
+  private def pqServeBatch(queries: DataFrame, cents: DataFrame,
+                           cs: DataFrame, coded: DataFrame,
+                           k: Int): DataFrame = {
     val q = vecs(queries).localCheckpoint(false)
     val qs = subSlices(q.withColumnRenamed("vec_id", "query_id"),
       "query_id", "v", "qx")
     val lut = qs
-      .join(broadcast(s.read.parquet(s"$dir.pq")), Seq("m"))
+      .join(broadcast(cs), Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
         round(dotFast(col("qx"), col("c")) * lit(1000000.0d))
           .cast("long").as("qp"))
     val qcell = ivfAssign(
       q.select(col("vec_id"), col("v").as("embedding")), Some(cents))
       .select(col("vec_id").as("query_id"), col("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nbr_id"))
-    val codesRaw = s.read.parquet(dir)
-    val codes = tombstones(s, dir)
-      .map(t => codesRaw.join(t, Seq("vec_id"), "left_anti"))
-      .getOrElse(codesRaw)
-    codes
-      .join(broadcast(qcell), Seq("cell"))
-      .join(broadcast(lut), Seq("query_id", "m", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
-      .agg(sum(col("qp")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("nbr_id"),
-        round(col("score").cast("double") / 1000000.0d, 6).as("adc"))
+    adcTopK(coded, qcell, lut, k)
+  }
+
+  /** One-shot code-store search for an explicit query batch.
+    * Tombstone-aware like searchStoreLive — ivfDelete works on the
+    * code store too (a tombstone is id-only, tier-agnostic), and
+    * deleted ids stop answering at read time.
+    */
+  def searchPqStore(s: SparkSession, dir: String, queries: DataFrame,
+                    k: Int = K): DataFrame = {
+    val (cents, cs, coded) = resolvePqStore(s, dir)
+    pqServeBatch(queries, cents, cs, coded, k)
   }
 
   /** The ONLINE read half on the compressed tier — serveStoreStream's
-    * twin over the code-only store: each micro-batch of query vectors
-    * is answered through the same searchPqStore kernel the batch path
-    * runs (one codepath), against sidecars resolved at stream start.
-    * Appends/retrains while the stream runs take effect on restart —
-    * the standard static-side refresh semantics every store serve
-    * here documents. Per-batch cost: batch-sized broadcasts over the
-    * code scan; no float vectors read, ever.
+    * twin over the code-only store: the static side (sidecars +
+    * tombstone-filtered codes) resolves ONCE at stream start, and
+    * each micro-batch of query vectors is answered through the same
+    * pqServeBatch kernel the batch path runs (one codepath).
+    * Appends/deletes/retrains while the stream runs take effect on
+    * restart — the standard static-side refresh semantics every
+    * store serve here documents (an offline swap under a live stream
+    * additionally requires serving stopped, the ivfCompact
+    * contract). Per-batch cost: batch-sized broadcasts over the code
+    * scan; no float vectors read, ever.
     */
   def servePqStoreStream(s: SparkSession, dir: String,
                          queries: DataFrame, k: Int = K)
                         (sink: (DataFrame, Long) => Unit)
-  : org.apache.spark.sql.streaming.StreamingQuery =
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (cents, cs, coded) = resolvePqStore(s, dir)
     queries.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(searchPqStore(s, dir, batch, k), id)
+        sink(pqServeBatch(batch, cents, cs, coded, k), id)
       }
       .start()
+  }
 
   /** Incremental ingest into the code-only store — ivfAppend's twin
     * on the compressed tier: the new batch assigns its cells against
     * the stored coarse sidecar and ENCODES against the stored `.pq`
     * fine codebook (both FIXED across appends — the FAISS contract:
     * quantizers retrain offline, never per ingest), then appends to
-    * the cell-partitioned code store. The encode is pqCodes'
-    * round-6 d² argmin verbatim, just sourced from the sidecar
+    * the cell-partitioned code store. The encode IS pqCodes' — the
+    * one shared pqEncodeAgainst kernel, sourced from the sidecar
     * instead of a fresh corpus sample — so build-encode and
-    * append-encode agree row-for-row, and an appended store serves
+    * append-encode agree row-for-row by construction, and an
+    * appended store serves
     * exactly as one whose whole corpus was encoded under the same
     * sidecars, independent of batching (spec-proven). Per-ingest
     * cost is batch-sized; no float vectors land at rest.
     */
   def ivfPqAppend(s: SparkSession, dir: String, newEmb: DataFrame): Unit = {
     val cents = storeCodebook(s, dir).localCheckpoint(false)
-    val cs = s.read.parquet(s"$dir.pq")
-    val xs = subSlices(vecs(newEmb), "vec_id", "v", "x")
-    val wAsn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2"), col("code"))
-    val codes = xs.join(broadcast(cs), Seq("m"))
-      .select(col("vec_id"), col("m"), col("code"),
-        round(dotFast(col("x"), col("x"))
-          - lit(2.0d) * dotFast(col("x"), col("c"))
-          + dotFast(col("c"), col("c")), 6).as("d2"))
-      .withColumn("rk", row_number().over(wAsn))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("code"))
-    codes
+    pqEncodeAgainst(subSlices(vecs(newEmb), "vec_id", "v", "x"),
+      s.read.parquet(s"$dir.pq"))
       .join(ivfAssign(newEmb, Some(cents)).select("vec_id", "cell"),
         Seq("vec_id"))
       .write.mode("append").partitionBy("cell").parquet(dir)
@@ -1307,6 +1337,14 @@ object Similarity {
     * later append/serve reads the sidecar.
     */
   def ivfBuild(s: SparkSession, dir: String, emb: DataFrame): Unit = {
+    // same fail-fast-before-sidecar contract as ivfPqBuild: the data
+    // write is ErrorIfExists, so a rebuild over an existing store
+    // would land a new sidecar, then throw — old cells, new codebook
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    require(!dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(dp),
+      s"refusing to build over an existing store at $dir — delete it " +
+        "first (rebuild), or use ivfAppend/ivfRetrain")
     val cent = ivfCodebook(emb).localCheckpoint(false)
     writeCodebookSidecar(s, dir, cent)
     ivfAssign(emb, Some(cent)).write.partitionBy("cell").parquet(dir)

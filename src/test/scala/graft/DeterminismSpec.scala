@@ -136,7 +136,11 @@ class DeterminismSpec extends SparkSpec {
     "sim_res_codebook_probe", // residual trainer's long-form codebook
     "sim_res_codes_probe",    // residual argmin encode, all vectors
     "sim_res_adc_probe",      // windowless integer ADC score rows
-    "sim_knn_ivfpq_store",    // code-only store read + broadcast LUT
+    "sim_knn_ivfpq_store",    // store READ path only: the build is
+                              // cached per sfDir (the from_store
+                              // device); build determinism is proven
+                              // separately by SimilaritySpec's
+                              // two-identical-builds append case
     "sim_knn_ivfpq_probe")    // probe-widened candidates x integer ADC
 
   private def rows(name: String): Seq[String] = {

@@ -313,8 +313,9 @@ class SimilaritySpec extends SparkSpec {
     assert(rec === ((120L, 1.0)))
   }
 
-  test("ivf-pq nprobe=2: probing only widens candidates — recall never " +
-    "drops below the single-cell composite; dense-ranked, self-free") {
+  test("ivf-pq nprobe=2: probing strictly widens the candidate space " +
+    "(recall is NOT guaranteed monotone on a quantized scorer); " +
+    "dense-ranked, self-free, recall 1.0 on separable clusters") {
     val e = protoEmb(120)
     val got = Similarity.knnIvfPqProbe(e)
       .as[(Long, Long, Long, Double)].collect().toSeq

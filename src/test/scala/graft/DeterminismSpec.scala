@@ -136,6 +136,10 @@ class DeterminismSpec extends SparkSpec {
     "sim_res_codebook_probe", // residual trainer's long-form codebook
     "sim_res_codes_probe",    // residual argmin encode, all vectors
     "sim_res_adc_probe",      // windowless integer ADC score rows
+    "sim_res_qres_probe",     // query-side residual values, long form
+    "sim_res_lut_probe",      // LUT partials for the probe sample
+    "sim_res_part_probe",     // pre-SUM ADC join emission
+    "sim_list_canary",        // data-free list/agg literal probes
     "sim_knn_ivfpq_store",    // store READ path only: the build is
                               // cached per sfDir (the from_store
                               // device); build determinism is proven

@@ -197,6 +197,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.knnIvfPqProbe(emb0).count() === 0)
   }
 
+  test("round-11 ADC sub-probes are total on empty input") {
+    assert(Similarity.resQresProbe(emb0).count() === 0)
+    assert(Similarity.resLutProbe(emb0).count() === 0)
+    assert(Similarity.resPartProbe(emb0).count() === 0)
+  }
+
   test("round-2 operators are total on empty input") {
     assert(TextAnalysis.bm25(docs0).count() === 0)
     assert(Dedup.containment(docs0).count() === 0)

@@ -586,6 +586,41 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
       .filter(r => probed.contains(r._1)).sortBy(r => (r._1, r._2))
     assert(rebuilt === ranked && ranked.nonEmpty)
+
+    // round-11 sub-probes decompose the adc stage exactly: the
+    // pre-SUM join rows (f) group-sum to adc_q; every summand is a
+    // LUT partial the lut probe (e) emitted for that (query, m,
+    // code); and re-deriving part = cc − 2·rq·cq from the qres
+    // VALUES (d) × the codebook probe's values reproduces the lut
+    // probe bit-for-bit — so a driver red in any one of them names
+    // the first diverging VALUE, not a stage composite.
+    val parts = Similarity.resPartProbe(e)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val summed = parts.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => (k._1, k._2, rs.map(_._4).sum) }.toSeq
+    assert(summed.sortBy(r => (r._1, r._2)) ===
+      adc.sortBy(r => (r._1, r._2)))
+    val lut = Similarity.resLutProbe(e)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val lutMap = lut.map(r => ((r._1, r._2, r._3), r._4)).toMap
+    assert(lutMap.size === lut.length) // one partial per (q, m, code)
+    val codeOf = codes.map(r => ((r._1, r._2), r._3)).toMap
+    parts.foreach { case (q, n, m, p) =>
+      assert(lutMap(((q, m, codeOf((n, m))))) === p)
+    }
+    val qres = Similarity.resQresProbe(e)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(qres.map(_._1).distinct.sorted === probed.sorted)
+    val rqVec = qres.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      (k, rs.sortBy(_._3).map(_._4)) }
+    val cqVec = cb.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      (k, rs.sortBy(_._3).map(_._4)) }
+    val rebuilt2 = for {
+      ((q, m), rq) <- rqVec.toSeq
+      ((mm, code), cq) <- cqVec.toSeq if mm == m
+    } yield ((q, m, code),
+      cq.map(x => x * x).sum - 2L * rq.zip(cq).map(t => t._1 * t._2).sum)
+    assert(rebuilt2.toMap === lutMap)
   }
 
   test("rp project: RpDim whole-integer dims; scalar multiples stay parallel") {

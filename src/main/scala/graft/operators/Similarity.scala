@@ -947,6 +947,14 @@ object Similarity {
     adcTopK(codes.join(assigned, Seq("vec_id")), qcell, lut, k)
   }
 
+  /** The plain-composite nprobe default — ONE constant interpolated
+    * into both knnIvfPqProbe's signature and the pqIvfProbeSql oracle
+    * CTE (round-11 ADVICE: the SQL hardcoded `rn <= 2` while the
+    * Scala default was parameterized, so a future registration with
+    * probes != 2 would silently diverge from the shared oracle text).
+    */
+  val IvfPqProbes = 2
+
   /** V18 (round 10): plain IVF-PQ at nprobe=2 — the recall lever on
     * the GREEN (non-residual) composite tier. Unlike the residual
     * variant, a plain-PQ candidate's ADC score is independent of
@@ -972,7 +980,7 @@ object Similarity {
     * baseline next to sim_ivfpq_recall (nprobe=1).
     */
   def knnIvfPqProbe(emb: DataFrame, k: Int = K,
-                    probes: Int = 2): DataFrame = {
+                    probes: Int = IvfPqProbes): DataFrame = {
     val e = vecs(emb)
     val cents = ivfCodebook(emb).localCheckpoint(false)
     val assigned = ivfAssign(emb, Some(cents))
@@ -1026,11 +1034,12 @@ object Similarity {
     val e = vecs(emb)
     val cents = ivfCodebook(emb).localCheckpoint(false)
     writeCodebookSidecar(s, dir, cents)
-    subSlices(hashSample(e, "c", CentCount)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv")),
-      "cent_id", "cv", "c")
-      .select(col("m"), col("cent_id").as("code"), col("c"))
-      .write.mode("overwrite").parquet(s"$dir.pq")
+    writeStampedSidecar(s, s"$dir.pq",
+      subSlices(hashSample(e, "c", CentCount)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv")),
+        "cent_id", "cv", "c")
+        .select(col("m"), col("cent_id").as("code"), col("c")),
+      "_encode_contract", PqEncodeContract)
     pqCodes(emb)
       .join(ivfAssign(emb, Some(cents)).select("vec_id", "cell"),
         Seq("vec_id"))
@@ -1064,7 +1073,7 @@ object Similarity {
   private def resolvePqStore(s: SparkSession, dir: String)
   : (DataFrame, DataFrame, DataFrame) = {
     val cents = storeCodebook(s, dir).localCheckpoint(false)
-    val cs = s.read.parquet(s"$dir.pq")
+    val cs = storePqCodebook(s, dir)
     val codesRaw = s.read.parquet(dir)
     val coded = tombstones(s, dir)
       .map(t => codesRaw.join(t, Seq("vec_id"), "left_anti"))
@@ -1147,10 +1156,103 @@ object Similarity {
   def ivfPqAppend(s: SparkSession, dir: String, newEmb: DataFrame): Unit = {
     val cents = storeCodebook(s, dir).localCheckpoint(false)
     pqEncodeAgainst(subSlices(vecs(newEmb), "vec_id", "v", "x"),
-      s.read.parquet(s"$dir.pq"))
+      storePqCodebook(s, dir))
       .join(ivfAssign(newEmb, Some(cents)).select("vec_id", "cell"),
         Seq("vec_id"))
       .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
+  /** Retrain/rebuild on the CODE-ONLY store (round-11, VERDICT #4):
+    * the code tier keeps NO float rows — that is its point — so
+    * `ivfRetrain`'s read-the-store's-rows loop cannot exist here;
+    * retraining the quantizers REQUIRES the float source. This verb
+    * is that story made executable: a fresh `ivfPqBuild` from the
+    * source (fresh coarse codebook, fresh `.pq` fine codebook, fresh
+    * codes — the FAISS offline-retrain semantics), staged at
+    * `<dir>._rebuild*` and swapped in whole, so serving afterwards is
+    * byte-identical to a first build over the same rows
+    * (spec-proven). It is also the remedy every checked-read refusal
+    * (contradicting `_assign_metric` or `_encode_contract` stamp)
+    * points at on this tier, so it reads NEITHER sidecar.
+    *
+    * Pending tombstones FOLD (the tier's compaction): deleted ids
+    * anti-join out of the source before encoding and the tombstone
+    * file retires with the old store — a rebuild that resurrected
+    * tombstoned ids would undo every ivfDelete since the last build.
+    *
+    * Crash windows: before the old-store delete — old store intact,
+    * staging debris at `._rebuild*` is re-deleted by the next run;
+    * between delete and the renames — the COMPLETED rebuild sits at
+    * `._rebuild*` (rename to finish) while every read fails loudly
+    * on the missing store (no silent old/new mixing is possible: the
+    * staging dirs are never read paths).
+    *
+    * Scale shape: one full build from the source (train + encode +
+    * cell-partitioned write) — index-build cost, run offline and
+    * rarely, the sim_codebook_drift/sim_pqstore_drift gauges saying
+    * when. Returns the rebuilt store's vector count.
+    */
+  def ivfPqRebuild(s: SparkSession, dir: String, emb: DataFrame): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir.pq")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir.codebook")),
+      s"no code-only store at $dir — use ivfPqBuild for a first build")
+    val src = tombstones(s, dir)
+      .map(t => emb.join(t.select("vec_id"), Seq("vec_id"), "left_anti"))
+      .getOrElse(emb)
+      .localCheckpoint(false) // one snapshot feeds train + encode
+    val tmp = s"$dir._rebuild"
+    val stage = Seq(tmp, s"$tmp.codebook", s"$tmp.pq")
+    val live = Seq(dir, s"$dir.codebook", s"$dir.pq")
+    stage.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    ivfPqBuild(s, tmp, src)
+    live.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir.tombstones"), true)
+    stage.zip(live).foreach { case (from, to) =>
+      require(fs.rename(new org.apache.hadoop.fs.Path(from),
+        new org.apache.hadoop.fs.Path(to)),
+        s"rebuild swap rename failed: $from -> $to (completed rebuild " +
+          "left in staging; rename the _rebuild dirs manually)")
+    }
+    s.read.parquet(dir).select("vec_id").distinct().count()
+  }
+
+  /** The code tier's WHEN-TO-REBUILD gauge (sim_codebook_drift's
+    * device over the PERSISTED codes): per bucket10 half of the
+    * corpus, the reconstruction distortion of the store's codes
+    * against the float source, in exact integer micro-units² —
+    * d = |q − cq|² per (vector, subspace), summed in DECIMAL(38).
+    * A stationary corpus shows equal halves; drifted ingest shows
+    * the newer half fitting the FIXED `.pq` codebook worse — the
+    * number an operator reads before scheduling ivfPqRebuild.
+    * Everything the gauge touches is what serving already reads
+    * (codes + the broadcast `.pq` sidecar) plus one scan of the
+    * float source; nothing else moves.
+    */
+  def pqStoreDrift(s: SparkSession, dir: String, emb: DataFrame)
+  : DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val codes = s.read.parquet(dir).select("vec_id", "m", "code")
+    val cs = storePqCodebook(s, dir)
+      .select(col("m"), col("code"),
+        expr("transform(c, v -> cast(round(v * 1000000.0D) as bigint))")
+          .as("cq"))
+    codes.join(subSlicesQ(emb), Seq("vec_id", "m"))
+      .join(broadcast(cs), Seq("m", "code"))
+      .select(col("vec_id"), dotiFast(
+        expr("zip_with(q, cq, (a, b) -> a - b)"),
+        expr("zip_with(q, cq, (a, b) -> a - b)")).as("d"))
+      .groupBy((graft.functions.Functions
+        .bucket10(col("vec_id"), lit(DriftSalt)) < 5).cast("int")
+        .as("is_old"))
+      .agg(count(lit(1)).as("n_subvecs"),
+        sum(col("d").cast(dec38)).as("dq"))
+      .select(col("is_old"), col("n_subvecs"),
+        round(col("dq").cast("double") / 1.0e12, 6).as("dist_e12"),
+        round(col("dq").cast("double") / col("n_subvecs") / 1.0e6, 6)
+          .as("mean_dist_e6"))
   }
 
   private val ivfPqStores =
@@ -1438,26 +1540,49 @@ object Similarity {
 
   /** The stamp lives INSIDE the sidecar directory under a leading
     * underscore, so Spark's parquet discovery ignores it and it
-    * travels/dies with the sidecar it describes (an overwrite that
-    * crashes after the parquet commit but before the stamp leaves a
-    * legacy-looking sidecar — absence therefore WARNS rather than
-    * refuses; only a contradicting stamp refuses).
+    * travels/dies with the sidecar it describes. Absence WARNS
+    * rather than refuses — it means a genuinely pre-stamp legacy
+    * store: since round 11 the stamped write is ATOMIC (staging dir
+    * + rename), so an interrupted rewrite can no longer manufacture
+    * a stampless sidecar out of one that carried a stamp.
     */
   private def metricMarker(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir.codebook", "_assign_metric")
 
-  /** The single sidecar write path: parquet, then the metric stamp. */
-  private def writeCodebookSidecar(s: SparkSession, dir: String,
-                                   cb: DataFrame): Unit = {
-    cb.write.mode("overwrite").parquet(s"$dir.codebook")
-    val p = metricMarker(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(AssignMetric.getBytes("UTF-8")) finally out.close()
+  /** The single stamped-sidecar write path (round-11 ADVICE
+    * hardening): parquet AND stamp land in a `<path>._tmp` staging
+    * dir, which then renames over the live sidecar — one commit
+    * point instead of the former parquet-then-stamp pair, whose
+    * crash window could downgrade a store that previously carried a
+    * CONTRADICTING stamp to the warn-only unstamped path. Crash
+    * before the rename: the old sidecar (rows + stamp) is intact.
+    * Crash between delete and rename: NO sidecar — every read fails
+    * loudly (no silent downgrade) and the COMPLETED staging dir sits
+    * at `<path>._tmp`; rename it to finish the swap.
+    */
+  private def writeStampedSidecar(s: SparkSession, path: String,
+                                  df: DataFrame, stampName: String,
+                                  stampValue: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._tmp")
+    fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, stampName), true)
+    try out.write(stampValue.getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst),
+      s"sidecar swap rename failed: $tmp -> $dst (completed staging " +
+        "dir left in place; rename it manually to finish)")
   }
 
-  private def storedMetric(s: SparkSession, dir: String): Option[String] = {
-    val p = metricMarker(dir)
+  private def writeCodebookSidecar(s: SparkSession, dir: String,
+                                   cb: DataFrame): Unit =
+    writeStampedSidecar(s, s"$dir.codebook", cb, "_assign_metric",
+      AssignMetric)
+
+  private def storedStamp(s: SparkSession,
+                          p: org.apache.hadoop.fs.Path): Option[String] = {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
@@ -1465,6 +1590,43 @@ object Similarity {
       try Some(new String(in.readAllBytes(), "UTF-8").trim)
       finally in.close()
     }
+  }
+
+  private def storedMetric(s: SparkSession, dir: String): Option[String] =
+    storedStamp(s, metricMarker(dir))
+
+  /** The fine-encode identity this build produces `.pq`-sidecar codes
+    * under (round-11 ADVICE — the `.pq` twin of AssignMetric): the
+    * float-space d² = x·x − 2·x·c + c·c argmin with round-6 and
+    * (d2, code) ties, the pqEncodeAgainst kernel. A store encoded
+    * under one rule and appended/served under another would silently
+    * mix code meanings, exactly like a coarse-metric mismatch — the
+    * round-9 cosine→integer-L2 change proved encode contracts DO
+    * drift. Checked reads refuse a contradicting stamp toward
+    * ivfPqRebuild; absence warns (legacy store).
+    */
+  val PqEncodeContract = "d2-float-round6-v1"
+
+  /** Checked `.pq` fine-codebook read — every code-tier serve/append
+    * path (the `.codebook` coarse sidecar is separately checked by
+    * storeCodebook).
+    */
+  private def storePqCodebook(s: SparkSession, dir: String): DataFrame = {
+    storedStamp(s,
+      new org.apache.hadoop.fs.Path(s"$dir.pq", "_encode_contract")) match {
+      case Some(c) => require(c == PqEncodeContract,
+        s"refusing to use $dir.pq: its codes were encoded under " +
+          s"contract '$c' but this build encodes by " +
+          s"'$PqEncodeContract' — stored codes and fresh encodes/LUTs " +
+          "would disagree on code meaning. Run ivfPqRebuild to " +
+          "re-encode the store from its float source.")
+      case None => System.err.println(
+        s"[graft] WARN: $dir.pq carries no _encode_contract stamp " +
+          s"(pre-stamp store); assuming '$PqEncodeContract'. If the " +
+          "store predates the shared pqEncodeAgainst kernel, run " +
+          "ivfPqRebuild.")
+    }
+    s.read.parquet(s"$dir.pq")
   }
 
   /** Unchecked sidecar read for the verbs that must still work on a
@@ -3114,7 +3276,8 @@ object Similarity {
        |asncell AS MATERIALIZED (SELECT vec_id, cell FROM ivfrk
        |  WHERE rn = 1),
        |qprobe AS MATERIALIZED (SELECT vec_id, cell FROM ivfrk
-       |  WHERE rn <= 2 AND vec_id IN (SELECT vec_id FROM qset)),
+       |  WHERE rn <= $IvfPqProbes
+       |    AND vec_id IN (SELECT vec_id FROM qset)),
        |$pqLutSql,
        |sc AS (SELECT lut.query_id, k2.vec_id nbr_id, SUM(qp) score
        |  FROM codes k2
@@ -4097,6 +4260,42 @@ object Similarity {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY score DESC, nbr_id) rk FROM sc)
               |WHERE rk <= $K""".stripMargin)),
+
+    // Round 11 (VERDICT #4 pairing): the code tier's when-to-rebuild
+    // gauge — reconstruction distortion of the PERSISTED codes per
+    // bucket10 half, read from the same cached store. The oracle
+    // re-derives the codes from pqSql's shared CTE (the store's codes
+    // ARE pqCodes', the build contract) and quantizes both sides into
+    // the exact integer d = |q − cq|².
+    QueryDef("sim_pqstore_drift",
+      (s, d) => {
+        val dir = ivfPqStores.computeIfAbsent(d, _ => {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-ivfpq-index").toString + "/idx"
+          ivfPqBuild(s, out, Tables.embeddings(s, d))
+          out
+        })
+        pqStoreDrift(s, dir, Tables.embeddings(s, d))
+      },
+      Some(s"""WITH $pqSql,
+              |dq AS (SELECT k.vec_id,
+              |    CAST(list_sum(list_transform(
+              |      generate_series(1, $PqSubDim),
+              |      i -> (CAST(ROUND(x.x[i] * 1000000.0) AS BIGINT)
+              |            - CAST(ROUND(c.c[i] * 1000000.0) AS BIGINT))
+              |         * (CAST(ROUND(x.x[i] * 1000000.0) AS BIGINT)
+              |            - CAST(ROUND(c.c[i] * 1000000.0) AS BIGINT))))
+              |      AS HUGEINT) AS d
+              |  FROM codes k
+              |  JOIN xs x ON k.vec_id = x.vec_id AND k.m = x.m
+              |  JOIN cs c ON c.cent_id = k.code AND c.m = k.m)
+              |SELECT CAST(((vec_id % 100003) * 31 + $DriftSalt * 97)
+              |  % 10 < 5 AS INT) AS is_old,
+              |CAST(COUNT(*) AS BIGINT) AS n_subvecs,
+              |ROUND(CAST(SUM(d) AS DOUBLE) / 1e12, 6) AS dist_e12,
+              |ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*) / 1e6, 6)
+              |  AS mean_dist_e6
+              |FROM dq GROUP BY 1""".stripMargin)),
 
     // V18 (round 10): plain IVF-PQ at nprobe=2 — the recall lever on
     // the green composite tier; see knnIvfPqProbe. Scores are

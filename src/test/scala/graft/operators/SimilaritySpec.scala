@@ -480,6 +480,105 @@ class SimilaritySpec extends SparkSpec {
       s"tombstoned ids ${dead.mkString(",")} answered from the code store")
   }
 
+  test("ivfPqRebuild: rebuilt serving equals a fresh build over the " +
+    "same source; tombstones fold; refuses a missing store") {
+    val mk = (r: Range) => r.map { i =>
+      val c = i % 3
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        val base = if (d / 21 == c || (c == 2 && d >= 42)) 5.0f else 0.1f
+        base + ((i * 13 + d * 3) % 97) * 0.01f
+      }.toArray, c)
+    }.toDF("vec_id", "embedding", "label")
+    val head = mk(0 until 120)
+    val all = mk(0 until 200)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqr1")
+      .toString + "/i"
+    val ref = java.nio.file.Files.createTempDirectory("ivfpqr2")
+      .toString + "/i"
+    // a STALE store: quantizers trained on the head only, the tail
+    // appended under them, plus a pending delete — exactly the state
+    // the drift gauge tells an operator to rebuild out of
+    Similarity.ivfPqBuild(spark, dir, head)
+    Similarity.ivfPqAppend(spark, dir, mk(120 until 200))
+    Similarity.ivfDelete(spark, dir, Seq(7L, 13L))
+    val srcLive = all.filter(!col("vec_id").isin(7L, 13L))
+    val n = Similarity.ivfPqRebuild(spark, dir, all)
+    assert(n === 198L)
+    // the tombstones FOLDED: file retired, ids gone from the data
+    assert(!new java.io.File(s"$dir.tombstones").exists())
+    import spark.implicits._
+    val ids = spark.read.parquet(dir).select("vec_id").distinct()
+      .as[Long].collect().toSet
+    assert(!ids(7L) && !ids(13L) && ids.size === 198)
+    // no staging debris survives the swap
+    assert(!new java.io.File(s"$dir._rebuild").exists())
+    assert(!new java.io.File(s"$dir._rebuild.pq").exists())
+    assert(!new java.io.File(s"$dir._rebuild.codebook").exists())
+    // serving is byte-identical to a FRESH build over the live source
+    Similarity.ivfPqBuild(spark, ref, srcLive)
+    val got = Similarity.knnIvfPqFromStore(spark, dir, srcLive)
+      .collect().map(_.toString).sorted.toSeq
+    val fresh = Similarity.knnIvfPqFromStore(spark, ref, srcLive)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === fresh && got.nonEmpty)
+    // both sidecars re-stamped by the rebuild
+    assert(new java.io.File(s"$dir.codebook/_assign_metric").exists())
+    assert(new java.io.File(s"$dir.pq/_encode_contract").exists())
+    // a first build must go through ivfPqBuild, loudly
+    val miss = java.nio.file.Files.createTempDirectory("ivfpqr3")
+      .toString + "/i"
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRebuild(spark, miss, all)
+    }
+    assert(e1.getMessage.contains("ivfPqBuild"))
+  }
+
+  test("pq encode-contract stamp: a contradicting stamp refuses " +
+    "serve/append toward ivfPqRebuild; absence warns but serves; " +
+    "no sidecar staging debris after a build") {
+    val all = (0 until 120).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 31 + d * 17) % 13 - 6).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqc")
+      .toString + "/i"
+    Similarity.ivfPqBuild(spark, dir, all)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir.pq/_encode_contract")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fresh build: stamped with the current contract, no ._tmp debris
+    // (the atomic stamped-sidecar write leaves only the live dirs)
+    val in = fs.open(mp)
+    val stamped = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    assert(stamped === Similarity.PqEncodeContract)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.pq._tmp")))
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir.codebook._tmp")))
+    // contradicting stamp → both read verbs refuse, naming the remedy
+    val out = fs.create(mp, true)
+    try out.write("some-other-encode-v9".getBytes("UTF-8"))
+    finally out.close()
+    val q = all.limit(3)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.searchPqStore(spark, dir, q).collect()
+    }
+    assert(e1.getMessage.contains("ivfPqRebuild"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAppend(spark, dir,
+        Seq((500L, (0 until Similarity.Dim).map(_.toFloat).toArray))
+          .toDF("vec_id", "embedding"))
+    }
+    assert(e2.getMessage.contains("ivfPqRebuild"))
+    // absence (legacy store) warns but serves
+    fs.delete(mp, false)
+    assert(Similarity.searchPqStore(spark, dir, q).count() > 0)
+    // rebuild restores the stamp and clears the refusal
+    Similarity.ivfPqRebuild(spark, dir, all)
+    assert(Similarity.searchPqStore(spark, dir, q).count() > 0)
+    assert(fs.exists(mp))
+  }
+
   test("pq trainer: training strictly reduces distortion on jittered " +
     "clusters; trained codes are valid") {
     // 3 cluster prototypes + deterministic per-vector jitter: sampled

@@ -37,5 +37,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_doti"),
       info("graft_doti", "graft_doti(a, b) - exact integer dot product"),
       (args: Seq[Expression]) => IntDotExpr(args(0), args(1))))
+    // Spark's own runtime-filter expression pair, surfaced as SQL
+    // functions (OSS registers neither): a codegen'd aggregate that
+    // builds a serialized bloom filter, and a codegen'd probe over
+    // the broadcast bytes — replaces the two Scala-UDF probe sites
+    // (round-11 VERDICT #5), keeping the prefilter scans inside
+    // whole-stage codegen.
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(col, nItems, nBits) - serialized bloom filter"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2))))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        "graft_might_contain(bloom, col) - bloom membership probe"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args(0), args(1))))
   }
 }

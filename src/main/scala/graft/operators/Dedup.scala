@@ -436,15 +436,16 @@ object Dedup {
     * every executor — the eval scan probes it locally, so the
     * train-side shuffle/join disappears entirely (at fpp false-positive
     * cost; the filter can only OVER-count overlap, never under-count).
-    * The probe is a plain long-hash lookup wrapped in a UDF — the one
-    * place a UDF is warranted here, since BloomFilter has no Column
-    * algebra; the per-row cost is a few hash multiplies.
+    * Build and probe are Spark's native runtime-filter expression
+    * pair (graft_bloom_agg / graft_might_contain, round 11 — formerly
+    * a Scala UDF over a broadcast sketch), so the eval-side scan stays
+    * inside whole-stage codegen; the per-row cost is a few hash
+    * multiplies against the literal filter bytes.
     * Sketch contents are engine-specific → spec-checked against the
     * exact operator (superset property), not oracle-registered.
     */
   def evalContaminationBloom(docs: DataFrame, t: Double = ContamT,
                              fpp: Double = 0.01): DataFrame = {
-    val spark = docs.sparkSession
     val withB = docs.withColumn("b", bucket10(col("doc_id"), lit(5L)))
     val trainSh = docShingleHashes(withB.filter(col("b") < 8).drop("b"))
       .select(col("sh")).distinct()
@@ -453,14 +454,17 @@ object Dedup {
       .localCheckpoint(false)
     val n = evalSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
-    // Spark's stat.bloomFilter NPEs on an empty frame; an empty train
-    // split trivially means zero overlap
+    // an aggregate over an empty train split yields a null filter; an
+    // empty train split trivially means zero overlap
     val probe =
       if (nTrain == 0) lit(false)
       else {
-        val bf = trainSh.stat.bloomFilter("sh", nTrain, fpp)
-        val bc = spark.sparkContext.broadcast(bf)
-        udf((h: Long) => bc.value.mightContainLong(h)).apply(col("sh"))
+        val nBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(nTrain, fpp)
+        val bf = trainSh.agg(call_function("graft_bloom_agg",
+            col("sh"), lit(nTrain), lit(nBits)))
+          .head().getAs[Array[Byte]](0)
+        call_function("graft_might_contain", lit(bf), col("sh"))
       }
     val hit = evalSh.filter(probe)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))

@@ -34,23 +34,28 @@ object Relational {
     * one priority class of five). The two passes over the key side
     * (count to size, aggregate to build) are column-pruned single-
     * int64 scans; at 100 TB the count comes from table stats instead.
-    * The probe UDF is the one warranted kind (BloomFilter has no
-    * Column algebra) and sits behind the scan filter, off the
-    * codegen'd join+agg hot path.
+    * Build and probe are Spark's OWN runtime-filter expression pair
+    * (BloomFilterAggregate / BloomFilterMightContain, injected as
+    * graft_bloom_agg / graft_might_contain — round 11; formerly a
+    * Scala UDF over a broadcast sketch): the probe is codegen'd
+    * against the literal filter bytes, so the prefiltered scan stays
+    * inside whole-stage codegen (PlanSpec pins it).
     */
   def bloomPrefilterJoin(orders: DataFrame, lineitem: DataFrame,
                          fpp: Double = 0.01): DataFrame = {
-    val spark = orders.sparkSession
     val keys = orders.filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     val nKeys = keys.count()
     val pre =
       if (nKeys == 0) lineitem.filter(lit(false))
       else {
-        val bf = keys.stat.bloomFilter("o_orderkey", nKeys, fpp)
-        val bc = spark.sparkContext.broadcast(bf)
-        val probe = udf((k: Long) => bc.value.mightContainLong(k))
-        lineitem.filter(probe(col("l_orderkey")))
+        val nBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(nKeys, fpp)
+        val bf = keys.agg(call_function("graft_bloom_agg",
+            col("o_orderkey"), lit(nKeys), lit(nBits)))
+          .head().getAs[Array[Byte]](0)
+        lineitem.filter(
+          call_function("graft_might_contain", lit(bf), col("l_orderkey")))
       }
     pre.join(keys, pre("l_orderkey") === keys("o_orderkey"))
       .groupBy(col("l_returnflag"))

@@ -67,6 +67,21 @@ class PlanSpec extends SparkSpec {
       "ADC per-(query,candidate) sum must map-side combine")
   }
 
+  test("bloom prefilters probe through the native codegen'd " +
+    "expression — no ScalaUDF node in either plan (round 11)") {
+    // j11: the registered bloom-prefiltered join
+    val p = planOf("j11_bloom_prefilter")
+    assert(p.contains("might_contain"),
+      s"native bloom probe missing:\n${p.take(600)}")
+    assert(!p.contains("UDF"), "bloom probe fell back to a Scala UDF")
+    // the dedup decontamination's bloom form (spec-proven operator)
+    val p2 = operators.Dedup.evalContaminationBloom(
+      Tables.documents(spark, d)).queryExecution.executedPlan.toString()
+    assert(p2.contains("might_contain"),
+      s"native bloom probe missing:\n${p2.take(600)}")
+    assert(!p2.contains("UDF"), "bloom probe fell back to a Scala UDF")
+  }
+
   test("A2: aggregation is partial+final (map-side combine)") {
     val p = planOf("a2_category_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)

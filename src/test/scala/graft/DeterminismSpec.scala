@@ -141,6 +141,7 @@ class DeterminismSpec extends SparkSpec {
     "sim_res_part_probe",     // pre-SUM ADC join emission
     "sim_list_canary",        // data-free list/agg literal probes
     "sim_pqstore_drift",      // persisted-code reconstruction halves
+    "sim_knn_ivfpq_store_refine", // store ADC cut + exact rerank
     "sim_knn_ivfpq_store",    // store READ path only: the build is
                               // cached per sfDir (the from_store
                               // device); build determinism is proven

@@ -391,6 +391,14 @@ class SimilaritySpec extends SparkSpec {
     val inline = Similarity.knnIvfPq(all)
       .collect().map(_.toString).sorted.toSeq
     assert(got === inline && got.nonEmpty)
+    // round 11: the refine rung from the store equals the inline
+    // refine (same candidates through the store contract, same
+    // exactRerank kernel) — the shared-oracle claim, proven
+    val gotR = Similarity.knnIvfPqRefineFromStore(spark, dir, all)
+      .collect().map(_.toString).sorted.toSeq
+    val inlineR = Similarity.knnIvfPqRefine(all)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotR === inlineR && gotR.nonEmpty)
   }
 
   test("streaming pq-store serve: micro-batch answers equal the batch " +

@@ -65,6 +65,37 @@ object Functions {
     */
   def dotiFast(a: Column, b: Column): Column = call_function("graft_doti", a, b)
 
+  /** The ONE bloom build+probe composition (round-11 review fixes):
+    * sizes the filter honestly at `fpp` for ANY key count by raising
+    * the session's runtime-bloom caps when the request exceeds them —
+    * `BloomFilterAggregate` otherwise Math.min-clamps items/bits
+    * against `spark.sql.optimizer.runtime.bloomFilter.max*` (4M items
+    * / 67M bits) SILENTLY, so beyond ~7M keys the realized fpp would
+    * drift toward 1 and the prefilter would quietly stop filtering —
+    * and wires the filter bytes through a SCALAR SUBQUERY over a temp
+    * view (InjectRuntimeFilter's own shape, accepted by
+    * BloomFilterMightContain's type check) instead of collecting them
+    * into a multi-MB plan literal that every explain/UI/event-log
+    * string would carry. The subquery executes once per query run;
+    * the probe stays codegen'd.
+    */
+  def bloomMightContain(keys: org.apache.spark.sql.DataFrame,
+                        keyCol: String, viewName: String, nItems: Long,
+                        fpp: Double, probe: Column): Column = {
+    val spark = keys.sparkSession
+    val nBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nItems, fpp)
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> nBits)
+      .foreach { case (k, v) =>
+        if (spark.conf.get(k).toLong < v) spark.conf.set(k, v.toString) }
+    keys.select(col(keyCol).as("k")).createOrReplaceTempView(viewName)
+    call_function("graft_might_contain",
+      expr(s"(SELECT graft_bloom_agg(k, ${nItems}L, ${nBits}L) " +
+        s"FROM $viewName)"),
+      probe)
+  }
+
   /** Deterministic cross-engine "hash" for seeded splits/sampling:
     * pure integer arithmetic, safe from bigint overflow on both
     * engines for keys < ~1e12 (SURVEY §2.7 U4 — numpy seeds cannot be

@@ -438,9 +438,10 @@ object Dedup {
     * cost; the filter can only OVER-count overlap, never under-count).
     * Build and probe are Spark's native runtime-filter expression
     * pair (graft_bloom_agg / graft_might_contain, round 11 — formerly
-    * a Scala UDF over a broadcast sketch), so the eval-side scan stays
-    * inside whole-stage codegen; the per-row cost is a few hash
-    * multiplies against the literal filter bytes.
+    * a Scala UDF over a broadcast sketch) composed by
+    * Functions.bloomMightContain (scalar-subquery build, honest fpp
+    * at any shingle count), so the eval-side scan stays inside
+    * whole-stage codegen; the per-row cost is a few hash multiplies.
     * Sketch contents are engine-specific → spec-checked against the
     * exact operator (superset property), not oracle-registered.
     */
@@ -458,14 +459,8 @@ object Dedup {
     // empty train split trivially means zero overlap
     val probe =
       if (nTrain == 0) lit(false)
-      else {
-        val nBits = org.apache.spark.util.sketch.BloomFilter
-          .optimalNumOfBits(nTrain, fpp)
-        val bf = trainSh.agg(call_function("graft_bloom_agg",
-            col("sh"), lit(nTrain), lit(nBits)))
-          .head().getAs[Array[Byte]](0)
-        call_function("graft_might_contain", lit(bf), col("sh"))
-      }
+      else graft.functions.Functions.bloomMightContain(
+        trainSh, "sh", "graft_bloom_decontam_sh", nTrain, fpp, col("sh"))
     val hit = evalSh.filter(probe)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
     n.join(hit, Seq("doc_id"), "left")

@@ -37,9 +37,11 @@ object Relational {
     * Build and probe are Spark's OWN runtime-filter expression pair
     * (BloomFilterAggregate / BloomFilterMightContain, injected as
     * graft_bloom_agg / graft_might_contain — round 11; formerly a
-    * Scala UDF over a broadcast sketch): the probe is codegen'd
-    * against the literal filter bytes, so the prefiltered scan stays
-    * inside whole-stage codegen (PlanSpec pins it).
+    * Scala UDF over a broadcast sketch), composed by
+    * Functions.bloomMightContain: the filter builds in a scalar
+    * subquery (never a plan literal), honest-at-fpp at any key count
+    * (the session bloom caps raise with the request), and the probe
+    * stays inside whole-stage codegen (PlanSpec pins it).
     */
   def bloomPrefilterJoin(orders: DataFrame, lineitem: DataFrame,
                          fpp: Double = 0.01): DataFrame = {
@@ -48,15 +50,9 @@ object Relational {
     val nKeys = keys.count()
     val pre =
       if (nKeys == 0) lineitem.filter(lit(false))
-      else {
-        val nBits = org.apache.spark.util.sketch.BloomFilter
-          .optimalNumOfBits(nKeys, fpp)
-        val bf = keys.agg(call_function("graft_bloom_agg",
-            col("o_orderkey"), lit(nKeys), lit(nBits)))
-          .head().getAs[Array[Byte]](0)
-        lineitem.filter(
-          call_function("graft_might_contain", lit(bf), col("l_orderkey")))
-      }
+      else lineitem.filter(graft.functions.Functions.bloomMightContain(
+        keys, "o_orderkey", "graft_bloom_j11_keys", nKeys, fpp,
+        col("l_orderkey")))
     pre.join(keys, pre("l_orderkey") === keys("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),

@@ -725,7 +725,7 @@ object Similarity {
     * re-derivations that could accidentally diverge from it.
     */
   private def resAdcRelations(emb: DataFrame, nq: Int)
-  : (DataFrame, DataFrame, DataFrame) = {
+  : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cents = ivfCodebook(emb).localCheckpoint(false)
     val xqmFull = residualSlicesQ(emb, cents).localCheckpoint(false)
     val xqm = xqmFull.select("vec_id", "m", "q")
@@ -743,7 +743,7 @@ object Similarity {
       .select(col("query_id"), col("qcell"), col("m"),
         col("cell").as("code"),
         (col("cc") - lit(2L) * dotiFast(col("rq"), col("cq"))).as("part"))
-    (xqmFull, codes, lut)
+    (xqmFull, codes, qres, lut)
   }
 
   /** The pre-aggregation join emission of the ADC stage: one row per
@@ -751,7 +751,7 @@ object Similarity {
     * partial — exactly the rows resAdcProbe's final SUM folds.
     */
   private def resPartRows(emb: DataFrame, nq: Int): DataFrame = {
-    val (xqmFull, codes, lut) = resAdcRelations(emb, nq)
+    val (xqmFull, codes, _, lut) = resAdcRelations(emb, nq)
     val cellOf = xqmFull.select("vec_id", "cell").distinct()
     codes.join(cellOf, Seq("vec_id"))
       .join(broadcast(lut), Seq("m", "code"))
@@ -792,16 +792,17 @@ object Similarity {
     * green while adc_q would differ → the grouped SUM itself.
     */
   /** Probe (d): the query-side residual VALUES for the probe sample,
-    * long form (query_id, m, idx, rq_i) — exact integer micro-units.
-    * Mirrors oracle CTE rxqm filtered to psel.
+    * long form (query_id, m, idx, rq_i) — exact integer micro-units,
+    * exploded from the SAME qres relation the LUT consumes (the
+    * shared resAdcRelations derivation, not a re-derivation — review
+    * fix: a plan-sensitive divergence could otherwise slip between a
+    * fresh plan and the one the red stage actually read). Mirrors
+    * oracle CTE rxqm filtered to psel.
     */
-  def resQresProbe(emb: DataFrame, nq: Int = AdcProbeQueries): DataFrame = {
-    val cents = ivfCodebook(emb).localCheckpoint(false)
-    residualSlicesQ(emb, cents)
-      .join(broadcast(adcProbeIds(emb, nq)), Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("query_id"), col("m"),
-        posexplode(col("q")).as(Seq("idx", "rq_i")))
-  }
+  def resQresProbe(emb: DataFrame, nq: Int = AdcProbeQueries): DataFrame =
+    resAdcRelations(emb, nq)._3
+      .select(col("query_id"), col("m"),
+        posexplode(col("rq")).as(Seq("idx", "rq_i")))
 
   /** Probe (e): the probe sample's LUT partials (query_id, m, code,
     * part) — every per-subspace score summand the ADC stage can ever
@@ -809,7 +810,7 @@ object Similarity {
     * oracle CTE lutr filtered to psel.
     */
   def resLutProbe(emb: DataFrame, nq: Int = AdcProbeQueries): DataFrame =
-    resAdcRelations(emb, nq)._3
+    resAdcRelations(emb, nq)._4
       .select(col("query_id"), col("m"), col("code"), col("part"))
 
   /** Probe (f): the pre-SUM join emission (query_id, nbr_id, m,
@@ -1238,13 +1239,19 @@ object Similarity {
     * the newer half fitting the FIXED `.pq` codebook worse — the
     * number an operator reads before scheduling ivfPqRebuild.
     * Everything the gauge touches is what serving already reads
-    * (codes + the broadcast `.pq` sidecar) plus one scan of the
-    * float source; nothing else moves.
+    * (codes + the broadcast `.pq` sidecar) — INCLUDING the tombstone
+    * anti-join (round-11 review fix): a gauge that counted deleted
+    * vectors' distortion would schedule rebuilds on rows that never
+    * answer queries — plus one scan of the float source; nothing
+    * else moves.
     */
   def pqStoreDrift(s: SparkSession, dir: String, emb: DataFrame)
   : DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val codes = s.read.parquet(dir).select("vec_id", "m", "code")
+    val codesRaw = s.read.parquet(dir).select("vec_id", "m", "code")
+    val codes = tombstones(s, dir)
+      .map(t => codesRaw.join(t, Seq("vec_id"), "left_anti"))
+      .getOrElse(codesRaw)
     val cs = storePqCodebook(s, dir)
       .select(col("m"), col("code"),
         expr("transform(c, v -> cast(round(v * 1000000.0D) as bigint))")

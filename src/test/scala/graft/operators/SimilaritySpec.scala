@@ -509,6 +509,13 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfPqBuild(spark, dir, head)
     Similarity.ivfPqAppend(spark, dir, mk(120 until 200))
     Similarity.ivfDelete(spark, dir, Seq(7L, 13L))
+    // the drift gauge reflects the SERVING view: tombstoned ids are
+    // excluded from the reconstruction totals (review fix)
+    import spark.implicits._
+    val gaugeN = Similarity.pqStoreDrift(spark, dir, all)
+      .agg(org.apache.spark.sql.functions.sum("n_subvecs"))
+      .as[Long].head()
+    assert(gaugeN === 198L * Similarity.PqM)
     val srcLive = all.filter(!col("vec_id").isin(7L, 13L))
     val n = Similarity.ivfPqRebuild(spark, dir, all)
     assert(n === 198L)

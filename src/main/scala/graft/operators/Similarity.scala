@@ -935,6 +935,18 @@ object Similarity {
     * sim_ivfpq_recall measures against the exact baseline.
     */
   def knnIvfPq(emb: DataFrame, k: Int = K): DataFrame = {
+    val (coded, qcell, lut) = pqAdcParts(emb)
+    adcTopK(coded, qcell, lut, k)
+  }
+
+  /** The plain composite's three ADC relations — the coded candidate
+    * stream (codes ⋈ home cells), the bounded query-cell map, and the
+    * broadcast LUT — in ONE derivation shared by knnIvfPq and its
+    * filtered variant (the resAdcRelations discipline: variants
+    * compose the same relations, never re-derive them).
+    */
+  private def pqAdcParts(emb: DataFrame)
+  : (DataFrame, DataFrame, DataFrame) = {
     val e = vecs(emb)
     // coarse quantizer: the trained IVF codebook; fine quantizer: the
     // sampled PQ codebook (pqCodes) — independent, as in FAISS IVFPQ
@@ -955,7 +967,29 @@ object Similarity {
       .join(hashSample(e, "q", QueryCount).select("vec_id"),
         Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"), col("cell"))
-    adcTopK(codes.join(assigned, Seq("vec_id")), qcell, lut, k)
+    (codes.join(assigned, Seq("vec_id")), qcell, lut)
+  }
+
+  /** V12 × V18 (round 11): metadata-filtered retrieval ON THE
+    * COMPRESSED TIER — knnIvfFiltered's composition applied to the
+    * IVF-PQ composite: the predicate restricts the CANDIDATE code
+    * stream via a left-semi join BEFORE scoring (pre-filter, so the
+    * top-k is guaranteed-filtered and k results survive whenever the
+    * allowed set can supply them), the cell restriction and the
+    * broadcast-LUT integer ADC apply on top. The semi-join commutes
+    * with the cell key, so at scale the filter pushes into the
+    * cell-partitioned code read and nothing new shuffles — filtered
+    * vector search at index scale WITHOUT touching float vectors.
+    * Queries come from the full corpus (a query need not satisfy the
+    * filter — it asks for filtered neighbors).
+    */
+  def knnIvfPqFiltered(emb: DataFrame, docs: DataFrame,
+                       lang: String = "en", k: Int = K): DataFrame = {
+    val (coded, qcell, lut) = pqAdcParts(emb)
+    val allowed = docs.filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+    adcTopK(coded.join(allowed, Seq("vec_id"), "left_semi"),
+      qcell, lut, k)
   }
 
   /** The plain-composite nprobe default — ONE constant interpolated
@@ -1125,6 +1159,37 @@ object Similarity {
     val (cents, cs, coded) = resolvePqStore(s, dir)
     pqServeBatch(queries, cents, cs, coded, k)
   }
+
+  /** Metadata-filtered serve over the code store (round 11 —
+    * knnIvfPqFiltered's persisted twin): the allowed-id set semi-joins
+    * the code scan before the shared pqServeBatch kernel, so the
+    * filter composes with the tombstone anti-join and the partition-
+    * keyed cell read; row-identical to the inline filtered composite
+    * under the store contract (same quantizers, same codes, same
+    * filter, same integer ADC), so the registered query shares its
+    * oracle — spec-proven.
+    */
+  def searchPqStoreFiltered(s: SparkSession, dir: String,
+                            queries: DataFrame, allowed: DataFrame,
+                            k: Int = K): DataFrame = {
+    val (cents, cs, coded) = resolvePqStore(s, dir)
+    pqServeBatch(queries, cents, cs,
+      coded.join(allowed, Seq("vec_id"), "left_semi"), k)
+  }
+
+  /** The registered from-store filtered read: the standard bounded
+    * query batch against the store, candidates restricted to `lang`
+    * documents (fixture contract doc_id = vec_id).
+    */
+  def knnIvfPqFilteredFromStore(s: SparkSession, dir: String,
+                                emb: DataFrame, docs: DataFrame,
+                                lang: String = "en", k: Int = K)
+  : DataFrame =
+    searchPqStoreFiltered(s, dir,
+      hashSample(vecs(emb), "q", QueryCount)
+        .select(col("vec_id"), col("v").as("embedding")),
+      docs.filter(col("lang") === lang)
+        .select(col("doc_id").as("vec_id")), k)
 
   /** The ONLINE read half on the compressed tier — serveStoreStream's
     * twin over the code-only store: the static side (sidecars +
@@ -3297,20 +3362,43 @@ object Similarity {
     * (`ivfrk` — `cent` is the PQ codebook here, so the coarse ladder
     * composes without it) + cell-restricted ADC.
     */
-  private lazy val pqIvfSql =
+  /** The plain-composite score chain, parameterized on an optional
+    * candidate-filter join (round 11 — the filtered variant's oracle
+    * mirrors the SAME text with one extra semi-join, exactly like the
+    * Spark side composes pqAdcParts): empty `candJoin` reproduces the
+    * historical pqIvfSql byte-for-byte.
+    */
+  private def pqIvfScSql(candJoin: String = ""): String =
     s"""${lloydLadderSql(IvfTrainRounds)},
        |${ivfRankSql()},
        |asncell AS MATERIALIZED (SELECT vec_id, cell FROM ivfrk
        |  WHERE rn = 1),
        |$pqLutSql,
        |sc AS (SELECT lut.query_id, k2.vec_id nbr_id, SUM(qp) score
-       |  FROM codes k2
+       |  FROM codes k2$candJoin
        |  JOIN asncell ca ON k2.vec_id = ca.vec_id
        |  JOIN asncell qa ON qa.cell = ca.cell
        |    AND qa.vec_id IN (SELECT vec_id FROM qset)
        |  JOIN lut ON lut.query_id = qa.vec_id
        |    AND lut.m = k2.m AND lut.code = k2.code
        |  WHERE k2.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
+
+  private lazy val pqIvfSql = pqIvfScSql()
+
+  /** The filtered composite's full oracle text — shared verbatim by
+    * the inline query and its from-store twin (the store contract
+    * makes them row-identical).
+    */
+  private lazy val pqIvfFilteredOracle =
+    s"""WITH $pqSql,
+       |allowed AS (SELECT doc_id AS vec_id FROM documents
+       |  WHERE lang = 'en'),
+       |${pqIvfScSql("\n  JOIN allowed al ON k2.vec_id = al.vec_id")}
+       |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id,
+       |ROUND(CAST(score AS DOUBLE) / 1000000.0, 6) adc FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, nbr_id) rk FROM sc)
+       |WHERE rk <= $K""".stripMargin
 
   /** IVF-PQ nprobe continuation (knnIvfPqProbe's mirror): candidates
     * keep their one home cell (`asncell`), bounded-batch queries
@@ -4308,6 +4396,29 @@ object Similarity {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY score DESC, nbr_id) rk FROM sc)
               |WHERE rk <= $K""".stripMargin)),
+
+    // Round 11 (V12 × V18): metadata-filtered retrieval on the
+    // compressed tier, inline + from-store — see knnIvfPqFiltered.
+    // The candidate semi-join applies BEFORE scoring (pre-filter);
+    // the from-store twin is row-identical under the store contract,
+    // so both rows share one oracle text.
+    QueryDef("sim_knn_ivfpq_filtered",
+      (s, d) => knnIvfPqFiltered(Tables.embeddings(s, d),
+        Tables.documents(s, d)),
+      Some(pqIvfFilteredOracle)),
+
+    QueryDef("sim_knn_ivfpq_store_filtered",
+      (s, d) => {
+        val dir = ivfPqStores.computeIfAbsent(d, _ => {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-ivfpq-index").toString + "/idx"
+          ivfPqBuild(s, out, Tables.embeddings(s, d))
+          out
+        })
+        knnIvfPqFilteredFromStore(s, dir, Tables.embeddings(s, d),
+          Tables.documents(s, d))
+      },
+      Some(pqIvfFilteredOracle)),
 
     // Round 11 (VERDICT #4 pairing): the code tier's when-to-rebuild
     // gauge — reconstruction distortion of the PERSISTED codes per

@@ -142,6 +142,7 @@ class DeterminismSpec extends SparkSpec {
     "sim_list_canary",        // data-free list/agg literal probes
     "sim_pqstore_drift",      // persisted-code reconstruction halves
     "sim_knn_ivfpq_store_refine", // store ADC cut + exact rerank
+    "sim_knn_ivfpq_filtered", // pre-filter semi-join under the ADC
     "sim_knn_ivfpq_store",    // store READ path only: the build is
                               // cached per sfDir (the from_store
                               // device); build determinism is proven

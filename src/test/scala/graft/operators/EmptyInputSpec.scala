@@ -201,6 +201,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.resQresProbe(emb0).count() === 0)
     assert(Similarity.resLutProbe(emb0).count() === 0)
     assert(Similarity.resPartProbe(emb0).count() === 0)
+    assert(Similarity.knnIvfPqFiltered(emb0, docs0).count() === 0)
   }
 
   test("round-2 operators are total on empty input") {

@@ -399,6 +399,23 @@ class SimilaritySpec extends SparkSpec {
     val inlineR = Similarity.knnIvfPqRefine(all)
       .collect().map(_.toString).sorted.toSeq
     assert(gotR === inlineR && gotR.nonEmpty)
+    // round 11: filtered retrieval on the code tier — PRE-filter
+    // semantics (every answer satisfies the predicate; the rank
+    // column stays dense 1..k over the allowed set), and the
+    // from-store twin is row-identical to the inline composition
+    val docs = all.select(col("vec_id").as("doc_id"))
+      .withColumn("lang", org.apache.spark.sql.functions
+        .when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+      .withColumn("text", org.apache.spark.sql.functions.lit("t"))
+    val finDf = Similarity.knnIvfPqFiltered(all, docs)
+    val fin = finDf.as[(Long, Long, Long, Double)].collect().toSeq
+    assert(fin.nonEmpty)
+    assert(fin.forall(_._3 % 2 === 0), "a filtered answer broke the predicate")
+    fin.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted === (1L to rs.length).toSeq) }
+    val fst = Similarity.knnIvfPqFilteredFromStore(spark, dir, all, docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fst === finDf.collect().map(_.toString).sorted.toSeq)
   }
 
   test("streaming pq-store serve: micro-batch answers equal the batch " +

@@ -122,6 +122,81 @@ object Dedup {
     */
   val MaxShingleDf = 5L
 
+  /** Exact threshold ratio for the prefix filter: PpTNum/PpTDen must
+    * equal JaccardT (DedupSpec pins it) — ⌈t·n⌉ is then the integer
+    * (n·PpTNum + PpTDen − 1) div PpTDen, so no float ceil can round
+    * up, shorten a prefix, and silently break completeness.
+    */
+  val PpTNum = 1L
+  val PpTDen = 2L
+
+  /** PPJoin-style prefix filtering (Bayardo et al. WWW'07 all-pairs;
+    * Xiao et al. WWW'08) — the EXACT complement of the df-cap guard:
+    * order every document's shingles by one global (df asc, hash asc)
+    * order and self-join only each document's first n − ⌈t·n⌉ + 1
+    * (its prefix). Any pair with Jaccard ≥ t provably shares a prefix
+    * shingle: were every common shingle in A's suffix (size
+    * ⌈t·n_A⌉ − 1), then |A∩B| ≤ ⌈t·n_A⌉ − 1 < t·n_A ≤ |A∩B|. So
+    * exactly verifying the surviving candidates reproduces the full
+    * co-count join's relation — same output, same oracle text, no
+    * approximation and no whitelist.
+    *
+    * Shape at scale: the candidate join moves ONLY prefix rows, and
+    * the rare-first order puts template shingles (the f² hazard the
+    * cap drops) in suffixes where they never generate pairs; the
+    * verify join is keyed on the candidate pair and bounded by
+    * candidate volume; the df relation is a map-side-combinable
+    * vocabulary aggregate.
+    */
+  def ppjoinPrefix(docs: DataFrame): DataFrame =
+    ppjoinPrefixFrom(docShingleHashes(docs))
+
+  /** Candidate pairs from the prefix self-join alone — exposed so the
+    * spec can measure the pruning against the full co-sharing pair
+    * universe.
+    */
+  private[operators] def ppjoinCandidates(sh: DataFrame): DataFrame = {
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val pre = sh.join(dfreq, Seq("sh"))
+      .withColumn("rn", row_number().over(w))
+      .join(n, Seq("doc_id"))
+      .filter(col("rn") <=
+        col("n") - expr(s"(n * $PpTNum + ${PpTDen - 1}) div $PpTDen") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    // length filter (the other standard PPJoin prune): J ≥ t forces
+    // t·max(n_a, n_b) ≤ |A∩B| ≤ min(n_a, n_b) — integer-exact as
+    // PpTNum·max ≤ PpTDen·min, evaluated inside the join condition so
+    // mismatched sizes never leave the build side
+    pre.as("a")
+      .join(pre.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * PpTNum <= col("b.n") * PpTDen &&
+          col("b.n") * PpTNum <= col("a.n") * PpTDen)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  def ppjoinPrefixFrom(shingleHashes: DataFrame): DataFrame = {
+    // referenced by the prefix rank AND both verify sides
+    val sh = shingleHashes.localCheckpoint(false)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = ppjoinCandidates(sh)
+      .join(sh.as("x"), col("i") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("j") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+    co.join(n.as("na"), col("i") === col("na.doc_id"))
+      .join(n.as("nb"), col("j") === col("nb.doc_id"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na.n") + col("nb.n") - col("common")), 6))
+      .filter(col("jaccard") >= JaccardT)
+      .select(col("i"), col("j"), col("common"), col("jaccard"))
+  }
+
   val ContainT = 0.6
 
   /** Asymmetric containment near-dup: |A∩B|/|A| and |A∩B|/|B| from
@@ -1018,6 +1093,16 @@ object Dedup {
 
     QueryDef("dedup_ngram_jaccard",
       (s, d) => ngramJaccard(docs(s, d)),
+      Some(s"""WITH $shSql,
+              |$jacSql
+              |SELECT i, j, common, jaccard FROM jac
+              |WHERE jaccard >= $JaccardT""".stripMargin)),
+
+    // The prefix-filtered form of the exact pairwise baseline —
+    // PPJoin candidate generation + exact verify, provably the same
+    // relation (see ppjoinPrefix), so it SHARES the oracle text.
+    QueryDef("dedup_ppjoin_prefix",
+      (s, d) => ppjoinPrefix(docs(s, d)),
       Some(s"""WITH $shSql,
               |$jacSql
               |SELECT i, j, common, jaccard FROM jac

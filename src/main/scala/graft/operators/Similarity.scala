@@ -1833,11 +1833,28 @@ object Similarity {
   }
 
   /** Serving read over the tombstoned store: live rows only. */
-  def searchStoreLive(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+  /** The store's LIVE view — base + ingest tail minus tombstones; the
+    * one derivation every serving verb (top-k or range, batch or
+    * stream) must read so deletes answer nowhere.
+    */
+  private def liveIndex(s: SparkSession, dir: String): DataFrame = {
     val idx = storeIndex(s, dir)
-    val live = tombstones(s, dir)
+    tombstones(s, dir)
       .map(t => idx.join(t, Seq("vec_id"), "left_anti")).getOrElse(idx)
-    searchAssigned(live, k)
+  }
+
+  def searchStoreLive(s: SparkSession, dir: String, k: Int = K): DataFrame =
+    searchAssigned(liveIndex(s, dir), k)
+
+  /** Range search over the persisted store's live view — the radius
+    * twin of searchStoreLive, on the same rangeCells kernel as the
+    * inline rangeSearchIvf (store-vs-inline equality is a
+    * construction fact, like the knn tiers).
+    */
+  def searchStoreRange(s: SparkSession, dir: String,
+                       tau: Double = RangeTau): DataFrame = {
+    val live = liveIndex(s, dir).localCheckpoint(false) // queries + index
+    rangeCells(hashSample(live, "q", QueryCount), live, tau)
   }
 
   /** Compaction: fold the streaming-ingest tail into the
@@ -2286,10 +2303,7 @@ object Similarity {
     // while the stream runs take effect on restart, the standard
     // static-side refresh semantics (compaction additionally
     // REQUIRES serving stopped — see ivfCompact's contract).
-    val idxRaw = storeIndex(s, dir)
-    val idx = tombstones(s, dir)
-      .map(t => idxRaw.join(t, Seq("vec_id"), "left_anti"))
-      .getOrElse(idxRaw)
+    val idx = liveIndex(s, dir)
     val cents = storeCodebook(s, dir).localCheckpoint(false)
     queries.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -2299,8 +2313,64 @@ object Similarity {
       .start()
   }
 
+  /** Streaming range serve — serveStoreStream's radius twin: the same
+    * live static side and per-batch coarse assignment, answered
+    * through the rangeCells kernel (one codepath with the batch verb;
+    * spec proves stream ≡ batch over the same queries).
+    */
+  def serveRangeStream(s: SparkSession, dir: String, queries: DataFrame,
+                       tau: Double = RangeTau)
+                      (sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = liveIndex(s, dir)
+    val cents = storeCodebook(s, dir).localCheckpoint(false)
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val q = ivfAssign(batch, Some(cents))
+        sink(rangeCells(q, idx, tau), id)
+      }
+      .start()
+  }
+
   def knnIvf(emb: DataFrame, k: Int = K): DataFrame =
     searchAssigned(ivfAssign(emb), k)
+
+  /** Radius cut for the range-search twin — on this corpus's cosine
+    * distribution (p99 ≈ 0.30) the radius keeps the result a small
+    * multiple of the query batch, the regime range search exists for.
+    */
+  val RangeTau = 0.30
+
+  /** The in-cell RANGE kernel — searchCells' radius twin: same
+    * broadcast query side, same cell-keyed join, but the cut is a
+    * pure predicate instead of a rank window.
+    */
+  def rangeCells(q: DataFrame, assigned: DataFrame,
+                 tau: Double = RangeTau): DataFrame =
+    broadcast(q.as("a"))
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("nbr_id"),
+        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+
+  /** FAISS range_search — the radius twin of the top-k family: ALL
+    * in-cell candidates with cosine ≥ tau, not the best k. Same
+    * coarse assignment and broadcast query batch as knnIvf (nprobe=1);
+    * only the cut differs, and that difference is the scale win: no
+    * per-query rank window means no top-k sort state at all — the
+    * scored stream passes one codegen'd predicate, so range search is
+    * strictly CHEAPER than knn over the same candidates while
+    * returning everything a radius-based near-dup or recall pass
+    * needs (SimilaritySpec pins it to the unbounded top-k filtered at
+    * the radius).
+    */
+  def rangeSearchIvf(emb: DataFrame, tau: Double = RangeTau): DataFrame = {
+    val assigned = ivfAssign(emb).localCheckpoint(false) // queries + index
+    rangeCells(hashSample(assigned, "q", QueryCount), assigned, tau)
+      .orderBy(col("query_id"), col("cos").desc, col("nbr_id"))
+  }
 
   /** V15 (round 7): metadata-filtered IVF search — cell ∧ filter,
     * the composition knnFiltered's docstring promised: the predicate
@@ -2365,19 +2435,33 @@ object Similarity {
        |  FROM ivfrk r JOIN e ON e.vec_id = r.vec_id
        |  WHERE r.rn = 1)""".stripMargin
 
-  /** Shared oracle for sim_knn_ivf and its from-store twin. */
-  private lazy val ivfSql =
-    s"""WITH $ivfAssignedSql,
+  /** The in-cell scored stream (query batch × home-cell candidates) —
+    * the shared prefix of the top-k oracle and its range twin, so the
+    * two cuts provably read the SAME relation.
+    */
+  private lazy val ivfScoredSql =
+    s"""$ivfAssignedSql,
        |$qsetSql,
        |scored AS (SELECT a.vec_id query_id, b.vec_id nbr_id,
        |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
        |  FROM assigned a JOIN qset qs ON a.vec_id = qs.vec_id
        |  JOIN assigned b
-       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)""".stripMargin
+
+  /** Shared oracle for sim_knn_ivf and its from-store twin. */
+  private lazy val ivfSql =
+    s"""WITH $ivfScoredSql
        |SELECT query_id, CAST(rk AS BIGINT) rank, nbr_id, cos FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY cos DESC, nbr_id) rk FROM scored)
        |WHERE rk <= $K""".stripMargin
+
+  /** Oracle for sim_range_search — same scored stream, radius cut. */
+  private lazy val rangeSql =
+    s"""WITH $ivfScoredSql
+       |SELECT query_id, nbr_id, cos FROM scored
+       |WHERE cos >= $RangeTau
+       |ORDER BY query_id, cos DESC, nbr_id""".stripMargin
 
   def knnIvfFromStore(s: SparkSession, d: String, k: Int = K): DataFrame = {
     val dir = ivfStores.computeIfAbsent(d, _ => {
@@ -3885,6 +3969,13 @@ object Similarity {
     QueryDef("sim_knn_ivf_from_store",
       (s, d) => knnIvfFromStore(s, d),
       Some(ivfSql)),
+
+    // V21 (beyond-ref): FAISS range_search — the radius cut over the
+    // SAME in-cell scored stream as sim_knn_ivf (shared CTE prefix);
+    // see rangeSearchIvf for why the windowless cut is the scale win.
+    QueryDef("sim_range_search",
+      (s, d) => rangeSearchIvf(Tables.embeddings(s, d)),
+      Some(rangeSql)),
 
     QueryDef("sim_mmr_rerank",
       (s, d) => mmrRerank(Tables.embeddings(s, d)),

@@ -1344,6 +1344,52 @@ object TextAnalysis {
       .select(col("term"), col("df"), col("tf_total"), col("top_docs"))
   }
 
+  val PhraseTopDocs = 100
+
+  /** Phrase query over positional postings — the retrieval half the
+    * index tier lacked (invertedIndex answers "which docs contain the
+    * TERM"; this answers "which docs contain the PHRASE", the
+    * Elasticsearch match_phrase shape): (doc_id, pos, term) postings
+    * for the two phrase words join on (same doc, adjacent positions),
+    * so matching touches two posting lists, never the corpus text.
+    * The phrase itself is data-derived (top corpus bigram by count,
+    * tie lexicographic) only so the query is self-contained and
+    * oracle-exact — production passes a literal, the vocabulary
+    * aggregate disappears, and the two term filters push down to a
+    * term-keyed posting store as point lookups.
+    *
+    * Shape at scale: one map-side-combinable vocabulary aggregate
+    * picks the phrase (absent for a literal query); each posting side
+    * is filtered to ONE term by a 1-row broadcast before anything
+    * shuffles, so the adjacency join moves only the two filtered
+    * lists, keyed on doc_id; the per-doc hit count and the bounded
+    * top cut are window-free aggregates on the join output.
+    */
+  def phraseSearch(docsDf: DataFrame,
+                   topDocs: Int = PhraseTopDocs): DataFrame = {
+    val tk = docsDf.select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+      .localCheckpoint(false) // phrase pick + both posting sides
+    val top = tk.select(explode(expr(bigramArr)).as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("phrase")).limit(1)
+      .select(col("phrase"),
+        split(col("phrase"), " ").getItem(0).as("w1"),
+        split(col("phrase"), " ").getItem(1).as("w2"))
+    val post = tk.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("pos", "term")))
+    val lhs = post.join(broadcast(top), col("term") === col("w1"))
+      .select(col("phrase"), col("doc_id"), col("pos"))
+    val rhs = post.join(broadcast(top.select(col("w2"))),
+        col("term") === col("w2"))
+      .select(col("doc_id").as("doc_r"), col("pos").as("pos_r"))
+    lhs.join(rhs,
+        col("doc_id") === col("doc_r") && col("pos_r") === col("pos") + 1)
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("doc_id"))
+      .limit(topDocs)
+  }
+
   val InterpLambda = 0.75
 
   /** Jelinek-Mercer interpolated LM score: p = λ·p_bigram + (1−λ)·
@@ -2587,7 +2633,27 @@ object TextAnalysis {
     // T24 (beyond-ref): Zipf rank-frequency fit over the head
     // vocabulary — see zipfFit for the quantized-log closed form.
     QueryDef("txt_zipf_fit",
-      (s, d) => zipfFit(docs(s, d)), Some(zipfFitSql))
+      (s, d) => zipfFit(docs(s, d)), Some(zipfFitSql)),
+
+    // T25 (beyond-ref): positional-postings phrase query — see
+    // phraseSearch for the adjacency-join device. The oracle states
+    // the same relation on the bigram stream directly: a phrase hit
+    // at positions (i, i+1) IS a bigram occurrence at i.
+    QueryDef("txt_phrase_search",
+      (s, d) => phraseSearch(docs(s, d)),
+      Some(s"""WITH tk AS (SELECT doc_id,
+              |    string_split_regex(trim(lower(text)),'\\s+') AS t
+              |  FROM documents),
+              |bgs AS (SELECT doc_id, unnest(list_transform(
+              |    generate_series(1, greatest(len(t)-1, 0)),
+              |    i -> t[i] || ' ' || t[i+1])) AS phrase FROM tk),
+              |top AS (SELECT phrase, COUNT(*) AS c FROM bgs
+              |  GROUP BY 1 ORDER BY c DESC, phrase LIMIT 1)
+              |SELECT b.phrase, b.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+              |FROM bgs b JOIN top USING (phrase)
+              |GROUP BY 1, 2
+              |ORDER BY hits DESC, doc_id
+              |LIMIT $PhraseTopDocs""".stripMargin))
   )
 
   /** DSIR-style importance selection (Data Selection via Importance

@@ -148,7 +148,10 @@ class DeterminismSpec extends SparkSpec {
                               // device); build determinism is proven
                               // separately by SimilaritySpec's
                               // two-identical-builds append case
-    "sim_knn_ivfpq_probe")    // probe-widened candidates x integer ADC
+    "sim_knn_ivfpq_probe",    // probe-widened candidates x integer ADC
+    "txt_phrase_search",      // posting adjacency join + top cut
+    "dedup_ppjoin_prefix",    // prefix-ranked candidates + exact verify
+    "sim_range_search")       // windowless radius cut, in-cell stream
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

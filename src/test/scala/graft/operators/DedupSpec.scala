@@ -38,6 +38,39 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ppjoin prefix: exact threshold ratio, equality with the full join") {
+    // the integer ratio the prefix arithmetic runs on must BE the
+    // registered threshold — a drifted constant silently breaks
+    // completeness, not just a score
+    assert(Dedup.PpTNum.toDouble / Dedup.PpTDen === Dedup.JaccardT)
+    // planted corpus: near-dups + boilerplate suffix shingles + an
+    // unrelated doc — prefix-filtered result must equal the full
+    // co-count join exactly (the PPJoin completeness theorem)
+    val full = Dedup.ngramJaccard(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val pp = Dedup.ppjoinPrefix(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(pp === full)
+    assert(pp.nonEmpty)
+  }
+
+  test("ppjoin prefix: equality on the real corpus; candidates pruned") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Dedup.ngramJaccard(corpus)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val pp = Dedup.ppjoinPrefix(corpus)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(pp === full)
+    // the filter must actually prune: prefix candidates < all
+    // co-sharing pairs (the full join's candidate universe)
+    val sh = Dedup.docShingleHashes(corpus).localCheckpoint()
+    val nCand = Dedup.ppjoinCandidates(sh).count()
+    val nAll = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(nCand < nAll, s"prefix filter pruned nothing: $nCand vs $nAll")
+  }
+
   test("minhash LSH: identical-normalized docs always collide; verify matches jaccard") {
     val lsh = Dedup.minhashLsh(docs, t = 0.5)
       .select("i", "j", "jaccard").as[(Long, Long, Double)].collect()

@@ -34,8 +34,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.nbQualityClassifier(docs0).count() === 0)
     assert(TextAnalysis.dsirSelect(docs0).count() === 0)
     assert(TextAnalysis.fingerprint(docs0).count() === 0)
+    assert(TextAnalysis.phraseSearch(docs0).count() === 0)
     assert(Dedup.exact(docs0).count() === 0)
     assert(Dedup.ngramJaccard(docs0).count() === 0)
+    assert(Dedup.ppjoinPrefix(docs0).count() === 0)
     assert(Dedup.minhashLsh(docs0).count() === 0)
     assert(Dedup.incrementalDedup(docs0).count() === 0)
     assert(Dedup.minhashEstimate(docs0).count() === 0)
@@ -152,6 +154,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.knnBrute(emb0).count() === 0)
     assert(Similarity.knnLsh(emb0).count() === 0)
     assert(Similarity.knnIvf(emb0).count() === 0)
+    assert(Similarity.rangeSearchIvf(emb0).count() === 0)
     assert(Similarity.hybridRrf(docs0, emb0).count() === 0)
     assert(Similarity.mmrRerank(emb0).count() === 0)
     assert(Similarity.bucketStats(emb0).count() === 0)

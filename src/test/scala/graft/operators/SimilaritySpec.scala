@@ -997,6 +997,41 @@ class SimilaritySpec extends SparkSpec {
       s"tombstoned ids ${dead.mkString(",")} served on the stream")
   }
 
+  test("streaming range serve: micro-batch answers equal the batch " +
+    "kernel over the same queries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (0 until 100).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map { d =>
+        ((i * 29 + d * 13) % 11 - 5).toFloat
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfr").toString + "/i"
+    Similarity.ivfBuild(spark, dir, all)
+    def qvec(i: Int) = (0 until Similarity.Dim)
+      .map(d => ((i * 23 + d * 7) % 11 - 5).toFloat).toArray
+    val qs = Seq((2000L, qvec(1)), (2001L, qvec(2)), (2002L, qvec(3)))
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    // tau = -1 admits every in-cell pair: the stream ≡ batch check
+    // then covers the whole scored stream, not a lucky radius
+    val stq = Similarity.serveRangeStream(spark, dir,
+      in.toDF().toDF("vec_id", "embedding"), tau = -1.0) { (res, _) =>
+      got ++= res.collect().map(_.toString)
+    }
+    in.addData(qs: _*); stq.processAllAvailable(); stq.stop()
+    val cents = Similarity.storeCodebook(spark, dir)
+    val expect = Similarity.rangeCells(
+      Similarity.ivfAssign(qs.toDF("vec_id", "embedding"), Some(cents)),
+      spark.read.parquet(dir).select(col("vec_id"), col("v"), col("cell")),
+      tau = -1.0).collect().map(_.toString).sorted.toSeq
+    assert(got.sorted.toSeq === expect)
+    assert(expect.nonEmpty)
+    // and the batch store verb honors a binding radius
+    val bound = Similarity.searchStoreRange(spark, dir, tau = 0.5).collect()
+    assert(bound.forall(_.getDouble(2) >= 0.5))
+  }
+
   test("streaming index ingest: per-batch appends equal the batch " +
     "build under the fixed codebook") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1474,5 +1509,20 @@ class SimilaritySpec extends SparkSpec {
     // ...and on cells == clusters the home cell already holds the
     // true top-k: recall is 1.0 at every operating point
     assert(sorted.forall(_ == 1.0))
+  }
+
+  test("range search: equals the unbounded top-k filtered at the radius") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // the rank-window path with k = ∞ is an independent derivation of
+    // the same in-cell scored stream — the radius cut must match it
+    val viaK = Similarity.knnIvf(emb, k = Int.MaxValue)
+      .filter(col("cos") >= Similarity.RangeTau)
+      .select("query_id", "nbr_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val rng = Similarity.rangeSearchIvf(emb)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rng === viaK)
+    assert(rng.nonEmpty, "radius returns nothing at sf0.001 — tau too high")
+    assert(rng.forall(_._3 >= Similarity.RangeTau))
   }
 }

@@ -13,6 +13,32 @@ class TextAnalysisSpec extends SparkSpec {
     TDoc(2, "der hund und die katze ist", "de"),
     TDoc(3, "zzz yyy xxx", "xx")).toDF()
 
+  test("phrase search: top bigram picked, adjacency hits per doc") {
+    val corpus = Seq(
+      (1L, "x y x y z"), // "x y" twice
+      (2L, "x y only once"),
+      (3L, "a a a"), // "a a" twice — outvoted by "x y" (3 total)
+      (4L, "no match here")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(corpus)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("x y", 1L, 2L), ("x y", 2L, 1L)))
+  }
+
+  test("phrase search: overlapping occurrences all count") {
+    // "a a a a" holds THREE "a a" bigrams at positions (0,1)(1,2)(2,3)
+    val corpus = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(corpus)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a a", 1L, 3L)))
+  }
+
+  test("phrase search: count ties break lexicographically") {
+    val corpus = Seq((1L, "b c"), (2L, "a d")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(corpus)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a d", 2L, 1L)))
+  }
+
   test("nb classifier: separable corpus yields a diagonal confusion") {
     // keep=1 docs (long, diverse, stopword-rich) share vocabulary;
     // keep=0 docs (short, repetitive) share a different one — the NB

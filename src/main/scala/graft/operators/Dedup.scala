@@ -122,7 +122,7 @@ object Dedup {
     */
   val MaxShingleDf = 5L
 
-  /** Exact threshold ratio for the prefix filter: PpTNum/PpTDen must
+  /** Exact threshold ratio of the emitted relation: PpTNum/PpTDen must
     * equal JaccardT (DedupSpec pins it) — ⌈t·n⌉ is then the integer
     * (n·PpTNum + PpTDen − 1) div PpTDen, so no float ceil can round
     * up, shorten a prefix, and silently break completeness.
@@ -130,16 +130,29 @@ object Dedup {
   val PpTNum = 1L
   val PpTDen = 2L
 
+  /** GUARD-BAND ratio the candidate PRUNING actually runs on: the
+    * emitted relation keeps pairs by ROUND(jaccard, 6) ≥ t, which
+    * admits true J down to t − 5e-7 — prefixes sized at t alone would
+    * let a million-shingle pair that rounds UP to the cut slip past
+    * the prefix/length filters unverified. Pruning at the
+    * integer-exact t' = t − 1e-6 (DedupSpec pins the one-millionth
+    * gap) covers everything the rounded cut can emit; the prefix
+    * grows by one element only beyond ~10⁶ shingles per doc.
+    */
+  val PpGuardNum = 499999L
+  val PpGuardDen = 1000000L
+
   /** PPJoin-style prefix filtering (Bayardo et al. WWW'07 all-pairs;
     * Xiao et al. WWW'08) — the EXACT complement of the df-cap guard:
     * order every document's shingles by one global (df asc, hash asc)
-    * order and self-join only each document's first n − ⌈t·n⌉ + 1
-    * (its prefix). Any pair with Jaccard ≥ t provably shares a prefix
-    * shingle: were every common shingle in A's suffix (size
-    * ⌈t·n_A⌉ − 1), then |A∩B| ≤ ⌈t·n_A⌉ − 1 < t·n_A ≤ |A∩B|. So
-    * exactly verifying the surviving candidates reproduces the full
-    * co-count join's relation — same output, same oracle text, no
-    * approximation and no whitelist.
+    * order and self-join only each document's first n − ⌈t'·n⌉ + 1
+    * (its prefix; t' is the guard-band ratio just under the emission
+    * threshold — see PpGuardNum). Any pair with Jaccard ≥ t' provably
+    * shares a prefix shingle: were every common shingle in A's suffix
+    * (size ⌈t'·n_A⌉ − 1), then |A∩B| ≤ ⌈t'·n_A⌉ − 1 < t'·n_A ≤
+    * |A∩B|. So exactly verifying the surviving candidates reproduces
+    * the full co-count join's relation — same output, same oracle
+    * text, no approximation and no whitelist.
     *
     * Shape at scale: the candidate join moves ONLY prefix rows, and
     * the rare-first order puts template shingles (the f² hazard the
@@ -153,28 +166,32 @@ object Dedup {
 
   /** Candidate pairs from the prefix self-join alone — exposed so the
     * spec can measure the pruning against the full co-sharing pair
-    * universe.
+    * universe. All pruning arithmetic runs on the GUARD ratio (see
+    * PpGuardNum) so the rounded emission cut stays covered.
     */
-  private[operators] def ppjoinCandidates(sh: DataFrame): DataFrame = {
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  private[operators] def ppjoinCandidates(
+      sh: DataFrame, n0: Option[DataFrame] = None): DataFrame = {
+    val n = n0.getOrElse(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val pre = sh.join(dfreq, Seq("sh"))
       .withColumn("rn", row_number().over(w))
       .join(n, Seq("doc_id"))
-      .filter(col("rn") <=
-        col("n") - expr(s"(n * $PpTNum + ${PpTDen - 1}) div $PpTDen") + 1)
+      .filter(col("rn") <= col("n") -
+        expr(s"(n * $PpGuardNum + ${PpGuardDen - 1}) div $PpGuardDen") + 1)
       .select(col("doc_id"), col("sh"), col("n"))
-    // length filter (the other standard PPJoin prune): J ≥ t forces
-    // t·max(n_a, n_b) ≤ |A∩B| ≤ min(n_a, n_b) — integer-exact as
-    // PpTNum·max ≤ PpTDen·min, evaluated inside the join condition so
-    // mismatched sizes never leave the build side
+      .localCheckpoint(false) // both sides of the candidate self-join
+    // length filter (the other standard PPJoin prune): J ≥ t' forces
+    // t'·max(n_a, n_b) ≤ |A∩B| ≤ min(n_a, n_b) — integer-exact as
+    // GuardNum·max ≤ GuardDen·min, evaluated inside the join condition
+    // so mismatched sizes never leave the build side
     pre.as("a")
       .join(pre.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * PpTNum <= col("b.n") * PpTDen &&
-          col("b.n") * PpTNum <= col("a.n") * PpTDen)
+          col("a.n") * PpGuardNum <= col("b.n") * PpGuardDen &&
+          col("b.n") * PpGuardNum <= col("a.n") * PpGuardDen)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
   }
@@ -183,7 +200,7 @@ object Dedup {
     // referenced by the prefix rank AND both verify sides
     val sh = shingleHashes.localCheckpoint(false)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val co = ppjoinCandidates(sh)
+    val co = ppjoinCandidates(sh, Some(n))
       .join(sh.as("x"), col("i") === col("x.doc_id"))
       .join(sh.as("y"),
         col("j") === col("y.doc_id") && col("x.sh") === col("y.sh"))

@@ -1832,7 +1832,6 @@ object Similarity {
     else baseDf
   }
 
-  /** Serving read over the tombstoned store: live rows only. */
   /** The store's LIVE view — base + ingest tail minus tombstones; the
     * one derivation every serving verb (top-k or range, batch or
     * stream) must read so deletes answer nowhere.
@@ -1843,6 +1842,7 @@ object Similarity {
       .map(t => idx.join(t, Seq("vec_id"), "left_anti")).getOrElse(idx)
   }
 
+  /** Serving read over the tombstoned store: live rows only. */
   def searchStoreLive(s: SparkSession, dir: String, k: Int = K): DataFrame =
     searchAssigned(liveIndex(s, dir), k)
 

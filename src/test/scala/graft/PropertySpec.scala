@@ -95,7 +95,14 @@ class PropertySpec extends SparkSpec {
   }
 
   test("shinglesFast: equals shingles on whitespace-collapsed text") {
-    val nonEmpty = tokGen.suchThat(_.nonEmpty)
+    // non-empty BY CONSTRUCTION (not suchThat): shrinking ignores
+    // suchThat predicates, and the empty list fails this property for
+    // unrelated reasons (tokens("") = [""]), which would mask the
+    // real counterexample
+    val nonEmpty = for {
+      n <- Gen.choose(1, 12)
+      l <- Gen.listOfN(n, Gen.oneOf("aa", "b", "ccc", "dd", "e", "ff"))
+    } yield l
     check("fast=slow", Prop.forAll(nonEmpty, Gen.choose(1, 3)) { (toks, n) =>
       val txt = toks.mkString(" ")
       val row = evalRow(

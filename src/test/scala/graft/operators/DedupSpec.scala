@@ -39,10 +39,17 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ppjoin prefix: exact threshold ratio, equality with the full join") {
-    // the integer ratio the prefix arithmetic runs on must BE the
-    // registered threshold — a drifted constant silently breaks
-    // completeness, not just a score
+    // the integer ratio of the emitted relation must BE the registered
+    // threshold — a drifted constant silently breaks completeness,
+    // not just a score
     assert(Dedup.PpTNum.toDouble / Dedup.PpTDen === Dedup.JaccardT)
+    // ...and the pruning guard must sit EXACTLY one millionth below it
+    // (integer arithmetic): wide enough to cover every pair the
+    // round-to-6 emission cut can admit (J ≥ t − 5e-7), tight enough
+    // that prefixes only lengthen beyond ~10⁶ shingles per doc
+    assert(Dedup.PpGuardDen % Dedup.PpTDen === 0L)
+    assert(Dedup.PpTNum * (Dedup.PpGuardDen / Dedup.PpTDen) -
+      Dedup.PpGuardNum === 1L)
     // planted corpus: near-dups + boilerplate suffix shingles + an
     // unrelated doc — prefix-filtered result must equal the full
     // co-count join exactly (the PPJoin completeness theorem)

@@ -836,9 +836,9 @@ object Commerce {
               |  WHERE levenshtein(a.pre, b.pre) <= 5),
               |e AS MATERIALIZED (SELECT i, j FROM m UNION ALL SELECT j, i FROM m),
               |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
-              |${Dedup.ccStepsSql},
+              |${Dedup.ccFixSql},
               |g AS (SELECT d.doc_id, d.lang, d.n_chars, l.lbl AS cluster_id
-              |  FROM documents d JOIN l${Dedup.ClusterRounds} l USING (doc_id)),
+              |  FROM documents d JOIN lcc l USING (doc_id)),
               |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
               |    ORDER BY n_chars DESC, doc_id) rk FROM g)
               |SELECT cluster_id,

@@ -567,16 +567,26 @@ object Dedup {
   /** Cluster canonicalization — the end product of a dedup pass:
     * connected components over the near-dup pair graph, each doc
     * labeled with its cluster's min doc_id (the canonical survivor).
-    * K rounds of min-label propagation, each a join+groupBy on doc_id
-    * — the standard distributed CC shape (large-star/small-star is
-    * the same pattern with better constants). K bounds work per
-    * round; near-dup clusters are shallow (dup groups, not chains),
-    * and BOTH engines run identical rounds, so even a hypothetical
-    * unconverged label matches the oracle bit-for-bit.
+    * Min-label propagation with pointer jumping, iterated TO THE
+    * FIXPOINT (batched convergence checks — see labelComponents), so
+    * the result is the true CC regardless of topology; the oracle
+    * states the same mathematical object as a recursive reachability
+    * closure (ccFixSql). CcMaxRounds is a loud safety valve, not a
+    * semantic knob: near-dup components are shallow by construction
+    * (dup groups, not 64-hop chains), and a component that genuinely
+    * needs more than 64 relaxation rounds should fail the job, not
+    * ship wrong labels.
     */
-  val ClusterRounds = 7
+  val CcMaxRounds = 64
 
-  def dedupClusters(docs: DataFrame, rounds: Int = ClusterRounds): DataFrame =
+  /** Rounds run lazily between convergence checks — each check is a
+    * driver action, and real cluster topologies converge in one
+    * batch, so batching keeps the per-round scheduling overhead the
+    * fixed-round design was built to avoid.
+    */
+  val CcBatch = 4
+
+  def dedupClusters(docs: DataFrame, rounds: Int = CcMaxRounds): DataFrame =
     labelComponents(ngramJaccard(docs).select(col("i"), col("j")),
       docs.select(col("doc_id")), rounds)
 
@@ -657,7 +667,7 @@ object Dedup {
     * this path, a gap that widens quadratically with corpus size.
     */
   def dedupClustersLsh(docs: DataFrame, t: Double = JaccardT,
-                       rounds: Int = ClusterRounds): DataFrame =
+                       rounds: Int = CcMaxRounds): DataFrame =
     labelComponents(minhashLsh(docs, t).select(col("i"), col("j")),
       docs.select(col("doc_id")), rounds)
 
@@ -685,16 +695,28 @@ object Dedup {
   /** Min-label CC over an undirected pair list, every vertex of
     * `universe` labeled (isolated docs keep their own id). Each round
     * combines edge relaxation (min over neighbors' labels) with
-    * POINTER JUMPING (label ← label-of-label), doubling the hop
-    * distance a min label covers each round: coverage after round r is
-    * 2^(r−1) hops, so `ClusterRounds`=7 converges any component of
-    * diameter ≤ 64 — vs 7 hops for plain propagation (DedupSpec proves
-    * a planted 64-doc chain). Both engines run the identical rounds,
-    * so even a hypothetically unconverged state matches the oracle
-    * bit-for-bit.
+    * POINTER JUMPING (label ← label-of-label), iterated TO THE
+    * FIXPOINT — at which point every label provably equals its
+    * component's min id (labels never drop below it, and the min
+    * vertex keeps its own id, so a converged constant-per-component
+    * labeling can only be the min). Rounds run in lazy batches of
+    * CcBatch with one convergence action per batch; `maxRounds` is a
+    * loud safety valve (require), not a semantic knob.
+    *
+    * WHY fixpoint, not a fixed ladder (round 11 continuation, change
+    * note 49): the jump term doubles coverage only when the local
+    * min-id chain points toward the component min — PropertySpec's
+    * union-find cross-check found a 29-vertex graph where the id
+    * closest to a vertex sat in a dead-end direction and 7 mirrored
+    * rounds left a non-min label. The honest worst case of the
+    * fixed ladder is O(diameter) rounds, so the ladder's "both
+    * engines agree even unconverged" guarantee was agreement on a
+    * possibly-wrong object. The fixpoint IS the true CC, and the
+    * oracle now states the same object as a recursive reachability
+    * closure (ccFixSql) instead of mirroring the schedule.
     */
   def labelComponents(pairs: DataFrame, universe: DataFrame,
-                      rounds: Int = ClusterRounds): DataFrame = {
+                      maxRounds: Int = CcMaxRounds): DataFrame = {
     // Iterative algorithm: materialize the loop-carried tables, or the
     // lineage doubles per round and round k recomputes the whole
     // Jaccard pipeline k times (36s → 4s at sf0.1). localCheckpoint
@@ -714,29 +736,48 @@ object Dedup {
     // Only vertices incident to a near-dup edge can ever move off
     // their own label — iterate on that (much smaller) subgraph and
     // left-join the result back over the corpus, instead of dragging
-    // every isolated doc through `rounds` shuffles. At 100 TB the
+    // every isolated doc through the rounds' shuffles. At 100 TB the
     // corpus is the scan; the edge subgraph is the near-dup fraction.
     // Lazy checkpoints: each round's table still materializes exactly
     // once (it is referenced thrice — union + edge join + jump join),
-    // but all rounds execute under ONE action instead of one scheduled
-    // job per round — the per-round driver round-trips were costing
-    // more than the per-round compute on the tiny subgraph.
+    // and a whole CcBatch of rounds executes under ONE convergence
+    // action — the per-round driver round-trips were costing more
+    // than the per-round compute on the tiny subgraph.
     var labels = edges.select(col("i").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(false)
-    for (_ <- 1 to rounds) {
-      val viaEdge = edges.join(labels, edges("j") === labels("doc_id"))
-        .select(edges("i").as("doc_id"), col("label"))
-      // label values are always ids of edge-incident vertices, so the
-      // label-of-label lookup stays inside the subgraph
-      val viaJump = labels.as("l")
-        .join(labels.as("p"), col("l.label") === col("p.doc_id"))
-        .select(col("l.doc_id").as("doc_id"), col("p.label").as("label"))
-      labels = labels.unionByName(viaEdge).unionByName(viaJump)
-        .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(false)
+    var converged = false
+    var spent = 0
+    while (!converged && spent < maxRounds) {
+      var next = labels
+      for (_ <- 1 to math.min(CcBatch, maxRounds - spent)) {
+        val viaEdge = edges.join(next, edges("j") === next("doc_id"))
+          .select(edges("i").as("doc_id"), col("label"))
+        // label values are always ids of edge-incident vertices, so
+        // the label-of-label lookup stays inside the subgraph
+        val viaJump = next.as("l")
+          .join(next.as("p"), col("l.label") === col("p.doc_id"))
+          .select(col("l.doc_id").as("doc_id"), col("p.label").as("label"))
+        next = next.unionByName(viaEdge).unionByName(viaJump)
+          .groupBy(col("doc_id"))
+          .agg(min(col("label")).as("label"))
+          .localCheckpoint(false)
+      }
+      spent += math.min(CcBatch, maxRounds - spent)
+      // fixpoint test on the CURRENT state alone (no confirming
+      // batch): labels constant across every edge ⟺ constant per
+      // component ⟺ the true CC labeling (the min vertex never loses
+      // its own id, so the component constant can only be the min)
+      converged = edges
+        .join(next.as("li"), edges("i") === col("li.doc_id"))
+        .join(next.as("lj"), edges("j") === col("lj.doc_id"))
+        .filter(col("li.label") =!= col("lj.label"))
+        .isEmpty
+      labels = next
     }
+    require(converged,
+      s"labelComponents did not converge within $maxRounds rounds — " +
+        "a component's diameter exceeds the CcMaxRounds safety valve")
     universe
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1007,22 +1048,23 @@ object Dedup {
        |  FROM probes a JOIN buckets b
        |    ON a.probe = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
-  /** Oracle mirror of labelComponents' rounds: per round, min over
-    * (own label, neighbors' labels, label-of-label) — identical rounds
-    * on both engines. Expects CTEs `e` (symmetric edges) and `l0`
-    * (initial labels). MATERIALIZED: each round references the
-    * previous THRICE; DuckDB inlines CTEs by default, which would
-    * expand l$ClusterRounds into 3^$ClusterRounds input scans.
+  /** Oracle form of labelComponents' FIXPOINT: true connected
+    * components as a recursive reachability closure — min reachable
+    * id per doc (UNION dedups, so cycles terminate; volume is
+    * Σ per-component size², bounded because near-dup clusters are
+    * small). States the mathematical object, not the iteration
+    * schedule: the round-mirrored ladder this replaces could agree
+    * cross-engine on an UNCONVERGED labeling (change note 49).
+    * Expects CTEs `e` (symmetric edges) and `l0` (identity labels
+    * over the universe).
     */
-  private[operators] val ccStepsSql = (1 to ClusterRounds).map { k =>
-    s"""l$k AS MATERIALIZED (SELECT doc_id, MIN(lbl) lbl FROM (
-       |  SELECT doc_id, lbl FROM l${k - 1}
-       |  UNION ALL SELECT e.i AS doc_id, l${k - 1}.lbl
-       |  FROM e JOIN l${k - 1} ON e.j = l${k - 1}.doc_id
-       |  UNION ALL SELECT a.doc_id, b.lbl
-       |  FROM l${k - 1} a JOIN l${k - 1} b ON a.lbl = b.doc_id) GROUP BY 1)"""
-      .stripMargin
-  }.mkString(",\n")
+  private[operators] val ccFixSql =
+    """lcc AS MATERIALIZED (
+      |  WITH RECURSIVE rch(doc_id, x) AS (
+      |    SELECT doc_id, lbl AS x FROM l0
+      |    UNION
+      |    SELECT rch.doc_id, e.j AS x FROM rch JOIN e ON e.i = rch.x)
+      |  SELECT doc_id, MIN(x) AS lbl FROM rch GROUP BY 1)""".stripMargin
 
   private val sigSql =
     """hs AS (SELECT doc_id, list(sh % 4294967291) AS hl FROM sh GROUP BY doc_id),
@@ -1313,9 +1355,9 @@ object Dedup {
            |p AS (SELECT i, j FROM jac WHERE jaccard >= $JaccardT),
            |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
            |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
-           |$ccStepsSql
+           |$ccFixSql
            |SELECT doc_id, lbl AS canonical_id,
-           |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
+           |CAST(doc_id = lbl AS INT) AS is_canonical FROM lcc""".stripMargin)),
 
     // U12 (beyond-ref): cluster-aware leakage-safe split — see
     // clusterSplit; fold rides the cluster's canonical id.
@@ -1327,10 +1369,10 @@ object Dedup {
            |$lshEdgesSql,
            |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
            |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
-           |$ccStepsSql
+           |$ccFixSql
            |SELECT doc_id, lbl AS canonical_id,
            |((lbl % 100003) * 31 + 17) % $SplitFolds AS fold
-           |FROM l$ClusterRounds""".stripMargin)),
+           |FROM lcc""".stripMargin)),
 
     // The production-path composition: CC over LSH-verified edges
     // (bucketed candidates) instead of the exact co-count join —
@@ -1343,9 +1385,9 @@ object Dedup {
            |$lshEdgesSql,
            |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
            |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
-           |$ccStepsSql
+           |$ccFixSql
            |SELECT doc_id, lbl AS canonical_id,
-           |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
+           |CAST(doc_id = lbl AS INT) AS is_canonical FROM lcc""".stripMargin)),
 
     QueryDef("dedup_cluster_weights",
       (s, d) => clusterWeights(docs(s, d)),
@@ -1355,8 +1397,8 @@ object Dedup {
            |$lshEdgesSql,
            |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
            |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
-           |$ccStepsSql,
-           |lf AS MATERIALIZED (SELECT doc_id, lbl FROM l$ClusterRounds),
+           |$ccFixSql,
+           |lf AS MATERIALIZED (SELECT doc_id, lbl FROM lcc),
            |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) cluster_size
            |  FROM lf GROUP BY 1)
            |SELECT c.doc_id, c.lbl AS canonical_id, s.cluster_size,
@@ -1436,8 +1478,8 @@ object Dedup {
            |$lshEdgesSql,
            |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
            |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
-           |$ccStepsSql,
-           |clus AS (SELECT doc_id, lbl AS canonical_id FROM l$ClusterRounds)
+           |$ccFixSql,
+           |clus AS (SELECT doc_id, lbl AS canonical_id FROM lcc)
            |SELECT clus.doc_id, canonical_id, n_chars,
            |CAST(ROW_NUMBER() OVER (PARTITION BY canonical_id
            |  ORDER BY n_chars DESC, clus.doc_id) = 1 AS INT) AS keep
@@ -1490,9 +1532,9 @@ object Dedup {
               |p AS (SELECT i, j FROM ecand WHERE cos >= $CosineT),
               |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
               |l0 AS MATERIALIZED (SELECT vec_id AS doc_id, vec_id AS lbl FROM embeddings),
-              |$ccStepsSql
+              |$ccFixSql
               |SELECT doc_id AS vec_id, lbl AS canonical_id,
-              |CAST(doc_id = lbl AS INT) AS is_canonical FROM l$ClusterRounds""".stripMargin)),
+              |CAST(doc_id = lbl AS INT) AS is_canonical FROM lcc""".stripMargin)),
 
     // The semantic decontamination rung: cross-side-only bucket join
     // between the bucket10 train/eval splits — see embeddingDecontam.

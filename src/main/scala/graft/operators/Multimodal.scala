@@ -534,10 +534,10 @@ object Multimodal {
               |  UNION ALL SELECT j, i FROM p),
               |l0 AS MATERIALIZED (SELECT media_id AS doc_id,
               |  media_id AS lbl FROM h),
-              |${Dedup.ccStepsSql}
+              |${Dedup.ccFixSql}
               |SELECT doc_id AS media_id, lbl AS canonical_id,
               |CAST(doc_id = lbl AS INT) AS is_canonical
-              |FROM l${Dedup.ClusterRounds}""".stripMargin)),
+              |FROM lcc""".stripMargin)),
 
     // Modality-mix corpus report: asset counts and payload bytes per
     // (kind, source) — the first dashboard a multimodal training-data

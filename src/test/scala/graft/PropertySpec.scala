@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.Functions
+import graft.operators.Dedup
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -143,5 +144,73 @@ class PropertySpec extends SparkSpec {
   private def check(label: String, params: SCTest.Parameters, p: Prop): Unit = {
     val r = SCTest.check(params, p)
     assert(r.passed, s"$label: ${r.status}")
+  }
+
+  test("labelComponents: equals a union-find reference on random graphs") {
+    // pointer-jumping CC backs every *_clusters / er_golden /
+    // mm_phash_clusters query — prove the labels against an
+    // independent union-find on generated graphs. THIS TEST FOUND A
+    // REAL BUG: the former fixed 7-round ladder left a non-min label
+    // on a 29-vertex graph (the jump only doubles coverage when the
+    // local min-id chain points toward the component min), which
+    // drove the fixpoint rewrite — change note 49
+    val gGen = for {
+      n <- Gen.choose(2, 36)
+      m <- Gen.choose(0, n)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(1, n - 1)
+        b <- Gen.choose(a + 1, n)
+      } yield (a.toLong, b.toLong))
+    } yield (n, es.distinct)
+    val p = Prop.forAll(gGen) { case (n, edges) =>
+      val universe = (1 to n).map(_.toLong).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("i", "j")
+        else edges.toDF("i", "j")
+      val got = Dedup.labelComponents(pairs, universe)
+        .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+      // union-by-min reference: the root of a set is always its min
+      // id, so find(v) IS the expected canonical label
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (1 to n).forall(v => got(v.toLong) == find(v).toLong)
+    }
+    check("cc", SCTest.Parameters.default.withMinSuccessfulTests(8)
+      .withInitialSeed(Seed(42L)).withWorkers(1), p)
+  }
+
+  test("hex60: matches an independent md5-prefix derivation, in range") {
+    // the cross-engine hash bridge every dedup/LSH join keys on —
+    // derive it independently (JDK MessageDigest on UTF-8 bytes,
+    // 15-hex-char prefix) and pin range: [0, 2^60)
+    val strGen = Gen.frequency(
+      9 -> (for {
+        n <- Gen.choose(0, 24)
+        cs <- Gen.listOfN(n, Gen.alphaNumChar)
+      } yield cs.mkString),
+      1 -> Gen.const("héllo wörld ✓"))
+    check("hex60", Prop.forAll(strGen) { s =>
+      val got = evalRow(Functions.hex60(lit(s)).as("h")).getLong(0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val ref = java.lang.Long.parseLong(md.take(15), 16)
+      got == ref && got >= 0L && got < (1L << 60)
+    })
+  }
+
+  test("bucket10: lands in [0, 10) for non-negative keys and salts") {
+    check("bucket10", Prop.forAll(
+      Gen.chooseNum(0L, 1000000000000L), Gen.chooseNum(0L, 1000L)) {
+      (k, s) =>
+        val b = evalRow(graft.functions.Functions
+          .bucket10(lit(k), lit(s)).as("b")).getLong(0)
+        b >= 0L && b < 10L
+    })
   }
 }

@@ -318,9 +318,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("labelComponents converges a 64-doc chain (pointer jumping)") {
-    // path graph 1-2-…-64: diameter 63. Plain 7-round propagation
-    // moves the min label only 7 hops; the jump term doubles coverage
-    // per round (2^(7−1) = 64 hops), so every vertex must land on 1.
+    // path graph 1-2-…-64: diameter 63. The fixpoint loop must reach
+    // every vertex (on aligned chains the jump term doubles coverage
+    // per round, so this converges in few batches, well under the
+    // CcMaxRounds valve); every vertex must land on 1.
     val chain = (1L until 64L).map(k => (k, k + 1)).toDF("i", "j")
     val universe = (1L to 64L).toDF("doc_id")
     val labels = Dedup.labelComponents(chain, universe)

@@ -181,35 +181,56 @@ object Dedup {
       .join(n, Seq("doc_id"))
       .filter(col("rn") <= col("n") -
         expr(s"(n * $PpGuardNum + ${PpGuardDen - 1}) div $PpGuardDen") + 1)
-      .select(col("doc_id"), col("sh"), col("n"))
+      .select(col("doc_id"), col("sh"), col("n"), col("rn"))
       .localCheckpoint(false) // both sides of the candidate self-join
-    // length filter (the other standard PPJoin prune): J ≥ t' forces
-    // t'·max(n_a, n_b) ≤ |A∩B| ≤ min(n_a, n_b) — integer-exact as
-    // GuardNum·max ≤ GuardDen·min, evaluated inside the join condition
-    // so mismatched sizes never leave the build side
+    // two more standard PPJoin prunes, both inside the join condition
+    // so mismatched pairs never leave the build side, both on the
+    // guard ratio t' (complete for every pair the rounded cut emits):
+    // LENGTH — J ≥ t' forces t'·max(n_a, n_b) ≤ |A∩B| ≤ min(n_a, n_b),
+    // integer-exact as GuardNum·max ≤ GuardDen·min;
+    // POSITIONAL — tokens sort under ONE global order, so a pair's
+    // FIRST common token at prefix ranks (ra, rb) bounds the overlap:
+    // o ≤ 1 + min(n_a − ra, n_b − rb), which must reach the Jaccard
+    // overlap floor α = ⌈t'/(1+t')·(n_a+n_b)⌉. A true pair always
+    // passes at its first common token (the prefix lemma puts that
+    // token in both prefixes), so keeping pairs where ANY generating
+    // token passes stays complete while later-token-only collisions
+    // prune.
+    val alpha = s"(($PpGuardNum * (a.n + b.n) + " +
+      s"${PpGuardNum + PpGuardDen - 1}) div ${PpGuardNum + PpGuardDen})"
     pre.as("a")
       .join(pre.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * PpGuardNum <= col("b.n") * PpGuardDen &&
-          col("b.n") * PpGuardNum <= col("a.n") * PpGuardDen)
+          col("b.n") * PpGuardNum <= col("a.n") * PpGuardDen &&
+          expr(s"1 + least(a.n - a.rn, b.n - b.rn) >= $alpha"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
   }
 
   def ppjoinPrefixFrom(shingleHashes: DataFrame): DataFrame = {
-    // referenced by the prefix rank AND both verify sides
+    // referenced by the prefix rank AND the per-doc set table
     val sh = shingleHashes.localCheckpoint(false)
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val co = ppjoinCandidates(sh, Some(n))
-      .join(sh.as("x"), col("i") === col("x.doc_id"))
-      .join(sh.as("y"),
-        col("j") === col("y.doc_id") && col("x.sh") === col("y.sh"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("common"))
-    co.join(n.as("na"), col("i") === col("na.doc_id"))
-      .join(n.as("nb"), col("j") === col("nb.doc_id"))
+    // verify against per-doc shingle SETS, one row per candidate pair
+    // (array_intersect over two sorted arrays) — NOT by re-exploding
+    // candidates against the shingle table, which costs |A| rows per
+    // pair and at sf1 outweighed the very join the prefix filter
+    // prunes. Set rows are the doc's distinct shingles (~KBs); the
+    // candidate join ships two of them per surviving pair.
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("arr"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(false) // candidate prefix arithmetic + 2 sides
+    val n = sets.select(col("doc_id"), col("n"))
+    ppjoinCandidates(sh, Some(n))
+      .join(sets.select(col("doc_id").as("i"), col("arr").as("xa"),
+        col("n").as("na")), Seq("i"))
+      .join(sets.select(col("doc_id").as("j"), col("arr").as("ya"),
+        col("n").as("nb")), Seq("j"))
+      .withColumn("common",
+        size(array_intersect(col("xa"), col("ya"))).cast("long"))
       .withColumn("jaccard", round(col("common").cast("double") /
-        (col("na.n") + col("nb.n") - col("common")), 6))
+        (col("na") + col("nb") - col("common")), 6))
       .filter(col("jaccard") >= JaccardT)
       .select(col("i"), col("j"), col("common"), col("jaccard"))
   }

@@ -2464,14 +2464,31 @@ object Similarity {
        |ORDER BY query_id, cos DESC, nbr_id""".stripMargin
 
   def knnIvfFromStore(s: SparkSession, d: String, k: Int = K): DataFrame = {
+    searchAssigned(cachedStoreIndex(s, d), k)
+  }
+
+  /** The sfDir-cached persisted index the from-store twins read (one
+    * build per sfDir per JVM — the from_store device).
+    */
+  private def cachedStoreIndex(s: SparkSession, d: String): DataFrame = {
     val dir = ivfStores.computeIfAbsent(d, _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-ivf-index").toString + "/idx"
       ivfBuild(s, out, Tables.embeddings(s, d))
       out
     })
-    searchAssigned(s.read.parquet(dir)
-      .select(col("vec_id"), col("v"), col("cell")), k)
+    s.read.parquet(dir).select(col("vec_id"), col("v"), col("cell"))
+  }
+
+  /** Range search served from the persisted store — row-identical to
+    * the inline rangeSearchIvf (same deterministic build, same
+    * rangeCells kernel), so it shares rangeSql, like the knn twin.
+    */
+  def rangeSearchIvfFromStore(s: SparkSession, d: String,
+                              tau: Double = RangeTau): DataFrame = {
+    val assigned = cachedStoreIndex(s, d).localCheckpoint(false)
+    rangeCells(hashSample(assigned, "q", QueryCount), assigned, tau)
+      .orderBy(col("query_id"), col("cos").desc, col("nbr_id"))
   }
 
   /** IVF with multi-cell probing: every vector still LIVES in its one
@@ -3975,6 +3992,12 @@ object Similarity {
     // see rangeSearchIvf for why the windowless cut is the scale win.
     QueryDef("sim_range_search",
       (s, d) => rangeSearchIvf(Tables.embeddings(s, d)),
+      Some(rangeSql)),
+
+    // V21's from-store twin — the persisted-index read half, sharing
+    // rangeSql exactly as sim_knn_ivf_from_store shares ivfSql.
+    QueryDef("sim_range_from_store",
+      (s, d) => rangeSearchIvfFromStore(s, d),
       Some(rangeSql)),
 
     QueryDef("sim_mmr_rerank",

@@ -151,7 +151,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_knn_ivfpq_probe",    // probe-widened candidates x integer ADC
     "txt_phrase_search",      // posting adjacency join + top cut
     "dedup_ppjoin_prefix",    // prefix-ranked candidates + exact verify
-    "sim_range_search")       // windowless radius cut, in-cell stream
+    "sim_range_search",       // windowless radius cut, in-cell stream
+    "sim_range_from_store")   // same cut over the persisted index
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

@@ -1525,4 +1525,14 @@ class SimilaritySpec extends SparkSpec {
     assert(rng.nonEmpty, "radius returns nothing at sf0.001 — tau too high")
     assert(rng.forall(_._3 >= Similarity.RangeTau))
   }
+
+  test("range from store: row-identical to the inline range search") {
+    val d = "/root/testdata/sf0.001"
+    val inline = Similarity.rangeSearchIvf(graft.Tables.embeddings(spark, d))
+      .collect().map(_.toString).sorted.toSeq
+    val store = Similarity.rangeSearchIvfFromStore(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(store === inline)
+    assert(inline.nonEmpty)
+  }
 }

@@ -169,7 +169,7 @@ object Dedup {
     * universe. All pruning arithmetic runs on the GUARD ratio (see
     * PpGuardNum) so the rounded emission cut stays covered.
     */
-  private[operators] def ppjoinCandidates(
+  private[graft] def ppjoinCandidates(
       sh: DataFrame, n0: Option[DataFrame] = None): DataFrame = {
     val n = n0.getOrElse(
       sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
@@ -211,18 +211,31 @@ object Dedup {
   def ppjoinPrefixFrom(shingleHashes: DataFrame): DataFrame = {
     // referenced by the prefix rank AND the per-doc set table
     val sh = shingleHashes.localCheckpoint(false)
+    // set-size relation for EVERY doc (the prefix arithmetic needs
+    // all n's) — counts only, no arrays
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // candidates first, then per-doc shingle SETS for CANDIDATE-
+    // INCIDENT docs alone: materializing full sorted arrays for every
+    // doc re-ships the whole shingle table as array rows at corpus
+    // scale, though only docs that survive the prefix/length/
+    // positional prunes are ever verified — the semi-join bounds the
+    // checkpoint and the verify-join payload by candidate volume
+    val cand = ppjoinCandidates(sh, Some(n))
+      .localCheckpoint(false) // incident-doc derivation + verify join
+    val candDocs = cand.select(col("i").as("doc_id"))
+      .union(cand.select(col("j").as("doc_id"))).distinct()
     // verify against per-doc shingle SETS, one row per candidate pair
     // (array_intersect over two sorted arrays) — NOT by re-exploding
     // candidates against the shingle table, which costs |A| rows per
     // pair and at sf1 outweighed the very join the prefix filter
     // prunes. Set rows are the doc's distinct shingles (~KBs); the
     // candidate join ships two of them per surviving pair.
-    val sets = sh.groupBy(col("doc_id"))
+    val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("sh"))).as("arr"),
         count(lit(1)).as("n"))
-      .localCheckpoint(false) // candidate prefix arithmetic + 2 sides
-    val n = sets.select(col("doc_id"), col("n"))
-    ppjoinCandidates(sh, Some(n))
+      .localCheckpoint(false) // both sides of the verify join
+    cand
       .join(sets.select(col("doc_id").as("i"), col("arr").as("xa"),
         col("n").as("na")), Seq("i"))
       .join(sets.select(col("doc_id").as("j"), col("arr").as("ya"),
@@ -735,6 +748,17 @@ object Dedup {
     * possibly-wrong object. The fixpoint IS the true CC, and the
     * oracle now states the same object as a recursive reachability
     * closure (ccFixSql) instead of mirroring the schedule.
+    *
+    * THE VALVE, for ER-style chain graphs: min-label + jump
+    * convergence is O(diameter) on adversarial id layouts (the very
+    * fact PropertySpec exposed), so a legitimately chain-shaped
+    * component — record-linkage A↔B↔C ladders are the realistic
+    * source — can exhaust CcMaxRounds and turn a query into a loud
+    * failure rather than a silent wrong answer. That is the intended
+    * trade; the failure message carries the unconverged-component
+    * count and sample ids so the operator of a chain-heavy corpus
+    * knows to raise `maxRounds` (cost is O(diameter) batches on the
+    * edge subgraph only) rather than bisect a stack trace.
     */
   def labelComponents(pairs: DataFrame, universe: DataFrame,
                       maxRounds: Int = CcMaxRounds): DataFrame = {
@@ -796,9 +820,27 @@ object Dedup {
         .isEmpty
       labels = next
     }
-    require(converged,
-      s"labelComponents did not converge within $maxRounds rounds — " +
-        "a component's diameter exceeds the CcMaxRounds safety valve")
+    if (!converged) {
+      // failure path only: name the components still moving (bounded
+      // read — distinct min-side labels of the mismatched edges, a
+      // handful of rows) so a chain-heavy corpus's operator can size
+      // maxRounds instead of bisecting a bare require
+      val bad = edges
+        .join(labels.as("li"), edges("i") === col("li.doc_id"))
+        .join(labels.as("lj"), edges("j") === col("lj.doc_id"))
+        .filter(col("li.label") =!= col("lj.label"))
+        .select(least(col("li.label"), col("lj.label")).as("l"))
+        .distinct()
+        .localCheckpoint(false) // count + sample read the same rows
+      val sample = bad.orderBy(col("l")).limit(5)
+        .collect().map(_.get(0)).mkString(", ")
+      throw new IllegalStateException(
+        s"labelComponents did not converge within $maxRounds rounds — " +
+          s"${bad.count()} component(s) still relabeling (sample min-" +
+          s"labels: $sample). A component's diameter exceeds the " +
+          "safety valve; raise maxRounds for chain-shaped graphs " +
+          "(cost is O(diameter) batches on the edge subgraph).")
+    }
     universe
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1071,13 +1113,30 @@ object Dedup {
 
   /** Oracle form of labelComponents' FIXPOINT: true connected
     * components as a recursive reachability closure — min reachable
-    * id per doc (UNION dedups, so cycles terminate; volume is
-    * Σ per-component size², bounded because near-dup clusters are
-    * small). States the mathematical object, not the iteration
-    * schedule: the round-mirrored ladder this replaces could agree
-    * cross-engine on an UNCONVERGED labeling (change note 49).
+    * id per doc (UNION dedups, so cycles terminate). States the
+    * mathematical object, not the iteration schedule: the
+    * round-mirrored ladder this replaces could agree cross-engine on
+    * an UNCONVERGED labeling (change note 49).
     * Expects CTEs `e` (symmetric edges) and `l0` (identity labels
     * over the universe).
+    *
+    * PRICE (round 12, change note 50): the closure materializes one
+    * row per (vertex, reachable vertex) = Σ per-component size² —
+    * quadratic in the LARGEST near-dup cluster even though the Spark
+    * side stays O(rounds·E). At gate SFs the synthetic corpus's
+    * clusters are small (max ≲ 10 docs → closure ≈ corpus size), but
+    * a boilerplate burst or exact-dup storm with one 10⁴-doc cluster
+    * costs the ORACLE 10⁸ rows while the engine under test is
+    * unaffected — i.e. the verification harness, not the product,
+    * owns this bound. Operational rule, should oracle runs ever move
+    * to sf ≥ 1 corpora with heavy dup mass: pre-split giant clusters
+    * out of the oracle's edge list (verify them by sampled membership
+    * spot-checks instead) or cap verified component size; do NOT
+    * weaken the Spark side, whose fixpoint is the production path.
+    * PropertySpec prices the formula executably: one planted
+    * 256-vertex chain (the worst closure-to-edges ratio at fixed
+    * size) costs 256² = 65 536 closure rows against 255 edges, and
+    * the Spark fixpoint labels it exactly with rounds ≪ CcMaxRounds.
     */
   private[operators] val ccFixSql =
     """lcc AS MATERIALIZED (

@@ -213,4 +213,166 @@ class PropertySpec extends SparkSpec {
         b >= 0L && b < 10L
     })
   }
+
+  // ------------------------------------------------------------------
+  // Round-12 laws: the candidate-generation kernels the dedup/ANN
+  // production paths stand on. Each law runs the LIVE operator
+  // pipeline (the same Columns/joins the registered queries execute)
+  // against an independent Scala derivation of the mathematical
+  // definition — the same method that exposed the CC bug (note 49).
+  // ------------------------------------------------------------------
+
+  /** Independent slot-wise minhash signature: per permutation k, the
+    * min of ((2k+3)·(h mod P32) + k²+7) mod P32 over the set — plain
+    * Scala longs, no Spark.
+    */
+  private def sigRef(set: Seq[Long]): IndexedSeq[Long] =
+    (0 until Dedup.Bands * Dedup.Rows).map { k =>
+      set.map(sh => ((2L * k + 3L) * (sh % Functions.P32) +
+        (k.toLong * k + 7L)) % Functions.P32).min
+    }
+
+  test("minhash banding: candidates ⟺ some band's slots all agree") {
+    // the LSH index law: the operator's band join (bandSignaturesFrom
+    // over minhashSignaturesFrom — the exact relation minhashLsh and
+    // incrementalDedup key on) emits a pair IFF the two signatures
+    // agree on every slot of at least one band. Soundness AND
+    // completeness of the banding against the definition — the recall
+    // floor: identical sets (J = 1) have identical signatures, so
+    // the ⟸ direction proves they can never be missed.
+    val setGen = for {
+      n <- Gen.choose(1, 12)
+      l <- Gen.listOfN(n, Gen.chooseNum(0L, 7L)) // tiny universe →
+      // signature collisions actually occur, both directions exercised
+    } yield l.distinct
+    val p = Prop.forAll(setGen, setGen) { (a, b) =>
+      val sh = (a.map((1L, _)) ++ b.map((2L, _))).toDF("doc_id", "sh")
+      val bands = Dedup.bandSignaturesFrom(Dedup.minhashSignaturesFrom(sh))
+      val got = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id")).count() > 0
+      val (sa, sb) = (sigRef(a), sigRef(b))
+      val expected = (0 until Dedup.Bands).exists(band =>
+        (0 until Dedup.Rows).forall(r =>
+          sa(band * Dedup.Rows + r) == sb(band * Dedup.Rows + r)))
+      got == expected
+    }
+    check("banding", SCTest.Parameters.default.withMinSuccessfulTests(10)
+      .withInitialSeed(Seed(42L)).withWorkers(1), p)
+  }
+
+  test("minhash banding: identical sets are always candidates") {
+    // the degenerate-but-load-bearing corner of the recall floor,
+    // pinned separately so a generator drift can't stop covering it
+    val setGen = for {
+      n <- Gen.choose(1, 12)
+      l <- Gen.listOfN(n, Gen.chooseNum(0L, Functions.P32 - 1))
+    } yield l.distinct
+    val p = Prop.forAll(setGen) { a =>
+      val sh = (a.map((1L, _)) ++ a.map((2L, _))).toDF("doc_id", "sh")
+      val bands = Dedup.bandSignaturesFrom(Dedup.minhashSignaturesFrom(sh))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .count() == Dedup.Bands.toLong
+    }
+    check("banding-identical", SCTest.Parameters.default
+      .withMinSuccessfulTests(8).withInitialSeed(Seed(42L)).withWorkers(1), p)
+  }
+
+  test("ppjoin: prefix candidates cover every pair the exact join emits") {
+    // the prefix lemma on GENERATED corpora: every pair with
+    // ROUND(J, 6) ≥ JaccardT (the emission cut, computed here in
+    // plain Scala from the raw sets) must appear in
+    // ppjoinCandidates' output — the completeness the shared-oracle
+    // claim of dedup_ppjoin_prefix rests on. Tiny shingle universe
+    // forces heavy overlap so the threshold actually splits pairs.
+    val corpusGen = for {
+      nd <- Gen.choose(3, 8)
+      sets <- Gen.listOfN(nd, for {
+        n <- Gen.choose(1, 9)
+        l <- Gen.listOfN(n, Gen.chooseNum(0L, 11L))
+      } yield l.distinct)
+    } yield sets
+    val p = Prop.forAll(corpusGen) { sets =>
+      val rows = sets.zipWithIndex.flatMap { case (s, d) =>
+        s.map(sh => ((d + 1).toLong, sh))
+      }
+      val sh = rows.toDF("doc_id", "sh")
+      val cand = Dedup.ppjoinCandidates(sh)
+        .as[(Long, Long)].collect().toSet
+      val expected = (for {
+        i <- sets.indices; j <- sets.indices if i < j
+        ai = sets(i).toSet; bj = sets(j).toSet
+        common = (ai & bj).size
+        jac = BigDecimal(common.toDouble / (ai.size + bj.size - common))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jac >= Dedup.JaccardT
+      } yield ((i + 1).toLong, (j + 1).toLong)).toSet
+      expected.subsetOf(cand)
+    }
+    check("ppjoin-prefix", SCTest.Parameters.default
+      .withMinSuccessfulTests(10).withInitialSeed(Seed(42L)).withWorkers(1), p)
+  }
+
+  test("ivf assign: argmin invariant to row order and centroid order") {
+    // the agreement law the whole IVF tier leans on: build-time
+    // assignment and serve-time probing share one integer argmin with
+    // the (s, cent_id) tie-break, so the chosen cell must not depend
+    // on HOW rows arrive — permuting the corpus and re-ordering the
+    // codebook relation must reproduce the assignment exactly
+    val dim = operators.Similarity.Dim
+    val corpusGen = for {
+      n <- Gen.choose(6, 14)
+      vs <- Gen.listOfN(n * dim, Gen.chooseNum(-20, 20))
+    } yield vs.map(_ / 10.0f).grouped(dim).toList
+    val p = Prop.forAll(corpusGen) { vecs =>
+      val emb = vecs.zipWithIndex
+        .map { case (v, i) => ((i + 1).toLong, v) }
+        .toDF("vec_id", "embedding")
+      val cent = operators.Similarity.ivfCodebook(emb)
+        .localCheckpoint(false) // one codebook, both assignment runs
+      def cells(e: org.apache.spark.sql.DataFrame,
+                c: org.apache.spark.sql.DataFrame) =
+        operators.Similarity.ivfAssign(e, Some(c))
+          .select(col("vec_id"), col("cell"))
+          .as[(Long, Long)].collect().toMap
+      val base = cells(emb, cent)
+      val shuffled = cells(
+        emb.orderBy(md5(col("vec_id").cast("string"))).repartition(5),
+        cent.orderBy(col("cent_id").desc))
+      base == shuffled
+    }
+    check("ivf-argmin", SCTest.Parameters.default
+      .withMinSuccessfulTests(4).withInitialSeed(Seed(42L)).withWorkers(1), p)
+  }
+
+  test("labelComponents: one large planted chain — exact, priced") {
+    // the closure-price case change note 50 points at: a single
+    // 256-vertex chain is the worst closure-to-edge ratio at fixed
+    // component size — the ORACLE's recursive reachability would
+    // materialize 256² = 65 536 rows against 255 edges (Σ size², the
+    // documented ccFixSql bound), while the engine's fixpoint labels
+    // it exactly in O(log diameter) batched rounds, well inside the
+    // CcMaxRounds valve. Ids are SCRAMBLED along the chain (v ↦
+    // 171·v mod 257, a bijection on 1..256) so min-label propagation
+    // cannot ride a monotone edge layout for free — the adversarial
+    // shape note 49 was about.
+    val n = 256
+    def p(v: Int): Long = (v.toLong * 171L) % 257L
+    val universe = (1 to n).map(_.toLong).toDF("doc_id")
+    val pairs = (1 until n)
+      .map(v => (math.min(p(v), p(v + 1)), math.max(p(v), p(v + 1))))
+      .toDF("i", "j")
+    val got = Dedup.labelComponents(pairs, universe)
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), "every vertex labels to the chain min")
+    // the priced bound, executable: closure rows the oracle would pay
+    val closureRows = n.toLong * n.toLong
+    assert(closureRows == 65536L && closureRows > 255L * 255L / 2)
+  }
 }

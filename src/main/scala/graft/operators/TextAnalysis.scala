@@ -1466,6 +1466,126 @@ object TextAnalysis {
         col("dup_frac"), col("keep"))
   }
 
+  /** Stride-1 window fingerprints — the shared prefix of the two
+    * exact-substring-dedup queries: one row per token position with
+    * the 60-bit hash of the w-token window starting there. Linear in
+    * corpus token count (the same volume as the shingle stream the
+    * whole dedup family already builds), emitted at scan bandwidth.
+    */
+  private def spanWindows(docs: DataFrame, w: Int): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $w), p -> " +
+          s"array_join(slice(t, p + 1, $w), ' '))"))
+        .as(Seq("s", "wtxt")))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        hex60(col("wtxt")).as("fp"))
+
+  /** Exact-substring span dedup, the missing rung above dedup_span
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): dedup_span SCORES documents by their
+    * strided duplicated-chunk fraction; this emits the actual
+    * REMOVABLE OBJECT — per document, the maximal token-span
+    * intervals covered by w-token windows that re-appear verbatim in
+    * other documents. Every position's window is fingerprinted
+    * (stride 1, so a shared run of length L ≥ w yields duplicated
+    * windows at exactly positions [p, p+L−w] and their interval union
+    * recovers [p, p+L) — the merge is EXACT, no chunk-boundary loss),
+    * cross-doc duplicated fingerprints are found at vocabulary grain,
+    * and overlapping windows merge per doc via the classic
+    * interval-union window: new span ⟺ start > running max of prior
+    * ends, span id = running count of span starts. Output
+    * (doc_id, span_id, span_start, span_end, span_tokens), end
+    * exclusive, token units.
+    *
+    * Scale shape: window rows are corpus-token-linear; the dup test
+    * is one distinct + one count aggregate on the 8-byte fp and a
+    * semi-join back (never pairwise docs); the merge windows partition
+    * on doc_id (bounded by doc length). The within-doc repetition
+    * case (same window twice in ONE doc) is deliberately NOT a dup —
+    * mirroring dedup_span's cross-doc definition; txt_repetition owns
+    * intra-doc boilerplate.
+    */
+  def spanMerge(docs: DataFrame, w: Int = ChunkW): DataFrame = {
+    // window fps feed the dup-fp aggregate AND the span side
+    val wfp = spanWindows(docs, w).localCheckpoint(false)
+    val dupFp = wfp.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select(col("fp"))
+    val sp = wfp.join(dupFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("s"), (col("s") + w).as("e"))
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"))
+    val pmax = max(col("e"))
+      .over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    sp.withColumn("newg",
+        when(pmax.isNull || col("s") > pmax, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("newg"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_id"), col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Oracle CTE chain for the span family, terminal relation
+    * `spans(doc_id, span_id, span_start, span_end, span_tokens)` —
+    * one text shared by the merge query and its mass monitor, the
+    * same running-max interval union operand-for-operand. span_id is
+    * a windowed SUM over INTEGER, cast to BIGINT INSIDE the CTE (the
+    * note-50 emission rule applied at the source).
+    */
+  private def spanCtesSql(w: Int): String =
+    s"""tk AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)),'\\s+') AS t
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |wn AS (SELECT doc_id, t,
+       |    unnest(generate_series(0, len(t) - $w)) AS s
+       |  FROM tk WHERE len(t) >= $w),
+       |wf AS (SELECT doc_id, s,
+       |    CAST(concat('0x', substr(md5(
+       |      array_to_string(t[s+1 : s+$w], ' ')),1,15)) AS BIGINT) AS fp
+       |  FROM wn),
+       |dupfp AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM wf)
+       |  GROUP BY fp HAVING COUNT(*) > 1),
+       |sp AS (SELECT doc_id, s, s + $w AS e FROM wf
+       |  WHERE fp IN (SELECT fp FROM dupfp)),
+       |mg AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
+       |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS pmax
+       |  FROM sp),
+       |gs AS (SELECT doc_id, s, e,
+       |    CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+       |  FROM mg),
+       |spans AS (SELECT doc_id, span_id, MIN(s) AS span_start,
+       |    MAX(e) AS span_end, MAX(e) - MIN(s) AS span_tokens
+       |  FROM gs GROUP BY doc_id, span_id)""".stripMargin
+
+  /** The removable-mass monitor over spanMerge — the number a curator
+    * reads before turning span-cutting on: how many documents carry a
+    * duplicated span, how many maximal spans there are, the token
+    * mass they cover, and that mass as ppm of the corpus (integer
+    * div, engine-exact). One row.
+    */
+  def spanMass(docs: DataFrame, w: Int = ChunkW): DataFrame = {
+    val spans = spanMerge(docs, w)
+      .agg(countDistinct(col("doc_id")).as("n_docs_spanned"),
+        count(lit(1)).as("n_spans"),
+        coalesce(sum(col("span_tokens")), lit(0L)).as("dup_tokens"))
+    val tot = docs.filter(length(trim(col("text"))) > 0)
+      .select(size(tokens(lower(col("text")))).cast("long").as("n"))
+      .agg(sum(col("n")).as("total_tokens"))
+    spans.crossJoin(tot) // 1 row × 1 row
+      .withColumn("dup_ppm",
+        when(col("total_tokens") > 0,
+          expr("(dup_tokens * 1000000) div total_tokens")))
+  }
+
   /** The composed curation gate — the one-query form of the full
     * text-side filter pipeline: quality score, repetition gate,
     * language ID, and exact-dup canonicalization joined into a single
@@ -2379,6 +2499,35 @@ object TextAnalysis {
               |CAST(ROUND(CAST(n_dup AS DOUBLE) / n_chunks, 6) <= $SpanDupMax
               |  AS INT) AS keep
               |FROM agg""".stripMargin)),
+
+    // D12 (beyond-ref, round 12): exact-substring span dedup — the
+    // Lee et al. output object dedup_span only scores: maximal merged
+    // token-span intervals of cross-doc duplicated stride-1 windows
+    // (see spanMerge; interval-union via running-max window, span
+    // numbering cast to BIGINT at emission per the note-50 rule).
+    QueryDef("dedup_span_merge",
+      (s, d) => spanMerge(docs(s, d)),
+      Some(s"""WITH ${spanCtesSql(ChunkW)}
+              |SELECT doc_id, span_id, span_start, span_end, span_tokens
+              |FROM spans""".stripMargin)),
+
+    // The removable-mass monitor over the same CTE text — the
+    // turn-it-on number for span cutting (docs affected, span count,
+    // token mass, ppm of corpus).
+    QueryDef("dedup_span_mass",
+      (s, d) => spanMass(docs(s, d)),
+      Some(s"""WITH ${spanCtesSql(ChunkW)}
+              |SELECT n_docs_spanned, n_spans, dup_tokens, total_tokens,
+              |CASE WHEN total_tokens > 0
+              |  THEN dup_tokens * 1000000 // total_tokens END AS dup_ppm
+              |FROM (SELECT
+              |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM spans)
+              |    AS n_docs_spanned,
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM spans) AS n_spans,
+              |  (SELECT CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT)
+              |    FROM spans) AS dup_tokens,
+              |  (SELECT CAST(SUM(len(t)) AS BIGINT) FROM tk)
+              |    AS total_tokens) z""".stripMargin)),
 
     QueryDef("txt_quality_by_source",
       (s, d) => qualityBySource(docs(s, d)),

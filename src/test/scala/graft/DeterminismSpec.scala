@@ -152,7 +152,9 @@ class DeterminismSpec extends SparkSpec {
     "txt_phrase_search",      // posting adjacency join + top cut
     "dedup_ppjoin_prefix",    // prefix-ranked candidates + exact verify
     "sim_range_search",       // windowless radius cut, in-cell stream
-    "sim_range_from_store")   // same cut over the persisted index
+    "sim_range_from_store",   // same cut over the persisted index
+    "dedup_span_merge",       // stride-1 dup windows + interval union
+    "sim_canary_sum_raw")     // data-free sum-emission probe (trivially)
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, d)

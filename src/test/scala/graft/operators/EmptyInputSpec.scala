@@ -35,6 +35,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.dsirSelect(docs0).count() === 0)
     assert(TextAnalysis.fingerprint(docs0).count() === 0)
     assert(TextAnalysis.phraseSearch(docs0).count() === 0)
+    assert(TextAnalysis.spanMerge(docs0).count() === 0)
+    assert(TextAnalysis.spanMass(docs0).count() === 1) // 1-row report,
+    // zero counts — the curator reads "nothing to cut", not a crash
     assert(Dedup.exact(docs0).count() === 0)
     assert(Dedup.ngramJaccard(docs0).count() === 0)
     assert(Dedup.ppjoinPrefix(docs0).count() === 0)

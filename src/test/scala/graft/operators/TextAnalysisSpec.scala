@@ -536,4 +536,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("srcA") === ((7L, 1L, 142857L))) // 1e6 div 7
     assert(got("srcB") === ((3L, 0L, 0L)))
   }
+
+  test("span merge: interval union recovers exactly the shared run") {
+    // a 6-token run shared by docs 1 and 2 at DIFFERENT offsets: with
+    // w=3 the duplicated windows sit at positions [p, p+6-3] and their
+    // union must be [p, p+6) on each side — no chunk-boundary loss,
+    // the stride-1 exactness claim. Doc 3 repeats a window only
+    // WITHIN itself (not a dup — cross-doc definition); doc 4 is
+    // untouched filler.
+    val corpus = Seq(
+      (1L, "p q r c1 c2 c3 c4 c5 c6 x y"),
+      (2L, "c1 c2 c3 c4 c5 c6 t u v"),
+      (3L, "m m m m m m"),
+      (4L, "solo tokens only here")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanMerge(corpus, w = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 3L, 9L, 6L), (2L, 1L, 0L, 6L, 6L)))
+  }
+
+  test("span merge: disjoint runs stay separate; mass report adds up") {
+    val corpus = Seq(
+      (1L, "a1 a2 a3 z1 z2 z3 z4 b1 b2 b3"), // two shared runs
+      (2L, "a1 a2 a3"),
+      (3L, "b1 b2 b3")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanMerge(corpus, w = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 0L, 3L, 3L), (1L, 2L, 7L, 10L, 3L),
+      (2L, 1L, 0L, 3L, 3L), (3L, 1L, 0L, 3L, 3L)))
+    val mass = TextAnalysis.spanMass(corpus, w = 3).collect().head
+    assert(mass.getLong(0) === 3L) // n_docs_spanned
+    assert(mass.getLong(1) === 4L) // n_spans
+    assert(mass.getLong(2) === 12L) // dup_tokens
+    assert(mass.getLong(3) === 16L) // total_tokens
+    assert(mass.getLong(4) === 750000L) // 12e6 div 16
+  }
 }

@@ -1586,6 +1586,44 @@ object TextAnalysis {
           expr("(dup_tokens * 1000000) div total_tokens")))
   }
 
+  /** The CUT half of exact-substring dedup — apply spanMerge's
+    * intervals and emit the cleaned document: every token whose
+    * position falls inside a merged duplicated span is dropped, the
+    * survivors re-join in order. Output is counts plus the 60-bit
+    * fingerprint of the cleaned text (emitting megabytes of text from
+    * a gate query helps nobody; the fp pins the content exactly).
+    * Documents with no spans — including those shorter than one
+    * window — pass through uncut.
+    *
+    * Scale shape: the span list collapses to one doc-grain row
+    * (bounded by dup mass) and joins the token table on the doc key
+    * alone; the positional cut is a single filter/exists HOF
+    * expression per row — scan bandwidth, no per-position shuffle, no
+    * window. A trainer would emit the cleaned text column instead of
+    * its fingerprint; same plan.
+    */
+  def spanCut(docs: DataFrame, w: Int = ChunkW): DataFrame = {
+    val spans = spanMerge(docs, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("sp"))
+    val tk = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+    tk.join(spans, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        expr("cast(array() as array<struct<s:bigint,e:bigint>>)")))
+      .withColumn("kept", expr(
+        "filter(transform(sequence(0, size(t) - 1), " +
+          "p -> struct(cast(p as bigint) as p, t[p] as tok)), " +
+          "x -> not exists(sp, r -> x.p >= r.s and x.p < r.e))"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("cut_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        hex60(array_join(expr("transform(kept, x -> x.tok)"), " "))
+          .as("kept_fp"))
+  }
+
   /** The composed curation gate — the one-query form of the full
     * text-side filter pipeline: quality score, repetition gate,
     * language ID, and exact-dup canonicalization joined into a single
@@ -2510,6 +2548,30 @@ object TextAnalysis {
       Some(s"""WITH ${spanCtesSql(ChunkW)}
               |SELECT doc_id, span_id, span_start, span_end, span_tokens
               |FROM spans""".stripMargin)),
+
+    // The CUT applied — cleaned-document counts + content fingerprint
+    // per doc, same CTE text (see spanCut).
+    QueryDef("dedup_span_cut",
+      (s, d) => spanCut(docs(s, d)),
+      Some(s"""WITH ${spanCtesSql(ChunkW)},
+              |pos AS (SELECT doc_id, t,
+              |    unnest(generate_series(0, len(t) - 1)) AS p
+              |  FROM tk),
+              |keptp AS (SELECT pos.doc_id, pos.p, pos.t FROM pos
+              |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+              |    WHERE sp.doc_id = pos.doc_id
+              |      AND pos.p >= sp.span_start AND pos.p < sp.span_end)),
+              |kept AS (SELECT doc_id,
+              |    array_to_string(list(t[p+1] ORDER BY p), ' ') AS ktxt,
+              |    CAST(COUNT(*) AS BIGINT) AS kept_tokens
+              |  FROM keptp GROUP BY doc_id)
+              |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+              |CAST(len(tk.t) AS BIGINT) - COALESCE(k.kept_tokens, 0)
+              |  AS cut_tokens,
+              |COALESCE(k.kept_tokens, 0) AS kept_tokens,
+              |CAST(concat('0x', substr(md5(COALESCE(k.ktxt, '')),1,15))
+              |  AS BIGINT) AS kept_fp
+              |FROM tk LEFT JOIN kept k USING (doc_id)""".stripMargin)),
 
     // The removable-mass monitor over the same CTE text — the
     // turn-it-on number for span cutting (docs affected, span count,

@@ -154,6 +154,7 @@ class DeterminismSpec extends SparkSpec {
     "sim_range_search",       // windowless radius cut, in-cell stream
     "sim_range_from_store",   // same cut over the persisted index
     "dedup_span_merge",       // stride-1 dup windows + interval union
+    "dedup_span_cut",         // positional cut + ordered re-join fp
     "sim_canary_sum_raw")     // data-free sum-emission probe (trivially)
 
   private def rows(name: String): Seq[String] = {

@@ -571,4 +571,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mass.getLong(3) === 16L) // total_tokens
     assert(mass.getLong(4) === 750000L) // 12e6 div 16
   }
+
+  test("span cut: removes exactly the merged spans, in order") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val corpus = Seq(
+      (1L, "p q r c1 c2 c3 c4 c5 c6 x y"), // run at [3, 9) cut
+      (2L, "c1 c2 c3 c4 c5 c6"),           // entire doc cut → empty
+      (3L, "too short"),                   // shorter than w: uncut
+      (4L, "unique filler document here")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanCut(corpus, w = 3)
+      .select("doc_id", "n_tokens", "cut_tokens", "kept_tokens", "kept_fp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def fp(s: String): Long = spark.range(1)
+      .select(graft.functions.Functions.hex60(lit(s)).as("h"))
+      .head().getLong(0)
+    assert(got(1L) === ((11L, 6L, 5L, fp("p q r x y"))))
+    assert(got(2L) === ((6L, 6L, 0L, fp(""))))
+    assert(got(3L) === ((2L, 0L, 2L, fp("too short"))))
+    assert(got(4L) === ((4L, 0L, 4L, fp("unique filler document here"))))
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    // sanity: the survivors re-join in original token order (fp of
+    // the cut doc differs from any reordering)
+    assert(got(1L)._4 !== fp("x y p q r"))
+  }
 }

@@ -836,9 +836,11 @@ object Dedup {
         .collect().map(_.get(0)).mkString(", ")
       throw new IllegalStateException(
         s"labelComponents did not converge within $maxRounds rounds — " +
-          s"${bad.count()} component(s) still relabeling (sample min-" +
-          s"labels: $sample). A component's diameter exceeds the " +
-          "safety valve; raise maxRounds for chain-shaped graphs " +
+          s"${bad.count()} distinct in-flight label(s) across " +
+          s"still-relabeling edges (an upper bound on stuck " +
+          s"components; sample: $sample — these are transient labels, " +
+          "not final component ids). A component's diameter exceeds " +
+          "the safety valve; raise maxRounds for chain-shaped graphs " +
           "(cost is O(diameter) batches on the edge subgraph).")
     }
     universe

@@ -3138,30 +3138,11 @@ object Similarity {
         max(when(col("sel") === 1L, col("i"))).as("sel_max"))
   }
 
-  private val listAggCanarySql =
-    """WITH g AS (SELECT unnest(generate_series(0, 63)) AS i),
-      |b AS (SELECT i, list_transform(generate_series(1, 64),
-      |    d -> CAST(((i * 37 + d * 101) % 2003 - 1001) * 1000003
-      |      AS BIGINT)) AS v
-      |  FROM g),
-      |ms AS (SELECT CAST(gm.m AS INT) m FROM
-      |  (SELECT unnest(generate_series(0, 3)) m) gm),
-      |sl AS (SELECT b.i, ms.m,
-      |    CAST(list_sum(list_transform(
-      |      generate_series(ms.m * 16 + 1, ms.m * 16 + 16),
-      |      x -> b.v[x])) AS BIGINT) AS slice_sum
-      |  FROM b, ms),
-      |psel AS (SELECT i FROM g
-      |  ORDER BY md5('p' || CAST(i AS VARCHAR)), i LIMIT 5)
-      |SELECT m, SUM(slice_sum) AS tot,
-      |ROUND(CAST(SUM(CAST(slice_sum AS HUGEINT)) AS DOUBLE)
-      |  / 1000000.0, 6) AS tot_e6,
-      |SUM(CASE WHEN i IN (SELECT i FROM psel)
-      |  THEN slice_sum END) AS sel_tot,
-      |COUNT(CASE WHEN i IN (SELECT i FROM psel) THEN 1 END) AS n_sel,
-      |MIN(CASE WHEN i IN (SELECT i FROM psel) THEN i END) AS sel_min,
-      |MAX(CASE WHEN i IN (SELECT i FROM psel) THEN i END) AS sel_max
-      |FROM sl GROUP BY m""".stripMargin
+  // The compound canary's oracle text (listAggCanarySql) was removed
+  // with its round-12 demotion to rows-only — nothing executes it and
+  // a dead SQL string would silently drift from the five probes that
+  // decomposed it; the adjudicated text lives in git history
+  // (round-11 tree) and its constructs live on, one per probe, below.
 
   /** Round-12 single-construct canary probes. The compound list
     * canary above went driver-RED in r11 (rows/schema true, hash
@@ -4915,8 +4896,9 @@ object Similarity {
     // conclusively attributes the r6–r10 residual-tier divergence to
     // the driver's DuckDB build's list/aggregate surface. It did its
     // job; the five sim_canary_* single-construct probes below take
-    // over its gate role at construct grain (oracle text preserved in
-    // listAggCanarySql and decomposed across them).
+    // over its gate role at construct grain (the retired compound
+    // oracle text is in git history; its constructs are decomposed
+    // one-per-probe below).
     QueryDef("sim_list_canary",
       (s, _) => listAggCanary(s),
       None),

@@ -364,15 +364,33 @@ class PropertySpec extends SparkSpec {
     val n = 256
     def p(v: Int): Long = (v.toLong * 171L) % 257L
     val universe = (1 to n).map(_.toLong).toDF("doc_id")
-    val pairs = (1 until n)
+    val edges = (1 until n)
       .map(v => (math.min(p(v), p(v + 1)), math.max(p(v), p(v + 1))))
-      .toDF("i", "j")
+    val pairs = edges.toDF("i", "j")
     val got = Dedup.labelComponents(pairs, universe)
       .select("doc_id", "canonical_id").as[(Long, Long)].collect()
     assert(got.length == n)
     assert(got.forall(_._2 == 1L), "every vertex labels to the chain min")
-    // the priced bound, executable: closure rows the oracle would pay
-    val closureRows = n.toLong * n.toLong
-    assert(closureRows == 65536L && closureRows > 255L * 255L / 2)
+    // the priced bound, DERIVED from the edge list (not literals): BFS
+    // the symmetric graph and sum per-vertex reachable-set sizes
+    // (self included — ccFixSql seeds rch with the identity l0), i.e.
+    // exactly the row count the oracle's recursive closure
+    // materializes before its GROUP BY
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def reach(v: Long): Int = {
+      val seen = scala.collection.mutable.Set(v)
+      var frontier = Set(v)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+          .filterNot(seen)
+        seen ++= frontier
+      }
+      seen.size
+    }
+    val closureRows = (1 to n).map(v => reach(v.toLong).toLong).sum
+    assert(closureRows == n.toLong * n, // one chain component → n² rows
+      s"closure volume $closureRows — the Σ size² bound drifted")
+    assert(edges.size == n - 1) // against 255 edges on the Spark side
   }
 }

@@ -726,6 +726,46 @@ object Dedup {
         expr("1000000 div cluster_size").as("weight_ppm"))
   }
 
+  /** End-to-end clustering-agreement monitor: pairwise precision and
+    * recall of the PRODUCTION clustering (CC over banded-LSH-verified
+    * edges) against the exact ground truth (CC over the full co-count
+    * join) — the cluster-grain complement of dedup_lsh_recall, which
+    * audits edge recall on a candidate sample but cannot see
+    * TRANSITIVITY effects: one missed bridge edge can split a cluster
+    * and silently halve the pair mass even at high edge recall; this
+    * query prices exactly that. Pair counts never materialize pairs —
+    * Σ n·(n−1)/2 per label (and per joint label for the
+    * intersection, since two docs pair in BOTH clusterings iff they
+    * share labels on both sides), all integer arithmetic, ppm ratios
+    * by integer div. One row.
+    *
+    * Scale: two label tables the registered cluster queries already
+    * compute, one doc-grain join, three label-grain aggregates. The
+    * exact side is the quadratic-by-design ground-truth monitor (same
+    * whitelist rationale as dedup_clusters itself).
+    */
+  def clusterAgreement(docsDf: DataFrame): DataFrame = {
+    val ex = dedupClusters(docsDf)
+      .select(col("doc_id"), col("canonical_id").as("le"))
+    val ls = dedupClustersLsh(docsDf)
+      .select(col("doc_id"), col("canonical_id").as("ll"))
+    // doc-grain label pairs, read by four aggregates
+    val j = ex.join(ls, Seq("doc_id")).localCheckpoint(false)
+    def pairMass(keys: org.apache.spark.sql.Column*): DataFrame =
+      j.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("m"))
+    val nd = j.agg(count(lit(1)).as("n_docs"))
+    nd.crossJoin(pairMass(col("le")).withColumnRenamed("m", "pairs_exact"))
+      .crossJoin(pairMass(col("ll")).withColumnRenamed("m", "pairs_lsh"))
+      .crossJoin(pairMass(col("le"), col("ll"))
+        .withColumnRenamed("m", "pairs_both"))
+      .withColumn("precision_ppm", when(col("pairs_lsh") > 0,
+        expr("pairs_both * 1000000 div pairs_lsh")))
+      .withColumn("recall_ppm", when(col("pairs_exact") > 0,
+        expr("pairs_both * 1000000 div pairs_exact")))
+  }
+
   /** Min-label CC over an undirected pair list, every vertex of
     * `universe` labeled (isolated docs keep their own id). Each round
     * combines edge relaxation (min over neighbors' labels) with
@@ -1140,13 +1180,15 @@ object Dedup {
     * size) costs 256² = 65 536 closure rows against 255 edges, and
     * the Spark fixpoint labels it exactly with rounds ≪ CcMaxRounds.
     */
-  private[operators] val ccFixSql =
-    """lcc AS MATERIALIZED (
-      |  WITH RECURSIVE rch(doc_id, x) AS (
-      |    SELECT doc_id, lbl AS x FROM l0
-      |    UNION
-      |    SELECT rch.doc_id, e.j AS x FROM rch JOIN e ON e.i = rch.x)
-      |  SELECT doc_id, MIN(x) AS lbl FROM rch GROUP BY 1)""".stripMargin
+  private[operators] def ccFixSqlOver(e: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  WITH RECURSIVE rch(doc_id, x) AS (
+       |    SELECT doc_id, lbl AS x FROM l0
+       |    UNION
+       |    SELECT rch.doc_id, $e.j AS x FROM rch JOIN $e ON $e.i = rch.x)
+       |  SELECT doc_id, MIN(x) AS lbl FROM rch GROUP BY 1)""".stripMargin
+
+  private[operators] val ccFixSql = ccFixSqlOver("e", "lcc")
 
   private val sigSql =
     """hs AS (SELECT doc_id, list(sh % 4294967291) AS hl FROM sh GROUP BY doc_id),
@@ -1440,6 +1482,47 @@ object Dedup {
            |$ccFixSql
            |SELECT doc_id, lbl AS canonical_id,
            |CAST(doc_id = lbl AS INT) AS is_canonical FROM lcc""".stripMargin)),
+
+    // Round 12 (beyond-ref): end-to-end cluster agreement — pairwise
+    // P/R of the production LSH clustering against the exact-edge
+    // ground truth, transitivity effects included; see
+    // clusterAgreement. Oracle runs BOTH closures (the parameterized
+    // ccFixSqlOver) over one shared l0; the lsh edge chain is
+    // inlined with renamed CTEs exactly as dedup_lsh_recall does,
+    // here over the FULL corpus (this is the cluster-grain monitor,
+    // not the sampled edge monitor). Pair masses are Σ n·(n−1)/2 at
+    // label grain — pairs never materialize on either engine.
+    QueryDef("dedup_cluster_agreement",
+      (s, d) => clusterAgreement(docs(s, d)),
+      Some(
+        s"""WITH $shSql,
+           |$sigSql,
+           |$lshEdgesSql,
+           |$jacSql,
+           |pe AS (SELECT i, j FROM jac WHERE jaccard >= $JaccardT),
+           |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+           |ee AS MATERIALIZED (SELECT i, j FROM pe UNION ALL SELECT j, i FROM pe),
+           |${ccFixSqlOver("ee", "lccE")},
+           |el AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+           |${ccFixSqlOver("el", "lccL")},
+           |jj AS MATERIALIZED (SELECT a.doc_id, a.lbl AS le, b.lbl AS ll
+           |  FROM lccE a JOIN lccL b USING (doc_id)),
+           |sze AS (SELECT le, COUNT(*) n FROM jj GROUP BY 1),
+           |szl AS (SELECT ll, COUNT(*) n FROM jj GROUP BY 1),
+           |szb AS (SELECT le, ll, COUNT(*) n FROM jj GROUP BY 1, 2)
+           |SELECT n_docs, pairs_exact, pairs_lsh, pairs_both,
+           |CASE WHEN pairs_lsh > 0
+           |  THEN pairs_both * 1000000 // pairs_lsh END AS precision_ppm,
+           |CASE WHEN pairs_exact > 0
+           |  THEN pairs_both * 1000000 // pairs_exact END AS recall_ppm
+           |FROM (SELECT
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM jj) AS n_docs,
+           |  (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+           |    FROM sze) AS pairs_exact,
+           |  (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+           |    FROM szl) AS pairs_lsh,
+           |  (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+           |    FROM szb) AS pairs_both) z""".stripMargin)),
 
     // U12 (beyond-ref): cluster-aware leakage-safe split — see
     // clusterSplit; fold rides the cluster's canonical id.

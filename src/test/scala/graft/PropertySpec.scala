@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Functions
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -348,6 +348,54 @@ class PropertySpec extends SparkSpec {
     }
     check("ivf-argmin", SCTest.Parameters.default
       .withMinSuccessfulTests(4).withInitialSeed(Seed(42L)).withWorkers(1), p)
+  }
+
+  test("span merge: equals a brute-force reference on generated corpora") {
+    // the round-12 span kernel, proven the PropertySpec way: on random
+    // tiny-alphabet corpora (heavy accidental overlap), the live
+    // operator's merged intervals must equal an independent Scala
+    // derivation — duplicated window positions by brute-force
+    // cross-doc window comparison, merged by a simple linear sweep.
+    val w = 3
+    val corpusGen = for {
+      nd <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(nd, for {
+        n <- Gen.choose(1, 14)
+        toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      } yield toks)
+    } yield docs
+    val p = Prop.forAll(corpusGen) { docs =>
+      val corpus = docs.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.spanMerge(corpus, w)
+        .select("doc_id", "span_start", "span_end")
+        .as[(Long, Long, Long)].collect().toSet
+      // reference: window at (d, p) is duplicated iff the same w-token
+      // sequence occurs at any position of any OTHER doc; merge by
+      // linear sweep over sorted positions
+      val wins = docs.zipWithIndex.flatMap { case (t, d) =>
+        if (t.size < w) Nil
+        else (0 to t.size - w).map(p => (d, p, t.slice(p, p + w)))
+      }
+      val byKey = wins.groupBy(_._3).view
+        .mapValues(_.map(_._1).toSet).toMap
+      val dup = wins.filter { case (d, _, k) =>
+        byKey(k).exists(_ != d) }
+      val expected = dup.groupBy(_._1).toSeq.flatMap { case (d, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+        sorted.foreach { s =>
+          if (spans.nonEmpty && s <= spans.last._2)
+            spans(spans.size - 1) = (spans.last._1, math.max(spans.last._2, s + w))
+          else spans += ((s, s + w))
+        }
+        spans.map { case (a, b) => ((d + 1).toLong, a.toLong, b.toLong) }
+      }.toSet
+      got == expected
+    }
+    check("span-merge", SCTest.Parameters.default
+      .withMinSuccessfulTests(10).withInitialSeed(Seed(42L)).withWorkers(1), p)
   }
 
   test("labelComponents: one large planted chain — exact, priced") {

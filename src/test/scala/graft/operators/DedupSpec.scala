@@ -330,4 +330,27 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.forall(_ == 1L),
       s"unconverged labels: ${labels.filter(_._2 != 1L).take(5)}")
   }
+
+  test("cluster agreement: identical clusterings read P = R = 1e6") {
+    // exact duplicates cluster identically under BOTH pipelines
+    // (identical shingle sets → identical signatures → every band
+    // matches → verified J = 1), so the agreement monitor must read
+    // perfect pair masses: C(3,2) + C(2,2) = 4 pairs on each side and
+    // in the intersection, with both ppm ratios at exactly 1e6
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "one two three four five six seven"
+    val corpus = Seq(
+      (1L, a), (2L, a), (3L, a), // 3-clique
+      (4L, b), (5L, b), // pair
+      (6L, "lonely document with unique words"),
+      (7L, "another singleton text entirely different"))
+      .toDF("doc_id", "text")
+    val r = Dedup.clusterAgreement(corpus).collect().head
+    assert(r.getLong(0) === 7L) // n_docs
+    assert(r.getLong(1) === 4L) // pairs_exact
+    assert(r.getLong(2) === 4L) // pairs_lsh
+    assert(r.getLong(3) === 4L) // pairs_both
+    assert(r.getLong(4) === 1000000L)
+    assert(r.getLong(5) === 1000000L)
+  }
 }

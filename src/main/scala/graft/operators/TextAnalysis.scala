@@ -1508,14 +1508,13 @@ object TextAnalysis {
     * mirroring dedup_span's cross-doc definition; txt_repetition owns
     * intra-doc boilerplate.
     */
-  def spanMerge(docs: DataFrame, w: Int = ChunkW): DataFrame = {
-    // window fps feed the dup-fp aggregate AND the span side
-    val wfp = spanWindows(docs, w).localCheckpoint(false)
-    val dupFp = wfp.select(col("doc_id"), col("fp")).distinct()
-      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") > 1).select(col("fp"))
-    val sp = wfp.join(dupFp, Seq("fp"), "left_semi")
-      .select(col("doc_id"), col("s"), (col("s") + w).as("e"))
+  /** Interval-union merge over (doc_id, s, e) window intervals — THE
+    * span-merge kernel, one copy shared by the batch pass and the
+    * incremental twin so their merge semantics cannot drift: new span
+    * ⟺ start > running max of prior ends (adjacent intervals merge),
+    * span id = running count of span starts, per-doc window only.
+    */
+  private def mergeIntervals(sp: DataFrame): DataFrame = {
     val wo = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s"))
     val pmax = max(col("e"))
@@ -1531,6 +1530,37 @@ object TextAnalysis {
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
 
+  def spanMerge(docs: DataFrame, w: Int = ChunkW): DataFrame = {
+    // window fps feed the dup-fp aggregate AND the span side
+    val wfp = spanWindows(docs, w).localCheckpoint(false)
+    val dupFp = wfp.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select(col("fp"))
+    mergeIntervals(wfp.join(dupFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("s"), (col("s") + w).as("e")))
+  }
+
+  /** The daily-ingest shape of span dedup (dedup_incremental's span
+    * sibling, same deterministic doc_id-hash split standing in for
+    * the lake's partition column): the corpus side is already
+    * span-deduped, so only the incoming batch's windows are checked,
+    * and only AGAINST the corpus — the corpus×corpus and batch×batch
+    * window-pair spaces never form. At 100 TB the corpus side is the
+    * distinct window-fp index this same pass persisted at previous
+    * ingests, so daily cost is batch-sized: fingerprint the batch,
+    * semi-join the index, merge intervals. Batch-internal duplication
+    * runs through the ordinary spanMerge at batch scale first — the
+    * same contract dedup_incremental documents.
+    */
+  def spanMergeIncremental(docs: DataFrame, w: Int = ChunkW): DataFrame = {
+    val wfp = spanWindows(docs, w).localCheckpoint(false)
+    val corpusFp = wfp.filter(col("doc_id") % 10 < 8)
+      .select(col("fp")).distinct()
+    mergeIntervals(wfp.filter(col("doc_id") % 10 >= 8)
+      .join(corpusFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("s"), (col("s") + w).as("e")))
+  }
+
   /** Oracle CTE chain for the span family, terminal relation
     * `spans(doc_id, span_id, span_start, span_end, span_tokens)` —
     * one text shared by the merge query and its mass monitor, the
@@ -1538,7 +1568,13 @@ object TextAnalysis {
     * a windowed SUM over INTEGER, cast to BIGINT INSIDE the CTE (the
     * note-50 emission rule applied at the source).
     */
-  private def spanCtesSql(w: Int): String =
+  /** Window-fp prefix (tk/wn/wf) and the interval-union tail
+    * (mg/gs/spans, expects `sp(doc_id, s, e)`) — factored so the
+    * batch and incremental oracles share both ends verbatim and
+    * differ ONLY in how `sp` selects duplicated windows, mirroring
+    * the one mergeIntervals kernel on the Spark side.
+    */
+  private def spanWinSql(w: Int): String =
     s"""tk AS (SELECT doc_id,
        |    string_split_regex(trim(lower(text)),'\\s+') AS t
        |  FROM documents WHERE len(trim(text)) > 0),
@@ -1548,23 +1584,36 @@ object TextAnalysis {
        |wf AS (SELECT doc_id, s,
        |    CAST(concat('0x', substr(md5(
        |      array_to_string(t[s+1 : s+$w], ' ')),1,15)) AS BIGINT) AS fp
-       |  FROM wn),
+       |  FROM wn)""".stripMargin
+
+  private val spanMergeTailSql =
+    """mg AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
+      |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    AS pmax
+      |  FROM sp),
+      |gs AS (SELECT doc_id, s, e,
+      |    CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+      |  FROM mg),
+      |spans AS (SELECT doc_id, span_id, MIN(s) AS span_start,
+      |    MAX(e) AS span_end, MAX(e) - MIN(s) AS span_tokens
+      |  FROM gs GROUP BY doc_id, span_id)""".stripMargin
+
+  private def spanCtesSql(w: Int): String =
+    s"""${spanWinSql(w)},
        |dupfp AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM wf)
        |  GROUP BY fp HAVING COUNT(*) > 1),
        |sp AS (SELECT doc_id, s, s + $w AS e FROM wf
        |  WHERE fp IN (SELECT fp FROM dupfp)),
-       |mg AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
-       |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-       |    AS pmax
-       |  FROM sp),
-       |gs AS (SELECT doc_id, s, e,
-       |    CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY doc_id ORDER BY s
-       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
-       |  FROM mg),
-       |spans AS (SELECT doc_id, span_id, MIN(s) AS span_start,
-       |    MAX(e) AS span_end, MAX(e) - MIN(s) AS span_tokens
-       |  FROM gs GROUP BY doc_id, span_id)""".stripMargin
+       |$spanMergeTailSql""".stripMargin
+
+  private def spanIncCtesSql(w: Int): String =
+    s"""${spanWinSql(w)},
+       |cfp AS (SELECT DISTINCT fp FROM wf WHERE doc_id % 10 < 8),
+       |sp AS (SELECT doc_id, s, s + $w AS e FROM wf
+       |  WHERE doc_id % 10 >= 8 AND fp IN (SELECT fp FROM cfp)),
+       |$spanMergeTailSql""".stripMargin
 
   /** The removable-mass monitor over spanMerge — the number a curator
     * reads before turning span-cutting on: how many documents carry a
@@ -2546,6 +2595,15 @@ object TextAnalysis {
     QueryDef("dedup_span_merge",
       (s, d) => spanMerge(docs(s, d)),
       Some(s"""WITH ${spanCtesSql(ChunkW)}
+              |SELECT doc_id, span_id, span_start, span_end, span_tokens
+              |FROM spans""".stripMargin)),
+
+    // The daily-ingest twin — batch windows checked against the
+    // corpus-side fp index only (see spanMergeIncremental); shares
+    // the window prefix and merge tail verbatim with the batch pass.
+    QueryDef("dedup_span_incremental",
+      (s, d) => spanMergeIncremental(docs(s, d)),
+      Some(s"""WITH ${spanIncCtesSql(ChunkW)}
               |SELECT doc_id, span_id, span_start, span_end, span_tokens
               |FROM spans""".stripMargin)),
 

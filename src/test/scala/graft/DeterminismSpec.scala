@@ -155,6 +155,7 @@ class DeterminismSpec extends SparkSpec {
     "sim_range_from_store",   // same cut over the persisted index
     "dedup_span_merge",       // stride-1 dup windows + interval union
     "dedup_span_cut",         // positional cut + ordered re-join fp
+    "dedup_span_incremental", // corpus-index semi-join + same merge
     "dedup_cluster_agreement", // two CC labelings + pair-mass ratios
     "sim_canary_sum_raw")     // data-free sum-emission probe (trivially)
 

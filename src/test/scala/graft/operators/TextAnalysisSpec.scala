@@ -572,6 +572,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mass.getLong(4) === 750000L) // 12e6 div 16
   }
 
+  test("span incremental: batch vs corpus only — batch-internal dups " +
+    "are the ordinary pass's job") {
+    // doc 7 is corpus (7 % 10 < 8); docs 8 and 18 are batch. The
+    // corpus-shared run on doc 8 must surface; the run docs 8 and 18
+    // share ONLY with each other must NOT (the documented contract:
+    // batch-internal duplication runs through spanMerge at batch
+    // scale first) — while the full pass sees both.
+    val corpus = Seq(
+      (7L, "k1 k2 k3 k4 filler words here"),   // corpus
+      (8L, "x k1 k2 k3 k4 y bb1 bb2 bb3"),     // batch: corpus run + batch-run
+      (18L, "bb1 bb2 bb3 tail tokens pad"),    // batch: batch-run only
+      (9L, "nothing shared in this one"))      // batch, clean
+      .toDF("doc_id", "text")
+    val inc = TextAnalysis.spanMergeIncremental(corpus, w = 3)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc === Set((8L, 1L, 5L))) // k1..k4 at positions [1, 5)
+    val full = TextAnalysis.spanMerge(corpus, w = 3)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full === Set((7L, 0L, 4L), (8L, 1L, 5L), (8L, 6L, 9L),
+      (18L, 0L, 3L)))
+  }
+
   test("span cut: removes exactly the merged spans, in order") {
     import org.apache.spark.sql.functions.{col, lit}
     val corpus = Seq(

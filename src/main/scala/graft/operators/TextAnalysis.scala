@@ -1472,7 +1472,7 @@ object TextAnalysis {
     * corpus token count (the same volume as the shingle stream the
     * whole dedup family already builds), emitted at scan bandwidth.
     */
-  private def spanWindows(docs: DataFrame, w: Int): DataFrame =
+  private[graft] def spanWindows(docs: DataFrame, w: Int): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
       .filter(size(col("t")) >= w)
@@ -1556,10 +1556,27 @@ object TextAnalysis {
     val wfp = spanWindows(docs, w).localCheckpoint(false)
     val corpusFp = wfp.filter(col("doc_id") % 10 < 8)
       .select(col("fp")).distinct()
-    mergeIntervals(wfp.filter(col("doc_id") % 10 >= 8)
-      .join(corpusFp, Seq("fp"), "left_semi")
-      .select(col("doc_id"), col("s"), (col("s") + w).as("e")))
+    spanFromIndex(wfp.filter(col("doc_id") % 10 >= 8), corpusFp, w)
   }
+
+  /** Batch-windows-vs-index core shared by the registered incremental
+    * query and the streaming ingest twin — one codepath, so stream ≡
+    * batch is a construction fact (CorpusIngestSpec pins it).
+    */
+  private def spanFromIndex(batchWfp: DataFrame, corpusFps: DataFrame,
+                            w: Int): DataFrame =
+    mergeIntervals(batchWfp
+      .join(corpusFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("s"), (col("s") + w).as("e")))
+
+  /** Span detection for an incoming batch against a PERSISTED corpus
+    * window-fp index (the lake table streaming.CorpusIngest builds) —
+    * the form a production ingest actually calls: the corpus never
+    * recomputes, the batch is window-fingerprinted and semi-joined.
+    */
+  def spanAgainstIndex(batch: DataFrame, corpusFps: DataFrame,
+                       w: Int = ChunkW): DataFrame =
+    spanFromIndex(spanWindows(batch, w), corpusFps, w)
 
   /** Oracle CTE chain for the span family, terminal relation
     * `spans(doc_id, span_id, span_start, span_end, span_tokens)` —

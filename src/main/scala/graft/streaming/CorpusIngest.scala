@@ -120,4 +120,38 @@ object CorpusIngest {
         if (!kept.isEmpty) kept.write.mode("append").parquet(cleanDir)
       }
       .start()
+
+  // ---- stream-static exact-substring span dedup
+  //      (TextAnalysis.spanMergeIncremental's streaming twin) ----
+
+  /** The static window-fingerprint index previous ingests persist to
+    * the lake — the corpus side of exact-substring span dedup.
+    * Distinct fps only (membership is all the batch test needs;
+    * positions stay with their documents), built by the SAME window
+    * pass the batch family runs.
+    */
+  def corpusWindowFps(corpus: DataFrame,
+                      w: Int = TextAnalysis.ChunkW): DataFrame =
+    TextAnalysis.spanWindows(corpus, w).select(col("fp")).distinct()
+
+  /** The wired stream: per micro-batch, detect duplicated spans of
+    * the incoming docs against the static fp index through the ONE
+    * shared batch kernel (TextAnalysis.spanAgainstIndex — the same
+    * semi-join + interval merge the registered incremental query
+    * runs) and append the span table; a downstream cut consumes it.
+    * foreachBatch is the right shape because the interval merge is a
+    * per-doc rank window, which streaming append mode cannot host —
+    * same reasoning as serveStoreStream.
+    */
+  def runSpanDedup(docs: DataFrame, corpusFps: DataFrame,
+                   spansDir: String, checkpointDir: String,
+                   w: Int = TextAnalysis.ChunkW): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          TextAnalysis.spanAgainstIndex(batch, corpusFps, w)
+            .write.mode("append").parquet(spansDir)
+      }
+      .start()
 }

@@ -76,6 +76,44 @@ class CorpusIngestSpec extends SparkSpec {
     assert(batchDropped === Set(18L, 29L))
   }
 
+  test("stream-static span dedup equals the batch incremental pass") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val root = java.nio.file.Files.createTempDirectory("spandup").toString
+    // corpus ids end 0-7, batch ids 8/9 — so the batch-side
+    // spanMergeIncremental on the union is exactly this stream's
+    // oracle (the one-codepath contract)
+    val corpus = Seq(
+      (7L, "k1 k2 k3 k4 filler words here"),
+      (10L, "unrelated corpus document text entirely")).toDF("doc_id", "text")
+    val fps = CorpusIngest.corpusWindowFps(corpus, w = 3).cache()
+    val in = MemoryStream[StreamDoc]
+    val q = CorpusIngest.runSpanDedup(in.toDF().select($"doc_id", $"text"),
+      fps, s"$root/spans", s"$root/ckpt", w = 3)
+    in.addData(
+      StreamDoc(8, "x k1 k2 k3 k4 y bb1 bb2 bb3", "en", "web"),
+      StreamDoc(18, "bb1 bb2 bb3 tail tokens pad", "en", "web"))
+    q.processAllAvailable()
+    in.addData(StreamDoc(9, "k2 k3 k4 suffix run only", "en", "web"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$root/spans")
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // 8: corpus run k1..k4 at [1,5); 18: batch-internal only → none;
+    // 9: k2 k3 k4 at [0,3) (window "k2 k3 k4" exists in corpus doc 7)
+    assert(got === Set((8L, 1L, 5L), (9L, 0L, 3L)))
+    // equivalence with the registered batch operator on corpus ∪ stream
+    val union = corpus.unionByName(Seq(
+      (8L, "x k1 k2 k3 k4 y bb1 bb2 bb3"),
+      (18L, "bb1 bb2 bb3 tail tokens pad"),
+      (9L, "k2 k3 k4 suffix run only")).toDF("doc_id", "text"))
+    val batch = TextAnalysis.spanMergeIncremental(union, w = 3)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch === got)
+  }
+
   test("stream-static mix: yesterday's plan samples the live firehose, " +
     "one codepath with the batch operator") {
     import graft.operators.TextAnalysis

@@ -40,6 +40,14 @@ WHITELIST = {
     "dedup_clusters":
         "exact-edge connected components - ground truth for "
         "dedup_clusters_lsh (the registered production path)",
+    "dedup_cluster_agreement":
+        "clustering-agreement monitor - CONTAINS the whitelisted "
+        "exact-edge CC (dedup_clusters) by construction as its ground "
+        "truth side; production runs dedup_clusters_lsh, and sampling "
+        "the exact side would split clusters and distort the very "
+        "transitivity effect the monitor measures (round-12 byte_gate "
+        "finding: 78x shuffle_rd at sf1, wall 12.6x - the exact "
+        "co-count join, same class as dedup_ngram_jaccard)",
     "ml_item_similarity":
         "uncapped exact item-item cosine - ground truth for "
         "ml_item_similarity_capped (the registered scale path)",

@@ -483,12 +483,20 @@ object Dedup {
     * occupancy; at corpus scale the same knob widens again (Manku use
     * 64-bit prints with more tables), never an all-pairs scan.
     */
+  /** Band c (0-based) of a 60-bit simhash — the 15-bit chunk the MJS
+    * banding buckets on. ONE kernel shared by simhashPairs and the
+    * PropertySpec pigeonhole law (hamming ≤ 3 ⇒ some chunk equal), so
+    * the law exercises the exact Column the operator joins on.
+    */
+  private[graft] def simhashChunk(h: org.apache.spark.sql.Column,
+                                  c: Int): org.apache.spark.sql.Column =
+    shiftright(h, c * 15) % 32768
+
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sh = simhash(docs)
     val chunks = sh.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(SimChunks - 1))).as("c"))
-      .withColumn("chunk",
-        expr("shiftright(simhash, c * 15) % 32768"))
+      posexplode(array((0 until SimChunks).map(c =>
+        simhashChunk(col("simhash"), c)): _*)).as(Seq("c", "chunk")))
     val cand = chunks.as("x")
       .join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&

@@ -398,6 +398,33 @@ class PropertySpec extends SparkSpec {
       .withMinSuccessfulTests(10).withInitialSeed(Seed(42L)).withWorkers(1), p)
   }
 
+  test("simhash banding: hamming ≤ 3 pairs always share a chunk " +
+    "(pigeonhole), 4 spread bits need not") {
+    // the EXACT-recall claim of dedup_simhash_pairs, on the live
+    // chunk Column the operator joins on: 3 flipped bits cannot touch
+    // all 4 15-bit chunks, so some chunk survives verbatim — and the
+    // bound is tight: one bit in each of the 4 chunks defeats it.
+    val gen = for {
+      h <- Gen.chooseNum(0L, (1L << 60) - 1)
+      k <- Gen.choose(0, 3)
+      bits <- Gen.listOfN(k, Gen.choose(0, 59))
+    } yield (h, bits.distinct)
+    def chunks(h: Long): Seq[Long] = {
+      val row = evalRow((0 until Dedup.SimChunks).map(c =>
+        Dedup.simhashChunk(lit(h), c).as(s"c$c")): _*)
+      (0 until Dedup.SimChunks).map(row.getLong)
+    }
+    check("pigeonhole", Prop.forAll(gen) { case (h, bits) =>
+      val h2 = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+      java.lang.Long.bitCount(h ^ h2) <= 3 &&
+        chunks(h).zip(chunks(h2)).exists { case (a, b) => a == b }
+    })
+    // tightness: exactly one flipped bit per chunk → zero shared chunks
+    val h = 0L
+    val h4 = (0 until 4).foldLeft(h)((a, c) => a ^ (1L << (c * 15 + 3)))
+    assert(!chunks(h).zip(chunks(h4)).exists { case (a, b) => a == b })
+  }
+
   test("labelComponents: one large planted chain — exact, priced") {
     // the closure-price case change note 50 points at: a single
     // 256-vertex chain is the worst closure-to-edge ratio at fixed

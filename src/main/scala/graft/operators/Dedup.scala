@@ -331,10 +331,17 @@ object Dedup {
             .cast("array<string>")).as("bsig")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bsig"))
 
-  def minhashLsh(docs: DataFrame, t: Double = JaccardT): DataFrame = {
+  def minhashLsh(docs: DataFrame, t: Double = JaccardT): DataFrame =
     // ONE shingle-hash pass feeds both the signature path and the
-    // exact-Jaccard verification below
-    val sh = docShingleHashes(docs).localCheckpoint(false)
+    // exact-Jaccard verification
+    minhashLshFrom(docShingleHashes(docs).localCheckpoint(false), t)
+
+  /** Same, over an already-MATERIALIZED (doc_id, sh) table (callers
+    * pass a checkpointed relation — the body references it three
+    * times) — lets clusterAgreement run the exact and LSH clusterings
+    * off one shared shingle pass instead of deriving it twice.
+    */
+  def minhashLshFrom(sh: DataFrame, t: Double = JaccardT): DataFrame = {
     val bands = bandSignaturesFrom(minhashSignaturesFrom(sh))
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -753,9 +760,18 @@ object Dedup {
     * whitelist rationale as dedup_clusters itself).
     */
   def clusterAgreement(docsDf: DataFrame): DataFrame = {
-    val ex = dedupClusters(docsDf)
+    // ONE shingle pass feeds both clusterings (round 13, ADVICE):
+    // the exact and LSH edge derivations share their most expensive
+    // prefix — the explode+md5 shingle stream — so derive it once
+    // and thread it through the *From variants; the universe side is
+    // the doc-id list both labelings need.
+    val sh = docShingleHashes(docsDf).localCheckpoint(false)
+    val ids = docsDf.select(col("doc_id"))
+    val ex = labelComponents(
+      ngramJaccardFrom(sh).select(col("i"), col("j")), ids)
       .select(col("doc_id"), col("canonical_id").as("le"))
-    val ls = dedupClustersLsh(docsDf)
+    val ls = labelComponents(
+      minhashLshFrom(sh).select(col("i"), col("j")), ids)
       .select(col("doc_id"), col("canonical_id").as("ll"))
     // doc-grain label pairs, read by four aggregates
     val j = ex.join(ls, Seq("doc_id")).localCheckpoint(false)

@@ -1513,8 +1513,21 @@ object TextAnalysis {
     * incremental twin so their merge semantics cannot drift: new span
     * ⟺ start > running max of prior ends (adjacent intervals merge),
     * span id = running count of span starts, per-doc window only.
+    *
+    * Totality (round 13, ADVICE): the running-max frame orders by
+    * `s` alone, so duplicate starts would make span numbering
+    * row-order-dependent. Every current caller feeds one interval
+    * per (doc_id, s) by construction (spanWindows posexplodes one
+    * window per position; the semi-join keeps at most that), but the
+    * kernel no longer relies on it: same-start intervals collapse to
+    * their max end first — the union of [s,e1)∪[s,e2) IS [s,max) —
+    * making the window input unique and the result deterministic for
+    * ANY interval relation. On the unique-by-construction callers
+    * the aggregate is an identity.
     */
-  private def mergeIntervals(sp: DataFrame): DataFrame = {
+  private[graft] def mergeIntervals(sp0: DataFrame): DataFrame = {
+    val sp = sp0.groupBy(col("doc_id"), col("s"))
+      .agg(max(col("e")).as("e"))
     val wo = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s"))
     val pmax = max(col("e"))
@@ -1632,6 +1645,33 @@ object TextAnalysis {
        |  WHERE doc_id % 10 >= 8 AND fp IN (SELECT fp FROM cfp)),
        |$spanMergeTailSql""".stripMargin
 
+  /** The positional-cut oracle tail over any tokenized doc relation
+    * `docsRel(doc_id, t)` and the `spans` CTE — factored exactly like
+    * the Spark-side spanCutWith seam, so the batch cut (docsRel = tk)
+    * and the incremental cut (docsRel = the batch-half restriction)
+    * share the cut text verbatim and differ only in which documents
+    * get cut, mirroring the one kernel.
+    */
+  private def spanCutTailSql(docsRel: String): String =
+    s"""pos AS (SELECT doc_id, t,
+       |    unnest(generate_series(0, len(t) - 1)) AS p
+       |  FROM $docsRel),
+       |keptp AS (SELECT pos.doc_id, pos.p, pos.t FROM pos
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |    WHERE sp.doc_id = pos.doc_id
+       |      AND pos.p >= sp.span_start AND pos.p < sp.span_end)),
+       |kept AS (SELECT doc_id,
+       |    array_to_string(list(t[p+1] ORDER BY p), ' ') AS ktxt,
+       |    CAST(COUNT(*) AS BIGINT) AS kept_tokens
+       |  FROM keptp GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+       |CAST(len(d.t) AS BIGINT) - COALESCE(k.kept_tokens, 0)
+       |  AS cut_tokens,
+       |COALESCE(k.kept_tokens, 0) AS kept_tokens,
+       |CAST(concat('0x', substr(md5(COALESCE(k.ktxt, '')),1,15))
+       |  AS BIGINT) AS kept_fp
+       |FROM $docsRel d LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   /** The removable-mass monitor over spanMerge — the number a curator
     * reads before turning span-cutting on: how many documents carry a
     * duplicated span, how many maximal spans there are, the token
@@ -1668,8 +1708,20 @@ object TextAnalysis {
     * window. A trainer would emit the cleaned text column instead of
     * its fingerprint; same plan.
     */
-  def spanCut(docs: DataFrame, w: Int = ChunkW): DataFrame = {
-    val spans = spanMerge(docs, w)
+  def spanCut(docs: DataFrame, w: Int = ChunkW): DataFrame =
+    spanCutWith(docs, spanMerge(docs, w))
+
+  /** The CUT tail factored over ANY span relation
+    * (doc_id, span_start, span_end) — the seam the incremental and
+    * streaming-ingest forms need: production applies the cut to an
+    * incoming BATCH against index-derived spans (Lee et al. §4 cuts
+    * at preprocessing time), not to the whole corpus against
+    * spanMerge. One copy of the positional-cut expression shared by
+    * every caller, so cut semantics cannot drift between the batch,
+    * incremental, and streaming rows.
+    */
+  def spanCutWith(docs: DataFrame, spanRel: DataFrame): DataFrame = {
+    val spans = spanRel
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("sp"))
@@ -1689,6 +1741,30 @@ object TextAnalysis {
         hex60(array_join(expr("transform(kept, x -> x.tok)"), " "))
           .as("kept_fp"))
   }
+
+  /** The CUT half of the daily-ingest shape (round 13, completing the
+    * span family's production story): spanCut removes whole-corpus
+    * duplicated spans, but a production ingest cuts the incoming
+    * BATCH against the corpus-side fp index — detect
+    * (spanMergeIncremental: batch windows semi-join the corpus
+    * distinct-fp index, never corpus×corpus or batch×batch) and then
+    * cut only the batch documents through the one shared tail. Same
+    * doc_id-hash split standing in for the lake partition column;
+    * daily cost is batch-sized end to end, and the cut stays one
+    * scan-bandwidth HOF per batch row.
+    */
+  def spanCutIncremental(docs: DataFrame, w: Int = ChunkW): DataFrame =
+    spanCutWith(docs.filter(col("doc_id") % 10 >= 8),
+      spanMergeIncremental(docs, w))
+
+  /** Batch cut against a PERSISTED corpus window-fp index — the verb
+    * `streaming.CorpusIngest` calls per micro-batch: detect via the
+    * shared spanAgainstIndex kernel, cut via the shared tail; the
+    * corpus is touched only through the index semi-join.
+    */
+  def spanCutAgainstIndex(batch: DataFrame, corpusFps: DataFrame,
+                          w: Int = ChunkW): DataFrame =
+    spanCutWith(batch, spanAgainstIndex(batch, corpusFps, w))
 
   /** The composed curation gate — the one-query form of the full
     * text-side filter pipeline: quality score, repetition gate,
@@ -2625,28 +2701,27 @@ object TextAnalysis {
               |FROM spans""".stripMargin)),
 
     // The CUT applied — cleaned-document counts + content fingerprint
-    // per doc, same CTE text (see spanCut).
+    // per doc, same CTE text (see spanCut; cut tail factored in
+    // spanCutTailSql, shared verbatim with the incremental cut).
     QueryDef("dedup_span_cut",
       (s, d) => spanCut(docs(s, d)),
       Some(s"""WITH ${spanCtesSql(ChunkW)},
-              |pos AS (SELECT doc_id, t,
-              |    unnest(generate_series(0, len(t) - 1)) AS p
-              |  FROM tk),
-              |keptp AS (SELECT pos.doc_id, pos.p, pos.t FROM pos
-              |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
-              |    WHERE sp.doc_id = pos.doc_id
-              |      AND pos.p >= sp.span_start AND pos.p < sp.span_end)),
-              |kept AS (SELECT doc_id,
-              |    array_to_string(list(t[p+1] ORDER BY p), ' ') AS ktxt,
-              |    CAST(COUNT(*) AS BIGINT) AS kept_tokens
-              |  FROM keptp GROUP BY doc_id)
-              |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
-              |CAST(len(tk.t) AS BIGINT) - COALESCE(k.kept_tokens, 0)
-              |  AS cut_tokens,
-              |COALESCE(k.kept_tokens, 0) AS kept_tokens,
-              |CAST(concat('0x', substr(md5(COALESCE(k.ktxt, '')),1,15))
-              |  AS BIGINT) AS kept_fp
-              |FROM tk LEFT JOIN kept k USING (doc_id)""".stripMargin)),
+              |${spanCutTailSql("tk")}""".stripMargin)),
+
+    // Round 13: the CUT against the corpus-side fp index — the form
+    // a production ingest actually runs (Lee et al. §4 applies the
+    // cut at preprocessing time, batch-by-batch): spans come from
+    // the incremental detection (batch windows semi-join the corpus
+    // distinct-fp index), the cut applies to batch documents only,
+    // both through the ONE shared kernel/tail each
+    // (mergeIntervals + spanCutWith; spanIncCtesSql + spanCutTailSql
+    // on the oracle side). streaming.CorpusIngest.runSpanCut is this
+    // row's per-micro-batch twin, stream ≡ batch spec-pinned.
+    QueryDef("dedup_span_cut_incremental",
+      (s, d) => spanCutIncremental(docs(s, d)),
+      Some(s"""WITH ${spanIncCtesSql(ChunkW)},
+              |tkb AS (SELECT * FROM tk WHERE doc_id % 10 >= 8),
+              |${spanCutTailSql("tkb")}""".stripMargin)),
 
     // The removable-mass monitor over the same CTE text — the
     // turn-it-on number for span cutting (docs affected, span count,

@@ -40,6 +40,7 @@ class EmptyInputSpec extends SparkSpec {
     // zero counts — the curator reads "nothing to cut", not a crash
     assert(TextAnalysis.spanCut(docs0).count() === 0)
     assert(TextAnalysis.spanMergeIncremental(docs0).count() === 0)
+    assert(TextAnalysis.spanCutIncremental(docs0).count() === 0)
     assert(Dedup.clusterAgreement(docs0).count() === 1) // 1-row report
     // with zero pair masses and NULL ppm ratios
     assert(Dedup.exact(docs0).count() === 0)

@@ -619,4 +619,57 @@ class TextAnalysisSpec extends SparkSpec {
     // the cut doc differs from any reordering)
     assert(got(1L)._4 !== fp("x y p q r"))
   }
+
+  test("span cut incremental: cuts batch docs against the corpus index " +
+    "only; corpus docs never emit, batch-internal runs pass through") {
+    import org.apache.spark.sql.functions.lit
+    // same split fixture as the incremental-merge test: doc 7 is
+    // corpus (id % 10 < 8), docs 8/18/9 are batch. Doc 8 carries a
+    // corpus-shared run (cut) AND a run shared only with batch-mate
+    // 18 (NOT cut — batch-internal duplication is the ordinary
+    // pass's job); 18 and 9 have nothing corpus-shared and pass
+    // through whole.
+    val corpus = Seq(
+      (7L, "k1 k2 k3 k4 filler words here"),
+      (8L, "x k1 k2 k3 k4 y bb1 bb2 bb3"),
+      (18L, "bb1 bb2 bb3 tail tokens pad"),
+      (9L, "nothing shared in this one")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanCutIncremental(corpus, w = 3)
+      .select("doc_id", "n_tokens", "cut_tokens", "kept_tokens", "kept_fp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def fp(s: String): Long = spark.range(1)
+      .select(graft.functions.Functions.hex60(lit(s)).as("h"))
+      .head().getLong(0)
+    assert(got.keySet === Set(8L, 18L, 9L)) // batch docs only
+    assert(got(8L) === ((9L, 4L, 5L, fp("x y bb1 bb2 bb3"))))
+    assert(got(18L) === ((6L, 0L, 6L, fp("bb1 bb2 bb3 tail tokens pad"))))
+    assert(got(9L) === ((5L, 0L, 5L, fp("nothing shared in this one"))))
+    // the seam is the one shared tail: the incremental cut IS
+    // spanCutWith over the incremental merge's spans
+    val viaSeam = TextAnalysis.spanCutWith(
+      corpus.filter(org.apache.spark.sql.functions.col("doc_id") % 10 >= 8),
+      TextAnalysis.spanMergeIncremental(corpus, w = 3))
+      .select("doc_id", "kept_fp").as[(Long, Long)].collect().toMap
+    assert(viaSeam === got.map { case (k, v) => k -> v._4 })
+  }
+
+  test("span merge kernel is total on duplicate-start intervals: " +
+    "same-start spans collapse to their max end deterministically") {
+    // feed the KERNEL a raw interval relation with duplicate
+    // (doc_id, s) rows — the precondition every production caller
+    // satisfies by construction but the kernel no longer relies on
+    // (round-13 ADVICE): [0,3) and [0,5) at the same start must act
+    // as [0,5), making numbering independent of row order. [6,8)
+    // merges nothing; [4,6) chains onto the max end.
+    val sp = Seq((1L, 0L, 3L), (1L, 0L, 5L), (1L, 4L, 6L), (1L, 8L, 10L),
+      (2L, 2L, 4L), (2L, 2L, 4L)) // exact duplicate row
+      .toDF("doc_id", "s", "e")
+    val got = TextAnalysis.mergeIntervals(sp)
+      .select("doc_id", "span_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 0L, 6L, 6L), (1L, 2L, 8L, 10L, 2L),
+      (2L, 1L, 2L, 4L, 2L)))
+  }
 }

@@ -114,6 +114,63 @@ class CorpusIngestSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("span-cut ingest: cuts against a LIVE index — batch 2 sees " +
+    "batch 1's windows — and equals the sequential batch passes") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val root = java.nio.file.Files.createTempDirectory("spancut").toString
+    val (fpDir, clean, ckpt) = (s"$root/fps", s"$root/clean", s"$root/ckpt")
+    val corpus = Seq(
+      (7L, "k1 k2 k3 k4 filler words here")).toDF("doc_id", "text")
+    CorpusIngest.seedSpanIndex(corpus, fpDir, w = 3)
+    val in = MemoryStream[StreamDoc]
+    val q = CorpusIngest.runSpanCut(in.toDF().select($"doc_id", $"text"),
+      fpDir, clean, ckpt, w = 3)
+    val b1 = Seq(StreamDoc(8, "x k1 k2 k3 k4 y", "en", "web"),
+      StreamDoc(18, "bb1 bb2 bb3 tail tokens pad", "en", "web"))
+    val b2 = Seq(StreamDoc(9, "bb1 bb2 bb3 other stuff", "en", "web"))
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    def fp(s: String): Long = spark.range(1)
+      .select(graft.functions.Functions.hex60(
+        org.apache.spark.sql.functions.lit(s)).as("h")).head().getLong(0)
+    val got = spark.read.parquet(clean)
+      .select("doc_id", "cut_tokens", "kept_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // 8: corpus run k1..k4 cut; 18: fresh, whole; 9: its bb1 bb2 bb3
+    // window was published by BATCH 1's doc 18 — the cross-micro-batch
+    // duplication the static-snapshot runSpanDedup cannot see
+    assert(got(8L) === ((4L, fp("x y"))))
+    assert(got(18L) === ((0L, fp("bb1 bb2 bb3 tail tokens pad"))))
+    assert(got(9L) === ((3L, fp("other stuff"))))
+    assert(got.keySet === Set(8L, 18L, 9L))
+    // stream ≡ batch: the same two cycles through the batch verbs —
+    // cut against the index-so-far, then augment the index
+    val b1df = b1.toDF().select($"doc_id", $"text")
+    val b2df = b2.toDF().select($"doc_id", $"text")
+    val idx1 = CorpusIngest.corpusWindowFps(corpus, w = 3)
+    val seq1 = TextAnalysis.spanCutAgainstIndex(b1df, idx1, w = 3)
+    val idx2 = idx1.unionByName(
+      TextAnalysis.spanWindows(b1df, 3).select("fp").distinct()).distinct()
+    val seq2 = TextAnalysis.spanCutAgainstIndex(b2df, idx2, w = 3)
+    val batchGot = seq1.unionByName(seq2)
+      .select("doc_id", "cut_tokens", "kept_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(batchGot === got)
+    // replay idempotence: re-running batch 1 (same id) against the
+    // now-augmented index dir must rewrite, not append, and must NOT
+    // dedup the batch against its own published fps
+    CorpusIngest.spanIngestBatch(b1df, fpDir, clean, batchId = 0L, w = 3)
+    val replay = spark.read.parquet(clean)
+      .select("doc_id", "cut_tokens", "kept_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(replay === got)
+  }
+
   test("stream-static mix: yesterday's plan samples the live firehose, " +
     "one codepath with the batch operator") {
     import graft.operators.TextAnalysis

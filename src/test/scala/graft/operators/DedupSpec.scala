@@ -78,6 +78,56 @@ class DedupSpec extends SparkSpec {
     assert(nCand < nAll, s"prefix filter pruned nothing: $nCand vs $nAll")
   }
 
+  test("ppjoin verify bound: planted template burst — rare-first " +
+    "prefixes generate ZERO candidates when the burst is not truly " +
+    "near-dup; candidate volume is output-shaped, not df-shaped") {
+    // THE BOUND (SURVEY, round 13): verify-path shuffle bytes ≤
+    // 16·Σ_{(i,j)∈C}(n_i + n_j) — two sorted 8-byte shingle arrays
+    // per surviving candidate pair — and C itself decomposes as
+    // C ≤ true-pairs(t') + Σ_s dfp(s)·(dfp(s)−1)/2 where dfp(s) is
+    // the number of docs carrying shingle s in their PREFIX. The
+    // df-asc order makes dfp of template shingles ZERO whenever a
+    // doc has ≥ prefix-length rarer shingles, so template df never
+    // multiplies into the bound. This test plants both regimes.
+    val B = 40
+    val template = (1 to 10).map(k => s"tpl$k").mkString(" ")
+    // regime 1: template is a MINORITY of each doc (40 unique tokens
+    // beside 10 template tokens) → pairwise J ≈ 8/88 ≈ 0.09 ≪ t, no
+    // true pairs; the co-count universe still holds all B·(B−1)/2
+    // pairs through the df=B template shingles, but every doc has 40
+    // df=1 shingles against a 25-element prefix → prefixes are all
+    // unique shingles → dfp(template)=0 → zero candidates
+    val burst = (0 until B).map { i =>
+      (i.toLong + 1,
+        template + " " + (1 to 40).map(k => s"u${i}x$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh1 = Dedup.docShingleHashes(burst).localCheckpoint()
+    val coUniverse = sh1.as("a").join(sh1.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(coUniverse === (B * (B - 1) / 2).toLong) // the f² hazard
+    assert(Dedup.ppjoinCandidates(sh1).count() === 0L,
+      "template shingles leaked into prefixes")
+    assert(Dedup.ppjoinPrefix(burst).count() === 0L)
+    // regime 2: the template DOMINATES (1 unique token per doc) →
+    // every pair is a true near-dup (J = 8/10 ≥ t): candidates are
+    // exactly the output pairs — the Θ(output) floor every exact
+    // all-pairs operator pays, not a df artifact
+    val dupBurst = (0 until B).map(i => (i.toLong + 1, template + s" only$i"))
+      .toDF("doc_id", "text")
+    val sh2 = Dedup.docShingleHashes(dupBurst).localCheckpoint()
+    val nTrue = Dedup.ngramJaccard(dupBurst).count()
+    assert(nTrue === (B * (B - 1) / 2).toLong)
+    assert(Dedup.ppjoinCandidates(sh2).count() === nTrue)
+    // and the df-cap composition — the documented pre-sf10 knob —
+    // bounds the candidate space at S·maxDf² REGARDLESS of true-pair
+    // mass: the same burst through capped shingles loses the
+    // template keys entirely (df = 40 > maxDf = 5)
+    assert(Dedup.ppjoinCandidates(
+      Dedup.docShingleHashesCapped(dupBurst, Dedup.MaxShingleDf)
+        .localCheckpoint()).count() === 0L)
+  }
+
   test("minhash LSH: identical-normalized docs always collide; verify matches jaccard") {
     val lsh = Dedup.minhashLsh(docs, t = 0.5)
       .select("i", "j", "jaccard").as[(Long, Long, Double)].collect()

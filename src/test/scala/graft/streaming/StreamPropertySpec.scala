@@ -117,6 +117,47 @@ class StreamPropertySpec extends SparkSpec {
     }
   }
 
+  test("law: runSpanCut live-index loop ≡ the sequential batch verbs " +
+    "on generated corpora under any contiguous micro-batch split") {
+    implicit val sc = spark.sqlContext
+    for (seed <- Seq(41L, 42L, 43L)) {
+      val rng = new scala.util.Random(seed)
+      val corpus = genDocs(rng, 5 + rng.nextInt(4), batch = false)
+        .toDF("doc_id", "text")
+      val batchDocs = genDocs(rng, 5 + rng.nextInt(4), batch = true)
+      val splits = splitContiguous(rng, batchDocs)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"cutlaw$seed").toString
+      CorpusIngest.seedSpanIndex(corpus, s"$root/fps", w = 3)
+      val in = MemoryStream[StreamDoc]
+      val q = CorpusIngest.runSpanCut(in.toDF().select($"doc_id", $"text"),
+        s"$root/fps", s"$root/clean", s"$root/ckpt", w = 3)
+      for (b <- splits) {
+        in.addData(b.map { case (id, tx) => StreamDoc(id, tx, "en", "w") })
+        q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.read.parquet(s"$root/clean")
+        .select("doc_id", "cut_tokens", "kept_fp")
+        .as[(Long, Long, Long)].collect().toSet
+      // the sequential batch loop: cut against the index-so-far,
+      // then augment the index with the batch's windows
+      var idx = CorpusIngest.corpusWindowFps(corpus, w = 3)
+        .localCheckpoint()
+      val expected = scala.collection.mutable.Set[(Long, Long, Long)]()
+      for (b <- splits) {
+        val bdf = b.toDF("doc_id", "text")
+        expected ++= TextAnalysis.spanCutAgainstIndex(bdf, idx, w = 3)
+          .select("doc_id", "cut_tokens", "kept_fp")
+          .as[(Long, Long, Long)].collect()
+        idx = idx.unionByName(
+          TextAnalysis.spanWindows(bdf, 3).select("fp").distinct())
+          .distinct().localCheckpoint()
+      }
+      assert(streamed === expected.toSet, s"seed=$seed")
+    }
+  }
+
   test("law: rapidOrders loses no alert when delivery disorder stays " +
     "under the watermark, for any batch split") {
     implicit val sc = spark.sqlContext

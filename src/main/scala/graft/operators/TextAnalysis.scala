@@ -1645,6 +1645,20 @@ object TextAnalysis {
        |  WHERE doc_id % 10 >= 8 AND fp IN (SELECT fp FROM cfp)),
        |$spanMergeTailSql""".stripMargin
 
+  /** The mass-report aggregate select over the `spans` + `tk` CTEs —
+    * factored so the single-w mass query and the w-sweep share the
+    * aggregate text verbatim (the cut-tail device again).
+    */
+  private val spanMassSelSql =
+    """SELECT
+      |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM spans)
+      |    AS n_docs_spanned,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM spans) AS n_spans,
+      |  (SELECT CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT)
+      |    FROM spans) AS dup_tokens,
+      |  (SELECT CAST(SUM(len(t)) AS BIGINT) FROM tk)
+      |    AS total_tokens""".stripMargin
+
   /** The positional-cut oracle tail over any tokenized doc relation
     * `docsRel(doc_id, t)` and the `spans` CTE — factored exactly like
     * the Spark-side spanCutWith seam, so the batch cut (docsRel = tk)
@@ -1678,6 +1692,25 @@ object TextAnalysis {
     * mass they cover, and that mass as ppm of the corpus (integer
     * div, engine-exact). One row.
     */
+  /** The window-size knob priced (round 13) — spanMass swept over w:
+    * the curve a curator reads before choosing the cut granularity
+    * (Lee et al. fix w = 50 tokens; smaller w cuts more mass at less
+    * precision — every w-window match is also ⌈L/w'⌉ smaller-window
+    * matches, so dup_ppm is monotone nonincreasing in w and the knee
+    * of this curve is the operating point). Three one-row reports,
+    * one per w, each the exact spanMass relation — a turn-the-knob
+    * ANALYSIS query run once per corpus: cost is |ws| window passes,
+    * each corpus-token-linear, sharing nothing across w by design
+    * (the fp universes differ per w; at 100 TB run the sweep on the
+    * deterministic monitor sample if three full passes matter).
+    */
+  val SpanSweepWs: Seq[Int] = Seq(10, 25, ChunkW)
+
+  def spanWSweep(docs: DataFrame, ws: Seq[Int] = SpanSweepWs): DataFrame =
+    ws.map(w => spanMass(docs, w)
+        .select(lit(w).cast("long").as("w"), col("*")))
+      .reduce(_.unionByName(_))
+
   def spanMass(docs: DataFrame, w: Int = ChunkW): DataFrame = {
     val spans = spanMerge(docs, w)
       .agg(countDistinct(col("doc_id")).as("n_docs_spanned"),
@@ -2732,14 +2765,23 @@ object TextAnalysis {
               |SELECT n_docs_spanned, n_spans, dup_tokens, total_tokens,
               |CASE WHEN total_tokens > 0
               |  THEN dup_tokens * 1000000 // total_tokens END AS dup_ppm
-              |FROM (SELECT
-              |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM spans)
-              |    AS n_docs_spanned,
-              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM spans) AS n_spans,
-              |  (SELECT CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT)
-              |    FROM spans) AS dup_tokens,
-              |  (SELECT CAST(SUM(len(t)) AS BIGINT) FROM tk)
-              |    AS total_tokens) z""".stripMargin)),
+              |FROM ($spanMassSelSql) z""".stripMargin)),
+
+    // Round 13: the window-size knob priced — spanMass swept over
+    // w ∈ {10, 25, 50} (see spanWSweep: dup_ppm monotone
+    // nonincreasing in w; the knee is the operating point). Each
+    // branch is the exact mass relation at its w, the aggregate
+    // select shared verbatim via spanMassSelSql.
+    QueryDef("dedup_span_w_sweep",
+      (s, d) => spanWSweep(docs(s, d)),
+      Some(SpanSweepWs.map(w =>
+        s"""SELECT CAST($w AS BIGINT) AS w, n_docs_spanned, n_spans,
+           |dup_tokens, total_tokens,
+           |CASE WHEN total_tokens > 0
+           |  THEN dup_tokens * 1000000 // total_tokens END AS dup_ppm
+           |FROM (WITH ${spanCtesSql(w)}
+           |$spanMassSelSql) z""".stripMargin)
+        .mkString("\nUNION ALL\n"))),
 
     QueryDef("txt_quality_by_source",
       (s, d) => qualityBySource(docs(s, d)),

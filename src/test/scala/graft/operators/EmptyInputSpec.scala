@@ -41,6 +41,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.spanCut(docs0).count() === 0)
     assert(TextAnalysis.spanMergeIncremental(docs0).count() === 0)
     assert(TextAnalysis.spanCutIncremental(docs0).count() === 0)
+    assert(TextAnalysis.spanWSweep(docs0).count() === 3) // one zero-mass
+    // report row per swept w — the curator reads a flat curve
+    assert(TextAnalysis.spanWSweep(docs0)
+      .filter(org.apache.spark.sql.functions.col("n_spans") =!= 0L)
+      .count() === 0)
     assert(Dedup.clusterAgreement(docs0).count() === 1) // 1-row report
     // with zero pair masses and NULL ppm ratios
     assert(Dedup.exact(docs0).count() === 0)

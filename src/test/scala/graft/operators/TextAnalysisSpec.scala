@@ -654,6 +654,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaSeam === got.map { case (k, v) => k -> v._4 })
   }
 
+  test("span w-sweep: dup mass monotone nonincreasing in w; runs " +
+    "shorter than the window vanish") {
+    // a 4-token run shared by both docs: at w=3 its windows match
+    // (4 dup tokens per doc), at w=5 no window fits inside it → 0
+    val corpus = Seq(
+      (1L, "c1 c2 c3 c4 x y z w q"),
+      (2L, "c1 c2 c3 c4 t u v r s")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanWSweep(corpus, ws = Seq(3, 5))
+      .select("w", "n_docs_spanned", "dup_tokens", "total_tokens",
+        "dup_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(3L) === ((2L, 8L, 18L, 444444L))) // 8e6 div 18
+    assert(got(5L) === ((0L, 0L, 18L, 0L)))
+    assert(got.keySet === Set(3L, 5L))
+  }
+
   test("span merge kernel is total on duplicate-start intervals: " +
     "same-start spans collapse to their max end deterministically") {
     // feed the KERNEL a raw interval relation with duplicate

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -260,4 +260,48 @@ object CorpusIngest {
         spanIngestBatch(batch, fpIndexDir, cleanDir, id, w)
       }
       .start()
+
+  /** Offline compaction of the span fp index — the lifecycle verb the
+    * per-batch partitions make necessary (each ingest cycle adds a
+    * `batch=<id>` partition; after thousands of cycles the index read
+    * pays a file-listing and small-file tax the fp SET doesn't
+    * justify). Folds every partition into one `batch=compacted`
+    * partition of distinct fps. Returns the distinct-fp count.
+    *
+    * Contract (the ivfCompact stop-compact-restart contract): run
+    * with the owning stream STOPPED, restart it with a FRESH
+    * checkpoint — batch ids restart at 0 over the now-empty numeric
+    * partition space, and the compacted partition is non-numeric so
+    * the as-of read keeps it for every batch, like the seed.
+    *
+    * Crash-safe by ORDER, not by atomicity: the union is staged
+    * OUTSIDE the dir, moved IN before anything is deleted, and the
+    * old partitions deleted last — the index's semantics is
+    * distinct-fp MEMBERSHIP, so every intermediate state (old
+    * partitions only / old + compacted) is a superset of the true
+    * set and answers every semi-join identically; a crash anywhere
+    * leaves a correct index plus garbage a re-run cleans (stale
+    * staging is deleted first, and re-compaction folds the previous
+    * compacted partition like any other).
+    */
+  def compactSpanIndex(s: SparkSession, fpIndexDir: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(fpIndexDir)
+    val fs = root.getFileSystem(conf)
+    val stage = new org.apache.hadoop.fs.Path(s"$fpIndexDir._compact")
+    if (fs.exists(stage)) fs.delete(stage, true) // stale crash leftover
+    val old = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("batch="))
+    s.read.parquet(fpIndexDir).select(col("fp")).distinct()
+      .write.parquet(s"$fpIndexDir._compact/batch=compacted")
+    // move the folded partition IN (membership now duplicated —
+    // harmless), THEN drop the originals; delete-last = never lose fps
+    fs.rename(new org.apache.hadoop.fs.Path(s"$fpIndexDir._compact/batch=compacted"),
+      new org.apache.hadoop.fs.Path(s"$fpIndexDir/batch=compacted.tmp"))
+    old.foreach(p => fs.delete(p, true))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$fpIndexDir/batch=compacted.tmp"),
+      new org.apache.hadoop.fs.Path(s"$fpIndexDir/batch=compacted"))
+    fs.delete(stage, true)
+    s.read.parquet(fpIndexDir).count()
+  }
 }

@@ -169,6 +169,28 @@ class CorpusIngestSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
       .toMap
     assert(replay === got)
+    // lifecycle tail: compaction folds seed + per-batch partitions
+    // into one, preserves the fp SET exactly, and a fresh-checkpoint
+    // ingest (batch ids restart at 0) cuts identically afterwards
+    val before = spark.read.parquet(fpDir)
+      .select("fp").as[Long].collect().toSet
+    val n = CorpusIngest.compactSpanIndex(spark, fpDir)
+    val after = spark.read.parquet(fpDir)
+      .select("fp").as[Long].collect().toSet
+    assert(after === before)
+    assert(n === before.size.toLong) // folded to distinct fps
+    assert(new java.io.File(s"$root/fps").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) === 1)
+    // z1/z2 flank the runs so no window of THIS doc matches b1 doc
+    // 8's published flanks: corpus run k1..k4 → [1,5), batch-1 run
+    // bb1 bb2 bb3 → [6,9), both found through the compacted partition
+    val b3 = Seq((28L, "z1 k1 k2 k3 k4 z2 bb1 bb2 bb3"))
+      .toDF("doc_id", "text")
+    CorpusIngest.spanIngestBatch(b3, fpDir, clean, batchId = 0L, w = 3)
+    val postCompact = spark.read.parquet(clean)
+      .filter($"doc_id" === 28L).select("cut_tokens", "kept_fp")
+      .as[(Long, Long)].collect().toSeq
+    assert(postCompact === Seq((7L, fp("z1 z2"))))
   }
 
   test("stream-static mix: yesterday's plan samples the live firehose, " +

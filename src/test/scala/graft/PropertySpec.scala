@@ -398,6 +398,46 @@ class PropertySpec extends SparkSpec {
       .withMinSuccessfulTests(10).withInitialSeed(Seed(42L)).withWorkers(1), p)
   }
 
+  test("span kernel: mergeIntervals equals a linear-sweep reference " +
+    "on ARBITRARY interval relations (duplicate starts, nested, " +
+    "adjacent, exact duplicates)") {
+    // the round-13 totality claim at kernel grain: every production
+    // caller feeds unique (doc_id, s) intervals, but the kernel must
+    // now be correct and deterministic on ANY interval relation —
+    // same-start intervals collapse to their max end before the
+    // running-max window numbers spans
+    val ivGen = for {
+      n <- Gen.choose(1, 25)
+      xs <- Gen.listOfN(n, for {
+        d <- Gen.choose(1, 3)
+        s <- Gen.choose(0, 20)
+        len <- Gen.choose(1, 6)
+      } yield (d.toLong, s.toLong, (s + len).toLong))
+    } yield xs
+    val p = Prop.forAll(ivGen) { xs =>
+      val got = TextAnalysis.mergeIntervals(xs.toDF("doc_id", "s", "e"))
+        .select("doc_id", "span_id", "span_start", "span_end",
+          "span_tokens")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val expected = xs.groupBy(_._1).flatMap { case (d, ivs) =>
+        val sorted = ivs.map(x => (x._2, x._3)).distinct
+          .sortBy(identity)
+        val spans = scala.collection.mutable.ListBuffer[(Long, Long)]()
+        sorted.foreach { case (s, e) =>
+          if (spans.nonEmpty && s <= spans.last._2)
+            spans(spans.size - 1) =
+              (spans.last._1, math.max(spans.last._2, e))
+          else spans += ((s, e))
+        }
+        spans.zipWithIndex.map { case ((a, b), i) =>
+          (d, (i + 1).toLong, a, b, b - a) }
+      }.toSet
+      got == expected
+    }
+    check("merge-intervals", SCTest.Parameters.default
+      .withMinSuccessfulTests(10).withInitialSeed(Seed(42L)).withWorkers(1), p)
+  }
+
   test("simhash banding: hamming ≤ 3 pairs always share a chunk " +
     "(pigeonhole), 4 spread bits need not") {
     // the EXACT-recall claim of dedup_simhash_pairs, on the live

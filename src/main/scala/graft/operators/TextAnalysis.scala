@@ -1581,8 +1581,9 @@ object TextAnalysis {
     * query and the streaming ingest twin — one codepath, so stream ≡
     * batch is a construction fact (CorpusIngestSpec pins it).
     */
-  private def spanFromIndex(batchWfp: DataFrame, corpusFps: DataFrame,
-                            w: Int): DataFrame =
+  private[graft] def spanFromIndex(batchWfp: DataFrame,
+                                   corpusFps: DataFrame,
+                                   w: Int): DataFrame =
     mergeIntervals(batchWfp
       .join(corpusFps, Seq("fp"), "left_semi")
       .select(col("doc_id"), col("s"), (col("s") + w).as("e")))
@@ -1622,13 +1623,18 @@ object TextAnalysis {
        |  FROM wn)""".stripMargin
 
   private val spanMergeTailSql =
+    // ORDER BY (s, e DESC) mirrors the round-13 kernel totality
+    // ordering verbatim (widest same-start interval first) — on the
+    // registered inputs e = s + w so it is the old ORDER BY s, but
+    // the shared-semantics claim must hold on ANY interval relation
     """mg AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
-      |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    ORDER BY s, e DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |    AS pmax
       |  FROM sp),
       |gs AS (SELECT doc_id, s, e,
       |    CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY doc_id ORDER BY s
+      |      OVER (PARTITION BY doc_id ORDER BY s, e DESC
       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
       |  FROM mg),
       |spans AS (SELECT doc_id, span_id, MIN(s) AS span_start,

@@ -38,7 +38,10 @@ object CorpusIngest {
     * the batch column rides along as lineage metadata).
     */
   def processBatch(batch: DataFrame, cleanDir: String,
-                   quarantineDir: String, batchId: Long = 0L): Unit = {
+                   quarantineDir: String, batchId: Long): Unit = {
+    // batchId is deliberately NOT defaulted: the old 3-arg signature
+    // appended, and a defaulted 0 would keep old call sites compiling
+    // while silently overwriting batch=0 on every call
     if (!batch.isEmpty) {
       // gate once per batch; both sinks consume the same result
       val gated = TextAnalysis.corpusGate(batch).localCheckpoint()
@@ -185,12 +188,55 @@ object CorpusIngest {
     * — one `batch=seed` partition of distinct fps, the same relation
     * corpusWindowFps derives. Later ingest batches land beside it as
     * `batch=<id>` partitions, so one plain partition-discovery read
-    * returns the whole index.
+    * returns the whole index. The dir is stamped with the window
+    * size: fp universes are disjoint across w (a w=25 window never
+    * hashes like a w=50 one), so an ingest at the wrong w would
+    * silently detect NOTHING — the same failure class the ANN
+    * store's `_encode_contract` stamp exists for, handled the same
+    * way (contradiction refuses, absence warns).
     */
   def seedSpanIndex(corpus: DataFrame, fpIndexDir: String,
-                    w: Int = TextAnalysis.ChunkW): Unit =
+                    w: Int = TextAnalysis.ChunkW): Unit = {
     corpusWindowFps(corpus, w)
       .write.mode("overwrite").parquet(s"$fpIndexDir/batch=seed")
+    writeWStamp(corpus.sparkSession, fpIndexDir, w)
+  }
+
+  private def stampPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_w_contract")
+
+  private def writeWStamp(s: SparkSession, dir: String, w: Int): Unit = {
+    val p = stampPath(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(w.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Check the index dir's w stamp against the caller's w: refuse on
+    * contradiction (the index is for a DIFFERENT window size — every
+    * semi-join would silently miss), warn-and-stamp on absence (a
+    * pre-stamp dir; adopt the caller's w so the next mismatch is
+    * caught).
+    */
+  private def checkWStamp(s: SparkSession, dir: String, w: Int): Unit = {
+    val p = stampPath(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stamped = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      if (stamped != w.toString)
+        throw new IllegalStateException(
+          s"span fp index at $dir is stamped w=$stamped but the ingest " +
+            s"runs w=$w — the fp universes are disjoint across window " +
+            "sizes, so every span would be silently missed; rebuild the " +
+            "index at the new w (seedSpanIndex) or run the stamped w")
+    } else {
+      System.err.println(s"[graft] WARN span fp index at $dir has no w " +
+        s"stamp; adopting w=$w and stamping it")
+      writeWStamp(s, dir, w)
+    }
+  }
 
   /** One span-ingest micro-batch — the production preprocessing shape
     * (Lee et al. §4 cuts at preprocessing time): read the CURRENT fp
@@ -229,16 +275,25 @@ object CorpusIngest {
                       w: Int = TextAnalysis.ChunkW): Unit = {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
+      checkWStamp(spark, fpIndexDir, w) // wrong-w index = silent no-op
       // partition-discovery `batch` column = the as-of key: numeric
-      // partitions keep iff id < batchId; the non-numeric seed
-      // partition try_casts to NULL (ANSI-safe) and coalesces to kept
+      // partitions keep iff id < batchId; the non-numeric seed and
+      // compacted partitions try_cast to NULL (ANSI-safe) and
+      // coalesce to kept
       val idx = spark.read.parquet(fpIndexDir)
         .filter(coalesce(expr("try_cast(batch AS BIGINT)") < lit(batchId),
           lit(true)))
         .select(col("fp"))
-      TextAnalysis.spanCutAgainstIndex(batch, idx, w)
+      // ONE window-fingerprint pass per batch: detection and the fp
+      // publish both read it (the explode+md5 pipeline is the
+      // dominant per-batch cost — the batch operator checkpoints it
+      // for the same reason); the cut's tokenize is a separate,
+      // cheaper relation (full token arrays, not windows)
+      val wfp = TextAnalysis.spanWindows(batch, w).localCheckpoint(false)
+      TextAnalysis.spanCutWith(batch,
+          TextAnalysis.spanFromIndex(wfp, idx, w))
         .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
-      TextAnalysis.spanWindows(batch, w).select(col("fp")).distinct()
+      wfp.select(col("fp")).distinct()
         .write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
     }
   }
@@ -268,38 +323,56 @@ object CorpusIngest {
     * justify). Folds every partition into one `batch=compacted`
     * partition of distinct fps. Returns the distinct-fp count.
     *
-    * Contract (the ivfCompact stop-compact-restart contract): run
-    * with the owning stream STOPPED, restart it with a FRESH
-    * checkpoint — batch ids restart at 0 over the now-empty numeric
-    * partition space, and the compacted partition is non-numeric so
-    * the as-of read keeps it for every batch, like the seed.
+    * Contract: run with the owning stream STOPPED (cleanly — its
+    * checkpoint committed), then restart it with the SAME checkpoint:
+    * batch ids continue monotonically, so the as-of read keeps
+    * working (the compacted partition is non-numeric → kept for
+    * every batch, and post-compaction batches are newer than every
+    * folded id), replay can never reach below the fold, and —
+    * crucially — cleanDir's batchId-keyed partitions are never
+    * re-numbered, so no cleaned output is ever overwritten. A FRESH
+    * checkpoint restarts batch ids at 0 and must only ever be paired
+    * with a fresh cleanDir (ids would collide with the old epoch's
+    * partitions and overwrite them) — the same single-owner contract
+    * as the ANN store's ingest tail.
     *
-    * Crash-safe by ORDER, not by atomicity: the union is staged
-    * OUTSIDE the dir, moved IN before anything is deleted, and the
-    * old partitions deleted last — the index's semantics is
-    * distinct-fp MEMBERSHIP, so every intermediate state (old
-    * partitions only / old + compacted) is a superset of the true
-    * set and answers every semi-join identically; a crash anywhere
-    * leaves a correct index plus garbage a re-run cleans (stale
-    * staging is deleted first, and re-compaction folds the previous
-    * compacted partition like any other).
+    * Crash-safe by ORDER, not by atomicity: (1) the union of
+    * EVERYTHING under batch=* (including any previous attempt's
+    * leftovers) is staged OUTSIDE the dir; (2) the staged fold moves
+    * IN under a fresh batch=compactedN name — from here the new fold
+    * alone covers the whole set; (3) only then are the old
+    * partitions deleted; (4) the fold is renamed to its final
+    * batch=compacted name (free since the old one was deleted in 3).
+    * Every intermediate state keeps the dir a SUPERSET of the true
+    * fp set (membership semantics: supersets answer every semi-join
+    * identically), every rename is require-checked rather than
+    * ignored, and a re-run after any crash folds the leftovers like
+    * any other partition because compactedN names live under
+    * batch=*. The non-numeric compactedN names are kept by the
+    * as-of read like the seed, so even a crashed state serves reads
+    * correctly.
     */
   def compactSpanIndex(s: SparkSession, fpIndexDir: String): Long = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(fpIndexDir)
     val fs = root.getFileSystem(conf)
     val stage = new org.apache.hadoop.fs.Path(s"$fpIndexDir._compact")
-    if (fs.exists(stage)) fs.delete(stage, true) // stale crash leftover
+    // stale staging never holds the only copy (it is renamed away the
+    // instant it becomes load-bearing) — safe to drop
+    if (fs.exists(stage)) fs.delete(stage, true)
     val old = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("batch="))
     s.read.parquet(fpIndexDir).select(col("fp")).distinct()
       .write.parquet(s"$fpIndexDir._compact/batch=compacted")
-    // move the folded partition IN (membership now duplicated —
-    // harmless), THEN drop the originals; delete-last = never lose fps
-    fs.rename(new org.apache.hadoop.fs.Path(s"$fpIndexDir._compact/batch=compacted"),
-      new org.apache.hadoop.fs.Path(s"$fpIndexDir/batch=compacted.tmp"))
+    val taken = old.map(_.getName).toSet
+    val fresh = Iterator.from(0).map(i => s"batch=compacted$i")
+      .find(!taken.contains(_)).get
+    def mv(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(a, b), s"compactSpanIndex: rename $a -> $b failed")
+    mv(new org.apache.hadoop.fs.Path(s"$fpIndexDir._compact/batch=compacted"),
+      new org.apache.hadoop.fs.Path(s"$fpIndexDir/$fresh"))
     old.foreach(p => fs.delete(p, true))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$fpIndexDir/batch=compacted.tmp"),
+    mv(new org.apache.hadoop.fs.Path(s"$fpIndexDir/$fresh"),
       new org.apache.hadoop.fs.Path(s"$fpIndexDir/batch=compacted"))
     fs.delete(stage, true)
     s.read.parquet(fpIndexDir).count()

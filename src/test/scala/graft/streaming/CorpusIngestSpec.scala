@@ -170,8 +170,9 @@ class CorpusIngestSpec extends SparkSpec {
       .toMap
     assert(replay === got)
     // lifecycle tail: compaction folds seed + per-batch partitions
-    // into one, preserves the fp SET exactly, and a fresh-checkpoint
-    // ingest (batch ids restart at 0) cuts identically afterwards
+    // into one, preserves the fp SET exactly, and the SAME-checkpoint
+    // continuation (next batch id, per the contract) cuts identically
+    // afterwards without touching earlier cleaned partitions
     val before = spark.read.parquet(fpDir)
       .select("fp").as[Long].collect().toSet
     val n = CorpusIngest.compactSpanIndex(spark, fpDir)
@@ -186,11 +187,19 @@ class CorpusIngestSpec extends SparkSpec {
     // bb1 bb2 bb3 → [6,9), both found through the compacted partition
     val b3 = Seq((28L, "z1 k1 k2 k3 k4 z2 bb1 bb2 bb3"))
       .toDF("doc_id", "text")
-    CorpusIngest.spanIngestBatch(b3, fpDir, clean, batchId = 0L, w = 3)
+    CorpusIngest.spanIngestBatch(b3, fpDir, clean, batchId = 2L, w = 3)
     val postCompact = spark.read.parquet(clean)
-      .filter($"doc_id" === 28L).select("cut_tokens", "kept_fp")
-      .as[(Long, Long)].collect().toSeq
-    assert(postCompact === Seq((7L, fp("z1 z2"))))
+      .select("doc_id", "cut_tokens", "kept_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(postCompact(28L) === ((7L, fp("z1 z2"))))
+    // the earlier epochs' cleaned partitions are untouched
+    assert(postCompact - 28L === got)
+    // and a wrong-w ingest REFUSES instead of silently missing spans
+    val ex = intercept[IllegalStateException] {
+      CorpusIngest.spanIngestBatch(b3, fpDir, clean, batchId = 3L, w = 5)
+    }
+    assert(ex.getMessage.contains("stamped w=3"))
   }
 
   test("stream-static mix: yesterday's plan samples the live firehose, " +

@@ -202,6 +202,50 @@ class CorpusIngestSpec extends SparkSpec {
     assert(ex.getMessage.contains("stamped w=3"))
   }
 
+  test("compaction crash states: re-run converges from every leftover " +
+    "layout and the fp set is preserved throughout") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("spancomp").toString
+    val dir = s"$root/fps"
+    val corpus = Seq((7L, "k1 k2 k3 k4 filler words here")).toDF("doc_id", "text")
+    CorpusIngest.seedSpanIndex(corpus, dir, w = 3)
+    graft.operators.TextAnalysis.spanWindows(
+        Seq((8L, "aa bb cc dd ee")).toDF("doc_id", "text"), 3)
+      .select(col("fp")).distinct()
+      .write.parquet(s"$dir/batch=0")
+    graft.operators.TextAnalysis.spanWindows(
+        Seq((18L, "pp qq rr ss")).toDF("doc_id", "text"), 3)
+      .select(col("fp")).distinct()
+      .write.parquet(s"$dir/batch=1")
+    val truth = spark.read.parquet(dir).select("fp").as[Long].collect().toSet
+    def fpSet = spark.read.parquet(dir).select("fp").as[Long].collect().toSet
+    def partitions = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    // crash state A (after move-in, before deletes): the fold sits
+    // beside every original as batch=compacted0 — a duplicated
+    // superset; reads must already be correct, and a re-run converges
+    spark.read.parquet(dir).select("fp").distinct()
+      .write.parquet(s"$dir/batch=compacted0")
+    assert(fpSet === truth) // superset state answers identically
+    assert(CorpusIngest.compactSpanIndex(spark, dir) === truth.size.toLong)
+    assert(fpSet === truth)
+    assert(partitions === Set("batch=compacted"))
+    // crash state B (after deletes, before the final rename): ONLY
+    // the fresh-named fold remains
+    assert(new java.io.File(s"$dir/batch=compacted")
+      .renameTo(new java.io.File(s"$dir/batch=compacted0")))
+    assert(fpSet === truth) // non-numeric partition serves reads
+    assert(CorpusIngest.compactSpanIndex(spark, dir) === truth.size.toLong)
+    assert(fpSet === truth)
+    assert(partitions === Set("batch=compacted"))
+    // stale staging from a crash mid-write is swept, not folded
+    new java.io.File(s"$dir._compact/batch=compacted").mkdirs()
+    assert(CorpusIngest.compactSpanIndex(spark, dir) === truth.size.toLong)
+    assert(fpSet === truth)
+    assert(!new java.io.File(s"$dir._compact").exists())
+  }
+
   test("stream-static mix: yesterday's plan samples the live firehose, " +
     "one codepath with the batch operator") {
     import graft.operators.TextAnalysis

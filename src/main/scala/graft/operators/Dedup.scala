@@ -557,11 +557,24 @@ object Dedup {
     val withB = docs.withColumn("b", bucket10(col("doc_id"), lit(5L)))
     val trainSh = docShingleHashes(withB.filter(col("b") < 8).drop("b"))
       .select(col("sh")).distinct()
-    val evalSh = docShingleHashes(withB.filter(col("b") >= 8).drop("b"))
-      .localCheckpoint(false)
-    val n = evalSh.groupBy(col("doc_id"))
+    overlapAgainstIndex(
+      docShingleHashes(withB.filter(col("b") >= 8).drop("b")), trainSh, t)
+  }
+
+  /** Per-doc shingle overlap against a static distinct-shingle index
+    * — THE decontamination kernel (round 13), one copy shared by both
+    * directions (eval-vs-train and train-vs-eval) and by the
+    * streaming ingest guard, so the overlap/flag semantics cannot
+    * drift. Index side is 8-byte keys only; the doc side semi-joins
+    * on them — never doc×doc.
+    */
+  private[graft] def overlapAgainstIndex(docSh0: DataFrame,
+                                         indexSh: DataFrame,
+                                         t: Double): DataFrame = {
+    val docSh = docSh0.localCheckpoint(false) // counts + the semi-join
+    val n = docSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
-    val hit = evalSh.join(trainSh, Seq("sh"), "left_semi")
+    val hit = docSh.join(indexSh, Seq("sh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
     n.join(hit, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
@@ -570,6 +583,27 @@ object Dedup {
       .withColumn("contaminated", (col("overlap_ratio") >= t).cast("int"))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         col("overlap_ratio"), col("contaminated"))
+  }
+
+  /** The FLIPPED decontamination direction — every TRAIN doc scored
+    * against the EVAL split's distinct-shingle index: the ingest-time
+    * hygiene pass production pipelines run (the eval/benchmark set is
+    * FIXED; no training document may carry its content, or the
+    * benchmark is memorized — Lee et al. §6.2, GPT-3 appendix C).
+    * dedup_eval_contamination asks "is my eval clean given this
+    * train?"; this asks "may this train doc enter the corpus given my
+    * eval?" — the direction a streaming ingest needs, and
+    * CorpusIngest.runEvalGuard is its per-batch twin on the SAME
+    * kernel. Scale shape identical: the eval side collapses to
+    * distinct 8-byte keys (broadcast-sized for any benchmark suite),
+    * train docs semi-join on them at corpus-linear cost.
+    */
+  def trainContamination(docs: DataFrame, t: Double = ContamT): DataFrame = {
+    val withB = docs.withColumn("b", bucket10(col("doc_id"), lit(5L)))
+    val evalSh = docShingleHashes(withB.filter(col("b") >= 8).drop("b"))
+      .select(col("sh")).distinct()
+    overlapAgainstIndex(
+      docShingleHashes(withB.filter(col("b") < 8).drop("b")), evalSh, t)
   }
 
   /** The 100 TB form of evalContamination: the train side collapses
@@ -1366,6 +1400,26 @@ object Dedup {
               |nn AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
               |hit AS (SELECT doc_id, COUNT(*) AS n_overlap FROM ev
               |  WHERE sh IN (SELECT sh FROM tr) GROUP BY 1)
+              |SELECT nn.doc_id, nn.n_shingles,
+              |COALESCE(hit.n_overlap, 0) AS n_overlap,
+              |ROUND(CAST(COALESCE(hit.n_overlap, 0) AS DOUBLE) / nn.n_shingles, 6) AS overlap_ratio,
+              |CAST(ROUND(CAST(COALESCE(hit.n_overlap, 0) AS DOUBLE) / nn.n_shingles, 6) >= $ContamT AS INT) AS contaminated
+              |FROM nn LEFT JOIN hit ON nn.doc_id = hit.doc_id""".stripMargin)),
+
+    // Round 13: the flipped decontamination direction — train docs
+    // scored against the eval shingle index (see trainContamination;
+    // same kernel as the eval direction, same bucket split, sides
+    // exchanged in the oracle text operand-for-operand).
+    QueryDef("dedup_train_contamination",
+      (s, d) => trainContamination(docs(s, d)),
+      Some(s"""WITH $shSql,
+              |tr AS (SELECT s2.doc_id, s2.sh FROM sh s2
+              |  WHERE ((s2.doc_id % 100003) * 31 + 5 * 97) % 10 < 8),
+              |ev AS (SELECT DISTINCT s3.sh FROM sh s3
+              |  WHERE ((s3.doc_id % 100003) * 31 + 5 * 97) % 10 >= 8),
+              |nn AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+              |hit AS (SELECT doc_id, COUNT(*) AS n_overlap FROM tr
+              |  WHERE sh IN (SELECT sh FROM ev) GROUP BY 1)
               |SELECT nn.doc_id, nn.n_shingles,
               |COALESCE(hit.n_overlap, 0) AS n_overlap,
               |ROUND(CAST(COALESCE(hit.n_overlap, 0) AS DOUBLE) / nn.n_shingles, 6) AS overlap_ratio,

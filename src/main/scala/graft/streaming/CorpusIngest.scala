@@ -135,6 +135,49 @@ object CorpusIngest {
       }
       .start()
 
+  // ---- stream-static eval decontamination
+  //      (Dedup.trainContamination's streaming twin, round 13) ----
+
+  /** The static eval-side index previous publications persist: the
+    * benchmark/eval suite's distinct shingle hashes — 8-byte keys,
+    * broadcast-sized for any real eval suite.
+    */
+  def evalShingleIndex(evalDocs: DataFrame): DataFrame =
+    graft.operators.Dedup.docShingleHashes(evalDocs)
+      .select(col("sh")).distinct()
+
+  /** One micro-batch of the ingest-time decontamination gate: score
+    * every incoming training doc against the eval index through the
+    * ONE shared overlap kernel (Dedup.overlapAgainstIndex — the same
+    * code the registered dedup_train_contamination row runs) and drop
+    * docs at overlap ≥ t; docs too short to shingle carry no eval
+    * content and pass. Per batch the eval side is touched only
+    * through the 8-byte key semi-join — batch-sized cost.
+    */
+  def evalGuardBatch(batch: DataFrame, evalSh: DataFrame,
+                     t: Double = graft.operators.Dedup.ContamT)
+  : DataFrame = {
+    val D = graft.operators.Dedup
+    val flagged = D.overlapAgainstIndex(D.docShingleHashes(batch),
+        evalSh, t)
+      .filter(col("contaminated") === 1).select(col("doc_id"))
+    batch.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** The wired stream: survivors append under batchId-keyed overwrite
+    * partitions (replay-idempotent, the processBatch device).
+    */
+  def runEvalGuard(docs: DataFrame, evalSh: DataFrame, cleanDir: String,
+                   checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val kept = evalGuardBatch(batch, evalSh)
+        if (!kept.isEmpty)
+          kept.write.mode("overwrite").parquet(s"$cleanDir/batch=$id")
+      }
+      .start()
+
   // ---- stream-static exact-substring span dedup
   //      (TextAnalysis.spanMergeIncremental's streaming twin) ----
 

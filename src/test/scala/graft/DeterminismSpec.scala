@@ -158,6 +158,7 @@ class DeterminismSpec extends SparkSpec {
     "dedup_span_incremental", // corpus-index semi-join + same merge
     "dedup_span_cut_incremental", // index-derived spans + shared cut tail
     "dedup_span_w_sweep",     // mass report per swept window size
+    "dedup_train_contamination", // flipped-direction overlap kernel
     "dedup_cluster_agreement", // two CC labelings + pair-mass ratios
     "sim_canary_sum_raw")     // data-free sum-emission probe (trivially)
 

@@ -178,6 +178,28 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(1L)) // train docs are not scored
   }
 
+  test("train contamination flags train docs carrying eval content " +
+    "(the flipped, ingest-time direction)") {
+    // same bucket arithmetic as the eval-direction test: ids ending
+    // 3/4 are eval, others train. Train doc 1 copies eval doc 13's
+    // text → flagged; train doc 2 is fresh → clean; eval docs are
+    // not scored in this direction.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val d = Seq(
+      Doc(1, shared),                                             // train, dirty
+      Doc(2, "clean training words with no benchmark overlap at all"), // train
+      Doc(13, shared),                                            // eval
+      Doc(23, "fresh words never appearing anywhere in training data")) // eval
+      .toDF()
+    val got = Dedup.trainContamination(d)
+      .select("doc_id", "overlap_ratio", "contaminated")
+      .as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((1.0, 1)))
+    assert(got(2L) === ((0.0, 0)))
+    assert(got.keySet === Set(1L, 2L)) // eval docs not scored here
+  }
+
   test("containment: embedded doc scores 1.0 in its direction") {
     // doc 2 = doc 1 + " extra": every shingle of 1 appears in 2
     val got = Dedup.containment(docs, t = 0.9)

@@ -49,6 +49,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.clusterAgreement(docs0).count() === 1) // 1-row report
     // with zero pair masses and NULL ppm ratios
     assert(Dedup.exact(docs0).count() === 0)
+    assert(Dedup.trainContamination(docs0).count() === 0)
     assert(Dedup.ngramJaccard(docs0).count() === 0)
     assert(Dedup.ppjoinPrefix(docs0).count() === 0)
     assert(Dedup.minhashLsh(docs0).count() === 0)

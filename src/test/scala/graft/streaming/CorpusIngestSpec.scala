@@ -202,6 +202,39 @@ class CorpusIngestSpec extends SparkSpec {
     assert(ex.getMessage.contains("stamped w=3"))
   }
 
+  test("stream-static eval guard drops incoming docs that carry eval " +
+    "content, one kernel with the batch operator") {
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("evalguard").toString
+    val evalDocs = Seq(
+      (13L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val idx = CorpusIngest.evalShingleIndex(evalDocs).cache()
+    val in = MemoryStream[StreamDoc]
+    val q = CorpusIngest.runEvalGuard(in.toDF().select($"doc_id", $"text"),
+      idx, s"$root/clean", s"$root/ckpt")
+    in.addData(
+      StreamDoc(100, "alpha beta gamma delta epsilon zeta eta theta iota",
+        "en", "web"),                                      // eval copy: drop
+      StreamDoc(101, "completely fresh training text with new words only",
+        "en", "web"))                                      // keep
+    q.processAllAvailable()
+    in.addData(StreamDoc(102, "short", "en", "web"))       // no shingles: keep
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$root/clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(101L, 102L))
+    // one kernel: the stream kept exactly what the batch verb keeps
+    val all = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (101L, "completely fresh training text with new words only"),
+      (102L, "short")).toDF("doc_id", "text")
+    val batchKept = CorpusIngest.evalGuardBatch(all, idx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept === kept)
+  }
+
   test("compaction crash states: re-run converges from every leftover " +
     "layout and the fp set is preserved throughout") {
     import org.apache.spark.sql.functions.col

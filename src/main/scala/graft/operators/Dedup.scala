@@ -343,14 +343,35 @@ object Dedup {
     */
   def minhashLshFrom(sh: DataFrame, t: Double = JaccardT): DataFrame = {
     val bands = bandSignaturesFrom(minhashSignaturesFrom(sh))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
     // verify: exact Jaccard on the candidate pairs only, off the same
     // checkpointed shingle-hash table as the signatures
+    jaccardVerifyFrom(bandCandidates(bands, bands, half = true), sh, t)
+  }
+
+  /** Bucket-join of two band-signature index sides — the LSH candidate
+    * generator behind the batch, incremental-pair, and
+    * incremental-cluster passes. `half` keeps `x.doc_id < y.doc_id`
+    * (the self-join form); cross-side callers pass `half = false`
+    * (sides disjoint by the split rule, so no self-pairs and no dups).
+    */
+  private def bandCandidates(x: DataFrame, y: DataFrame,
+                             half: Boolean): DataFrame =
+    x.as("x")
+      .join(y.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          (if (half) col("x.doc_id") < col("y.doc_id") else lit(true)))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+
+  /** Exact-Jaccard verification of a candidate pair list against a
+    * materialized (doc_id, sh) shingle table — THE verify kernel every
+    * MinHash-LSH consumer shares (minhashLshFrom, incrementalDedup,
+    * clustersIncremental), so the emitted edge relation cannot drift
+    * between the batch and incremental forms. Candidate-bounded: the
+    * pair list keys both shingle joins. Emits (i, j, jaccard ≥ t).
+    */
+  private[graft] def jaccardVerifyFrom(cand: DataFrame, sh: DataFrame,
+                                       t: Double): DataFrame = {
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.as("a"), col("i") === col("a.doc_id"))
@@ -429,26 +450,102 @@ object Dedup {
   def incrementalDedup(docs: DataFrame, t: Double = JaccardT): DataFrame = {
     val sh = docShingleHashes(docs).localCheckpoint(false)
     val bands = bandSignaturesFrom(minhashSignaturesFrom(sh))
-    val cand = bands.filter(col("doc_id") % 10 < 8).as("x")
-      .join(bands.filter(col("doc_id") % 10 >= 8).as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.as("a"), col("i") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("j") === col("b.doc_id") && col("a.sh") === col("b.sh"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(n.as("na"), col("i") === col("na.doc_id"))
-      .join(n.as("nb"), col("j") === col("nb.doc_id"))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("na.n") + col("nb.n") - col("common")), 6))
-      .filter(col("jaccard") >= t)
+    val cand = bandCandidates(bands.filter(col("doc_id") % 10 < 8),
+      bands.filter(col("doc_id") % 10 >= 8), half = false)
+    jaccardVerifyFrom(cand, sh, t)
       .select(col("i").as("corpus_id"), col("j").as("batch_id"),
         col("jaccard"))
+  }
+
+  /** Incremental CLUSTER maintenance — the daily-ingest shape one
+    * level up from incrementalDedup: that pass detects cross-side
+    * pairs; a production corpus also has to fold those pairs into the
+    * PERSISTED cluster labels without re-running global connected
+    * components over the corpus. Quotient-graph construction: each
+    * prior component contracts to its canonical id (a supervertex),
+    * every new edge — corpus×batch from the band index plus
+    * batch-internal — is projected through the prior label map, and
+    * the CC fixpoint runs on that contracted graph alone, whose size
+    * is bounded by |batch| + 2·|new edges|, NEVER the corpus. Corpus
+    * docs then relabel through one broadcast join (scan bandwidth).
+    *
+    * EXACTNESS, the registered contract: the output equals
+    * dedupClustersLsh over the full corpus, row for row — the oracle
+    * IS the full-recompute closure (the dedup_clusters_lsh text,
+    * shared verbatim). Proof: band signatures are per-doc
+    * deterministic, so corpus-internal edges are identical whether the
+    * batch exists or not (prior labels = their CC), and cross/batch
+    * edges come from the same bandCandidates + jaccardVerifyFrom
+    * kernels the full pass uses; CC of a graph equals the expansion of
+    * CC of its quotient by any union of connected subsets; and min-id
+    * labels survive contraction because each supervertex id is its
+    * subcomponent's min, so min over supervertex ids = min over member
+    * ids. DedupSpec plants the hard case — one batch doc MERGING two
+    * prior corpus clusters — and PropertySpec states the equivalence
+    * as a law on generated corpora.
+    *
+    * At 100 TB: `prior` is the label table the previous pass
+    * persisted and the corpus-side `bands`/`sh` rows are the persisted
+    * LSH index (both derived in-query here, driver-shape); per-ingest
+    * cost is then batch-sized — sign the batch, two band joins keyed
+    * by the index, candidate-bounded verify, CC on the contracted
+    * subgraph, one broadcast relabel join over the corpus labels.
+    */
+  def clustersIncremental(docsDf: DataFrame,
+                          t: Double = JaccardT): DataFrame = {
+    val isBatch = col("doc_id") % 10 >= 8
+    // ONE shingle pass + ONE signature pass feed the prior clustering,
+    // both candidate joins, and the shared verify
+    val sh = docShingleHashes(docsDf).localCheckpoint(false)
+    val bands = bandSignaturesFrom(minhashSignaturesFrom(sh))
+      .localCheckpoint(false)
+    val bc = bands.filter(!isBatch)
+    val bb = bands.filter(isBatch)
+    // prior labels: stand-in for the persisted label table — the CC of
+    // the corpus-only edge relation (≡ dedupClustersLsh on that side)
+    val prior = labelComponents(
+      jaccardVerifyFrom(bandCandidates(bc, bc, half = true), sh, t)
+        .select(col("i"), col("j")),
+      docsDf.filter(!isBatch).select(col("doc_id")))
+      .select(col("doc_id"), col("canonical_id"))
+      .localCheckpoint(false) // read by the contraction (twice) + relabel
+    // the NEW edges an ingest sees: corpus×batch + batch-internal —
+    // the corpus×corpus pair space never forms
+    val edgesNew = jaccardVerifyFrom(
+      bandCandidates(bc, bb, half = false)
+        .unionByName(bandCandidates(bb, bb, half = true)), sh, t)
+      .select(col("i"), col("j"))
+    // contract through the prior labels: corpus endpoints become their
+    // canonical supervertex, batch endpoints ride as themselves (the
+    // i≠j guard is totality only — sides are disjoint by the split)
+    val pi = prior.select(col("doc_id").as("i"), col("canonical_id").as("ci"))
+    val pj = prior.select(col("doc_id").as("j"), col("canonical_id").as("cj"))
+    val contracted = edgesNew
+      .join(pi, Seq("i"), "left").join(pj, Seq("j"), "left")
+      .select(coalesce(col("ci"), col("i")).as("i"),
+        coalesce(col("cj"), col("j")).as("j"))
+      .filter(col("i") =!= col("j"))
+      .localCheckpoint(false) // universe (twice) + the CC pass
+    // supervertex universe = batch ids ∪ touched prior canonicals —
+    // the claimed |batch| + 2·|new edges| bound, visible in the plan
+    val universe = docsDf.filter(isBatch).select(col("doc_id"))
+      .unionByName(contracted.select(col("i").as("doc_id")))
+      .unionByName(contracted.select(col("j").as("doc_id")))
+      .distinct()
+    val sl = labelComponents(contracted, universe)
+      .select(col("doc_id").as("sv"), col("canonical_id").as("lbl"))
+    // relabel at doc grain: corpus docs route through their prior
+    // canonical, batch docs through themselves; untouched components
+    // keep their prior label via the coalesce
+    docsDf.select(col("doc_id"))
+      .join(prior.withColumnRenamed("canonical_id", "pl"),
+        Seq("doc_id"), "left")
+      .withColumn("sv", coalesce(col("pl"), col("doc_id")))
+      .join(broadcast(sl), Seq("sv"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("sv")).as("canonical_id"))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("canonical_id")).cast("int"))
   }
 
   /** 60-bit SimHash per doc from token-occurrence hashes: bit k is set
@@ -1303,6 +1400,22 @@ object Dedup {
     s"FROM documents WHERE ((doc_id % 100003)*31 + $MonitorSalt*97) % 10" +
       s" < $MonitorBuckets")
 
+  /** The full-recompute LSH clustering: banded candidates, exact
+    * verify, recursive reachability closure. ONE text shared by
+    * dedup_clusters_lsh AND dedup_clusters_incremental — the
+    * incremental pass's registered contract is exact equality with
+    * the whole-corpus recompute, so it answers to the same oracle.
+    */
+  private val clustersLshSql =
+    s"""WITH $shSql,
+       |$sigSql,
+       |$lshEdgesSql,
+       |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+       |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+       |$ccFixSql
+       |SELECT doc_id, lbl AS canonical_id,
+       |CAST(doc_id = lbl AS INT) AS is_canonical FROM lcc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("dedup_exact",
@@ -1622,15 +1735,16 @@ object Dedup {
     // dedup_clusters' scale form; see dedupClustersLsh.
     QueryDef("dedup_clusters_lsh",
       (s, d) => dedupClustersLsh(docs(s, d)),
-      Some(
-        s"""WITH $shSql,
-           |$sigSql,
-           |$lshEdgesSql,
-           |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
-           |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
-           |$ccFixSql
-           |SELECT doc_id, lbl AS canonical_id,
-           |CAST(doc_id = lbl AS INT) AS is_canonical FROM lcc""".stripMargin)),
+      Some(clustersLshSql)),
+
+    // Incremental cluster maintenance (see clustersIncremental). The
+    // oracle is dedup_clusters_lsh's full-recompute closure, shared
+    // VERBATIM — the registered contract is that folding the batch's
+    // new edges into the prior labels through the contracted graph
+    // reproduces the whole-corpus recompute row for row.
+    QueryDef("dedup_clusters_incremental",
+      (s, d) => clustersIncremental(docs(s, d)),
+      Some(clustersLshSql)),
 
     QueryDef("dedup_cluster_weights",
       (s, d) => clusterWeights(docs(s, d)),

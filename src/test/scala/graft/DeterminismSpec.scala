@@ -77,6 +77,7 @@ class DeterminismSpec extends SparkSpec {
     "dedup_ngram_jaccard_capped", // df-capped co-count self-join
     "dedup_semantic",         // cell assign + in-cell greedy prune
     "dedup_incremental",      // corpus×batch band join + verify
+    "dedup_clusters_incremental", // quotient-graph CC + broadcast relabel
     "mix_prototype_prune",    // per-cell rank + integer cut count
     "txt_nb_classifier",      // micro-nat integer argmax
     "txt_dsir_select",        // hashed-bucket LM ratio top-k

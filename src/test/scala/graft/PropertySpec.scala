@@ -465,6 +465,44 @@ class PropertySpec extends SparkSpec {
     assert(!chunks(h).zip(chunks(h4)).exists { case (a, b) => a == b })
   }
 
+  test("incremental clusters: ≡ full LSH recompute on generated corpora") {
+    // the quotient-graph law behind dedup_clusters_incremental: for
+    // ANY corpus (and hence any %10 corpus/batch split and any set of
+    // LSH-surfaced edges — both paths share the banding and verify
+    // kernels, so the law holds regardless of banding recall),
+    // folding the batch's new edges into the prior labels through the
+    // contracted graph equals CC over the full corpus. Generator:
+    // clone groups from a small template pool with filler suffixes,
+    // ids spread across the split classes so clusters straddle sides.
+    val templates = Vector(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "north south east west river mountain valley forest desert sea",
+      "spark catalyst tungsten codegen shuffle exchange predicate scan")
+    val fill = Vector("one", "two", "three", "four")
+    val corpusGen = for {
+      n <- Gen.choose(4, 18)
+      rows <- Gen.sequence[Seq[(Int, Int)], (Int, Int)]((1 to n).map(_ =>
+        for {
+          tpl <- Gen.choose(0, templates.size - 1)
+          nf <- Gen.choose(0, 2)
+        } yield (tpl, nf)))
+    } yield rows.zipWithIndex.map { case ((tpl, nf), i) =>
+      ((i + 1).toLong, templates(tpl) + " " + fill.take(nf).mkString(" "))
+    }
+    val p = Prop.forAll(corpusGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val inc = Dedup.clustersIncremental(docs)
+        .select("doc_id", "canonical_id", "is_canonical")
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+      val full = Dedup.dedupClustersLsh(docs)
+        .select("doc_id", "canonical_id", "is_canonical")
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+      inc == full
+    }
+    check("inc-clusters", SCTest.Parameters.default
+      .withMinSuccessfulTests(6).withInitialSeed(Seed(42L)).withWorkers(1), p)
+  }
+
   test("labelComponents: one large planted chain — exact, priced") {
     // the closure-price case change note 50 points at: a single
     // 256-vertex chain is the worst closure-to-edge ratio at fixed

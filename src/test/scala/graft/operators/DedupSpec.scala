@@ -334,6 +334,48 @@ class DedupSpec extends SparkSpec {
     assert(inc === crossOfFull)
   }
 
+  test("incremental clusters: a batch bridge MERGES two prior corpus " +
+    "clusters; output ≡ full recompute") {
+    // Planted quotient-graph hard case. Corpus (%10 < 8): cluster A =
+    // {1, 2}, cluster B = {21, 22}, singleton 4. Batch (%10 >= 8):
+    // doc 18 = A's text ++ B's text (J ≈ 0.45 to each side — the
+    // texts are tuned so the banded MinHash index surfaces all four
+    // bridge candidates deterministically), doc 19 = exact dup of 4.
+    // The naive "assign each batch doc to its nearest cluster" shape
+    // cannot represent this: 18 must UNIFY two existing components.
+    val pA = "delta alpha iota zeta lambda theta eta gamma mu epsilon beta kappa"
+    val pB = "river west plain forest island south valley north desert ocean mountain east"
+    val other = "completely different words about spark catalyst tungsten codegen shuffles"
+    val corpus = Seq(
+      Doc(1, pA), Doc(2, pA + " coral"),
+      Doc(21, pB), Doc(22, pB + " five"),
+      Doc(4, other))
+    val batch = Seq(Doc(18, pA + " " + pB), Doc(19, other))
+    val all = (corpus ++ batch).toDF()
+    val t = 0.4
+    // precondition: the prior (corpus-only) clustering has A and B as
+    // DISTINCT components — so equality below exercises the merge
+    val prior = Dedup.dedupClustersLsh(corpus.toDF(), t)
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(prior(1L) === 1L && prior(2L) === 1L,
+      "fixture drift: cluster A did not form in the prior pass")
+    assert(prior(21L) === 21L && prior(22L) === 21L,
+      "fixture drift: cluster B did not form in the prior pass")
+    val inc = Dedup.clustersIncremental(all, t)
+      .select("doc_id", "canonical_id", "is_canonical")
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    val full = Dedup.dedupClustersLsh(all, t)
+      .select("doc_id", "canonical_id", "is_canonical")
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(inc === full) // the registered contract (the shared oracle)
+    val labels = inc.map(r => r._1 -> r._2).toMap
+    // the bridge unified A ∪ {18} ∪ B under the global min id...
+    assert(Seq(1L, 2L, 18L, 21L, 22L).forall(labels(_) == 1L),
+      s"bridge did not merge: $labels")
+    // ...and the cross-side exact dup joined its corpus singleton
+    assert(labels(4L) === 4L && labels(19L) === 4L)
+  }
+
   test("semantic dedup: greedy min-id prune invariants on real vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Dedup.semanticDedup(emb)

@@ -60,6 +60,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.simhashPairs(docs0).count() === 0)
     assert(Dedup.dedupClusters(docs0).count() === 0)
     assert(Dedup.dedupClustersLsh(docs0).count() === 0)
+    assert(Dedup.clustersIncremental(docs0).count() === 0)
     assert(Dedup.ngramJaccardFrom(
       Dedup.docShingleHashesCapped(docs0, Dedup.MaxShingleDf)).count() === 0)
   }

@@ -529,6 +529,25 @@ object TextAnalysis {
     * production word-length caps are exactly this shape.
     */
   def unigramViterbi(docs: DataFrame): DataFrame = {
+    val (_, _, best) = uniViterbiCore(docs)
+    best
+      .select(col("w").as("word"), col("c").as("n_occurrences"),
+        length(col("w")).cast("long").as("n_chars"),
+        col("np").as("n_pieces"), col("tot").as("q_cost"))
+      .withColumn("fertility_milli", expr("1000 * n_pieces div n_chars"))
+  }
+
+  /** Shared trainer core behind unigramViterbi and unigramHardEm —
+    * ONE kernel so segmentation semantics cannot drift between the
+    * inference and training views. Returns (words, vocab, best):
+    * word-type counts, the vocabulary with its substring-count pass
+    * counts, and one row per word type at its final DP position with
+    * the ARGMIN segmentation carried as a pieces array (`pcs` — the
+    * tie rule (cost asc, smallest start) makes it unique, so the
+    * array column stays deterministic through any partitioning).
+    */
+  private def uniViterbiCore(docs: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
     val words = docs.select(explode(tokens(lower(col("text")))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$") &&
         length(col("w")) <= UniMaxWord)
@@ -554,20 +573,22 @@ object TextAnalysis {
         round(log(col("cnt").cast("double") / col("t")) * -1000000.0d)
           .cast("long").as("q"))
     val edges = cand.join(scores, Seq("piece"))
-      .select(col("w"), col("j"), (col("j") + col("l")).as("i"), col("q"))
+      .select(col("w"), col("j"), (col("j") + col("l")).as("i"),
+        col("piece"), col("q"))
       .localCheckpoint(false)
-    // DP rungs: level i's best cost/piece-count per word, candidates
-    // drawn from the ≤ UniMaxPiece previous levels. Every level gets
-    // a FRESH leaf plan (new expression ids over the checkpointed
-    // rows): the rungs re-join and re-union one another, and shared
-    // attribute ids across those unions trip Catalyst's Union
-    // constraint rewrite.
+    // DP rungs: level i's best cost/piece-count/pieces per word,
+    // candidates drawn from the ≤ UniMaxPiece previous levels. Every
+    // level gets a FRESH leaf plan (new expression ids over the
+    // checkpointed rows): the rungs re-join and re-union one another,
+    // and shared attribute ids across those unions trip Catalyst's
+    // Union constraint rewrite.
     val spark = docs.sparkSession
     def leaf(df: DataFrame): DataFrame =
       spark.createDataFrame(df.localCheckpoint(false).rdd, df.schema)
     var levels: Vector[DataFrame] = Vector(leaf(
       words.select(col("w"), lit(0).as("pos"),
-        lit(0L).as("tot"), lit(0L).as("np"))))
+        lit(0L).as("tot"), lit(0L).as("np"),
+        expr("CAST(array() AS array<string>)").as("pcs"))))
     for (i <- 1 to UniMaxWord) {
       val prev = levels.slice(math.max(0, i - UniMaxPiece), i)
         .reduce(_ unionByName _)
@@ -575,29 +596,80 @@ object TextAnalysis {
         .join(prev.as("b"),
           col("e.w") === col("b.w") && col("e.j") === col("b.pos"))
         .select(col("e.w").as("w"), (col("b.tot") + col("e.q")).as("tot"),
-          (col("b.np") + 1L).as("np"), col("e.j").as("j"))
+          (col("b.np") + 1L).as("np"),
+          concat(col("b.pcs"), array(col("e.piece"))).as("pcs"),
+          col("e.j").as("j"))
       val wspec = Window.partitionBy(col("w"))
         .orderBy(col("tot"), col("j"))
       levels = levels :+ leaf(cands
         .withColumn("rn", row_number().over(wspec))
         .filter(col("rn") === 1)
-        .select(col("w"), lit(i).as("pos"), col("tot"), col("np")))
+        .select(col("w"), lit(i).as("pos"), col("tot"), col("np"),
+          col("pcs")))
     }
     val all = levels.tail.reduce(_ unionByName _).as("b")
-    words.as("wt")
+    val best = words.as("wt")
       .join(all, col("b.w") === col("wt.w") &&
         col("b.pos") === length(col("wt.w")))
-      .select(col("wt.w").as("word"), col("c").as("n_occurrences"),
-        length(col("wt.w")).cast("long").as("n_chars"),
-        col("np").as("n_pieces"), col("tot").as("q_cost"))
-      .withColumn("fertility_milli", expr("1000 * n_pieces div n_chars"))
+      .select(col("wt.w").as("w"), col("c"), col("tot"), col("np"),
+        col("pcs"))
+    (words, vocab, best)
   }
 
-  /** Unrolled DuckDB mirror of unigramViterbi: candidate generation,
-    * vocabulary cut, integer scores, then one MATERIALIZED rung per
-    * DP level.
+  /** T28 (round 13 continuation): ONE hard-EM (Viterbi-EM)
+    * re-estimation step of the unigram tokenizer — the TRAINING half
+    * of unigramViterbi's inference view (Kudo 2018 §3.2 trains by EM;
+    * the Viterbi-approximated E-step is the standard hard variant).
+    * E-step: every word type re-segments by the current scores
+    * through the SHARED uniViterbiCore DP (so training consumes
+    * exactly the segmentation inference serves); the expected piece
+    * counts collapse to integer occurrence counts weighted by word
+    * frequency. M-step: re-normalized piece probabilities in integer
+    * ppm. Pieces the argmin segmentations never use re-estimate to 0
+    * — the vocabulary-pruning signal the EM loop alternates with.
+    *
+    * Hard EM rather than soft forward–backward BY DESIGN: the E-step
+    * counts are then exact 64-bit integers (sums of word counts), so
+    * both engines agree bit-for-bit — a float lattice-sum E-step
+    * would reintroduce the order-dependent-sum hazard the LM ladder's
+    * quantization exists to avoid — and the M-step ppm is integer
+    * division under integer totals.
+    *
+    * Scale: everything past the corpus-touching word count runs at
+    * word-type × ≤UniMaxWord grain (the DP) and vocabulary grain (the
+    * count/normalize aggregates) — iterating the EM loop costs one
+    * such pass per step, corpus touched once ever.
     */
-  private def unigramViterbiSql: String = {
+  def unigramHardEm(docs: DataFrame): DataFrame = {
+    val (_, vocab, best0) = uniViterbiCore(docs)
+    // EAGER checkpoint: `best` feeds the main join AND the tote
+    // broadcast aggregate — under a lazy checkpoint the broadcast
+    // build races the main branch into the same uncached DP rungs and
+    // the whole ladder materializes twice (measured ~4× the viterbi
+    // sibling); one eager action runs the DP exactly once
+    val best = best0.localCheckpoint()
+    val used = best.select(explode(col("pcs")).as("piece"), col("c"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("em_cnt"))
+      .localCheckpoint(false) // em join + the tote aggregate
+    val tot = vocab.agg(sum(col("cnt")).as("t"))
+    val tote = used.agg(sum(col("em_cnt")).as("te"))
+    vocab.join(used, Seq("piece"), "left")
+      .withColumn("em_cnt", coalesce(col("em_cnt"), lit(0L)))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(tote))
+      .select(col("piece"), col("cnt"), col("em_cnt"),
+        expr("cnt * 1000000 div t").as("p_ppm"),
+        expr("em_cnt * 1000000 div te").as("em_p_ppm"))
+  }
+
+  /** Unrolled DuckDB mirror of uniViterbiCore: candidate generation,
+    * vocabulary cut, integer scores, then one MATERIALIZED rung per
+    * DP level, rungs carrying the argmin pieces list — ONE builder
+    * behind both the inference (txt_unigram_viterbi) and training
+    * (txt_unigram_hard_em) oracles, mirroring the shared Spark
+    * kernel; `tail` is the per-query final text appended after the
+    * `lv` CTE.
+    */
+  private def uniDpSql(tail: String): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH w AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
@@ -615,22 +687,23 @@ object TextAnalysis {
          |  FROM cand GROUP BY 1),
          |topv AS (SELECT piece, cnt FROM pcnt WHERE len(piece) > 1
          |  ORDER BY cnt DESC, piece LIMIT $UniVocab),
-         |vocab AS (SELECT piece, cnt FROM pcnt WHERE len(piece) = 1
+         |vocab AS MATERIALIZED (SELECT piece, cnt FROM pcnt WHERE len(piece) = 1
          |  UNION ALL SELECT piece, cnt FROM topv),
          |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
          |scores AS (SELECT piece,
          |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / t) * -1000000.0) AS BIGINT) AS q
          |  FROM vocab, tot),
-         |edges AS MATERIALIZED (SELECT c.w, c.j, c.j + c.l AS i, s.q
+         |edges AS MATERIALIZED (SELECT c.w, c.j, c.j + c.l AS i, c.piece, s.q
          |  FROM cand c JOIN scores s USING (piece)),
          |b0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS tot,
-         |  CAST(0 AS BIGINT) AS np FROM w)""".stripMargin)
+         |  CAST(0 AS BIGINT) AS np, CAST([] AS VARCHAR[]) AS pcs FROM w)""".stripMargin)
     for (i <- 1 to UniMaxWord) {
       val prev = (math.max(0, i - UniMaxPiece) until i)
         .map(j => s"SELECT * FROM b$j").mkString(" UNION ALL ")
       sb.append(s""",
-        |b$i AS MATERIALIZED (SELECT w, $i AS pos, tot, np FROM (
+        |b$i AS MATERIALIZED (SELECT w, $i AS pos, tot, np, pcs FROM (
         |  SELECT e.w, b.tot + e.q AS tot, b.np + 1 AS np,
+        |    list_append(b.pcs, e.piece) AS pcs,
         |    ROW_NUMBER() OVER (PARTITION BY e.w
         |      ORDER BY b.tot + e.q, e.j) AS rn
         |  FROM edges e JOIN ($prev) b
@@ -640,14 +713,30 @@ object TextAnalysis {
     sb.append(s""",
       |lv AS (${(1 to UniMaxWord).map(i => s"SELECT * FROM b$i")
         .mkString(" UNION ALL ")})
-      |SELECT w.w AS word, w.c AS n_occurrences,
+      |$tail""".stripMargin)
+    sb.toString
+  }
+
+  private def unigramViterbiSql: String = uniDpSql(
+    """SELECT w.w AS word, w.c AS n_occurrences,
       |CAST(len(w.w) AS BIGINT) AS n_chars,
       |b.np AS n_pieces, b.tot AS q_cost,
       |CAST(1000 * b.np // CAST(len(w.w) AS BIGINT) AS BIGINT)
       |  AS fertility_milli
       |FROM w JOIN lv b ON b.w = w.w AND b.pos = len(w.w)""".stripMargin)
-    sb.toString
-  }
+
+  private def unigramHardEmSql: String = uniDpSql(
+    s"""SELECT v.piece, v.cnt, COALESCE(e.em_cnt, 0) AS em_cnt,
+       |v.cnt * 1000000 // t.t AS p_ppm,
+       |COALESCE(e.em_cnt, 0) * 1000000 // te.te AS em_p_ppm
+       |FROM vocab v
+       |LEFT JOIN (SELECT piece, CAST(SUM(c) AS BIGINT) AS em_cnt FROM (
+       |    SELECT unnest(b.pcs) AS piece, w.c
+       |    FROM w JOIN lv b ON b.w = w.w AND b.pos = len(w.w))
+       |  GROUP BY 1) e ON v.piece = e.piece,
+       |tot t,
+       |(SELECT CAST(SUM(c * np) AS BIGINT) AS te
+       |  FROM w JOIN lv b ON b.w = w.w AND b.pos = len(w.w)) te""".stripMargin)
 
   val CollocMinCount = 5L
   val CollocTopK = 50
@@ -2199,6 +2288,13 @@ object TextAnalysis {
     QueryDef("txt_unigram_viterbi",
       (s, d) => unigramViterbi(docs(s, d)),
       Some(unigramViterbiSql)),
+
+    // ONE hard-EM re-estimation step of the unigram tokenizer — the
+    // training half of the Viterbi view, on the shared uniViterbiCore
+    // kernel/oracle builder (see unigramHardEm).
+    QueryDef("txt_unigram_hard_em",
+      (s, d) => unigramHardEm(docs(s, d)),
+      Some(unigramHardEmSql)),
 
     QueryDef("txt_backoff_heldout",
       (s, d) => backoffHeldout(docs(s, d)),

@@ -96,6 +96,7 @@ class DeterminismSpec extends SparkSpec {
     "sim_rp_recall",          // ±1-projection brute top-k vs baseline
     "j11_bloom_prefilter",    // sketch prefilter + exact verify join
     "txt_unigram_viterbi",    // integer-cost DP rungs + vocab cut
+    "txt_unigram_hard_em",    // argmin-pieces explode + ppm renormalize
     "sim_kmeans_lloyd",       // integer Lloyd rounds + floor means
     "bi_dow_seasonality",     // calendar-arithmetic dow + ppm index
     "e13_conversion_latency", // per-user anchors + discrete quartiles

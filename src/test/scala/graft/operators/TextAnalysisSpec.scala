@@ -302,6 +302,37 @@ class TextAnalysisSpec extends SparkSpec {
         math.round(-math.log(2.0 / 21.0) * 1e6))
   }
 
+  test("unigram hard-EM: counts follow the argmin segmentations, " +
+    "mass conserves, unused pieces re-estimate to zero") {
+    // same corpus as the viterbi case: words ababab(1), ab(1);
+    // vocabulary mass t = 21 (a:4 b:4 ab:4 ba:2 aba:2 bab:2 abab:2
+    // baba:1). Argmin segmentations: ab → [ab]; ababab → tie between
+    // [ab][abab] and [abab][ab], smallest-start rule picks the
+    // LONGEST LAST piece → [ab, abab].
+    val corpus = Seq(TDoc(1, "ababab", "en"), TDoc(2, "ab", "en")).toDF()
+    val got = TextAnalysis.unigramHardEm(corpus)
+      .select("piece", "cnt", "em_cnt", "p_ppm", "em_p_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("a", "b", "ab", "ba", "aba", "bab",
+      "abab", "baba"))
+    // E-step counts: ab used by both words (1+1), abab by one
+    assert(got("ab") === (("ab", 4L, 2L, 4L * 1000000L / 21L,
+      2L * 1000000L / 3L)))
+    assert(got("abab") === (("abab", 2L, 1L, 2L * 1000000L / 21L,
+      1000000L / 3L)))
+    // pieces no argmin segmentation uses re-estimate to zero — the
+    // pruning signal
+    Seq("a", "b", "ba", "aba", "bab", "baba").foreach { p =>
+      assert(got(p)._3 === 0L && got(p)._5 === 0L, s"piece $p")
+    }
+    // conservation: Σ em_cnt = Σ c(w)·n_pieces(w) (= te = 3 here),
+    // and the new distribution's ppm mass is within integer-div loss
+    assert(got.values.map(_._3).sum === 3L)
+    val ppmSum = got.values.map(_._5).sum
+    assert(ppmSum <= 1000000L && 1000000L - ppmSum < got.size)
+  }
+
   test("collocations: exclusive pair beats promiscuous pair, floor filters") {
     // 'new york' always co-occurs (exclusive); 'of the' is frequent but
     // both words roam widely → lower PMI. 'rare pair' appears once →

@@ -500,7 +500,6 @@ object Dedup {
     val bands = bandSignaturesFrom(minhashSignaturesFrom(sh))
       .localCheckpoint(false)
     val bc = bands.filter(!isBatch)
-    val bb = bands.filter(isBatch)
     // prior labels: stand-in for the persisted label table — the CC of
     // the corpus-only edge relation (≡ dedupClustersLsh on that side)
     val prior = labelComponents(
@@ -509,15 +508,33 @@ object Dedup {
       docsDf.filter(!isBatch).select(col("doc_id")))
       .select(col("doc_id"), col("canonical_id"))
       .localCheckpoint(false) // read by the contraction (twice) + relabel
+    foldIncremental(prior, bc, bands.filter(isBatch), sh,
+      docsDf.filter(isBatch).select(col("doc_id")), t)
+  }
+
+  /** The quotient-graph fold itself — shared by the in-query form
+    * (clustersIncremental), the from-store serving twin
+    * (clustersIncrementalFromStore) and the store's label-maintenance
+    * verb (lshIndexAppend), so merge semantics cannot drift between
+    * the three. `shAll` must cover both sides' shingles (the verify
+    * reads it); `batchIds` is the batch's full id list (short docs
+    * have no shingles but still need labels).
+    */
+  private def foldIncremental(prior: DataFrame, cBands: DataFrame,
+                              bBands: DataFrame, shAll: DataFrame,
+                              batchIds: DataFrame,
+                              t: Double): DataFrame = {
     // the NEW edges an ingest sees: corpus×batch + batch-internal —
     // the corpus×corpus pair space never forms
     val edgesNew = jaccardVerifyFrom(
-      bandCandidates(bc, bb, half = false)
-        .unionByName(bandCandidates(bb, bb, half = true)), sh, t)
+      bandCandidates(cBands, bBands, half = false)
+        .unionByName(bandCandidates(bBands, bBands, half = true)),
+      shAll, t)
       .select(col("i"), col("j"))
     // contract through the prior labels: corpus endpoints become their
     // canonical supervertex, batch endpoints ride as themselves (the
-    // i≠j guard is totality only — sides are disjoint by the split)
+    // i≠j guard also swallows the self-pairs a replayed append's
+    // overlapping sides can generate)
     val pi = prior.select(col("doc_id").as("i"), col("canonical_id").as("ci"))
     val pj = prior.select(col("doc_id").as("j"), col("canonical_id").as("cj"))
     val contracted = edgesNew
@@ -528,7 +545,7 @@ object Dedup {
       .localCheckpoint(false) // universe (twice) + the CC pass
     // supervertex universe = batch ids ∪ touched prior canonicals —
     // the claimed |batch| + 2·|new edges| bound, visible in the plan
-    val universe = docsDf.filter(isBatch).select(col("doc_id"))
+    val universe = batchIds
       .unionByName(contracted.select(col("i").as("doc_id")))
       .unionByName(contracted.select(col("j").as("doc_id")))
       .distinct()
@@ -537,7 +554,7 @@ object Dedup {
     // relabel at doc grain: corpus docs route through their prior
     // canonical, batch docs through themselves; untouched components
     // keep their prior label via the coalesce
-    docsDf.select(col("doc_id"))
+    prior.select(col("doc_id")).unionByName(batchIds)
       .join(prior.withColumnRenamed("canonical_id", "pl"),
         Seq("doc_id"), "left")
       .withColumn("sv", coalesce(col("pl"), col("doc_id")))
@@ -546,6 +563,174 @@ object Dedup {
         coalesce(col("lbl"), col("sv")).as("canonical_id"))
       .withColumn("is_canonical",
         (col("doc_id") === col("canonical_id")).cast("int"))
+  }
+
+  // ---- persisted MinHash-LSH dedup index (the daily-ingest store) ----
+
+  /** Semantics stamp of a persisted LSH dedup index: the shingle
+    * width, permutation count, banding layout, and verify threshold
+    * that give stored rows their meaning. A store signed under
+    * different constants would silently change candidate AND edge
+    * semantics on every serve — the ANN store's `_encode_contract`
+    * lesson applied to the dedup tier: checked reads refuse a
+    * contradicting stamp (rebuild required), absence warns (pre-stamp
+    * store).
+    */
+  val LshContract: String =
+    s"sh$ShingleN-mh${Bands * Rows}-b${Bands}x$Rows-t$JaccardT-v1"
+
+  private val lshStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the persisted MinHash-LSH dedup index at `dir` — the table
+    * the family's scale notes have always assumed ("at 100 TB the
+    * corpus side's band signatures are the index table persisted by
+    * previous ingests"), as an executable verb. Layout (all three
+    * tables under batch-keyed partitions, the spanIngestBatch
+    * convention, so appends are replay-idempotent):
+    *   dir/bands/batch=seed    (doc_id, band, bsig) — the bucket join
+    *   dir/shingles/batch=seed (doc_id, sh)         — the exact verify
+    *   dir/labels              (doc_id, canonical_id) — the clustering
+    *   dir/_lsh_contract       — the semantics stamp, written LAST so
+    *     a build crash leaves an unstamped partial store (loud warn
+    *     path) rather than a stamped one
+    * Refuses to build over an existing store (the ivfBuild ordering
+    * argument — partial rebuilds pair old rows with a fresh stamp).
+    * ONE shingle pass feeds all three tables through the exact kernels
+    * the inline queries run, so store serving is row-identical by
+    * construction.
+    */
+  def lshIndexBuild(s: SparkSession, dir: String, docs: DataFrame): Unit = {
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(dp),
+      s"refusing to build over an existing LSH index at $dir — delete " +
+        "the store first, or ingest with lshIndexAppend")
+    val sh = docShingleHashes(docs).localCheckpoint(false)
+    val bands = bandSignaturesFrom(minhashSignaturesFrom(sh))
+      .localCheckpoint(false)
+    sh.write.parquet(s"$dir/shingles/batch=seed")
+    bands.write.parquet(s"$dir/bands/batch=seed")
+    labelComponents(
+      jaccardVerifyFrom(bandCandidates(bands, bands, half = true),
+        sh, JaccardT).select(col("i"), col("j")),
+      docs.select(col("doc_id")))
+      .select(col("doc_id"), col("canonical_id"))
+      .write.parquet(s"$dir/labels")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_lsh_contract"), true)
+    try out.write(LshContract.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Checked store read: refuse a contradicting contract stamp, warn
+    * on absence; `asOf` keeps only the seed plus strictly-earlier
+    * batch partitions (the spanIngestBatch as-of device — what makes
+    * append replay safe against self-matching).
+    */
+  private def lshStoreTable(s: SparkSession, dir: String, table: String,
+                            asOf: Option[Long] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_lsh_contract")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val c = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+      require(c == LshContract,
+        s"refusing to serve from $dir: the store was signed under " +
+          s"contract '$c' but this build signs by '$LshContract' — " +
+          "stored bands/shingles and fresh batch signatures would " +
+          "disagree on candidate and edge semantics. Rebuild the " +
+          "index (delete + lshIndexBuild).")
+    } else System.err.println(
+      s"[graft] WARN: $dir carries no _lsh_contract stamp (pre-stamp " +
+        s"store); assuming '$LshContract'.")
+    val df = s.read.parquet(s"$dir/$table")
+    asOf match {
+      case Some(b) => df.filter(coalesce(
+        expr("try_cast(batch AS BIGINT)") < lit(b), lit(true)))
+        .drop("batch")
+      case None => df.drop("batch")
+    }
+  }
+
+  /** Incremental pair detection served from the persisted index —
+    * sign the incoming batch, bucket-join it against the STORED band
+    * table, exact-verify against stored-∪-batch shingles. The same
+    * bandCandidates + jaccardVerifyFrom kernels as the inline pass,
+    * reading the corpus side at rest — row-identical to
+    * incrementalDedup by construction, so the registered twin shares
+    * its oracle.
+    */
+  def incrementalDedupFromStore(s: SparkSession, dir: String,
+                                batch: DataFrame,
+                                t: Double = JaccardT): DataFrame = {
+    val bsh = docShingleHashes(batch).localCheckpoint(false)
+    val bBands = bandSignaturesFrom(minhashSignaturesFrom(bsh))
+    jaccardVerifyFrom(
+      bandCandidates(lshStoreTable(s, dir, "bands"), bBands, half = false),
+      lshStoreTable(s, dir, "shingles").unionByName(bsh), t)
+      .select(col("i").as("corpus_id"), col("j").as("batch_id"),
+        col("jaccard"))
+  }
+
+  /** Incremental cluster fold served from the persisted index: prior
+    * labels, band index, and verify shingles all read at rest; the
+    * fold is the ONE shared foldIncremental kernel — row-identical to
+    * clustersIncremental, so the registered twin shares the
+    * full-recompute oracle too.
+    */
+  def clustersIncrementalFromStore(s: SparkSession, dir: String,
+                                   batch: DataFrame,
+                                   t: Double = JaccardT): DataFrame = {
+    val bsh = docShingleHashes(batch).localCheckpoint(false)
+    val bBands = bandSignaturesFrom(minhashSignaturesFrom(bsh))
+      .localCheckpoint(false)
+    val prior = lshStoreTable(s, dir, "labels").localCheckpoint(false)
+    foldIncremental(prior, lshStoreTable(s, dir, "bands"), bBands,
+      lshStoreTable(s, dir, "shingles").unionByName(bsh),
+      batch.select(col("doc_id")), t)
+  }
+
+  /** Ingest a batch into the store: detect-and-fold FIRST (against
+    * the index AS OF this batch id — seed + strictly-earlier batches,
+    * so a crash replay can neither self-match nor time-travel), swap
+    * the labels table to the folded result, then publish the batch's
+    * bands/shingles under batchId-keyed overwrite partitions for the
+    * NEXT ingest. Replay-idempotent end to end: the fold of an
+    * already-folded batch is the identity (its edges contract to
+    * self-loops), the label swap converges, and the partition writes
+    * overwrite in place.
+    */
+  def lshIndexAppend(s: SparkSession, dir: String, batch: DataFrame,
+                     batchId: Long, t: Double = JaccardT): Unit = {
+    val bsh = docShingleHashes(batch).localCheckpoint(false)
+    val bBands = bandSignaturesFrom(minhashSignaturesFrom(bsh))
+      .localCheckpoint(false)
+    val prior = lshStoreTable(s, dir, "labels").localCheckpoint(false)
+    // replay guard: docs already folded into the labels relabel
+    // through their prior entry, not as fresh batch vertices
+    val freshIds = batch.select(col("doc_id"))
+      .join(prior, Seq("doc_id"), "left_anti")
+    val folded = foldIncremental(prior,
+      lshStoreTable(s, dir, "bands", asOf = Some(batchId)), bBands,
+      lshStoreTable(s, dir, "shingles", asOf = Some(batchId))
+        .unionByName(bsh),
+      freshIds, t)
+      .select(col("doc_id"), col("canonical_id"))
+      .localCheckpoint() // eager: read the store BEFORE the swap below
+    // staged swap (the writeStampedSidecar ordering): labels land
+    // whole or not at all
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/labels")
+    val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/labels._tmp")
+    fs.delete(tmp, true)
+    folded.write.parquet(tmp.toString)
+    fs.delete(lp, true)
+    require(fs.rename(tmp, lp),
+      s"labels swap rename failed: $tmp -> $lp (completed staging dir " +
+        "left in place; rename it manually to finish)")
+    bsh.write.mode("overwrite").parquet(s"$dir/shingles/batch=$batchId")
+    bBands.write.mode("overwrite").parquet(s"$dir/bands/batch=$batchId")
   }
 
   /** 60-bit SimHash per doc from token-occurrence hashes: bit k is set
@@ -1416,6 +1601,42 @@ object Dedup {
        |SELECT doc_id, lbl AS canonical_id,
        |CAST(doc_id = lbl AS INT) AS is_canonical FROM lcc""".stripMargin
 
+  /** The incremental cross-side pair relation — ONE text shared by
+    * dedup_incremental and dedup_incremental_from_store (the store
+    * twin is row-identical by construction).
+    */
+  private val incrementalSql =
+    s"""WITH $shSql,
+       |$sigSql,
+       |bands AS (SELECT doc_id, b.band,
+       |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
+       |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
+       |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
+       |  FROM bands x JOIN bands y ON x.band = y.band
+       |    AND x.bsig = y.bsig
+       |  WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8),
+       |common AS (SELECT c.i, c.j, COUNT(*) common
+       |  FROM cand c JOIN sh a ON c.i = a.doc_id
+       |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
+       |  GROUP BY 1, 2)
+       |SELECT c.i AS corpus_id, c.j AS batch_id,
+       |ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
+       |FROM common c JOIN n na ON c.i = na.doc_id JOIN n nb ON c.j = nb.doc_id
+       |WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) >= $JaccardT""".stripMargin
+
+  /** The sfDir-cached persisted LSH index the from-store twins read
+    * (one build per sfDir per JVM over the corpus side of the split —
+    * the cachedStoreIndex device).
+    */
+  private def cachedLshStore(s: SparkSession, d: String): String =
+    lshStores.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-lsh-index").toString + "/idx"
+      lshIndexBuild(s, out,
+        docs(s, d).filter(col("doc_id") % 10 < 8))
+      out
+    })
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("dedup_exact",
@@ -1588,23 +1809,25 @@ object Dedup {
 
     QueryDef("dedup_incremental",
       (s, d) => incrementalDedup(docs(s, d)),
-      Some(s"""WITH $shSql,
-              |$sigSql,
-              |bands AS (SELECT doc_id, b.band,
-              |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
-              |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),
-              |cand AS (SELECT DISTINCT x.doc_id i, y.doc_id j
-              |  FROM bands x JOIN bands y ON x.band = y.band
-              |    AND x.bsig = y.bsig
-              |  WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8),
-              |common AS (SELECT c.i, c.j, COUNT(*) common
-              |  FROM cand c JOIN sh a ON c.i = a.doc_id
-              |  JOIN sh b ON c.j = b.doc_id AND a.sh = b.sh
-              |  GROUP BY 1, 2)
-              |SELECT c.i AS corpus_id, c.j AS batch_id,
-              |ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) AS jaccard
-              |FROM common c JOIN n na ON c.i = na.doc_id JOIN n nb ON c.j = nb.doc_id
-              |WHERE ROUND(CAST(common AS DOUBLE)/(na.n + nb.n - common), 6) >= $JaccardT""".stripMargin)),
+      Some(incrementalSql)),
+
+    // The same incremental pair detection served from the PERSISTED
+    // LSH index (corpus side at rest, batch side signed fresh) —
+    // row-identical to dedup_incremental by construction, so it
+    // shares the oracle (the knnIvfFromStore device).
+    QueryDef("dedup_incremental_from_store",
+      (s, d) => incrementalDedupFromStore(s, cachedLshStore(s, d),
+        docs(s, d).filter(col("doc_id") % 10 >= 8)),
+      Some(incrementalSql)),
+
+    // The incremental cluster fold served from the persisted index —
+    // prior labels, band index, and verify shingles all read at
+    // rest, through the ONE shared foldIncremental kernel; shares the
+    // full-recompute closure oracle like its inline twin.
+    QueryDef("dedup_clusters_incremental_from_store",
+      (s, d) => clustersIncrementalFromStore(s, cachedLshStore(s, d),
+        docs(s, d).filter(col("doc_id") % 10 >= 8)),
+      Some(clustersLshSql)),
 
     // The dedup-index evaluation loop (sim_recall_at_k's analog for
     // near-dup): measured recall of the banded-LSH candidate pipeline

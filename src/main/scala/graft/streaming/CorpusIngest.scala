@@ -359,6 +359,39 @@ object CorpusIngest {
       }
       .start()
 
+  /** Streaming NEAR-DUP ingest over the persisted MinHash-LSH index —
+    * the runSpanCut live-index loop applied to the cluster tier: every
+    * micro-batch folds into the store through `Dedup.lshIndexAppend`
+    * (candidates against the index AS OF the batch id, quotient-graph
+    * label fold, staged labels swap, batchId-keyed bands/shingles
+    * publish for the NEXT batch), so cross-micro-batch near-dups ARE
+    * caught and the labels table always holds the current clustering
+    * of everything ingested. Append is replay-idempotent, so
+    * foreachBatch crash replays converge; the sequential-fold algebra
+    * (fold ∘ fold = CC of the union — the quotient theorem applied
+    * per cycle) makes the final labels EQUAL the one-shot full
+    * recompute, which the spec pins. Same single-owner /
+    * same-checkpoint contract as runSpanCut: batch ids must keep
+    * rising over a given index dir.
+    *
+    * Scale honesty: the fold COMPUTE is batch-sized, but the labels
+    * SWAP rewrites the doc-grain label table — the one corpus-sized
+    * step per cycle. At daily cadence that is one doc-grain write per
+    * day; if ingest cadence ever outpaces it, the optimization is a
+    * delta-labels table (write only relabeled docs, serve base ⟕
+    * delta), not a different fold.
+    */
+  def runLshDedup(docs: DataFrame, indexDir: String,
+                  checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup.lshIndexAppend(batch.sparkSession,
+            indexDir, batch, id)
+      }
+      .start()
+
   /** Offline compaction of the span fp index — the lifecycle verb the
     * per-batch partitions make necessary (each ingest cycle adds a
     * `batch=<id>` partition; after thousands of cycles the index read

@@ -78,6 +78,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup_semantic",         // cell assign + in-cell greedy prune
     "dedup_incremental",      // corpus×batch band join + verify
     "dedup_clusters_incremental", // quotient-graph CC + broadcast relabel
+    "dedup_incremental_from_store", // persisted band index + fresh batch
+    "dedup_clusters_incremental_from_store", // at-rest labels + fold
     "mix_prototype_prune",    // per-cell rank + integer cut count
     "txt_nb_classifier",      // micro-nat integer argmax
     "txt_dsir_select",        // hashed-bucket LM ratio top-k

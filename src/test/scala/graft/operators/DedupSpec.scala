@@ -376,6 +376,71 @@ class DedupSpec extends SparkSpec {
     assert(labels(4L) === 4L && labels(19L) === 4L)
   }
 
+  test("lsh index store: from-store twins ≡ inline; stamp and " +
+    "double-build guards refuse") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter(col("doc_id") % 10 < 8)
+    val batch = real.filter(col("doc_id") % 10 >= 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-spec").toString + "/idx"
+    Dedup.lshIndexBuild(spark, dir, corpus)
+    // pair twin: row-identical to the inline incremental pass
+    val ps = Dedup.incrementalDedupFromStore(spark, dir, batch)
+      .collect().map(_.toString).sorted.toSeq
+    val pi = Dedup.incrementalDedup(real)
+      .collect().map(_.toString).sorted.toSeq
+    assert(ps === pi)
+    // cluster twin: row-identical to the inline fold (hence to the
+    // full recompute, which the inline spec already pins)
+    val cs = Dedup.clustersIncrementalFromStore(spark, dir, batch)
+      .collect().map(_.toString).sorted.toSeq
+    val ci = Dedup.clustersIncremental(real)
+      .collect().map(_.toString).sorted.toSeq
+    assert(cs === ci && cs.nonEmpty)
+    // build over an existing store must refuse (the ivfBuild contract)
+    val exB = intercept[IllegalArgumentException] {
+      Dedup.lshIndexBuild(spark, dir, corpus)
+    }
+    assert(exB.getMessage.contains("existing LSH index"))
+    // a drifted contract stamp must refuse serving, loudly
+    val p = new org.apache.hadoop.fs.Path(dir, "_lsh_contract")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("sh9-mh16-b4x4-t0.9-v0".getBytes("UTF-8"))
+    finally out.close()
+    val exS = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupFromStore(spark, dir, batch).collect()
+    }
+    assert(exS.getMessage.contains("contract"))
+  }
+
+  test("lsh index append: labels fold to the full recompute, " +
+    "replay is idempotent") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter(col("doc_id") % 10 < 8)
+    val batch = real.filter(col("doc_id") % 10 >= 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-spec").toString + "/idx"
+    Dedup.lshIndexBuild(spark, dir, corpus)
+    def table(t: String): Seq[String] = spark.read.parquet(s"$dir/$t")
+      .collect().map(_.toString).sorted.toSeq
+    Dedup.lshIndexAppend(spark, dir, batch, batchId = 1L)
+    // after the fold, the store's labels ARE the full-corpus recompute
+    val want = Dedup.dedupClustersLsh(real)
+      .select("doc_id", "canonical_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(table("labels") === want)
+    // and the batch's rows joined the index under its partition
+    val segs = spark.read.parquet(s"$dir/bands")
+      .select("batch").distinct().as[String].collect().toSet
+    assert(segs === Set("seed", "1"))
+    // crash replay: the same append again leaves every table
+    // byte-identical (fold of a folded batch is the identity)
+    val before = (table("labels"), table("bands"), table("shingles"))
+    Dedup.lshIndexAppend(spark, dir, batch, batchId = 1L)
+    assert((table("labels"), table("bands"), table("shingles")) === before)
+  }
+
   test("semantic dedup: greedy min-id prune invariants on real vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Dedup.semanticDedup(emb)

@@ -312,4 +312,39 @@ class CorpusIngestSpec extends SparkSpec {
     assert((300L to 320L).toSet.subsetOf(streamed))
     assert(streamed.count(_ <= 260L) < wave1.size)
   }
+
+  test("streaming lsh dedup ingest: micro-batch folds converge to the " +
+    "one-shot full recompute") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // real corpus: the %10<8 side seeds the persisted index, the
+    // batch side streams in TWO micro-batches split by parity — the
+    // sequential-fold algebra says the final labels must equal
+    // dedupClustersLsh over EVERYTHING, for any split
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter(col("doc_id") % 10 < 8)
+    val batchRows = real.filter(col("doc_id") % 10 >= 8)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, tx) => StreamDoc(id, tx, "en", "web") }
+    val (b1, b2) = batchRows.partition(_.doc_id % 2 == 0)
+    val root = java.nio.file.Files.createTempDirectory("lshstream").toString
+    val dir = s"$root/idx"
+    graft.operators.Dedup.lshIndexBuild(spark, dir, corpus)
+    val in = MemoryStream[StreamDoc]
+    val q = CorpusIngest.runLshDedup(
+      in.toDF().select(col("doc_id"), col("text")), dir, s"$root/ckpt")
+    in.addData(b1.toIndexedSeq); q.processAllAvailable()
+    in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$dir/labels")
+      .collect().map(_.toString).sorted.toSeq
+    val want = graft.operators.Dedup.dedupClustersLsh(real)
+      .select("doc_id", "canonical_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want && got.nonEmpty)
+    // both cycles published their rows for the next one
+    val segs = spark.read.parquet(s"$dir/bands")
+      .select("batch").distinct().as[String].collect().toSet
+    assert(segs === Set("seed", "0", "1"))
+  }
 }

@@ -247,6 +247,65 @@ object Commerce {
     * contribute more than MaxBlock² candidate pairs; the O(len²)
     * levenshtein runs only on the bounded prefix of survivors.
     */
+  /** ER4 (round 13 continuation): blocking-quality monitor — pair
+    * completeness and reduction ratio, the two standard blocking
+    * metrics (Christen, Data Matching 2012 §7): of the TRUE match
+    * pairs, how many does the (lang, length-band, first-token) scheme
+    * keep as candidates (PC — blocking's recall, what dedup_lsh_recall
+    * is to the MinHash index), and what fraction of the all-pairs
+    * budget does it avoid (RR). The ground truth is the UNBLOCKED
+    * match relation — quadratic by definition — so it runs on a
+    * FIXED-SIZE deterministic sample (md5-ordered first `ErSample`
+    * docs): monitor cost is corpus-size-INDEPENDENT by construction
+    * (the sim_* fixed-query-batch device, one rung stronger than the
+    * fractional monitor sample, whose cross pairs would still grow
+    * quadratically with the corpus). Block sizes and the MaxBlock
+    * purge are evaluated WITHIN the sample, so the row is a
+    * self-contained read on the scheme, not on corpus skew. One row,
+    * integer ppm ratios.
+    */
+  val ErSample = 300
+
+  def blockQuality(docs: DataFrame, maxDist: Int = 5,
+                   maxBlock: Int = MaxBlock): DataFrame = {
+    val sample = docs.select(col("doc_id"), col("lang"),
+        expr("n_chars div 50").as("lb"),
+        split_part(col("text"), lit(" "), lit(1)).as("tok1"),
+        regexp_replace(substring(col("text"), 1, 60), "[^ -~]", "#")
+          .as("pre"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(ErSample)
+      .localCheckpoint(false) // truth cross, block sizes, candidates
+    val truth = sample.as("a").join(sample.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          levenshtein(col("a.pre"), col("b.pre")) <= maxDist)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .localCheckpoint(false) // the count + the caught semi-join
+    val sized = sample.join(
+        sample.groupBy(col("lang"), col("lb"), col("tok1"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBlock).drop("bsz"),
+        Seq("lang", "lb", "tok1"), "left_semi")
+    val cand = sized.as("a").join(sized.as("b"),
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.tok1") === col("b.tok1") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .localCheckpoint(false) // the count + the caught semi-join
+    sample.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(truth.join(cand, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("n_caught")))
+      .withColumn("total_pairs", expr("n_docs * (n_docs - 1) div 2"))
+      .withColumn("pc_ppm", when(col("n_true") > 0,
+        expr("n_caught * 1000000 div n_true")))
+      .withColumn("rr_ppm", when(col("total_pairs") > 0,
+        expr("(total_pairs - n_candidates) * 1000000 div total_pairs")))
+      .select(col("n_docs"), col("total_pairs"), col("n_candidates"),
+        col("n_true"), col("n_caught"), col("pc_ppm"), col("rr_ppm"))
+  }
+
   def blockedMatch(docs: DataFrame, maxDist: Int = 5,
                    maxBlock: Int = MaxBlock): DataFrame = {
     // non-ASCII is projected to '#' before the distance: Spark's
@@ -800,6 +859,43 @@ object Commerce {
              |CAST((bsz * (bsz - 1)) // 2 * COUNT(*) AS BIGINT)
              |  AS candidate_pairs
              |FROM b GROUP BY 1""".stripMargin)),
+
+    // ER4: pair completeness + reduction ratio of the blocking scheme
+    // on the fixed-size sample — see blockQuality.
+    QueryDef("er_block_quality",
+      (s, d) => blockQuality(Tables.documents(s, d)),
+      Some(s"""WITH p AS MATERIALIZED (SELECT doc_id, lang,
+              |    n_chars // 50 AS lb,
+              |    split_part(text, ' ', 1) AS tok1,
+              |    regexp_replace(substr(text, 1, 60), '[^ -~]', '#', 'g')
+              |      AS pre
+              |  FROM documents
+              |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              |  LIMIT $ErSample),
+              |truth AS MATERIALIZED (SELECT a.doc_id i, b.doc_id j
+              |  FROM p a JOIN p b ON a.doc_id < b.doc_id
+              |  WHERE levenshtein(a.pre, b.pre) <= 5),
+              |sized AS (SELECT * FROM p WHERE (lang, lb, tok1) IN (
+              |  SELECT (lang, lb, tok1) FROM p
+              |  GROUP BY lang, lb, tok1 HAVING COUNT(*) <= $MaxBlock)),
+              |cand AS MATERIALIZED (SELECT a.doc_id i, b.doc_id j
+              |  FROM sized a JOIN sized b
+              |  ON a.lang = b.lang AND a.lb = b.lb AND a.tok1 = b.tok1
+              |    AND a.doc_id < b.doc_id),
+              |nd AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs FROM p),
+              |nt AS (SELECT CAST(COUNT(*) AS BIGINT) n_true FROM truth),
+              |nc AS (SELECT CAST(COUNT(*) AS BIGINT) n_candidates FROM cand),
+              |ng AS (SELECT CAST(COUNT(*) AS BIGINT) n_caught FROM truth t
+              |  WHERE EXISTS (SELECT 1 FROM cand c
+              |    WHERE c.i = t.i AND c.j = t.j))
+              |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS total_pairs,
+              |n_candidates, n_true, n_caught,
+              |CASE WHEN n_true > 0
+              |  THEN n_caught * 1000000 // n_true END AS pc_ppm,
+              |CASE WHEN n_docs * (n_docs - 1) // 2 > 0
+              |  THEN (n_docs * (n_docs - 1) // 2 - n_candidates) * 1000000
+              |    // (n_docs * (n_docs - 1) // 2) END AS rr_ppm
+              |FROM nd, nt, nc, ng""".stripMargin)),
 
     QueryDef("er_blocked_match",
       (s, d) => blockedMatch(Tables.documents(s, d)),

@@ -65,6 +65,7 @@ class DeterminismSpec extends SparkSpec {
     "txt_quality_calibration", // band cut + quantized mean score
     "ts_rolling_z",           // trailing-frame integer moments
     "er_golden",              // match pairs + CC + survivor window
+    "er_block_quality",       // md5-ordered fixed sample + pair masses
     "u10_weighted_sample",    // ES keys + TakeOrdered cut
     "scd2_merge",             // incremental merge = rebuild invariant
     "e12_top_paths",          // session windows + path top-k

@@ -161,6 +161,28 @@ class CommerceSpec extends SparkSpec {
     assert(got.toSeq === Seq((10L, 11L)))
   }
 
+  test("block quality: a straddling true pair lowers PC, RR prices " +
+    "the avoided budget") {
+    // truth (unblocked, lev ≤ 5): (1,2), (1,3), (2,3). Blocks by
+    // (lang, lb, tok1): {1,2} share "hello", 3 sits alone under
+    // "hallo" — the classic dirty-first-token blocking failure — and
+    // 4 is unrelated. Candidates = {(1,2)} only.
+    val docs = Seq(
+      (1L, "en", 40L, "hello world alpha beta"),
+      (2L, "en", 40L, "hello world alpha betz"),
+      (3L, "en", 40L, "hallo world alpha beta"),
+      (4L, "en", 300L, "completely different content entirely"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val r = Commerce.blockQuality(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.length === 1)
+    val (nDocs, total, nCand, nTrue, nCaught, pc, rr) = r.head
+    assert(nDocs === 4L && total === 6L)
+    assert(nTrue === 3L && nCand === 1L && nCaught === 1L)
+    assert(pc === 1000000L / 3L)       // 1 of 3 true pairs survives
+    assert(rr === 5L * 1000000L / 6L)  // 5 of 6 budget pairs avoided
+  }
+
   test("golden records: matched pair merges; survivor is the longest text") {
     val docs = Seq(
       (1L, "en", 10L, "alpha beta gamma"),

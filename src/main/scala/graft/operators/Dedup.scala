@@ -1530,7 +1530,7 @@ object Dedup {
 
   private[operators] val ccFixSql = ccFixSqlOver("e", "lcc")
 
-  private val sigSql =
+  private[operators] val sigSql =
     """hs AS (SELECT doc_id, list(sh % 4294967291) AS hl FROM sh GROUP BY doc_id),
        |sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
        |    k -> list_min(list_transform(hl,
@@ -1542,7 +1542,7 @@ object Dedup {
     * production edge list every cluster-consuming oracle composes
     * over. Expects `sh`/`n` (shSql) and `sig` (sigSql) upstream.
     */
-  private val lshEdgesSql =
+  private[operators] val lshEdgesSql =
     s"""bands AS (SELECT doc_id, b.band,
        |    array_to_string(sg[b.band*$Rows+1 : b.band*$Rows+$Rows], ',') AS bsig
        |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) band) b),

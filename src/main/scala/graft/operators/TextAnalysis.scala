@@ -1091,6 +1091,41 @@ object TextAnalysis {
         col("n_tokens"), col("cum_tokens"), col("keep"))
   }
 
+  /** Budget selection with near-dup soft weights — the composition a
+    * trainer actually runs: each doc charges the budget its EFFECTIVE
+    * token count, n_tokens × weight_ppm (micro-token units), where
+    * weight_ppm = 1e6 div near-dup-cluster size from the production
+    * LSH clustering (Dedup.clusterWeights). A 10-clone boilerplate
+    * cluster thus spends one document-equivalent of budget instead of
+    * ten, so duplicated mass can't crowd fresh content out of the
+    * ration — soft dedup and budget rationing in ONE deterministic
+    * cut. Same per-source window and (quality desc, doc_id) order as
+    * budgetSelect; all arithmetic exact integers, the budget compared
+    * at the 1e6× micro-token scale so no division touches the cut.
+    * Scale: clusterWeights' band-keyed shuffles + one doc-grain join
+    * + the per-source window — each piece is a registered operator's
+    * own plan.
+    */
+  def budgetSelectWeighted(docs: DataFrame,
+                           budget: Long = SelectBudgetTokens): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    qualityScore(docs).select(col("doc_id"), col("n_tokens"), col("quality"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .join(Dedup.clusterWeights(docs)
+        .select(col("doc_id"), col("weight_ppm")), "doc_id")
+      .withColumn("eff_utokens", expr("n_tokens * weight_ppm"))
+      .withColumn("cum_utokens", sum(col("eff_utokens")).over(w))
+      .withColumn("keep",
+        (col("cum_utokens") <= budget * 1000000L).cast("int"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("n_tokens"), col("weight_ppm"), col("eff_utokens"),
+        col("cum_utokens"), col("keep"))
+  }
+
   /** Corpus-health dashboard at (source, lang) grain: document count,
     * mean quality, gate keep-rate. The mean is a micro-quantized
     * integer sum (quality is already round-6, so ×10⁶ is integral up
@@ -2930,6 +2965,47 @@ object TextAnalysis {
            |SELECT doc_id, source, quality, n_tokens, cum_tokens,
            |CAST(cum_tokens <= $SelectBudgetTokens AS INT) AS keep
            |FROM c""".stripMargin
+      }),
+
+    // Soft-dedup-weighted budget rationing — budgetSelect × the LSH
+    // cluster weights, the trainer's composition (see
+    // budgetSelectWeighted). Oracle composes the two registered
+    // queries' own CTE chains.
+    QueryDef("mix_budget_weighted",
+      (s, d) => budgetSelectWeighted(docs(s, d)),
+      Some {
+        val toks = "string_split_regex(trim(text),'\\s+')"
+        s"""WITH ${Dedup.shSql},
+           |${Dedup.sigSql},
+           |${Dedup.lshEdgesSql},
+           |e AS MATERIALIZED (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+           |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+           |${Dedup.ccFixSql},
+           |lf AS MATERIALIZED (SELECT doc_id, lbl FROM lcc),
+           |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) cluster_size
+           |  FROM lf GROUP BY 1),
+           |q AS (SELECT doc_id, source,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens,
+           |    ROUND(CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) * 0.5
+           |      + LEAST(CAST(len($toks) AS DOUBLE)/100.0, 1.0) * 0.3
+           |      + CAST(${sqlHits(StopEn)} AS DOUBLE) / len($toks) * 0.2, 6)
+           |      AS quality
+           |  FROM documents),
+           |jw AS (SELECT q.doc_id, q.source, q.quality, q.n_tokens,
+           |    1000000 // s.cluster_size AS weight_ppm
+           |  FROM q JOIN lf c ON q.doc_id = c.doc_id
+           |  JOIN sz s ON c.lbl = s.lbl),
+           |cw AS (SELECT doc_id, source, quality, n_tokens, weight_ppm,
+           |    n_tokens * weight_ppm AS eff_utokens,
+           |    CAST(SUM(n_tokens * weight_ppm) OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_utokens
+           |  FROM jw)
+           |SELECT doc_id, source, quality, n_tokens, weight_ppm,
+           |eff_utokens, cum_utokens,
+           |CAST(cum_utokens <= CAST($SelectBudgetTokens AS BIGINT) * 1000000
+           |  AS INT) AS keep
+           |FROM cw""".stripMargin
       }),
 
     QueryDef("txt_entropy",

@@ -46,6 +46,7 @@ class DeterminismSpec extends SparkSpec {
     "u8_time_split",          // value-grain day cut
     "dedup_best_of_cluster",  // CC labels + longest-survivor window
     "mix_quality_bands",      // band cuts + hash keep rates
+    "mix_budget_weighted",    // LSH weights + per-source budget window
     "ml_precision_popularity", // TakeOrdered top list + anti-join mask
     "ml_coldstart_report",    // split + seen-mask conditional sums
     "bi_abc_analysis",        // decimal cumsum + exact class boundaries

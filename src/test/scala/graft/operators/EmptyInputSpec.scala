@@ -35,6 +35,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.dsirSelect(docs0).count() === 0)
     assert(TextAnalysis.fingerprint(docs0).count() === 0)
     assert(TextAnalysis.unigramHardEm(docs0).count() === 0)
+    assert(TextAnalysis.budgetSelectWeighted(docs0).count() === 0)
     assert(TextAnalysis.phraseSearch(docs0).count() === 0)
     assert(TextAnalysis.spanMerge(docs0).count() === 0)
     assert(TextAnalysis.spanMass(docs0).count() === 1) // 1-row report,

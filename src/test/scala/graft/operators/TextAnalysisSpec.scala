@@ -477,6 +477,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) === (30L, 0))  // worst lands past the ration
   }
 
+  test("weighted budget: a clone cluster charges one doc-equivalent, " +
+    "so fresh content stays inside the ration") {
+    // five EXACT clones (near-dup cluster of 5 → weight 200000 ppm)
+    // ahead of one fresh doc, all 10 tokens. Unweighted, the clones
+    // alone blow a 25-token budget after two docs; weighted, each
+    // clone charges 2 effective tokens, so all five clones AND the
+    // fresh doc fit. Exact dups make the LSH edges certain (J = 1
+    // bands always collide), so the fixture can't drift on banding.
+    val clone = "the quick brown fox jumps over a lazy dog today"
+    val fresh = "completely different words about spark catalyst " +
+      "tungsten codegen planning"
+    val docs = ((1L to 5L).map(i => TDoc(i, clone, "en")) :+
+      TDoc(6L, fresh, "en"))
+      .toDF().withColumn("source", org.apache.spark.sql.functions.lit("A"))
+    val got = TextAnalysis.budgetSelectWeighted(docs, budget = 25L)
+      .select("doc_id", "n_tokens", "weight_ppm", "eff_utokens",
+        "cum_utokens", "keep")
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size === 6)
+    (1L to 5L).foreach { i =>
+      assert(got(i)._3 === 200000L, s"clone $i weight")
+      assert(got(i)._4 === 10L * 200000L) // 2 effective tokens, micro
+      assert(got(i)._6 === 1, s"clone $i must fit the weighted ration")
+    }
+    assert(got(6L)._3 === 1000000L)
+    assert(got(6L)._6 === 1, "fresh doc must survive the clone burst")
+    // the unweighted cut on the same corpus rejects everything past
+    // the first two clones AND the fresh doc — the contrast the
+    // operator exists for
+    val un = TextAnalysis.budgetSelect(docs, budget = 25L)
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    assert(un.values.count(_ == 1) === 2)
+    // total effective charge: 5 clones × 2 + fresh 9 = 19 ≤ 25
+    val totalEff = got.values.map(_._4).sum
+    assert(totalEff === (5L * 10L * 200000L) + 9L * 1000000L)
+  }
+
   test("curriculum order: a band-desc permutation, shuffled within bands, " +
     "partition invariant") {
     val rich = "the quick brown fox jumps over a lazy dog today"

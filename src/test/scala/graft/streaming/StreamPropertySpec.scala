@@ -117,6 +117,38 @@ class StreamPropertySpec extends SparkSpec {
     }
   }
 
+  test("law: runLshDedup micro-batch folds ≡ the one-shot full " +
+    "recompute on generated corpora under any micro-batch split") {
+    // the sequential-fold algebra (quotient theorem per cycle) says
+    // the store's labels after ANY sequence of micro-batch appends
+    // equal CC over everything — scatter splits are fine because only
+    // membership matters (each fold sees the index as of its batch)
+    implicit val sc = spark.sqlContext
+    for (seed <- Seq(71L, 72L, 73L)) {
+      val rng = new scala.util.Random(seed)
+      val corpus = genDocs(rng, 5 + rng.nextInt(4), batch = false)
+        .toDF("doc_id", "text")
+      val batchDocs = genDocs(rng, 4 + rng.nextInt(4), batch = true)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"lshlaw$seed").toString
+      graft.operators.Dedup.lshIndexBuild(spark, s"$root/idx", corpus)
+      val in = MemoryStream[StreamDoc]
+      val q = CorpusIngest.runLshDedup(
+        in.toDF().select($"doc_id", $"text"), s"$root/idx", s"$root/ckpt")
+      for (b <- splitBatches(rng, batchDocs)) {
+        in.addData(b.map { case (id, tx) => StreamDoc(id, tx, "en", "w") })
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.read.parquet(s"$root/idx/labels")
+        .as[(Long, Long)].collect().toSet
+      val want = graft.operators.Dedup.dedupClustersLsh(
+        corpus.unionByName(batchDocs.toDF("doc_id", "text")))
+        .select("doc_id", "canonical_id").as[(Long, Long)].collect().toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("law: runSpanCut live-index loop ≡ the sequential batch verbs " +
     "on generated corpora under any contiguous micro-batch split") {
     implicit val sc = spark.sqlContext

@@ -576,8 +576,10 @@ object Dedup {
     * contradicting stamp (rebuild required), absence warns (pre-stamp
     * store).
     */
-  val LshContract: String =
-    s"sh$ShingleN-mh${Bands * Rows}-b${Bands}x$Rows-t$JaccardT-v1"
+  def lshContractFor(t: Double): String =
+    s"sh$ShingleN-mh${Bands * Rows}-b${Bands}x$Rows-t$t-v1"
+
+  val LshContract: String = lshContractFor(JaccardT)
 
   private val lshStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -622,33 +624,48 @@ object Dedup {
     try out.write(LshContract.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Checked store read: refuse a contradicting contract stamp, warn
-    * on absence; `asOf` keeps only the seed plus strictly-earlier
-    * batch partitions (the spanIngestBatch as-of device — what makes
-    * append replay safe against self-matching).
+  /** Checked store read: refuse a contract stamp contradicting the
+    * CALL's effective contract (the threshold rides in the stamp, so
+    * serving or folding at a t the store was not signed under refuses
+    * instead of silently mixing edge semantics), warn on absence;
+    * `asOf` keeps only the seed plus strictly-earlier batch
+    * partitions (StoreOps.asOfBatch — what makes append replay safe
+    * against self-matching). The labels read falls back to the
+    * completed `labels._tmp` stage when the live table is missing —
+    * the delete-then-rename crash state of StoreOps.stagedSwap — so
+    * a crashed append's replay proceeds instead of wedging.
     */
   private def lshStoreTable(s: SparkSession, dir: String, table: String,
-                            asOf: Option[Long] = None): DataFrame = {
+                            asOf: Option[Long] = None,
+                            t: Double = JaccardT): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir, "_lsh_contract")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want = lshContractFor(t)
     if (fs.exists(p)) {
       val in = fs.open(p)
       val c = try new String(in.readAllBytes(), "UTF-8").trim
       finally in.close()
-      require(c == LshContract,
+      require(c == want,
         s"refusing to serve from $dir: the store was signed under " +
-          s"contract '$c' but this build signs by '$LshContract' — " +
-          "stored bands/shingles and fresh batch signatures would " +
-          "disagree on candidate and edge semantics. Rebuild the " +
-          "index (delete + lshIndexBuild).")
+          s"contract '$c' but this call operates by '$want' — " +
+          "stored bands/shingles/labels and fresh batch signatures " +
+          "would disagree on candidate and edge semantics. Rebuild " +
+          "the index (delete + lshIndexBuild) or call at the store's " +
+          "threshold.")
     } else System.err.println(
       s"[graft] WARN: $dir carries no _lsh_contract stamp (pre-stamp " +
-        s"store); assuming '$LshContract'.")
-    val df = s.read.parquet(s"$dir/$table")
+        s"store); assuming '$want'.")
+    val live = s"$dir/$table"
+    val path =
+      if (table == "labels" &&
+        !fs.exists(new org.apache.hadoop.fs.Path(live)) &&
+        fs.exists(new org.apache.hadoop.fs.Path(live + "._tmp")))
+        live + "._tmp"
+      else live
+    val df = s.read.parquet(path)
     asOf match {
-      case Some(b) => df.filter(coalesce(
-        expr("try_cast(batch AS BIGINT)") < lit(b), lit(true)))
-        .drop("batch")
+      case Some(b) =>
+        df.filter(graft.plans.StoreOps.asOfBatch(b)).drop("batch")
       case None => df.drop("batch")
     }
   }
@@ -664,11 +681,21 @@ object Dedup {
   def incrementalDedupFromStore(s: SparkSession, dir: String,
                                 batch: DataFrame,
                                 t: Double = JaccardT): DataFrame = {
-    val bsh = docShingleHashes(batch).localCheckpoint(false)
+    // docs already in the store are already clustered corpus, not
+    // "incoming" — re-presenting one would double its shingles in the
+    // verify union (corrupting jaccard) and band it against itself,
+    // so the serve drops them up front (the freshIds device)
+    val fresh = batch.join(lshStoreTable(s, dir, "labels", t = t),
+      Seq("doc_id"), "left_anti")
+    val bsh = docShingleHashes(fresh).localCheckpoint(false)
     val bBands = bandSignaturesFrom(minhashSignaturesFrom(bsh))
     jaccardVerifyFrom(
-      bandCandidates(lshStoreTable(s, dir, "bands"), bBands, half = false),
-      lshStoreTable(s, dir, "shingles").unionByName(bsh), t)
+      bandCandidates(lshStoreTable(s, dir, "bands", t = t), bBands,
+        half = false),
+      // jaccardVerifyFrom reads its shingle relation three times —
+      // checkpoint the store∪batch union like the inline twins do
+      lshStoreTable(s, dir, "shingles", t = t).unionByName(bsh)
+        .localCheckpoint(false), t)
       .select(col("i").as("corpus_id"), col("j").as("batch_id"),
         col("jaccard"))
   }
@@ -682,13 +709,20 @@ object Dedup {
   def clustersIncrementalFromStore(s: SparkSession, dir: String,
                                    batch: DataFrame,
                                    t: Double = JaccardT): DataFrame = {
-    val bsh = docShingleHashes(batch).localCheckpoint(false)
+    val prior = lshStoreTable(s, dir, "labels", t = t)
+      .localCheckpoint(false)
+    // already-stored docs are covered by `prior`; folding them again
+    // as batch vertices would duplicate their relabel rows and double
+    // their shingles in the verify — serve only the genuinely fresh
+    val fresh = batch.join(prior, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // shingle pass + the universe id list
+    val bsh = docShingleHashes(fresh).localCheckpoint(false)
     val bBands = bandSignaturesFrom(minhashSignaturesFrom(bsh))
       .localCheckpoint(false)
-    val prior = lshStoreTable(s, dir, "labels").localCheckpoint(false)
-    foldIncremental(prior, lshStoreTable(s, dir, "bands"), bBands,
-      lshStoreTable(s, dir, "shingles").unionByName(bsh),
-      batch.select(col("doc_id")), t)
+    foldIncremental(prior, lshStoreTable(s, dir, "bands", t = t), bBands,
+      lshStoreTable(s, dir, "shingles", t = t).unionByName(bsh)
+        .localCheckpoint(false),
+      fresh.select(col("doc_id")), t)
   }
 
   /** Ingest a batch into the store: detect-and-fold FIRST (against
@@ -706,29 +740,23 @@ object Dedup {
     val bsh = docShingleHashes(batch).localCheckpoint(false)
     val bBands = bandSignaturesFrom(minhashSignaturesFrom(bsh))
       .localCheckpoint(false)
-    val prior = lshStoreTable(s, dir, "labels").localCheckpoint(false)
+    val prior = lshStoreTable(s, dir, "labels", t = t)
+      .localCheckpoint(false)
     // replay guard: docs already folded into the labels relabel
     // through their prior entry, not as fresh batch vertices
     val freshIds = batch.select(col("doc_id"))
       .join(prior, Seq("doc_id"), "left_anti")
     val folded = foldIncremental(prior,
-      lshStoreTable(s, dir, "bands", asOf = Some(batchId)), bBands,
-      lshStoreTable(s, dir, "shingles", asOf = Some(batchId))
-        .unionByName(bsh),
+      lshStoreTable(s, dir, "bands", asOf = Some(batchId), t = t), bBands,
+      lshStoreTable(s, dir, "shingles", asOf = Some(batchId), t = t)
+        .unionByName(bsh)
+        .localCheckpoint(false), // verify reads it three times
       freshIds, t)
       .select(col("doc_id"), col("canonical_id"))
       .localCheckpoint() // eager: read the store BEFORE the swap below
-    // staged swap (the writeStampedSidecar ordering): labels land
-    // whole or not at all
-    val lp = new org.apache.hadoop.fs.Path(s"$dir/labels")
-    val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/labels._tmp")
-    fs.delete(tmp, true)
-    folded.write.parquet(tmp.toString)
-    fs.delete(lp, true)
-    require(fs.rename(tmp, lp),
-      s"labels swap rename failed: $tmp -> $lp (completed staging dir " +
-        "left in place; rename it manually to finish)")
+    // staged swap; the delete-then-rename crash state is recoverable
+    // because the labels READ falls back to the completed stage
+    graft.plans.StoreOps.stagedSwap(s, s"$dir/labels", folded)
     bsh.write.mode("overwrite").parquet(s"$dir/shingles/batch=$batchId")
     bBands.write.mode("overwrite").parquet(s"$dir/bands/batch=$batchId")
   }

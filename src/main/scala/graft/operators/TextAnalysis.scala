@@ -1077,18 +1077,30 @@ object TextAnalysis {
     * sampling solves proportions, this solves rations.
     */
   def budgetSelect(docs: DataFrame,
-                   budget: Long = SelectBudgetTokens): DataFrame = {
+                   budget: Long = SelectBudgetTokens): DataFrame =
+    budgetCut(qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+      col("n_tokens"), "cum_tokens", lit(budget))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("n_tokens"), col("cum_tokens"), col("keep"))
+
+  /** The ONE budget cut both ration queries run: per-source window in
+    * (quality desc, doc_id) order, running sum of `charge` as
+    * `cumName`, keep while it fits `budget` — factored so the
+    * documented same-cut-line contract between budgetSelect and
+    * budgetSelectWeighted is a construction fact, not a
+    * parallel-editing promise.
+    */
+  private def budgetCut(rows: DataFrame, charge: Column, cumName: String,
+                        budget: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    qualityScore(docs).select(col("doc_id"), col("n_tokens"), col("quality"))
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("keep", (col("cum_tokens") <= budget).cast("int"))
-      .select(col("doc_id"), col("source"), col("quality"),
-        col("n_tokens"), col("cum_tokens"), col("keep"))
+    rows.withColumn(cumName, sum(charge).over(w))
+      .withColumn("keep", (col(cumName) <= budget).cast("int"))
   }
 
   /** Budget selection with near-dup soft weights — the composition a
@@ -1107,24 +1119,17 @@ object TextAnalysis {
     * own plan.
     */
   def budgetSelectWeighted(docs: DataFrame,
-                           budget: Long = SelectBudgetTokens): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    qualityScore(docs).select(col("doc_id"), col("n_tokens"), col("quality"))
+                           budget: Long = SelectBudgetTokens): DataFrame =
+    budgetCut(qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .join(Dedup.clusterWeights(docs)
         .select(col("doc_id"), col("weight_ppm")), "doc_id")
-      .withColumn("eff_utokens", expr("n_tokens * weight_ppm"))
-      .withColumn("cum_utokens", sum(col("eff_utokens")).over(w))
-      .withColumn("keep",
-        (col("cum_utokens") <= budget * 1000000L).cast("int"))
+      .withColumn("eff_utokens", expr("n_tokens * weight_ppm")),
+      col("eff_utokens"), "cum_utokens", lit(budget * 1000000L))
       .select(col("doc_id"), col("source"), col("quality"),
         col("n_tokens"), col("weight_ppm"), col("eff_utokens"),
         col("cum_utokens"), col("keep"))
-  }
 
   /** Corpus-health dashboard at (source, lang) grain: document count,
     * mean quality, gate keep-rate. The mean is a micro-quantized
@@ -1978,6 +1983,21 @@ object TextAnalysis {
   private def sqlHits(words: Seq[String]) =
     s"len(list_filter(string_split_regex(trim(text),'\\s+'), " +
       s"x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  /** Quality CTE `q(doc_id, source, n_tokens, quality)` — ONE text
+    * shared by the mix_budget_select and mix_budget_weighted oracles,
+    * mirroring the budgetCut kernel sharing on the Spark side.
+    */
+  private lazy val budgetQSql = {
+    val toks = "string_split_regex(trim(text),'\\s+')"
+    s"""q AS (SELECT doc_id, source,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    ROUND(CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) * 0.5
+       |      + LEAST(CAST(len($toks) AS DOUBLE)/100.0, 1.0) * 0.3
+       |      + CAST(${sqlHits(StopEn)} AS DOUBLE) / len($toks) * 0.2, 6)
+       |      AS quality
+       |  FROM documents)""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -2948,15 +2968,8 @@ object TextAnalysis {
 
     QueryDef("mix_budget_select",
       (s, d) => budgetSelect(docs(s, d)),
-      Some {
-        val toks = "string_split_regex(trim(text),'\\s+')"
-        s"""WITH q AS (SELECT doc_id, source,
-           |    CAST(len($toks) AS BIGINT) AS n_tokens,
-           |    ROUND(CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) * 0.5
-           |      + LEAST(CAST(len($toks) AS DOUBLE)/100.0, 1.0) * 0.3
-           |      + CAST(${sqlHits(StopEn)} AS DOUBLE) / len($toks) * 0.2, 6)
-           |      AS quality
-           |  FROM documents),
+      Some(
+        s"""WITH $budgetQSql,
            |c AS (SELECT doc_id, source, quality, n_tokens,
            |    CAST(SUM(n_tokens) OVER (PARTITION BY source
            |      ORDER BY quality DESC, doc_id
@@ -2964,17 +2977,16 @@ object TextAnalysis {
            |  FROM q)
            |SELECT doc_id, source, quality, n_tokens, cum_tokens,
            |CAST(cum_tokens <= $SelectBudgetTokens AS INT) AS keep
-           |FROM c""".stripMargin
-      }),
+           |FROM c""".stripMargin)),
 
     // Soft-dedup-weighted budget rationing — budgetSelect × the LSH
     // cluster weights, the trainer's composition (see
     // budgetSelectWeighted). Oracle composes the two registered
-    // queries' own CTE chains.
+    // queries' own CTE chains (Dedup's edge/weights chain + the
+    // shared budgetQSql quality CTE), each shared verbatim.
     QueryDef("mix_budget_weighted",
       (s, d) => budgetSelectWeighted(docs(s, d)),
-      Some {
-        val toks = "string_split_regex(trim(text),'\\s+')"
+      Some(
         s"""WITH ${Dedup.shSql},
            |${Dedup.sigSql},
            |${Dedup.lshEdgesSql},
@@ -2984,13 +2996,7 @@ object TextAnalysis {
            |lf AS MATERIALIZED (SELECT doc_id, lbl FROM lcc),
            |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) cluster_size
            |  FROM lf GROUP BY 1),
-           |q AS (SELECT doc_id, source,
-           |    CAST(len($toks) AS BIGINT) AS n_tokens,
-           |    ROUND(CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) * 0.5
-           |      + LEAST(CAST(len($toks) AS DOUBLE)/100.0, 1.0) * 0.3
-           |      + CAST(${sqlHits(StopEn)} AS DOUBLE) / len($toks) * 0.2, 6)
-           |      AS quality
-           |  FROM documents),
+           |$budgetQSql,
            |jw AS (SELECT q.doc_id, q.source, q.quality, q.n_tokens,
            |    1000000 // s.cluster_size AS weight_ppm
            |  FROM q JOIN lf c ON q.doc_id = c.doc_id
@@ -3005,8 +3011,7 @@ object TextAnalysis {
            |eff_utokens, cum_utokens,
            |CAST(cum_utokens <= CAST($SelectBudgetTokens AS BIGINT) * 1000000
            |  AS INT) AS keep
-           |FROM cw""".stripMargin
-      }),
+           |FROM cw""".stripMargin)),
 
     QueryDef("txt_entropy",
       (s, d) => tokenEntropy(docs(s, d)),

@@ -319,13 +319,13 @@ object CorpusIngest {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       checkWStamp(spark, fpIndexDir, w) // wrong-w index = silent no-op
-      // partition-discovery `batch` column = the as-of key: numeric
-      // partitions keep iff id < batchId; the non-numeric seed and
-      // compacted partitions try_cast to NULL (ANSI-safe) and
-      // coalesce to kept
+      // partition-discovery `batch` column = the as-of key (the ONE
+      // shared StoreOps.asOfBatch device, also the LSH index's):
+      // numeric partitions keep iff id < batchId; the non-numeric
+      // seed and compacted partitions try_cast to NULL (ANSI-safe)
+      // and coalesce to kept
       val idx = spark.read.parquet(fpIndexDir)
-        .filter(coalesce(expr("try_cast(batch AS BIGINT)") < lit(batchId),
-          lit(true)))
+        .filter(graft.plans.StoreOps.asOfBatch(batchId))
         .select(col("fp"))
       // ONE window-fingerprint pass per batch: detection and the fp
       // publish both read it (the explode+md5 pipeline is the

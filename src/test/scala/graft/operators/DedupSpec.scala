@@ -414,6 +414,22 @@ class DedupSpec extends SparkSpec {
     assert(exS.getMessage.contains("contract"))
   }
 
+  test("lsh index store: serving at a foreign threshold refuses " +
+    "against the stamp") {
+    // the t rides IN the stamp, so a non-default threshold cannot
+    // silently mix edge semantics with a default-signed store
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter(col("doc_id") % 10 < 8)
+    val batch = real.filter(col("doc_id") % 10 >= 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-spec-t").toString + "/idx"
+    Dedup.lshIndexBuild(spark, dir, corpus)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupFromStore(spark, dir, batch, t = 0.4).collect()
+    }
+    assert(ex.getMessage.contains("t0.4"))
+  }
+
   test("lsh index append: labels fold to the full recompute, " +
     "replay is idempotent") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -439,6 +455,21 @@ class DedupSpec extends SparkSpec {
     val before = (table("labels"), table("bands"), table("shingles"))
     Dedup.lshIndexAppend(spark, dir, batch, batchId = 1L)
     assert((table("labels"), table("bands"), table("shingles")) === before)
+    // the stagedSwap crash window (live labels deleted, completed
+    // stage behind): reads fall back to the stage, and a replayed
+    // append finishes the swap instead of wedging
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/labels")
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/labels._tmp")
+    fs.delete(tmp, true)
+    assert(fs.rename(lp, tmp)) // simulate: crashed between del + rename
+    val served = Dedup.clustersIncrementalFromStore(spark, dir, batch)
+      .select("doc_id", "canonical_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(served === want) // fallback read; folded docs via prior
+    Dedup.lshIndexAppend(spark, dir, batch, batchId = 1L)
+    assert(fs.exists(lp) && !fs.exists(tmp))
+    assert(table("labels") === want)
   }
 
   test("semantic dedup: greedy min-id prune invariants on real vectors") {

@@ -479,11 +479,11 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("weighted budget: a clone cluster charges one doc-equivalent, " +
     "so fresh content stays inside the ration") {
-    // five EXACT clones (near-dup cluster of 5 → weight 200000 ppm)
-    // ahead of one fresh doc, all 10 tokens. Unweighted, the clones
-    // alone blow a 25-token budget after two docs; weighted, each
-    // clone charges 2 effective tokens, so all five clones AND the
-    // fresh doc fit. Exact dups make the LSH edges certain (J = 1
+    // five EXACT 10-token clones (near-dup cluster of 5 → weight
+    // 200000 ppm) ahead of one 9-token fresh doc. Unweighted, the
+    // clones alone blow a 25-token budget after two docs; weighted,
+    // each clone charges 2 effective tokens, so all five clones AND
+    // the fresh doc fit. Exact dups make the LSH edges certain (J = 1
     // bands always collide), so the fixture can't drift on banding.
     val clone = "the quick brown fox jumps over a lazy dog today"
     val fresh = "completely different words about spark catalyst " +

@@ -135,11 +135,13 @@ class StreamPropertySpec extends SparkSpec {
       val in = MemoryStream[StreamDoc]
       val q = CorpusIngest.runLshDedup(
         in.toDF().select($"doc_id", $"text"), s"$root/idx", s"$root/ckpt")
-      for (b <- splitBatches(rng, batchDocs)) {
-        in.addData(b.map { case (id, tx) => StreamDoc(id, tx, "en", "w") })
-        q.processAllAvailable()
-      }
-      q.stop()
+      try {
+        for (b <- splitBatches(rng, batchDocs)) {
+          in.addData(b.map { case (id, tx) => StreamDoc(id, tx, "en", "w") })
+          q.processAllAvailable()
+        }
+      } finally q.stop() // a drain failure must not leak the query
+      // into the suite-shared session
       val got = spark.read.parquet(s"$root/idx/labels")
         .as[(Long, Long)].collect().toSet
       val want = graft.operators.Dedup.dedupClustersLsh(

@@ -291,12 +291,22 @@ object Events {
     val capped = items.withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= cap)
       .select(col("user_id"), col("session_id"), col("item"))
+      // both sides of the pair self-join: uncached, the whole events
+      // prefix (JSON extract + the two session windows) executes once
+      // per join side AND per symmetric-union branch — 8 scans of the
+      // events table in one plan (round-13 optimization pass, guide
+      // §2.4: duplicated subtrees are removed shuffles)
+      .localCheckpoint(false)
     val pairs = capped.as("x").join(capped.as("y"),
         col("x.user_id") === col("y.user_id") &&
           col("x.session_id") === col("y.session_id") &&
           col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("i"), col("y.item").as("j"))
       .agg(count(lit(1)).as("n_co"))
+      // referenced by both symmetric-union branches: cache the pair
+      // list (one row per canonical co-visit pair) so the session
+      // self-join — the dominant stage — runs once, not twice
+      .localCheckpoint(false)
     pairs
       .select(col("i").as("item"), col("j").as("nbr"), col("n_co"))
       .unionByName(pairs

@@ -214,10 +214,15 @@ object Recommend {
       .join(inter, Seq("user_id", "item_id"), "left_anti")
       .filter(col("score") > 0)
       .withColumn("score_r", round(col("score"), 6))
+    // heap cut before the rank window (round-13 optimization pass —
+    // the recommendTopKNative pattern): the window then ranks ≤ topN
+    // rows per user instead of sorting every candidate. Same total
+    // order, same rows, same oracle.
+    val cut = TopK.perKey(cand, Seq("user_id"),
+      Seq(("score_r", true), ("item_id", false)), topN)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("score_r").desc, col("item_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topN)
+    cut.withColumn("rank", row_number().over(w))
       .select(col("user_id"), col("rank").cast("long").as("rank"),
         col("item_id"), col("score_r"))
   }
@@ -415,9 +420,16 @@ object Recommend {
   def similarProducts(sim: DataFrame, k: Int = 5): DataFrame = {
     val sym = sim.select(col("i"), col("j"), col("cos"))
       .unionByName(sim.select(col("j").as("i"), col("i").as("j"), col("cos")))
+    // per-item cut through the native heap operator, then the rank
+    // window over the ALREADY-CUT relation (≤ k rows per item) — the
+    // recommendTopKNative pattern adopted here in round 13's
+    // optimization pass: the old full rank window sorted the entire
+    // 2× symmetric pair table per item partition; the heap partial is
+    // O(n log k) map-side with no sort buffer. Identical output —
+    // same (cos desc, j) total order, same oracle.
+    val cut = TopK.perKey(sym, Seq("i"), Seq(("cos", true), ("j", false)), k)
     val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
-    sym.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    cut.withColumn("rank", row_number().over(w))
       .select(col("i").as("item_id"), col("rank").cast("long").as("rank"),
         col("j").as("similar_item"), col("cos"))
   }

@@ -494,8 +494,9 @@ object Similarity {
     * codes only — float vectors never shuffle. Smaller s = closer;
     * ties break on nbr_id.
     */
-  def knnIvfPqRes(emb: DataFrame, k: Int = K): DataFrame = {
-    val cents = ivfCodebook(emb).localCheckpoint(false)
+  def knnIvfPqRes(emb: DataFrame, k: Int = K,
+                  centsOpt: Option[DataFrame] = None): DataFrame = {
+    val cents = centsOpt.getOrElse(ivfCodebook(emb).localCheckpoint(false))
     val xqmFull = residualSlicesQ(emb, cents).localCheckpoint(false)
     val xqm = xqmFull.select("vec_id", "m", "q")
     val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
@@ -513,7 +514,10 @@ object Similarity {
       .select(col("query_id"), col("qcell"), col("m"),
         col("cell").as("code"),
         (col("cc") - lit(2L) * dotiFast(col("rq"), col("cq"))).as("part"))
-    val cellOf = xqmFull.select("vec_id", "cell").distinct()
+    val cellOf = xqmFull.filter(col("m") === 0)
+      .select(col("vec_id"), col("cell")) // cell is constant per vec:
+      // the m=0 slice IS the distinct (vec_id, cell) relation, minus
+      // the distinct's exchange (round-13 optimization pass)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_q"), col("nbr_id"))
@@ -577,7 +581,10 @@ object Similarity {
         col("cell").as("code"),
         (dotiFast(col("rq"), col("rq")) + col("cc")
           - lit(2L) * dotiFast(col("rq"), col("cq"))).as("part"))
-    val cellOf = xqmFull.select("vec_id", "cell").distinct()
+    val cellOf = xqmFull.filter(col("m") === 0)
+      .select(col("vec_id"), col("cell")) // cell is constant per vec:
+      // the m=0 slice IS the distinct (vec_id, cell) relation, minus
+      // the distinct's exchange (round-13 optimization pass)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_q"), col("nbr_id"))
@@ -640,8 +647,14 @@ object Similarity {
           round(avg(coalesce(col("n_hit"), lit(0L)).cast("double")
             / col("n_exact")), 6).as(name))
     }
-    recallOf(knnIvfPq(emb, k), "plain_recall")
-      .crossJoin(recallOf(knnIvfPqRes(emb, k), "res_recall")
+    // ONE coarse quantizer for both composites (round-13 optimization
+    // pass): the docstring's "SAME coarse quantizer" was previously
+    // enforced by determinism (two identical Lloyd trainings), now by
+    // construction — the trained codebook is derived once and threaded
+    // into both index paths, halving the monitor's training cost.
+    val cents = ivfCodebook(emb).localCheckpoint(false)
+    recallOf(knnIvfPq(emb, k, Some(cents)), "plain_recall")
+      .crossJoin(recallOf(knnIvfPqRes(emb, k, Some(cents)), "res_recall")
         .drop("n_queries"))
   }
 
@@ -752,7 +765,10 @@ object Similarity {
     */
   private def resPartRows(emb: DataFrame, nq: Int): DataFrame = {
     val (xqmFull, codes, _, lut) = resAdcRelations(emb, nq)
-    val cellOf = xqmFull.select("vec_id", "cell").distinct()
+    val cellOf = xqmFull.filter(col("m") === 0)
+      .select(col("vec_id"), col("cell")) // cell is constant per vec:
+      // the m=0 slice IS the distinct (vec_id, cell) relation, minus
+      // the distinct's exchange (round-13 optimization pass)
     codes.join(cellOf, Seq("vec_id"))
       .join(broadcast(lut), Seq("m", "code"))
       .filter(col("cell") === col("qcell") &&
@@ -934,8 +950,9 @@ object Similarity {
     * recall loss (cell restriction × quantization) is what
     * sim_ivfpq_recall measures against the exact baseline.
     */
-  def knnIvfPq(emb: DataFrame, k: Int = K): DataFrame = {
-    val (coded, qcell, lut) = pqAdcParts(emb)
+  def knnIvfPq(emb: DataFrame, k: Int = K,
+               centsOpt: Option[DataFrame] = None): DataFrame = {
+    val (coded, qcell, lut) = pqAdcParts(emb, centsOpt)
     adcTopK(coded, qcell, lut, k)
   }
 
@@ -945,12 +962,18 @@ object Similarity {
     * filtered variant (the resAdcRelations discipline: variants
     * compose the same relations, never re-derive them).
     */
-  private def pqAdcParts(emb: DataFrame)
+  private def pqAdcParts(emb: DataFrame,
+                         centsOpt: Option[DataFrame] = None)
   : (DataFrame, DataFrame, DataFrame) = {
     val e = vecs(emb)
     // coarse quantizer: the trained IVF codebook; fine quantizer: the
-    // sampled PQ codebook (pqCodes) — independent, as in FAISS IVFPQ
-    val assigned = ivfAssign(emb)
+    // sampled PQ codebook (pqCodes) — independent, as in FAISS IVFPQ.
+    // `centsOpt` lets a monitor running several composites over the
+    // SAME corpus train the coarse quantizer once and share it
+    // (ivfPqResVsPlainRecall trained the identical Lloyd codebook
+    // twice before the round-13 optimization pass — guide §1.2 step 1,
+    // don't compute things twice).
+    val assigned = ivfAssign(emb, centsOpt)
       .select(col("vec_id"), col("cell"))
       .localCheckpoint(false) // candidate cells + query cells
     val cent = hashSample(e, "c", CentCount)

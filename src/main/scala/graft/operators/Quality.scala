@@ -199,6 +199,10 @@ object Quality {
     val med = lowerMedian(v, "vc", "med_c")
     val dev = v.join(broadcast(med), Seq("event_type"))
       .withColumn("ad", abs(col("vc") - col("med_c")))
+      // referenced twice (the MAD median pass + the final outlier
+      // aggregate): uncached, the events scan + the median windows ran
+      // once per branch (round-13 optimization pass)
+      .localCheckpoint(false)
     val mad = lowerMedian(dev.select(col("event_type"), col("ad")),
       "ad", "mad_c")
     dev.join(broadcast(mad), Seq("event_type"))

@@ -682,12 +682,30 @@ object Recommend {
     */
   private def boundedEval(s: SparkSession, d: String)
   : (DataFrame, DataFrame) = {
-    val train = trainSetCapped(s, d).localCheckpoint(false)
+    // ONE (user, item, last_ts) base feeds both splits — the oracle's
+    // cappedEvalSql has always derived `tr` AND `ev` from one `base`
+    // CTE; the Spark side previously re-derived the eval split from a
+    // separate interactions() pass (a second lineitem⋈orders join +
+    // distinct per query — round-13 optimization pass, guide §1.2
+    // step 1). base's group keys ARE the distinct (user, item) pairs,
+    // so the eval rows are identical by construction.
+    val base = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"),
+        col("l_partkey").as("item_id"))
+      .agg(max(col("o_orderdate")).as("last_ts"))
+      .localCheckpoint(false) // train cap + eval split
+    val train = capInteractions(
+      base.withColumn("bucket", bucket10(col("user_id"), col("item_id")))
+        .filter(col("bucket") < 8).drop("bucket"))
+      .localCheckpoint(false)
     val users = evalUserSample(train).localCheckpoint(false)
     val recs = recommend(
       train.join(broadcast(users), Seq("user_id"), "left_semi"),
       itemSimilarity(train).localCheckpoint(false))
-    val evs = evalSet(interactions(s, d))
+    val evs = base.select(col("user_id"), col("item_id"))
+      .withColumn("bucket", bucket10(col("user_id"), col("item_id")))
+      .filter(col("bucket") >= 8).drop("bucket")
       .join(broadcast(users), Seq("user_id"), "left_semi")
     (recs, evs)
   }
@@ -1017,10 +1035,21 @@ object Recommend {
     // boundary.
     QueryDef("ml_matrix_stats",
       (s, d) => {
-        val inter = interactions(s, d)
+        // ONE (user, item, last_ts) base feeds the matrix stats AND
+        // the capped model (round-13 optimization pass): its group
+        // keys ARE the distinct interaction pairs, so the stats
+        // aggregate reads the same relation the cap windows — the
+        // separate interactions() pass re-joined lineitem⋈orders and
+        // re-deduplicated for three counts the base already carries.
+        val base = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("user_id"),
+            col("l_partkey").as("item_id"))
+          .agg(max(col("o_orderdate")).as("last_ts"))
+          .localCheckpoint(false) // stats aggregate + the cap window
         val sim = itemSimilarity(
-          interactionsCapped(s, d).localCheckpoint(false))
-        val users = inter.select(countDistinct(col("user_id")).as("n_users"),
+          capInteractions(base).localCheckpoint(false))
+        val users = base.select(countDistinct(col("user_id")).as("n_users"),
           countDistinct(col("item_id")).as("n_items"),
           count(lit(1)).as("n_interactions"))
         users.crossJoin(sim.agg(

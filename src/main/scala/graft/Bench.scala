@@ -126,7 +126,12 @@ object Bench {
     // above.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+        case _ if kv.trim.nonEmpty =>
+          // loud, not silent: a malformed entry (missing '=') that
+          // quietly no-ops would make an A/B "no effect" conclusion
+          // wrong
+          System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_CONF entry: '$kv'")
         case _ =>
       }
     })

@@ -471,9 +471,18 @@ object Similarity {
     * prime suspect in the round-6 driver-gate hash flake, and the
     * integer form removes the float subtraction entirely.
     */
-  private def residualSlicesQ(emb: DataFrame,
-                              cents: DataFrame): DataFrame =
-    ivfAssign(emb, Some(cents))
+  /** The (vec_id, home cell) relation of a residual slice stream:
+    * cell is constant per vector, so the m=0 slice IS the distinct
+    * (vec_id, cell) relation minus the distinct's exchange (round-13
+    * optimization pass; one definition for the three res-chain
+    * consumers so the m=0 invariant lives in one place).
+    */
+  private def homeCells(xqmFull: DataFrame): DataFrame =
+    xqmFull.filter(col("m") === 0).select(col("vec_id"), col("cell"))
+
+  private def residualSlicesQ(emb: DataFrame, cents: DataFrame,
+                              asnOpt: Option[DataFrame] = None): DataFrame =
+    asnOpt.getOrElse(ivfAssign(emb, Some(cents)))
       .join(broadcast(cents), col("cell") === col("cent_id"))
       .select(col("vec_id"), col("cell"),
         expr("zip_with(v, cv, (a, b) -> " +
@@ -495,9 +504,10 @@ object Similarity {
     * ties break on nbr_id.
     */
   def knnIvfPqRes(emb: DataFrame, k: Int = K,
-                  centsOpt: Option[DataFrame] = None): DataFrame = {
+                  centsOpt: Option[DataFrame] = None,
+                  asnOpt: Option[DataFrame] = None): DataFrame = {
     val cents = centsOpt.getOrElse(ivfCodebook(emb).localCheckpoint(false))
-    val xqmFull = residualSlicesQ(emb, cents).localCheckpoint(false)
+    val xqmFull = residualSlicesQ(emb, cents, asnOpt).localCheckpoint(false)
     val xqm = xqmFull.select("vec_id", "m", "q")
     val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
       .localCheckpoint(false) // codes + LUT
@@ -514,10 +524,7 @@ object Similarity {
       .select(col("query_id"), col("qcell"), col("m"),
         col("cell").as("code"),
         (col("cc") - lit(2L) * dotiFast(col("rq"), col("cq"))).as("part"))
-    val cellOf = xqmFull.filter(col("m") === 0)
-      .select(col("vec_id"), col("cell")) // cell is constant per vec:
-      // the m=0 slice IS the distinct (vec_id, cell) relation, minus
-      // the distinct's exchange (round-13 optimization pass)
+    val cellOf = homeCells(xqmFull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_q"), col("nbr_id"))
@@ -581,10 +588,7 @@ object Similarity {
         col("cell").as("code"),
         (dotiFast(col("rq"), col("rq")) + col("cc")
           - lit(2L) * dotiFast(col("rq"), col("cq"))).as("part"))
-    val cellOf = xqmFull.filter(col("m") === 0)
-      .select(col("vec_id"), col("cell")) // cell is constant per vec:
-      // the m=0 slice IS the distinct (vec_id, cell) relation, minus
-      // the distinct's exchange (round-13 optimization pass)
+    val cellOf = homeCells(xqmFull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_q"), col("nbr_id"))
@@ -647,15 +651,18 @@ object Similarity {
           round(avg(coalesce(col("n_hit"), lit(0L)).cast("double")
             / col("n_exact")), 6).as(name))
     }
-    // ONE coarse quantizer for both composites (round-13 optimization
-    // pass): the docstring's "SAME coarse quantizer" was previously
-    // enforced by determinism (two identical Lloyd trainings), now by
-    // construction — the trained codebook is derived once and threaded
-    // into both index paths, halving the monitor's training cost.
+    // ONE coarse quantizer AND one corpus assignment for both
+    // composites (round-13 optimization pass): the docstring's "SAME
+    // coarse quantizer" was previously enforced by determinism (two
+    // identical Lloyd trainings + two identical argmin passes), now by
+    // construction — both are derived once and threaded into both
+    // index paths.
     val cents = ivfCodebook(emb).localCheckpoint(false)
-    recallOf(knnIvfPq(emb, k, Some(cents)), "plain_recall")
-      .crossJoin(recallOf(knnIvfPqRes(emb, k, Some(cents)), "res_recall")
-        .drop("n_queries"))
+    val asn = ivfAssign(emb, Some(cents)).localCheckpoint(false)
+    recallOf(knnIvfPq(emb, k, Some(cents), Some(asn)), "plain_recall")
+      .crossJoin(
+        recallOf(knnIvfPqRes(emb, k, Some(cents), Some(asn)), "res_recall")
+          .drop("n_queries"))
   }
 
   /** Fixed probe-batch size for the ADC stage-bisect probe: a
@@ -765,10 +772,7 @@ object Similarity {
     */
   private def resPartRows(emb: DataFrame, nq: Int): DataFrame = {
     val (xqmFull, codes, _, lut) = resAdcRelations(emb, nq)
-    val cellOf = xqmFull.filter(col("m") === 0)
-      .select(col("vec_id"), col("cell")) // cell is constant per vec:
-      // the m=0 slice IS the distinct (vec_id, cell) relation, minus
-      // the distinct's exchange (round-13 optimization pass)
+    val cellOf = homeCells(xqmFull)
     codes.join(cellOf, Seq("vec_id"))
       .join(broadcast(lut), Seq("m", "code"))
       .filter(col("cell") === col("qcell") &&
@@ -951,8 +955,9 @@ object Similarity {
     * sim_ivfpq_recall measures against the exact baseline.
     */
   def knnIvfPq(emb: DataFrame, k: Int = K,
-               centsOpt: Option[DataFrame] = None): DataFrame = {
-    val (coded, qcell, lut) = pqAdcParts(emb, centsOpt)
+               centsOpt: Option[DataFrame] = None,
+               asnOpt: Option[DataFrame] = None): DataFrame = {
+    val (coded, qcell, lut) = pqAdcParts(emb, centsOpt, asnOpt)
     adcTopK(coded, qcell, lut, k)
   }
 
@@ -963,19 +968,22 @@ object Similarity {
     * compose the same relations, never re-derive them).
     */
   private def pqAdcParts(emb: DataFrame,
-                         centsOpt: Option[DataFrame] = None)
+                         centsOpt: Option[DataFrame] = None,
+                         asnOpt: Option[DataFrame] = None)
   : (DataFrame, DataFrame, DataFrame) = {
     val e = vecs(emb)
     // coarse quantizer: the trained IVF codebook; fine quantizer: the
     // sampled PQ codebook (pqCodes) — independent, as in FAISS IVFPQ.
-    // `centsOpt` lets a monitor running several composites over the
-    // SAME corpus train the coarse quantizer once and share it
-    // (ivfPqResVsPlainRecall trained the identical Lloyd codebook
-    // twice before the round-13 optimization pass — guide §1.2 step 1,
-    // don't compute things twice).
-    val assigned = ivfAssign(emb, centsOpt)
-      .select(col("vec_id"), col("cell"))
-      .localCheckpoint(false) // candidate cells + query cells
+    // `centsOpt`/`asnOpt` let a monitor running several composites
+    // over the SAME corpus train the coarse quantizer and compute the
+    // corpus assignment once and share both (ivfPqResVsPlainRecall ran
+    // the identical Lloyd training AND the identical n×CentCount
+    // argmin pass twice before the round-13 optimization pass — guide
+    // §1.2 step 1, don't compute things twice).
+    val assigned = asnOpt.map(_.select(col("vec_id"), col("cell")))
+      .getOrElse(ivfAssign(emb, centsOpt)
+        .select(col("vec_id"), col("cell"))
+        .localCheckpoint(false)) // candidate cells + query cells
     val cent = hashSample(e, "c", CentCount)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val codes = pqCodes(emb)

@@ -495,20 +495,25 @@ object Dedup {
                           t: Double = JaccardT): DataFrame = {
     val isBatch = col("doc_id") % 10 >= 8
     // ONE shingle pass + ONE signature pass feed the prior clustering,
-    // both candidate joins, and the shared verify
-    val sh = docShingleHashes(docsDf).localCheckpoint(false)
+    // both candidate joins, and the shared verify — both EAGER
+    // (round 14): the prior fixpoint and the new-edge verify overlap
+    // below (guide §2.6), so their shared prefix must be materialized
+    // before the fork (Par contract)
+    val sh = docShingleHashes(docsDf).localCheckpoint()
     val bands = bandSignaturesFrom(minhashSignaturesFrom(sh))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val bc = bands.filter(!isBatch)
     // prior labels: stand-in for the persisted label table — the CC of
-    // the corpus-only edge relation (≡ dedupClustersLsh on that side)
-    val prior = labelComponents(
-      jaccardVerifyFrom(bandCandidates(bc, bc, half = true), sh, t)
-        .select(col("i"), col("j")),
-      docsDf.filter(!isBatch).select(col("doc_id")))
-      .select(col("doc_id"), col("canonical_id"))
-      .localCheckpoint(false) // read by the contraction (twice) + relabel
-    foldIncremental(prior, bc, bands.filter(isBatch), sh,
+    // the corpus-only edge relation (≡ dedupClustersLsh on that side).
+    // The fixpoint runs INSIDE foldIncremental's prior thunk, beside
+    // the independent new-edge derivation.
+    foldIncremental(
+      () => labelComponents(
+        jaccardVerifyFrom(bandCandidates(bc, bc, half = true), sh, t)
+          .select(col("i"), col("j")),
+        docsDf.filter(!isBatch).select(col("doc_id")))
+        .select(col("doc_id"), col("canonical_id")),
+      bc, bands.filter(isBatch), sh,
       docsDf.filter(isBatch).select(col("doc_id")), t)
   }
 
@@ -520,17 +525,28 @@ object Dedup {
     * reads it); `batchIds` is the batch's full id list (short docs
     * have no shingles but still need labels).
     */
-  private def foldIncremental(prior: DataFrame, cBands: DataFrame,
+  private def foldIncremental(priorThunk: () => DataFrame,
+                              cBands: DataFrame,
                               bBands: DataFrame, shAll: DataFrame,
                               batchIds: DataFrame,
                               t: Double): DataFrame = {
-    // the NEW edges an ingest sees: corpus×batch + batch-internal —
-    // the corpus×corpus pair space never forms
-    val edgesNew = jaccardVerifyFrom(
-      bandCandidates(cBands, bBands, half = false)
-        .unionByName(bandCandidates(bBands, bBands, half = true)),
-      shAll, t)
-      .select(col("i"), col("j"))
+    // The prior-label derivation (a store read, or the corpus-side CC
+    // fixpoint in the inline twin) and the NEW-edge verify are
+    // independent until the contraction below — overlap them
+    // (guide §2.6). `priorThunk` runs on its own driver thread; the
+    // callers materialize any relation the two sides share (shingles,
+    // band signatures) BEFORE this fork, per the Par contract.
+    // edgesNew: corpus×batch + batch-internal — the corpus×corpus
+    // pair space never forms.
+    val (prior, edgesNew) = Par.run2(
+      () => priorThunk().localCheckpoint(true),
+      // read by the contraction (twice via pi/pj) + relabel
+      () => jaccardVerifyFrom(
+        bandCandidates(cBands, bBands, half = false)
+          .unionByName(bandCandidates(bBands, bBands, half = true)),
+        shAll, t)
+        .select(col("i"), col("j"))
+        .localCheckpoint(true))
     // contract through the prior labels: corpus endpoints become their
     // canonical supervertex, batch endpoints ride as themselves (the
     // i≠j guard also swallows the self-pairs a replayed append's
@@ -608,17 +624,25 @@ object Dedup {
     require(!fs.exists(dp),
       s"refusing to build over an existing LSH index at $dir — delete " +
         "the store first, or ingest with lshIndexAppend")
-    val sh = docShingleHashes(docs).localCheckpoint(false)
+    // eager: the three overlapped store writes below all read these
+    // (Par contract — materialize shared relations before the fork)
+    val sh = docShingleHashes(docs).localCheckpoint()
     val bands = bandSignaturesFrom(minhashSignaturesFrom(sh))
-      .localCheckpoint(false)
-    sh.write.parquet(s"$dir/shingles/batch=seed")
-    bands.write.parquet(s"$dir/bands/batch=seed")
-    labelComponents(
-      jaccardVerifyFrom(bandCandidates(bands, bands, half = true),
-        sh, JaccardT).select(col("i"), col("j")),
-      docs.select(col("doc_id")))
-      .select(col("doc_id"), col("canonical_id"))
-      .write.parquet(s"$dir/labels")
+      .localCheckpoint()
+    // the three store tables are independent given sh/bands — write
+    // them concurrently (guide §2.6); the labels CC fixpoint is the
+    // long pole and the two table writes back-fill its serial rounds.
+    // Write order never mattered for crash recovery: the stamp below
+    // is written LAST either way.
+    Par.run[Unit](Seq(
+      () => sh.write.parquet(s"$dir/shingles/batch=seed"),
+      () => bands.write.parquet(s"$dir/bands/batch=seed"),
+      () => labelComponents(
+        jaccardVerifyFrom(bandCandidates(bands, bands, half = true),
+          sh, JaccardT).select(col("i"), col("j")),
+        docs.select(col("doc_id")))
+        .select(col("doc_id"), col("canonical_id"))
+        .write.parquet(s"$dir/labels")))
     val out = fs.create(
       new org.apache.hadoop.fs.Path(dir, "_lsh_contract"), true)
     try out.write(LshContract.getBytes("UTF-8")) finally out.close()
@@ -709,8 +733,12 @@ object Dedup {
   def clustersIncrementalFromStore(s: SparkSession, dir: String,
                                    batch: DataFrame,
                                    t: Double = JaccardT): DataFrame = {
+    // eager: the overlapped fold below reads `prior` from BOTH sides
+    // (the prior thunk and, through `fresh`, the new-edge verify), so
+    // it must be materialized before the fork (Par contract); it is a
+    // store read — one cheap parquet scan
     val prior = lshStoreTable(s, dir, "labels", t = t)
-      .localCheckpoint(false)
+      .localCheckpoint()
     // already-stored docs are covered by `prior`; folding them again
     // as batch vertices would duplicate their relabel rows and double
     // their shingles in the verify — serve only the genuinely fresh
@@ -719,7 +747,8 @@ object Dedup {
     val bsh = docShingleHashes(fresh).localCheckpoint(false)
     val bBands = bandSignaturesFrom(minhashSignaturesFrom(bsh))
       .localCheckpoint(false)
-    foldIncremental(prior, lshStoreTable(s, dir, "bands", t = t), bBands,
+    foldIncremental(() => prior,
+      lshStoreTable(s, dir, "bands", t = t), bBands,
       lshStoreTable(s, dir, "shingles", t = t).unionByName(bsh)
         .localCheckpoint(false),
       fresh.select(col("doc_id")), t)
@@ -740,13 +769,16 @@ object Dedup {
     val bsh = docShingleHashes(batch).localCheckpoint(false)
     val bBands = bandSignaturesFrom(minhashSignaturesFrom(bsh))
       .localCheckpoint(false)
+    // eager: read by the overlapped fold's prior thunk AND by the
+    // freshIds guard below (Par contract — materialize shared
+    // relations before the fork); one cheap parquet scan
     val prior = lshStoreTable(s, dir, "labels", t = t)
-      .localCheckpoint(false)
+      .localCheckpoint()
     // replay guard: docs already folded into the labels relabel
     // through their prior entry, not as fresh batch vertices
     val freshIds = batch.select(col("doc_id"))
       .join(prior, Seq("doc_id"), "left_anti")
-    val folded = foldIncremental(prior,
+    val folded = foldIncremental(() => prior,
       lshStoreTable(s, dir, "bands", asOf = Some(batchId), t = t), bBands,
       lshStoreTable(s, dir, "shingles", asOf = Some(batchId), t = t)
         .unionByName(bsh)
@@ -1109,14 +1141,22 @@ object Dedup {
     // prefix — the explode+md5 shingle stream — so derive it once
     // and thread it through the *From variants; the universe side is
     // the doc-id list both labelings need.
-    val sh = docShingleHashes(docsDf).localCheckpoint(false)
+    // eager: both overlapped fixpoints below read the shingle stream,
+    // so it must be materialized before the fork (Par contract)
+    val sh = docShingleHashes(docsDf).localCheckpoint()
     val ids = docsDf.select(col("doc_id"))
-    val ex = labelComponents(
-      ngramJaccardFrom(sh).select(col("i"), col("j")), ids)
-      .select(col("doc_id"), col("canonical_id").as("le"))
-    val ls = labelComponents(
-      minhashLshFrom(sh).select(col("i"), col("j")), ids)
-      .select(col("doc_id"), col("canonical_id").as("ll"))
+    // the EXACT clustering (quadratic co-count edges + CC fixpoint)
+    // and the LSH clustering (banded candidates + CC fixpoint) are
+    // independent until the doc-grain label join — two serial
+    // fixpoint chains, overlapped per guide §2.6 (each runs 20-40
+    // sequential jobs at parallelism ≈ 1)
+    val (ex, ls) = Par.run2(
+      () => labelComponents(
+        ngramJaccardFrom(sh).select(col("i"), col("j")), ids)
+        .select(col("doc_id"), col("canonical_id").as("le")),
+      () => labelComponents(
+        minhashLshFrom(sh).select(col("i"), col("j")), ids)
+        .select(col("doc_id"), col("canonical_id").as("ll")))
     // doc-grain label pairs, read by four aggregates
     val j = ex.join(ls, Seq("doc_id")).localCheckpoint(false)
     def pairMass(keys: org.apache.spark.sql.Column*): DataFrame =
@@ -1870,9 +1910,16 @@ object Dedup {
     QueryDef("dedup_lsh_recall",
       (s, d) => {
         val sample = docSample(docs(s, d))
-        val exact = ngramJaccard(sample).select(col("i"), col("j"))
-          .localCheckpoint(false)
-        val lsh = minhashLsh(sample).select(col("i"), col("j"))
+        // ONE shingle pass feeds both sides (the clusterAgreement
+        // sharing device; ngramJaccard/minhashLsh ARE the *From
+        // kernels over docShingleHashes, so rows are identical by
+        // construction), eager per the Par contract; the exact
+        // quadratic side and the banded LSH side are then
+        // independent until the semi-join — overlapped (guide §2.6)
+        val sh = docShingleHashes(sample).localCheckpoint()
+        val Seq(exact, lsh) = Par.materialize(
+          ngramJaccardFrom(sh).select(col("i"), col("j")),
+          minhashLshFrom(sh).select(col("i"), col("j")))
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin( // two 1-row sides
             exact.join(lsh, Seq("i", "j"), "left_semi")

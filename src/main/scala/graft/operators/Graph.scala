@@ -195,12 +195,12 @@ object Graph {
     * Scale shape: each round is one equi-join of the label vector
     * (|V| rows) with the adjacency (2|E|+|V| rows with self-loops) on
     * the neighbor key, a map-side-combinable (node, label) count, and
-    * a node-grain argmax as a SECOND hash aggregate — max over
-    * struct(count, −label) encodes the (count desc, label asc) rule
-    * with no sort and no window, so both phases partial-aggregate
-    * map-side (the rank-window form would sort every node's label
-    * candidates per round). Labels are node ids (8 bytes), never
-    * strings.
+    * a node-grain argmax through the native heap top-k at k = 1 —
+    * (count desc, label asc) with no sort and no window, partial
+    * heaps map-side (the rank-window form would sort every node's
+    * label candidates per round, and so did the former max(struct)
+    * aggregate via its SortAggregate fallback). Labels are node ids
+    * (8 bytes), never strings.
     */
   def labelPropagation(edges: DataFrame, iters: Int = LpaIters): DataFrame = {
     val nbrs = edges.select(col("i").as("v"), col("j").as("n"))
@@ -210,11 +210,19 @@ object Graph {
       .localCheckpoint(false) // reused every round
     var lab = nodes.select(col("v").as("node"), col("v").as("label"))
     for (_ <- 1 to iters) {
-      lab = adj.join(lab, adj("n") === lab("node"))
-        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
-        .groupBy(col("v"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("v").as("node"), (-col("m.nl")).as("label"))
+      // argmax by (count desc, label asc) through the native heap
+      // top-k at k = 1 (round 14): the max(struct) form fell back to
+      // SortAggregate — a struct aggregation buffer is not
+      // UnsafeRow-mutable — so both phases re-SORTED every node's
+      // label candidates each round (plan-verified: 16 SortAggregate
+      // nodes across the 4 unrolled rounds). The heap partial keeps
+      // the same node-grain exchange with no sort; same winning row
+      // under the same total order.
+      lab = TopK.perKey(
+        adj.join(lab, adj("n") === lab("node"))
+          .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c")),
+        Seq("v"), Seq(("c", true), ("label", false)), 1)
+        .select(col("v").as("node"), col("label"))
     }
     lab.select(col("node").as("item_id"), col("label").as("community"))
   }
@@ -774,9 +782,16 @@ object Graph {
     // G4 (beyond-ref): LPA communities — see labelPropagation for
     // the self-inclusion and determinism devices.
     QueryDef("graph_communities",
+      // checkpoint the EDGE LIST, not just the capped interactions
+      // (round 14, guide §2.4): labelPropagation references its edge
+      // input through nbrs (2×) and nodes (2 more) — uncached, the
+      // co-occurrence pair self-join executed up to 8× under the adj
+      // materialization (plan: 16 Scan ExistingRDD of the capped
+      // table → 2). graph_modularity already passed a checkpointed
+      // edge list; this aligns the communities twin.
       (s, d) => labelPropagation(
         itemEdges(Recommend.interactionsCapped(s, d)
-          .localCheckpoint(false))),
+          .localCheckpoint(false)).localCheckpoint(false)),
       Some {
         val ladder = (1 to LpaIters)
           .map(i => lpaCte(s"l$i", if (i == 1) "l0" else s"l${i - 1}"))

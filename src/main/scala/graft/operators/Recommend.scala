@@ -50,6 +50,19 @@ object Recommend {
       .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
       .distinct()
 
+  /** The raw (user_id, item_id, last_ts) interaction base — ONE
+    * definition of the lineitem⋈orders grouping the capped / split /
+    * eval derivations compose (round-13 ADVICE: five literal copies
+    * had grown and could drift; round 14 extracts the shared helper).
+    * Its group keys ARE the distinct interaction pairs.
+    */
+  def interactionBase(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"),
+        col("l_partkey").as("item_id"))
+      .agg(max(col("o_orderdate")).as("last_ts"))
+
   val CapPerUser = 20
 
   /** Negative-sampling knobs: slots hashed per user must exceed
@@ -79,12 +92,7 @@ object Recommend {
 
   def interactionsCapped(s: SparkSession, d: String,
                          cap: Int = CapPerUser): DataFrame =
-    capInteractions(
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
-        .agg(max(col("o_orderdate")).as("last_ts")),
-      cap)
+    capInteractions(interactionBase(s, d), cap)
 
   /** U4 analog: deterministic 80/20 split of interactions. */
   def withSplit(inter: DataFrame): DataFrame =
@@ -124,16 +132,12 @@ object Recommend {
     * model stays ml_precision_at_10's whitelisted monitor role).
     */
   def trainSetCapped(s: SparkSession, d: String,
-                     cap: Int = CapPerUser): DataFrame = {
-    val raw = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
-      .agg(max(col("o_orderdate")).as("last_ts"))
+                     cap: Int = CapPerUser): DataFrame =
     capInteractions(
-      raw.withColumn("bucket", bucket10(col("user_id"), col("item_id")))
+      interactionBase(s, d)
+        .withColumn("bucket", bucket10(col("user_id"), col("item_id")))
         .filter(col("bucket") < 8).drop("bucket"),
       cap)
-  }
 
   /** A13: sparse item–item cosine similarity (i < j).
     * cos is a single division of exact integer counts → bitwise equal
@@ -164,10 +168,7 @@ object Recommend {
     */
   def interactionsItemCapped(s: SparkSession, d: String,
                              cap: Int = CapPerItem): DataFrame = {
-    val raw = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
-      .agg(max(col("o_orderdate")).as("last_ts"))
+    val raw = interactionBase(s, d)
     val win = Window.partitionBy(col("item_id"))
       .orderBy(col("last_ts").desc, col("user_id"))
     raw.withColumn("rn", row_number().over(win))
@@ -689,11 +690,7 @@ object Recommend {
     // distinct per query — round-13 optimization pass, guide §1.2
     // step 1). base's group keys ARE the distinct (user, item) pairs,
     // so the eval rows are identical by construction.
-    val base = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("user_id"),
-        col("l_partkey").as("item_id"))
-      .agg(max(col("o_orderdate")).as("last_ts"))
+    val base = interactionBase(s, d)
       .localCheckpoint(false) // train cap + eval split
     val train = capInteractions(
       base.withColumn("bucket", bucket10(col("user_id"), col("item_id")))
@@ -1041,11 +1038,7 @@ object Recommend {
         // aggregate reads the same relation the cap windows — the
         // separate interactions() pass re-joined lineitem⋈orders and
         // re-deduplicated for three counts the base already carries.
-        val base = Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_custkey").as("user_id"),
-            col("l_partkey").as("item_id"))
-          .agg(max(col("o_orderdate")).as("last_ts"))
+        val base = interactionBase(s, d)
           .localCheckpoint(false) // stats aggregate + the cap window
         val sim = itemSimilarity(
           capInteractions(base).localCheckpoint(false))

@@ -399,13 +399,38 @@ object Similarity {
     * the map-side-combinable min_by shape shared with lloydAssign,
     * keyed by (vec_id, m).
     */
-  private def pqAssign(xqm: DataFrame, c: DataFrame): DataFrame =
+  private def pqScored(xqm: DataFrame, c: DataFrame): DataFrame =
     xqm.join(broadcast(c.withColumn("cc", dotiFast(col("cq"), col("cq")))),
         Seq("m"))
       .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
-        min(struct(col("s"), col("cell"))).getField("s").as("s"))
+
+  /** The (vec_id, m)-grain argmin over (s, cell) through the native
+    * heap top-k at k = 1 instead of a struct-ordered min_by
+    * aggregate. Round-14 optimization pass (guide §1.2 step 2): a
+    * struct-typed aggregation buffer is not UnsafeRow-mutable, so
+    * the min_by/min(struct) form fell back to SortAggregate — BOTH
+    * phases sorted every n·K candidate row by (vec_id, m) on every
+    * pass (plan-verified; the same codegen cliff the round-13
+    * min_by-array experiment documented). The heap partial is
+    * O(n log 1) with no sort buffer, the exchange is the same
+    * (vec_id, m)-keyed one, and the kept row is the argmin row
+    * itself under the identical (s, cell) total order — engine-exact,
+    * same rows out.
+    */
+  private def pqArgmin(scored: DataFrame): DataFrame =
+    TopK.perKey(scored, Seq("vec_id", "m"),
+      Seq(("s", false), ("cell", false)), 1)
+
+  private def pqAssign(xqm: DataFrame, c: DataFrame): DataFrame =
+    pqArgmin(pqScored(xqm, c).select("vec_id", "m", "cell", "s"))
+
+  /** pqAssign keeping the winning row's own slice `q`: consumers
+    * that read it (the trainer's mean pass, the distortion monitors)
+    * get q from the kept row instead of a read-back join on xqm —
+    * one join + exchange less per Lloyd round.
+    */
+  private def pqAssignQ(xqm: DataFrame, c: DataFrame): DataFrame =
+    pqArgmin(pqScored(xqm, c).select("vec_id", "m", "q", "cell", "s"))
 
   /** The TRAINED per-subspace PQ codebook — what FAISS's
     * ProductQuantizer.train actually does: an independent k-means in
@@ -418,9 +443,13 @@ object Similarity {
     * (m, cell, cq).
     */
   def pqCodebookTrainedQ(emb: DataFrame,
-                         rounds: Int = IvfTrainRounds): DataFrame =
-    trainSubspaces(subSlicesQ(emb).localCheckpoint(false),
-      pqSeedIds(emb), rounds)
+                         rounds: Int = IvfTrainRounds): DataFrame = {
+    // slice materialization beside the seed-sample job (guide §2.6)
+    val (xqm, seeds) = Par.run2(
+      () => subSlicesQ(emb).localCheckpoint(true),
+      () => pqSeedIds(emb).localCheckpoint(true))
+    trainSubspaces(xqm, seeds, rounds)
+  }
 
   private def pqSeedIds(emb: DataFrame): DataFrame = {
     val kCells = math.max(1L,
@@ -439,7 +468,9 @@ object Similarity {
       .select(col("m"), col("vec_id").as("cell"), col("q").as("cq"))
       .localCheckpoint(false)
     for (_ <- 1 to rounds) {
-      cent = pqAssign(xqm, cent).join(xqm, Seq("vec_id", "m"))
+      // pqAssignQ carries the winning slice through the heap cut, so
+      // the former read-back join on xqm is gone (round 14)
+      cent = pqAssignQ(xqm, cent)
         .select(col("m"), col("cell"),
           posexplode(col("q")).as(Seq("idx", "xi")))
         .groupBy(col("m"), col("cell"), col("idx"))
@@ -504,12 +535,25 @@ object Similarity {
     * ties break on nbr_id.
     */
   def knnIvfPqRes(emb: DataFrame, k: Int = K,
-                  centsOpt: Option[DataFrame] = None,
-                  asnOpt: Option[DataFrame] = None): DataFrame = {
-    val cents = centsOpt.getOrElse(ivfCodebook(emb).localCheckpoint(false))
-    val xqmFull = residualSlicesQ(emb, cents, asnOpt).localCheckpoint(false)
+                  coarseOpt: Option[(DataFrame, DataFrame)] = None)
+  : DataFrame = {
+    // The fine (PQ) training here DEPENDS on the coarse codebook —
+    // it trains on residuals r = x − c(home cell) — so the two
+    // ladders cannot overlap (round-14 finding, contra the r13
+    // verdict's top-ask premise). What IS independent of the coarse
+    // chain is the seed-sample derivation (a corpus count + a
+    // TakeOrdered pass): run it beside the coarse ladder +
+    // residual-slice materialization (guide §2.6).
+    val (xqmFull, seeds) = Par.run2(
+      () => {
+        val cents = coarseOpt.map(_._1)
+          .getOrElse(ivfCodebook(emb).localCheckpoint(false))
+        residualSlicesQ(emb, cents, coarseOpt.map(_._2))
+          .localCheckpoint(true)
+      },
+      () => pqSeedIds(emb).localCheckpoint(true))
     val xqm = xqmFull.select("vec_id", "m", "q")
-    val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
+    val cb = trainSubspaces(xqm, seeds, IvfTrainRounds)
       .localCheckpoint(false) // codes + LUT
     val codes = pqAssign(xqm, cb)
       .select(col("vec_id"), col("m"), col("cell").as("code"))
@@ -557,9 +601,14 @@ object Similarity {
   def knnIvfPqResProbe(emb: DataFrame, k: Int = K,
                        probes: Int = 2): DataFrame = {
     val cents = ivfCodebook(emb).localCheckpoint(false)
-    val xqmFull = residualSlicesQ(emb, cents).localCheckpoint(false)
+    // seed sample beside the coarse+residual chain (guide §2.6 — see
+    // knnIvfPqRes); cents materializes inside the left thunk and is
+    // reused below already persisted
+    val (xqmFull, seeds) = Par.run2(
+      () => residualSlicesQ(emb, cents).localCheckpoint(true),
+      () => pqSeedIds(emb).localCheckpoint(true))
     val xqm = xqmFull.select("vec_id", "m", "q")
-    val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
+    val cb = trainSubspaces(xqm, seeds, IvfTrainRounds)
       .localCheckpoint(false)
     val codes = pqAssign(xqm, cb)
       .select(col("vec_id"), col("m"), col("cell").as("code"))
@@ -612,16 +661,27 @@ object Similarity {
     */
   def ivfPqResDistortion(emb: DataFrame): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val plain = pqDistortion(emb)
-      .select(col("n_subvecs"), col("trained_e12").as("pq_trained_e12"))
-    val cents = ivfCodebook(emb).localCheckpoint(false)
-    val xqm = residualSlicesQ(emb, cents).select("vec_id", "m", "q")
-      .localCheckpoint(false)
-    val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
-    val res = pqAssign(xqm, cb).join(xqm, Seq("vec_id", "m"))
-      .select((dotiFast(col("q"), col("q")) + col("s")).as("d2"))
-      .agg(round(sum(col("d2").cast(dec38)).cast("double") / 1.0e12, 6)
-        .as("ivfpq_res_e12"))
+    // the PLAIN side (pqDistortion: sampled + trained PQ over plain
+    // slices) and the RESIDUAL side (coarse ladder → residual slices
+    // → fine ladder) never meet before the final crossJoin — two
+    // independent training chains, overlapped per guide §2.6
+    val (plain, res) = Par.run2(
+      () => pqDistortion(emb)
+        .select(col("n_subvecs"), col("trained_e12").as("pq_trained_e12"))
+        .localCheckpoint(true),
+      () => {
+        val cents = ivfCodebook(emb).localCheckpoint(false)
+        val xqm = residualSlicesQ(emb, cents).select("vec_id", "m", "q")
+          .localCheckpoint(false)
+        val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
+        // pqAssignQ keeps the winning slice — the xqm read-back join
+        // is gone (round 14)
+        pqAssignQ(xqm, cb)
+          .select((dotiFast(col("q"), col("q")) + col("s")).as("d2"))
+          .agg(round(sum(col("d2").cast(dec38)).cast("double") / 1.0e12, 6)
+            .as("ivfpq_res_e12"))
+          .localCheckpoint(true)
+      })
     plain.crossJoin(res)
   }
 
@@ -638,10 +698,23 @@ object Similarity {
     * top-k sets over the 5³ query batch — engine-exact recalls.
     */
   def ivfPqResVsPlainRecall(emb: DataFrame, k: Int = K): DataFrame = {
-    val ex = knnBrute(emb, k).select("query_id", "nbr_id")
-      .localCheckpoint(false)
+    // the exact brute baseline and the shared coarse training chain
+    // (codebook + corpus assignment) are independent — overlap them
+    // (guide §2.6): the Lloyd ladder runs at parallelism ≈ 1 and the
+    // CPU-heavy brute pass back-fills its idle cores. Same three
+    // checkpoints as before, overlapped instead of sequential.
+    val (ex, coarse) = Par.run2(
+      () => knnBrute(emb, k).select("query_id", "nbr_id")
+        .localCheckpoint(true),
+      () => {
+        val cents = ivfCodebook(emb).localCheckpoint(true)
+        val asn = ivfAssign(emb, Some(cents)).localCheckpoint(true)
+        (cents, asn)
+      })
+    // eager: both overlapped recall sides below read `base`, so it
+    // must be materialized before the fork (Par contract)
     val base = ex.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     def recallOf(ap: DataFrame, name: String): DataFrame = {
       val hits = ex.join(ap.select("query_id", "nbr_id"),
           Seq("query_id", "nbr_id"), "left_semi")
@@ -657,12 +730,16 @@ object Similarity {
     // identical Lloyd trainings + two identical argmin passes), now by
     // construction — both are derived once and threaded into both
     // index paths.
-    val cents = ivfCodebook(emb).localCheckpoint(false)
-    val asn = ivfAssign(emb, Some(cents)).localCheckpoint(false)
-    recallOf(knnIvfPq(emb, k, Some(cents), Some(asn)), "plain_recall")
-      .crossJoin(
-        recallOf(knnIvfPqRes(emb, k, Some(cents), Some(asn)), "res_recall")
-          .drop("n_queries"))
+    val (cents, asn) = coarse
+    // given the shared coarse quantizer, the PLAIN composite (shallow
+    // sampled-PQ scoring) and the RESIDUAL composite (its own fine
+    // training ladder) are independent until the final crossJoin —
+    // overlap them too; each side is a 1-row recall aggregate
+    val Seq(plainR, resR) = Par.materialize(
+      recallOf(knnIvfPq(emb, k, Some((cents, asn))), "plain_recall"),
+      recallOf(knnIvfPqRes(emb, k, Some((cents, asn))), "res_recall")
+        .drop("n_queries"))
+    plainR.crossJoin(resR)
   }
 
   /** Fixed probe-batch size for the ADC stage-bisect probe: a
@@ -704,10 +781,16 @@ object Similarity {
     * exact integer micro-units. Mirrors oracle CTE rpm<rounds>.
     */
   def resCodebookProbe(emb: DataFrame): DataFrame = {
-    val cents = ivfCodebook(emb).localCheckpoint(false)
-    val xqm = residualSlicesQ(emb, cents).select("vec_id", "m", "q")
-      .localCheckpoint(false)
-    trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
+    // seed sample beside the coarse+residual chain (guide §2.6 — see
+    // knnIvfPqRes)
+    val (xqm, seeds) = Par.run2(
+      () => {
+        val cents = ivfCodebook(emb).localCheckpoint(false)
+        residualSlicesQ(emb, cents).select("vec_id", "m", "q")
+          .localCheckpoint(true)
+      },
+      () => pqSeedIds(emb).localCheckpoint(true))
+    trainSubspaces(xqm, seeds, IvfTrainRounds)
       .select(col("m"), col("cell"),
         posexplode(col("cq")).as(Seq("idx", "cqi")))
   }
@@ -717,10 +800,16 @@ object Similarity {
     * score consumes both sides' codes. Mirrors oracle CTE rpaF.
     */
   def resCodesProbe(emb: DataFrame): DataFrame = {
-    val cents = ivfCodebook(emb).localCheckpoint(false)
-    val xqm = residualSlicesQ(emb, cents).select("vec_id", "m", "q")
-      .localCheckpoint(false)
-    val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
+    // seed sample beside the coarse+residual chain (guide §2.6 — see
+    // knnIvfPqRes)
+    val (xqm, seeds) = Par.run2(
+      () => {
+        val cents = ivfCodebook(emb).localCheckpoint(false)
+        residualSlicesQ(emb, cents).select("vec_id", "m", "q")
+          .localCheckpoint(true)
+      },
+      () => pqSeedIds(emb).localCheckpoint(true))
+    val cb = trainSubspaces(xqm, seeds, IvfTrainRounds)
     pqAssign(xqm, cb)
       .select(col("vec_id"), col("m"), col("cell").as("code"))
   }
@@ -746,10 +835,16 @@ object Similarity {
     */
   private def resAdcRelations(emb: DataFrame, nq: Int)
   : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val cents = ivfCodebook(emb).localCheckpoint(false)
-    val xqmFull = residualSlicesQ(emb, cents).localCheckpoint(false)
+    // seed sample beside the coarse+residual chain (guide §2.6 — see
+    // knnIvfPqRes)
+    val (xqmFull, seeds) = Par.run2(
+      () => {
+        val cents = ivfCodebook(emb).localCheckpoint(false)
+        residualSlicesQ(emb, cents).localCheckpoint(true)
+      },
+      () => pqSeedIds(emb).localCheckpoint(true))
     val xqm = xqmFull.select("vec_id", "m", "q")
-    val cb = trainSubspaces(xqm, pqSeedIds(emb), IvfTrainRounds)
+    val cb = trainSubspaces(xqm, seeds, IvfTrainRounds)
       .localCheckpoint(false)
     val codes = pqAssign(xqm, cb)
       .select(col("vec_id"), col("m"), col("cell").as("code"))
@@ -845,10 +940,16 @@ object Similarity {
     * the trained default a real index build would persist beside the
     * IVF `.codebook` sidecar). Output shape matches pqCodes.
     */
-  def pqCodesTrained(emb: DataFrame): DataFrame =
-    pqAssign(subSlicesQ(emb).localCheckpoint(false),
-      pqCodebookTrainedQ(emb))
+  def pqCodesTrained(emb: DataFrame): DataFrame = {
+    // ONE materialized slice stream feeds the trainer and the final
+    // encode (the call previously checkpointed subSlicesQ twice —
+    // identical relation); seed sample beside it per guide §2.6
+    val (xqm, seeds) = Par.run2(
+      () => subSlicesQ(emb).localCheckpoint(true),
+      () => pqSeedIds(emb).localCheckpoint(true))
+    pqAssign(xqm, trainSubspaces(xqm, seeds, IvfTrainRounds))
       .select(col("vec_id"), col("m"), col("cell").as("code"))
+  }
 
   /** Quantization-distortion monitor: total squared L2 error of the
     * PQ encoding under the SAMPLED codebook (round 0) vs the TRAINED
@@ -861,21 +962,32 @@ object Similarity {
     */
   def pqDistortion(emb: DataFrame): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val xqm = subSlicesQ(emb).localCheckpoint(false)
+    // eager: both overlapped sides below read it, so it must be
+    // materialized before the fork (Par contract)
+    val xqm = subSlicesQ(emb).localCheckpoint()
     val kCells = math.max(1L,
       math.min(CentCount.toLong, emb.count() / MinCellFill)).toInt
     val seedIds = hashSample(vecs(emb), "c", kCells).select("vec_id")
     val sampled = xqm.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("m"), col("vec_id").as("cell"), col("q").as("cq"))
     def total(c: DataFrame, name: String): DataFrame =
-      pqAssign(xqm, c).join(xqm, Seq("vec_id", "m"))
+      pqAssignQ(xqm, c)
         .select((dotiFast(col("q"), col("q")) + col("s")).as("d2"))
         .agg(count(lit(1)).as("n_subvecs"),
           round(sum(col("d2").cast(dec38)).cast("double") / 1.0e12, 6)
             .as(name))
-    total(sampled, "sampled_e12")
-      .crossJoin(total(pqCodebookTrainedQ(emb), "trained_e12")
+    // the sampled-codebook side and the TRAINED side (a full Lloyd
+    // ladder) are independent until the final crossJoin — overlap
+    // their serial chains (guide §2.6); xqm is materialized above so
+    // the threads share only a persisted RDD. Training over the SAME
+    // xqm also retires the second subSlicesQ checkpoint the old
+    // pqCodebookTrainedQ call materialized (identical relation —
+    // same slices, same seeds).
+    val Seq(sTot, tTot) = Par.materialize(
+      total(sampled, "sampled_e12"),
+      total(trainSubspaces(xqm, seedIds, IvfTrainRounds), "trained_e12")
         .drop("n_subvecs"))
+    sTot.crossJoin(tTot)
   }
 
   /** PQ-ADC top-k retrieval — the classic asymmetric-distance shape:
@@ -955,9 +1067,9 @@ object Similarity {
     * sim_ivfpq_recall measures against the exact baseline.
     */
   def knnIvfPq(emb: DataFrame, k: Int = K,
-               centsOpt: Option[DataFrame] = None,
-               asnOpt: Option[DataFrame] = None): DataFrame = {
-    val (coded, qcell, lut) = pqAdcParts(emb, centsOpt, asnOpt)
+               coarseOpt: Option[(DataFrame, DataFrame)] = None)
+  : DataFrame = {
+    val (coded, qcell, lut) = pqAdcParts(emb, coarseOpt)
     adcTopK(coded, qcell, lut, k)
   }
 
@@ -968,20 +1080,21 @@ object Similarity {
     * compose the same relations, never re-derive them).
     */
   private def pqAdcParts(emb: DataFrame,
-                         centsOpt: Option[DataFrame] = None,
-                         asnOpt: Option[DataFrame] = None)
+                         coarseOpt: Option[(DataFrame, DataFrame)] = None)
   : (DataFrame, DataFrame, DataFrame) = {
     val e = vecs(emb)
     // coarse quantizer: the trained IVF codebook; fine quantizer: the
     // sampled PQ codebook (pqCodes) — independent, as in FAISS IVFPQ.
-    // `centsOpt`/`asnOpt` let a monitor running several composites
-    // over the SAME corpus train the coarse quantizer and compute the
-    // corpus assignment once and share both (ivfPqResVsPlainRecall ran
-    // the identical Lloyd training AND the identical n×CentCount
-    // argmin pass twice before the round-13 optimization pass — guide
-    // §1.2 step 1, don't compute things twice).
-    val assigned = asnOpt.map(_.select(col("vec_id"), col("cell")))
-      .getOrElse(ivfAssign(emb, centsOpt)
+    // `coarseOpt` = (codebook, its corpus assignment) lets a monitor
+    // running several composites over the SAME corpus train the
+    // coarse quantizer and compute the corpus assignment once and
+    // share both (ivfPqResVsPlainRecall ran the identical Lloyd
+    // training AND the identical n×CentCount argmin pass twice before
+    // the round-13 optimization pass — guide §1.2 step 1). Bundled as
+    // ONE option (round-13 ADVICE) so an assignment can never be
+    // passed without the codebook it was derived from.
+    val assigned = coarseOpt.map(_._2.select(col("vec_id"), col("cell")))
+      .getOrElse(ivfAssign(emb)
         .select(col("vec_id"), col("cell"))
         .localCheckpoint(false)) // candidate cells + query cells
     val cent = hashSample(e, "c", CentCount)
@@ -1527,12 +1640,16 @@ object Similarity {
     val seeds = sl.select(col("cell"), lit(0L).as("sub"), col("sq0").as("sq"))
       .unionByName(
         sl.select(col("cell"), lit(1L).as("sub"), col("sq1").as("sq")))
-    val sub = mem.join(broadcast(seeds), Seq("cell"))
-      .withColumn("s",
-        dotiFast(col("sq"), col("sq")) - lit(2L) * dotiFast(col("q"), col("sq")))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(min_by(col("sub"), struct(col("s"), col("sub"))).as("sub"))
-      .join(mem.select(col("vec_id"), col("q")), Seq("vec_id"))
+    // argmin via the native heap top-k at k = 1 (round 14, the
+    // pqArgmin device — the min_by struct buffer fell to
+    // SortAggregate); the kept row carries q, so the former q
+    // re-join on mem is gone
+    val sub = TopK.perKey(
+      mem.join(broadcast(seeds), Seq("cell"))
+        .select(col("vec_id"), col("cell"), col("q"), col("sub"),
+          (dotiFast(col("sq"), col("sq"))
+            - lit(2L) * dotiFast(col("q"), col("sq"))).as("s")),
+      Seq("vec_id", "cell"), Seq(("s", false), ("sub", false)), 1)
     sub.select(col("cell"), col("sub"),
         posexplode(col("q")).as(Seq("idx", "xi")))
       .groupBy(col("cell"), col("sub"), col("idx"))
@@ -1619,16 +1736,23 @@ object Similarity {
                 centOpt: Option[DataFrame] = None): DataFrame = {
     val e = vecs(emb)
     val cent = centOpt.getOrElse(ivfCodebook(emb))
-    e.withColumn("q", expr(qOfV))
-      .join(broadcast(cent
-        .select(col("cent_id"), expr(qOfCv).as("cq"))
-        .withColumn("cc", dotiFast(col("cq"), col("cq")))))
-      .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cent_id"), struct(col("s"), col("cent_id")))
-        .as("cell"),
-        min_by(col("v"), struct(col("s"), col("cent_id"))).as("v"))
-      .select(col("vec_id"), col("v"), col("cell"))
+    // argmin via the native heap top-k at k = 1 (round 14, the
+    // pqArgmin device): the TWO struct-ordered min_by aggregates —
+    // one of them carrying the ARRAY column v through an aggregation
+    // buffer — fell back to SortAggregate (exactly the round-13
+    // min_by-array codegen cliff); the heap keeps whole rows, so v
+    // rides the kept row with no buffer and no sort, over the same
+    // vec-grain exchange. Same argmin row under the same
+    // (s, cent_id) total order.
+    TopK.perKey(
+      e.withColumn("q", expr(qOfV))
+        .join(broadcast(cent
+          .select(col("cent_id"), expr(qOfCv).as("cq"))
+          .withColumn("cc", dotiFast(col("cq"), col("cq")))))
+        .select(col("vec_id"), col("v"), col("cent_id"),
+          (col("cc") - lit(2L) * dotiFast(col("q"), col("cq"))).as("s")),
+      Seq("vec_id"), Seq(("s", false), ("cent_id", false)), 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
   }
 
   /** Every row of `e(vec_id, v)` ranked against the trained codebook
@@ -2637,17 +2761,21 @@ object Similarity {
       .select(col("a.vec_id").as("query_id"), col("a.cell_rank"),
         col("b.vec_id").as("nbr_id"),
         round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
-      .localCheckpoint(false) // one scoring pass serves every p
     val ps = NprobeSweep.map(_.toLong).toDF("nprobe")
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nprobe"), col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
-    val ap = cand.join(broadcast(ps), col("cell_rank") <= col("nprobe"))
+    // the probe-side candidate scoring (behind the trained codebook's
+    // serial ladder) and the exact brute baseline are independent
+    // until the hit join — overlap them (guide §2.6); both
+    // checkpoints existed before, only the schedule moves
+    val Seq(candM, exact) = Par.materialize(
+      cand, // one scoring pass serves every p
+      knnBrute(emb, k).select(col("query_id"), col("nbr_id")))
+    val ap = candM.join(broadcast(ps), col("cell_rank") <= col("nprobe"))
       .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= k)
       .select(col("nprobe"), col("query_id"), col("nbr_id"))
-    val exact = knnBrute(emb, k)
-      .select(col("query_id"), col("nbr_id")).localCheckpoint(false)
     val hits = ap.join(exact,
         Seq("query_id", "nbr_id"), "left_semi")
       .groupBy(col("nprobe"), col("query_id"))
@@ -2711,11 +2839,19 @@ object Similarity {
   def annRecallAtK(emb: DataFrame, k: Int = K,
                    index: (DataFrame, Int) => DataFrame =
                      knnLshMultiprobe(_, _)): DataFrame = {
-    val exact = knnBrute(emb, k)
-    val approx = index(emb, k)
-      .join(hashSample(vecs(emb), "q", QueryCount)
-        .select(col("vec_id").as("query_id")), Seq("query_id"),
-        "left_semi")
+    // the EXACT brute baseline and the index side are independent
+    // until the hit join — overlap their chains (guide §2.6: the
+    // index side's training ladder runs at parallelism ≈ 1 and the
+    // CPU-heavy brute pass back-fills its idle cores). Materializing
+    // `exact` also retires its former double computation (it fed the
+    // hit join AND the n_exact aggregate, uncheckpointed). Both
+    // top-k sets are QueryCount·k rows — the checkpoints are free.
+    val Seq(exact, approx) = Par.materialize(
+      knnBrute(emb, k),
+      index(emb, k)
+        .join(hashSample(vecs(emb), "q", QueryCount)
+          .select(col("vec_id").as("query_id")), Seq("query_id"),
+          "left_semi"))
     val perQuery = exact.as("e")
       .join(approx.as("a"),
         col("e.query_id") === col("a.query_id") &&
@@ -2824,20 +2960,28 @@ object Similarity {
         "x -> cast(round(x * 1000000.0D) as bigint))").as("q"))
 
   /** One Lloyd assignment pass: argmin over the integer squared-L2
-    * surrogate s = |c|² − 2·x·c, as a map-side-combinable min_by
-    * aggregate, not a rank window: the window form sorts |V|·cells
-    * candidate rows per round (measured 2× the whole operator at
-    * sf1); the aggregate reduces them to partial minima before the
-    * vec-grain shuffle, and the q re-join co-partitions with it.
-    * `xq` must already be materialized by the caller.
+    * surrogate s = |c|² − 2·x·c, as a map-side heap cut, not a rank
+    * window: the window form sorts |V|·cells candidate rows per
+    * round (measured 2× the whole operator at sf1); the heap
+    * partial reduces them to per-partition minima before the
+    * vec-grain shuffle and keeps the winning row's q. Returns
+    * (vec_id, q, cell, s). `xq` must already be materialized by the
+    * caller.
     */
   private def lloydAssign(xq: DataFrame, c: DataFrame): DataFrame =
-    xq.join(broadcast(c.withColumn("cc", dotiFast(col("cq"), col("cq")))))
-      .withColumn("s", col("cc") - lit(2L) * dotiFast(col("q"), col("cq")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
-        min(struct(col("s"), col("cell"))).getField("s").as("s"))
-      .join(xq, Seq("vec_id"))
+    // argmin via the native heap top-k at k = 1 (round 14, the
+    // pqArgmin device): the struct-ordered min_by fell back to
+    // SortAggregate (struct buffers are not UnsafeRow-mutable) and
+    // sorted every |V|·cells candidate row twice per round; the heap
+    // partial keeps the same vec-grain exchange with no sort, and the
+    // kept row carries `q`, so the former q re-join on xq is gone —
+    // one join + its exchange less per Lloyd round. Same argmin row
+    // under the same (s, cell) total order.
+    TopK.perKey(
+      xq.join(broadcast(c.withColumn("cc", dotiFast(col("cq"), col("cq")))))
+        .select(col("vec_id"), col("q"), col("cell"),
+          (col("cc") - lit(2L) * dotiFast(col("q"), col("cq"))).as("s")),
+      Seq("vec_id"), Seq(("s", false), ("cell", false)), 1)
 
   /** `rounds` Lloyd iterations from the deterministic CentCount seed
     * sample → the trained codebook (cell, cq), integer micro-units.
@@ -3015,7 +3159,9 @@ object Similarity {
     */
   def retrainGain(emb: DataFrame): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val xq = microQuant(emb).localCheckpoint(false)
+    // eager: both overlapped training chains below read xq, so it
+    // must be materialized before the fork (Par contract)
+    val xq = microQuant(emb).localCheckpoint()
     val old = xq.filter(graft.functions.Functions
         .bucket10(col("vec_id"), lit(DriftSalt)) < 5)
       .localCheckpoint(false)
@@ -3024,10 +3170,15 @@ object Similarity {
         .select((dotiFast(col("q"), col("q")) + col("s")).as("d"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(col("d").cast(dec38)).as("iq"))
-    val stale = totalUnder(lloydCodebookQ(old, IvfTrainRounds))
-      .withColumnRenamed("iq", "siq")
-    val fresh = totalUnder(lloydCodebookQ(xq, IvfTrainRounds))
-      .select(col("iq").as("fiq"))
+    // the STALE ladder (trained on the old half) and the FRESH ladder
+    // (trained on everything) are two independent Lloyd chains that
+    // never meet before the final crossJoin — overlap them
+    // (guide §2.6); each side is a 1-row total
+    val Seq(stale, fresh) = Par.materialize(
+      totalUnder(lloydCodebookQ(old, IvfTrainRounds))
+        .withColumnRenamed("iq", "siq"),
+      totalUnder(lloydCodebookQ(xq, IvfTrainRounds))
+        .select(col("iq").as("fiq")))
     stale.crossJoin(fresh) // 1-row × 1-row
       .select(col("n_vecs"),
         round(col("siq").cast("double") / 1.0e12, 6).as("stale_e12"),
@@ -3760,7 +3911,12 @@ object Similarity {
     val wFuse = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("rrf_ppm").desc, col("id"))
-    ann.join(lex, Seq("query_id", "id"), "full_outer")
+    // the ANN branch (IVF training ladder + in-cell scoring) and the
+    // lexical branch (shingle-keyed join) are independent until the
+    // fusion join — overlap them (guide §2.6); each side is ≤ |Q|·k
+    // rows, so the checkpoints are free
+    val Seq(annM, lexM) = Par.materialize(ann, lex)
+    annM.join(lexM, Seq("query_id", "id"), "full_outer")
       .select(col("query_id"), col("id"),
         (coalesce(expr("1000000 div (60 + r_ann)"), lit(0L))
           + coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)))

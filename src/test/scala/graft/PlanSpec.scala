@@ -38,16 +38,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "cartesian fallback!")
   }
 
-  test("ivf coarse assignment: two-phase min_by aggregate over the " +
-    "codegen'd integer dot, no corpus-grain rank window") {
+  test("ivf coarse assignment: two-phase heap argmin over the " +
+    "codegen'd integer dot, no corpus-grain rank window, no sort") {
     // round 9: the home-cell pick is a map-side-combinable argmin
-    // (n·K candidate rows collapse to n per partition BEFORE the
+    // (n·K candidate rows collapse to ≤n per partition BEFORE the
     // vec-grain shuffle); the retired form sorted all n·K rows
     // through a rank window — a 100 TB regression even at equal
-    // sf0.01 results
+    // sf0.01 results. Round 14: the argmin runs through the native
+    // heap top-k at k = 1 (TopKPerKeyPartial/Final) because the
+    // min_by struct buffer is not UnsafeRow-mutable and fell back to
+    // SortAggregate — both phases SORTING all n·K candidate rows,
+    // the very cost the aggregate form existed to avoid.
     val p = planOf("sim_cell_stats")
-    assert(p.contains("partial_min_by"),
-      "home-cell argmin must map-side combine")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      "home-cell argmin must run the two-phase heap cut")
+    assert(!p.contains("SortAggregate"),
+      "argmin fell back to a sorting aggregate")
     assert(!p.contains("Window"),
       "assignment must not rank through a window")
     assert(p.contains("graft_doti"),

@@ -1221,15 +1221,24 @@ object Similarity {
         "rebuild would pair old codes with new sidecars; delete the " +
         "store first, or ingest with ivfPqAppend")
     val e = vecs(emb)
-    val cents = ivfCodebook(emb).localCheckpoint(false)
-    writeCodebookSidecar(s, dir, cents)
-    writeStampedSidecar(s, s"$dir.pq",
-      subSlices(hashSample(e, "c", CentCount)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv")),
-        "cent_id", "cv", "c")
-        .select(col("m"), col("cent_id").as("code"), col("c")),
-      "_encode_contract", PqEncodeContract)
-    pqCodes(emb)
+    // the coarse Lloyd ladder and the sampled-PQ encode pass are
+    // independent until the final cell-partitioned write — overlap
+    // them, then land the two (independent) sidecars concurrently
+    // (guide §2.6, round 14). The ErrorIfExists DATA write still runs
+    // last, so the fail-fast/crash contract above is unchanged, and
+    // each sidecar write is the atomic stamped swap either way.
+    val (cents, codes) = Par.run2(
+      () => ivfCodebook(emb).localCheckpoint(true),
+      () => pqCodes(emb).localCheckpoint(true))
+    Par.run[Unit](Seq(
+      () => writeCodebookSidecar(s, dir, cents),
+      () => writeStampedSidecar(s, s"$dir.pq",
+        subSlices(hashSample(e, "c", CentCount)
+            .select(col("vec_id").as("cent_id"), col("v").as("cv")),
+          "cent_id", "cv", "c")
+          .select(col("m"), col("cent_id").as("code"), col("c")),
+        "_encode_contract", PqEncodeContract)))
+    codes
       .join(ivfAssign(emb, Some(cents)).select("vec_id", "cell"),
         Seq("vec_id"))
       .write.partitionBy("cell").parquet(dir)

@@ -512,7 +512,8 @@ object Dedup {
         jaccardVerifyFrom(bandCandidates(bc, bc, half = true), sh, t)
           .select(col("i"), col("j")),
         docsDf.filter(!isBatch).select(col("doc_id")))
-        .select(col("doc_id"), col("canonical_id")),
+        .select(col("doc_id"), col("canonical_id"))
+        .localCheckpoint(true), // the fold reads it thrice
       bc, bands.filter(isBatch), sh,
       docsDf.filter(isBatch).select(col("doc_id")), t)
   }
@@ -533,13 +534,18 @@ object Dedup {
     // The prior-label derivation (a store read, or the corpus-side CC
     // fixpoint in the inline twin) and the NEW-edge verify are
     // independent until the contraction below — overlap them
-    // (guide §2.6). `priorThunk` runs on its own driver thread; the
-    // callers materialize any relation the two sides share (shingles,
-    // band signatures) BEFORE this fork, per the Par contract.
-    // edgesNew: corpus×batch + batch-internal — the corpus×corpus
-    // pair space never forms.
+    // (guide §2.6). `priorThunk` runs on its own driver thread and
+    // must return a MATERIALIZED frame (it is read thrice below:
+    // pi/pj contraction + relabel) — the store callers return their
+    // already-eager store read, the inline twin checkpoints its
+    // fixpoint result inside the thunk; checkpointing here again
+    // would scan and persist a second copy of the corpus-sized label
+    // table per serve. Callers materialize any relation the two
+    // sides share (shingles, band signatures) BEFORE this fork, per
+    // the Par contract. edgesNew: corpus×batch + batch-internal —
+    // the corpus×corpus pair space never forms.
     val (prior, edgesNew) = Par.run2(
-      () => priorThunk().localCheckpoint(true),
+      priorThunk,
       // read by the contraction (twice via pi/pj) + relabel
       () => jaccardVerifyFrom(
         bandCandidates(cBands, bBands, half = false)

@@ -34,33 +34,67 @@ object Par {
     * caller like the sequential form's would.
     */
   def run[A](thunks: Seq[() => A]): Seq[A] = {
-    if (thunks.lengthCompare(1) <= 0) return thunks.map(_())
+    // strict copy: a lazy Seq (Stream/view) would defer submission
+    // into the result map — one-at-a-time execution, or submission
+    // after pool shutdown
+    val ts = thunks.toVector
+    if (ts.lengthCompare(1) <= 0) return ts.map(_())
     val session = SparkSession.getActiveSession
+    val groupPrefix = "graft-par-" + java.util.UUID.randomUUID()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      thunks.size,
+      ts.size,
       (r: Runnable) => {
         val t = new Thread(r, "graft-par")
         t.setDaemon(true)
         t
       })
     try {
-      val futs = thunks.map(t => pool.submit(
-        new java.util.concurrent.Callable[A] {
+      val futs = ts.zipWithIndex.map { case (t, i) =>
+        pool.submit(new java.util.concurrent.Callable[A] {
           override def call(): A = {
             // a pool thread has no inherited active session; Dataset
             // methods resolve it from the frame, but functions built
             // inside the thunk (broadcast hints, implicits) read the
-            // thread-local — restore it explicitly
-            session.foreach(SparkSession.setActiveSession)
+            // thread-local — restore it explicitly. The job group is
+            // per-thunk (thread-local too) so a sibling failure can
+            // cancel this thunk's in-flight Spark jobs.
+            session.foreach { s =>
+              SparkSession.setActiveSession(s)
+              s.sparkContext.setJobGroup(s"$groupPrefix-$i",
+                "graft.Par thunk", interruptOnCancel = true)
+            }
             t()
           }
-        }))
-      futs.map(f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause
         })
+      }
+      var failure: Throwable = null
+      val out = futs.map { f =>
+        if (failure != null) null.asInstanceOf[A]
+        else try f.get()
+        catch {
+          case e: Throwable =>
+            failure = e match {
+              case ee: java.util.concurrent.ExecutionException => ee.getCause
+              case other => other
+            }
+            // A failed thunk must not leave siblings running detached
+            // (a store WRITE landing after the caller saw the failure
+            // and started cleanup/retry would corrupt the new state —
+            // sequentially, later work never started). Interrupt the
+            // threads, cancel their Spark job groups, and WAIT for
+            // the pool to drain before rethrowing.
+            futs.foreach(_.cancel(true))
+            session.foreach { s =>
+              ts.indices.foreach(j =>
+                s.sparkContext.cancelJobGroup(s"$groupPrefix-$j"))
+            }
+            pool.shutdownNow()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+            null.asInstanceOf[A]
+        }
+      }
+      if (failure != null) throw failure
+      out
     } finally pool.shutdown()
   }
 

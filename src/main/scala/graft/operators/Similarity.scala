@@ -443,13 +443,13 @@ object Similarity {
     * (m, cell, cq).
     */
   def pqCodebookTrainedQ(emb: DataFrame,
-                         rounds: Int = IvfTrainRounds): DataFrame = {
-    // slice materialization beside the seed-sample job (guide §2.6)
-    val (xqm, seeds) = Par.run2(
-      () => subSlicesQ(emb).localCheckpoint(true),
-      () => pqSeedIds(emb).localCheckpoint(true))
-    trainSubspaces(xqm, seeds, rounds)
-  }
+                         rounds: Int = IvfTrainRounds): DataFrame =
+    // thin composition kept as the documented public entry point
+    // (both registered consumers now train off their own shared
+    // slice checkpoint — see pqCodesTrained/pqDistortion); no
+    // private fork here so it cannot drift from the real path
+    trainSubspaces(subSlicesQ(emb).localCheckpoint(false),
+      pqSeedIds(emb), rounds)
 
   private def pqSeedIds(emb: DataFrame): DataFrame = {
     val kCells = math.max(1L,
@@ -734,11 +734,14 @@ object Similarity {
     // given the shared coarse quantizer, the PLAIN composite (shallow
     // sampled-PQ scoring) and the RESIDUAL composite (its own fine
     // training ladder) are independent until the final crossJoin —
-    // overlap them too; each side is a 1-row recall aggregate
-    val Seq(plainR, resR) = Par.materialize(
-      recallOf(knnIvfPq(emb, k, Some((cents, asn))), "plain_recall"),
-      recallOf(knnIvfPqRes(emb, k, Some((cents, asn))), "res_recall")
-        .drop("n_queries"))
+    // overlap them too, CONSTRUCTING each composite inside its thunk
+    // (knnIvfPqRes runs eager work while building — review finding,
+    // round 14); each side is a 1-row recall aggregate
+    val Seq(plainR, resR) = Par.run[DataFrame](Seq(
+      () => recallOf(knnIvfPq(emb, k, Some((cents, asn))),
+        "plain_recall").localCheckpoint(true),
+      () => recallOf(knnIvfPqRes(emb, k, Some((cents, asn))),
+        "res_recall").drop("n_queries").localCheckpoint(true)))
     plainR.crossJoin(resR)
   }
 
@@ -2851,16 +2854,22 @@ object Similarity {
     // the EXACT brute baseline and the index side are independent
     // until the hit join — overlap their chains (guide §2.6: the
     // index side's training ladder runs at parallelism ≈ 1 and the
-    // CPU-heavy brute pass back-fills its idle cores). Materializing
-    // `exact` also retires its former double computation (it fed the
-    // hit join AND the n_exact aggregate, uncheckpointed). Both
-    // top-k sets are QueryCount·k rows — the checkpoints are free.
-    val Seq(exact, approx) = Par.materialize(
-      knnBrute(emb, k),
-      index(emb, k)
+    // CPU-heavy brute pass back-fills its idle cores). The index is
+    // CONSTRUCTED inside its thunk too: several index functions run
+    // eager work while building their plan (seed counts, eager
+    // residual checkpoints), which would otherwise serialize before
+    // the fork on exactly the most expensive families (review
+    // finding, round 14). Materializing `exact` also retires its
+    // former double computation (it fed the hit join AND the n_exact
+    // aggregate, uncheckpointed). Both top-k sets are QueryCount·k
+    // rows — the checkpoints are free.
+    val (exact, approx) = Par.run2(
+      () => knnBrute(emb, k).localCheckpoint(true),
+      () => index(emb, k)
         .join(hashSample(vecs(emb), "q", QueryCount)
           .select(col("vec_id").as("query_id")), Seq("query_id"),
-          "left_semi"))
+          "left_semi")
+        .localCheckpoint(true))
     val perQuery = exact.as("e")
       .join(approx.as("a"),
         col("e.query_id") === col("a.query_id") &&
@@ -3182,12 +3191,14 @@ object Similarity {
     // the STALE ladder (trained on the old half) and the FRESH ladder
     // (trained on everything) are two independent Lloyd chains that
     // never meet before the final crossJoin — overlap them
-    // (guide §2.6); each side is a 1-row total
-    val Seq(stale, fresh) = Par.materialize(
-      totalUnder(lloydCodebookQ(old, IvfTrainRounds))
-        .withColumnRenamed("iq", "siq"),
-      totalUnder(lloydCodebookQ(xq, IvfTrainRounds))
-        .select(col("iq").as("fiq")))
+    // (guide §2.6), CONSTRUCTING each inside its thunk
+    // (lloydCodebookQ runs its seed-count action while building);
+    // each side is a 1-row total
+    val Seq(stale, fresh) = Par.run[DataFrame](Seq(
+      () => totalUnder(lloydCodebookQ(old, IvfTrainRounds))
+        .withColumnRenamed("iq", "siq").localCheckpoint(true),
+      () => totalUnder(lloydCodebookQ(xq, IvfTrainRounds))
+        .select(col("iq").as("fiq")).localCheckpoint(true)))
     stale.crossJoin(fresh) // 1-row × 1-row
       .select(col("n_vecs"),
         round(col("siq").cast("double") / 1.0e12, 6).as("stale_e12"),
